@@ -1,0 +1,81 @@
+"""Local replica of the driver's DuckDB-oracle check (SURVEY.md §5).
+
+Runs a registered Spark query and its DuckDB oracle SQL on the same
+parquet tables and compares row count, sorted column names, and an
+order-insensitive value multiset. Stricter than the driver on floats:
+exact repr equality (our determinism policy should make engine floats
+bitwise identical; see registry docstring).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import decimal
+import math
+
+import duckdb
+
+from weather_data_pipeline_spark.schemas import TABLE_NAMES
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def _norm(v):
+    if v is None:
+        return "␀"
+    if isinstance(v, bool):
+        return "1" if v else "0"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return repr(v)
+    if isinstance(v, decimal.Decimal):
+        # 12.30 and 12.3 normalize equal; scale differences are cosmetic.
+        return format(v.normalize(), "f")
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return v.isoformat(sep=" ", timespec="microseconds")
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_norm(x) for x in v) + "]"
+    return str(v)
+
+
+def _multiset(rows, col_names):
+    order = sorted(range(len(col_names)), key=lambda i: col_names[i])
+    return sorted("|".join(_norm(r[i]) for i in order) for r in rows)
+
+
+def compare(spark, name: str, fn, sql: str, sf_dir: str) -> None:
+    sdf = fn(spark, sf_dir)
+    spark_cols = list(sdf.columns)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    con = duck_connection(sf_dir)
+    res = con.execute(sql)
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    con.close()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch spark={sorted(spark_cols)} duck={sorted(duck_cols)}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count spark={len(spark_rows)} duck={len(duck_rows)}"
+    )
+    ms, md = _multiset(spark_rows, spark_cols), _multiset(duck_rows, duck_cols)
+    if ms != md:
+        diff_s = [r for r in ms if r not in set(md)][:5]
+        diff_d = [r for r in md if r not in set(ms)][:5]
+        raise AssertionError(
+            f"{name}: value mismatch\n spark-only={diff_s}\n duck-only={diff_d}"
+        )
