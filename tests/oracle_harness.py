@@ -33,6 +33,7 @@ def _norm(v):
     if isinstance(v, bool):
         return "1" if v else "0"
     if isinstance(v, float):
+        v = float(v)
         if math.isnan(v):
             return "nan"
         return repr(v)
@@ -55,10 +56,19 @@ def _multiset(rows, col_names):
     return sorted("|".join(_norm(r[i]) for i in order) for r in rows)
 
 
+def _spark_rows(sdf):
+    """Arrow-path collect (~10× faster than py4j row conversion)."""
+    import pandas as pd
+
+    pdf = sdf.toPandas()
+    pdf = pdf.astype(object).where(pd.notnull(pdf), None)
+    return [tuple(r) for r in pdf.itertuples(index=False, name=None)]
+
+
 def compare(spark, name: str, fn, sql: str, sf_dir: str) -> None:
     sdf = fn(spark, sf_dir)
     spark_cols = list(sdf.columns)
-    spark_rows = [tuple(r) for r in sdf.collect()]
+    spark_rows = _spark_rows(sdf)
 
     con = duck_connection(sf_dir)
     res = con.execute(sql)
