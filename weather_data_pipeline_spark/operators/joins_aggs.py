@@ -1,0 +1,643 @@
+"""[ext] Joins / aggregations / sorts / set-ops (SURVEY.md §2.9).
+
+The reference has none of these (its only "join" is a dict lookup,
+weather_etl.py:112-122) — but the north star demands the general
+relational surface at 100 TB. Everything here is pure Catalyst built-ins;
+the engineering is in the *plan shape*:
+
+- dimension joins are explicitly ``F.broadcast`` (region/nation/supplier
+  never warrant a shuffle);
+- fact-fact joins shuffle on their keys and lean on AQE for skew;
+- aggregates go through exact decimals (functions.scalars policy) so a
+  cluster re-run hashes identically;
+- top-k sorts carry unique tiebreaks and push the limit into a
+  TakeOrderedAndProject (no global sort of 100 TB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.scalars import davg, dsum
+from ..registry import query
+from ..sources.testdata import load_table
+
+
+# ----------------------------------------------------------------------
+# TPC-H Q1-shaped pricing summary: groupBy + 8 aggregates
+# ----------------------------------------------------------------------
+@query(
+    "ext_q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           SUM(CAST(l_quantity AS DECIMAL(18,2)))      AS sum_qty,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2)))
+               * (1 + CAST(l_tax AS DECIMAL(18,2))))      AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(l_quantity)                     AS avg_qty,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(l_discount)                     AS avg_disc,
+           COUNT(*)                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def ext_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape. Map-side partial aggregation + one shuffle on the
+    (low-cardinality) grouping keys; exact-decimal sums are order-independent
+    so the result is stable on any cluster."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz")
+    )
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    tax = F.col("l_tax").cast("decimal(18,2)")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qty).alias("sum_qty"),
+        F.sum(price).alias("sum_base_price"),
+        F.sum(price * (1 - disc)).alias("sum_disc_price"),
+        F.sum(price * (1 - disc) * (1 + tax)).alias("sum_charge"),
+        (F.sum(qty).cast("double") / F.count("l_quantity")).alias("avg_qty"),
+        (F.sum(disc).cast("double") / F.count("l_discount")).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+# ----------------------------------------------------------------------
+# Broadcast dimension join chain: customer ⋈ nation ⋈ region
+# ----------------------------------------------------------------------
+@query(
+    "ext_join_broadcast_dims",
+    oracle="""
+    SELECT r_name, n_name,
+           COUNT(*) AS n_customers,
+           SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS total_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def ext_join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small dims are broadcast — zero shuffle for the joins themselves;
+    the only shuffle is the final aggregation on (r_name, n_name)."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("c_acctbal").alias("total_acctbal"),
+        )
+    )
+
+
+# ----------------------------------------------------------------------
+# Fact-fact join + aggregation (TPC-H Q3 shape) + deterministic top-k
+# ----------------------------------------------------------------------
+@query(
+    "ext_q3_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def ext_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 shape: selective filters pushed to every scan, shuffle join on
+    orderkey, top-10 via TakeOrderedAndProject (never a full global sort).
+    Unique tiebreak (l_orderkey) makes the limit set deterministic."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp_ntz")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp_ntz")
+    )
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(price * (1 - disc)).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+# ----------------------------------------------------------------------
+# Semi / anti joins (EXISTS / NOT EXISTS)
+# ----------------------------------------------------------------------
+@query(
+    "ext_join_semi",
+    oracle="""
+    SELECT c_nationkey, COUNT(*) AS n_with_orders
+    FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    GROUP BY c_nationkey
+    """,
+)
+def ext_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_with_orders"))
+    )
+
+
+@query(
+    "ext_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def ext_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+# ----------------------------------------------------------------------
+# Outer joins
+# ----------------------------------------------------------------------
+@query(
+    "ext_join_left_outer",
+    oracle="""
+    SELECT n_nationkey, n_name, COUNT(s_suppkey) AS n_suppliers
+    FROM nation LEFT JOIN supplier ON s_nationkey = n_nationkey
+    GROUP BY n_nationkey, n_name
+    """,
+)
+def ext_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER preserving empty nations; COUNT(col) skips nulls → 0."""
+    nation = load_table(spark, sf_dir, "nation")
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        nation.join(supp, supp.s_nationkey == nation.n_nationkey, "left")
+        .groupBy("n_nationkey", "n_name")
+        .agg(F.count("s_suppkey").alias("n_suppliers"))
+    )
+
+
+@query(
+    "ext_join_full_outer",
+    oracle="""
+    SELECT
+      COALESCE(c.k, s.k) AS nationkey,
+      c.k IS NOT NULL AS has_customers,
+      s.k IS NOT NULL AS has_suppliers
+    FROM (SELECT DISTINCT c_nationkey AS k FROM customer) c
+    FULL OUTER JOIN (SELECT DISTINCT s_nationkey AS k FROM supplier) s
+      ON c.k = s.k
+    """,
+)
+def ext_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_nationkey").alias("k"))
+        .distinct()
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .select(F.col("s_nationkey").alias("k"))
+        .distinct()
+    )
+    return c.join(s, c["k"] == s["k"], "full_outer").select(
+        F.coalesce(c["k"], s["k"]).alias("nationkey"),
+        c["k"].isNotNull().alias("has_customers"),
+        s["k"].isNotNull().alias("has_suppliers"),
+    )
+
+
+# ----------------------------------------------------------------------
+# Lookup join — the broadcast-join form of the reference's dict map (O24)
+# ----------------------------------------------------------------------
+_PRIORITY_RANKS = [
+    ("1-URGENT", 1),
+    ("2-HIGH", 2),
+    ("3-MEDIUM", 3),
+    ("4-NOT SPECIFIED", 4),
+    ("5-LOW", 5),
+]
+
+
+@query(
+    "ext_lookup_join",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, prio_rank
+    FROM orders
+    LEFT JOIN (VALUES ('1-URGENT',1),('2-HIGH',2),('3-MEDIUM',3),
+                      ('4-NOT SPECIFIED',4),('5-LOW',5)) AS prio(name, prio_rank)
+      ON o_orderpriority = prio.name
+    """,
+)
+def ext_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O24's dict-map as its idiomatic distributed form: a broadcast join
+    against an inline dimension (weather_etl.py:112-122)."""
+    orders = load_table(spark, sf_dir, "orders")
+    dim = F.broadcast(
+        spark.createDataFrame(_PRIORITY_RANKS, "name string, prio_rank int")
+    )
+    return orders.join(dim, orders.o_orderpriority == dim.name, "left").select(
+        "o_orderkey", "o_orderpriority", "prio_rank"
+    )
+
+
+# ----------------------------------------------------------------------
+# Sorts / limits / distinct / set ops
+# ----------------------------------------------------------------------
+@query(
+    "ext_sort_limit_topk",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+    """,
+)
+def ext_sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY + LIMIT → TakeOrderedAndProject: per-partition heap top-k,
+    merge on driver — O(n) not O(n log n), no global shuffle."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+    )
+
+
+@query(
+    "ext_distinct",
+    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+)
+def ext_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "customer").select(
+        "c_mktsegment", "c_nationkey"
+    ).distinct()
+
+
+@query(
+    "ext_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def ext_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.intersect(s)
+
+
+@query(
+    "ext_except",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def ext_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.distinct().exceptAll(s.distinct())
+
+
+@query(
+    "ext_union_distinct",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def ext_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.union(s).distinct()
+
+
+# ----------------------------------------------------------------------
+# Grouping sets: rollup / cube / pivot / unpivot
+# ----------------------------------------------------------------------
+@query(
+    "ext_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def ext_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "ext_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def ext_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        dsum("l_extendedprice").alias("sum_price"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "ext_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_linestatus = 'O') AS "O",
+           SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_linestatus = 'F') AS "F"
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def ext_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with explicit value list — never let Spark scan for distinct
+    pivot values at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(dsum("l_quantity"))
+    )
+
+
+@query(
+    "ext_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, metric, val
+    FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem)
+    UNPIVOT (val FOR metric IN (l_quantity, l_discount))
+    """,
+)
+def ext_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_discount"],
+        "metric",
+        "val",
+    )
+
+
+# ----------------------------------------------------------------------
+# Subqueries
+# ----------------------------------------------------------------------
+@query(
+    "ext_scalar_subquery",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal FROM customer
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+    """,
+)
+def ext_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery via spark.sql — one extra tiny job for
+    the scalar, then a pushed-down filter."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "customer_v"
+    )
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, c_acctbal FROM customer_v
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer_v)
+        """
+    )
+
+
+@query(
+    "ext_correlated_subquery",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+    WHERE o_totalprice > (SELECT 2 * AVG(o2.o_totalprice) FROM orders o2
+                          WHERE o2.o_custkey = o.o_custkey)
+    """,
+)
+def ext_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery — Catalyst decorrelates to an aggregate
+    + join (RewriteCorrelatedScalarSubquery), never a per-row loop."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders_v o
+        WHERE o_totalprice > (SELECT 2 * AVG(o2.o_totalprice) FROM orders_v o2
+                              WHERE o2.o_custkey = o.o_custkey)
+        """
+    )
+
+
+# ----------------------------------------------------------------------
+# Distinct counting
+# ----------------------------------------------------------------------
+@query(
+    "ext_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps,
+           COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def ext_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query("ext_approx_count_distinct")
+def ext_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ sketch — the 100 TB path for distincts (single pass, fixed
+    memory). No oracle: sketch estimates are engine-specific; rows-only."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# ----------------------------------------------------------------------
+# Null-handling scalar surface
+# ----------------------------------------------------------------------
+@query(
+    "ext_null_ops",
+    oracle="""
+    SELECT event_id,
+           NULLIF(event_type, 'error') AS type_or_null,
+           COALESCE(NULLIF(event_type, 'error'), 'n/a') AS type_filled,
+           CASE WHEN value >= 100 THEN 'high'
+                WHEN value >= 50 THEN 'mid' ELSE 'low' END AS bucket,
+           value IS NULL AS value_missing
+    FROM events
+    """,
+)
+def ext_null_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    t_or_null = F.nullif(F.col("event_type"), F.lit("error"))
+    return ev.select(
+        "event_id",
+        t_or_null.alias("type_or_null"),
+        F.coalesce(t_or_null, F.lit("n/a")).alias("type_filled"),
+        F.when(F.col("value") >= 100, "high")
+        .when(F.col("value") >= 50, "mid")
+        .otherwise("low")
+        .alias("bucket"),
+        F.col("value").isNull().alias("value_missing"),
+    )
+
+
+# ----------------------------------------------------------------------
+# String functions
+# ----------------------------------------------------------------------
+@query(
+    "ext_string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_brand) AS brand_upper,
+           LOWER(p_type) AS type_lower,
+           SUBSTRING(p_name, 1, 10) AS name_prefix,
+           LENGTH(p_name) AS name_len,
+           p_brand || '/' || p_type AS brand_type,
+           p_name LIKE '%a%' AS has_a,
+           TRIM(CONCAT('  ', p_brand, '  ')) AS trimmed
+    FROM part
+    """,
+)
+def ext_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.lower("p_type").alias("type_lower"),
+        F.substring("p_name", 1, 10).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+        F.col("p_name").like("%a%").alias("has_a"),
+        F.trim(F.concat(F.lit("  "), F.col("p_brand"), F.lit("  "))).alias(
+            "trimmed"
+        ),
+    )
+
+
+@query(
+    "ext_regexp",
+    oracle="""
+    SELECT p_partkey, p_type,
+           regexp_extract(p_type, '([a-z]+)', 1) AS first_word,
+           regexp_matches(p_type, 'ss') AS has_double_s,
+           regexp_replace(p_type, '[aeiou]', '_', 'g') AS devoweled
+    FROM part
+    """,
+)
+def ext_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        "p_type",
+        F.regexp_extract("p_type", "([a-z]+)", 1).alias("first_word"),
+        F.col("p_type").rlike("ss").alias("has_double_s"),
+        F.regexp_replace("p_type", "[aeiou]", "_").alias("devoweled"),
+    )
+
+
+# ----------------------------------------------------------------------
+# O7 — SQL surface over registered views (spark.sql / spark.table)
+# ----------------------------------------------------------------------
+@query(
+    "o7_sql_table_scan",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n,
+           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def o7_sql_table_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog + SQL text entry (reference reads its table back through
+    Athena SQL, weather_etl.py:144-146): register, then spark.sql."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_sql_v")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, COUNT(*) AS n,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        FROM orders_sql_v GROUP BY o_orderstatus
+        """
+    )
+
+
+# ----------------------------------------------------------------------
+# O8 — JSON-records serialization (app/app.py:26-28)
+# ----------------------------------------------------------------------
+@query(
+    "o8_json_serialize",
+    oracle="""
+    SELECT n_nationkey,
+           '{"nation":"' || n_name || '","region":' || CAST(n_regionkey AS VARCHAR) || '}'
+             AS json_rec
+    FROM nation
+    """,
+)
+def o8_json_serialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row→JSON-string records, built with deterministic concatenation (the
+    engine also supports F.to_json(F.struct(...)); exact text differs per
+    engine so the oracle uses explicit concat)."""
+    n = load_table(spark, sf_dir, "nation")
+    return n.select(
+        "n_nationkey",
+        F.concat(
+            F.lit('{"nation":"'),
+            F.col("n_name"),
+            F.lit('","region":'),
+            F.col("n_regionkey").cast("string"),
+            F.lit("}"),
+        ).alias("json_rec"),
+    )

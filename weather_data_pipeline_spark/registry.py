@@ -67,6 +67,7 @@ def _load_all() -> None:
     from .operators import (  # noqa: F401
         dedup,
         flagship,
+        joins_aggs,
         json_ops,
         ml_queries,
         relational,
