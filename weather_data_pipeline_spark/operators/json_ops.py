@@ -1,1 +1,76 @@
-"""(stub — filled in this round)"""
+"""X5 — JSON property extraction (SURVEY.md §2.10).
+
+The reference's raw layer is JSON documents (weather_etl.py:63-69); the
+testdata analog is the ``events.props`` JSON string column. Two paths:
+
+- ``get_json_object`` — per-field path extraction, no schema needed;
+- ``from_json`` — schema-full parse to a struct (the scale path: parse
+  once, read many fields, columnar after the parse).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..registry import query
+from ..sources.testdata import load_table
+
+
+@query(
+    "x5_json_get_path",
+    oracle="""
+    SELECT event_id, props,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+    FROM events
+    """,
+)
+def x5_json_get_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "props",
+        F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+    )
+
+
+@query(
+    "x5_from_json_struct",
+    oracle="""
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+    FROM events
+    """,
+)
+def x5_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-full parse — one JSON decode per row, then columnar access."""
+    ev = load_table(spark, sf_dir, "events")
+    schema = T.StructType([T.StructField("k", T.IntegerType())])
+    return ev.select(
+        "event_id", F.from_json("props", schema).getField("k").alias("k_val")
+    )
+
+
+@query(
+    "x5_json_extract_agg",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+           COUNT(*) AS n,
+           SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+    FROM events
+    GROUP BY CAST(json_extract_string(props, '$.k') AS INTEGER) % 10
+    """,
+)
+def x5_json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extract → aggregate: the JSON parse happens before the shuffle, so
+    only the small (k_bucket, partial-agg) rows move."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select((k % 10).alias("k_bucket"), "value")
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+        )
+    )

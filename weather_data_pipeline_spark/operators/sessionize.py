@@ -1,1 +1,158 @@
-"""(stub — filled in this round)"""
+"""X6 — sessionization & event-time windows (SURVEY.md §2.10, §2.8).
+
+The reference's cadence is a daily tumbling window expressed as
+one-table-per-day naming (weather_etl.py:105); here it's first-class:
+tumbling windows via time bucketing, session windows via the classic
+lag-gap + running-sum composition (all window functions — one shuffle on
+user_id, no UDFs). The streaming twins live in ``streaming/``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.testdata import load_table
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
+
+
+@query(
+    "x6_tumbling_hourly",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour_start, event_type,
+           COUNT(*) AS n,
+           SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+    FROM events GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def x6_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h window as time-bucketed groupBy (batch form of
+    ``F.window(ts, '1 hour')`` — same buckets, plain column group key)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour_start"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+    )
+
+
+def _sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events + session_id per user (gap > 30 min ⇒ new session)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev_us = F.lag(us).over(w)
+    new_sess = F.when(
+        prev_us.isNull() | ((us - prev_us) > SESSION_GAP_US), 1
+    ).otherwise(0)
+    return ev.withColumn(
+        "session_id",
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+
+
+_SESSION_CTE = f"""
+    WITH marked AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT *, SUM(new_sess) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM marked
+    )
+"""
+
+
+@query(
+    "x6_session_windows",
+    oracle=_SESSION_CTE
+    + """
+    SELECT user_id, session_id,
+           COUNT(*) AS n_events,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us,
+           SUM(CAST(value AS DECIMAL(18,2))) AS session_value
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def x6_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions: lag → boundary flag → running sum → group.
+    One shuffle on user_id feeds both the window and the aggregation."""
+    sess = _sessionized(spark, sf_dir)
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        (
+            F.unix_micros(F.max("ts").cast("timestamp"))
+            - F.unix_micros(F.min("ts").cast("timestamp"))
+        ).alias("duration_us"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("session_value"),
+    )
+
+
+@query(
+    "x6_session_stats_per_user",
+    oracle=_SESSION_CTE
+    + """
+    , per_session AS (
+      SELECT user_id, session_id, COUNT(*) AS n_events
+      FROM sessions GROUP BY user_id, session_id
+    )
+    SELECT user_id,
+           COUNT(*) AS n_sessions,
+           CAST(SUM(n_events) AS DOUBLE) / COUNT(*) AS avg_events_per_session,
+           MAX(n_events) AS max_session_len
+    FROM per_session GROUP BY user_id
+    """,
+)
+def x6_session_stats_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sess = _sessionized(spark, sf_dir)
+    per_session = sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        (F.sum("n_events").cast("double") / F.count(F.lit(1))).alias(
+            "avg_events_per_session"
+        ),
+        F.max("n_events").alias("max_session_len"),
+    )
+
+
+@query(
+    "x6_session_window_native",
+    oracle=_SESSION_CTE
+    + """
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def x6_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's built-in ``session_window`` (same operator Structured
+    Streaming uses for stateful sessionization). Its window end is
+    last-event + gap; the oracle reproduces that from the lag-gap CTE."""
+    ev = load_table(spark, sf_dir, "events")
+    sw = F.session_window("ts", "30 minutes")
+    return ev.groupBy("user_id", sw).agg(
+        F.count(F.lit(1)).alias("n_events")
+    ).select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "n_events",
+    )

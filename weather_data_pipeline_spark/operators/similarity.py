@@ -1,1 +1,211 @@
-"""(stub — filled in this round)"""
+"""X3 — similarity search over the ``embeddings`` table (SURVEY.md §2.10).
+
+Approximate-nearest-neighbor surface for an ``array<float>`` column:
+
+- brute-force cosine top-k (the correctness baseline): broadcast the
+  (small) query set against the corpus — corpus scans once, never
+  shuffles, k results per query via a per-query window;
+- all-pairs near-dup by embedding cosine (threshold join);
+- LSH-bucketed variant (the scale path): deterministic random-hyperplane
+  signatures prune candidates to same-bucket pairs, sub-quadratic.
+
+All cosines are computed in double with the same fold order both engines
+use (sequential left-to-right), and compared at 6 decimals; rankings
+order by the rounded value + vec_id tiebreak so top-k sets are
+engine-stable.
+
+At 100 TB: the corpus side stays partitioned (never collected); queries /
+hyperplanes broadcast; candidate generation is a hash join on bucket ids.
+An IVF refinement would replace random planes with k-means centroids —
+same plan shape (centroid assignment = argmin over a broadcast array).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.testdata import load_table
+
+N_QUERIES = 10  # vec_id < 10 are the query vectors
+TOP_K = 5
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential left-to-right double dot product (matches DuckDB's
+    list_dot_product fold order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    a = a.cast("array<double>")
+    b = b.cast("array<double>")
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+_DUCK_COS = (
+    "list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+    " / (sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[])))"
+    " * sqrt(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[]))))"
+)
+
+
+@query(
+    "x3_cosine_topk",
+    oracle=f"""
+    SELECT query_id, vec_id, sim FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+             ROUND({_DUCK_COS.format(a='q.embedding', b='c.embedding')}, 6) AS sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY ROUND({_DUCK_COS.format(a='q.embedding', b='c.embedding')}, 6) DESC,
+                        c.vec_id) AS rn
+      FROM (SELECT * FROM embeddings WHERE vec_id < {N_QUERIES}) q
+      CROSS JOIN embeddings c
+      WHERE q.vec_id <> c.vec_id
+    ) WHERE rn <= {TOP_K}
+    """,
+)
+def x3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: queries broadcast, corpus scanned once.
+    The window partitions by query (|queries| partitions of |corpus| rows
+    locally reduced to k) — never a global sort."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        )
+    )
+    pairs = (
+        emb.crossJoin(q)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("q_emb"), F.col("embedding")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "vec_id", "sim")
+    )
+
+
+@query(
+    "x3_embedding_near_dup",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND({_DUCK_COS.format(a='a.embedding', b='b.embedding')}, 6) AS sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE ROUND({_DUCK_COS.format(a='a.embedding', b='b.embedding')}, 6) >= 0.3
+    """,
+)
+def x3_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs cosine ≥ 0.3 — embedding-based near-dup detection. The
+    exact form is quadratic; x3_lsh_buckets is the same semantics pruned
+    by signature buckets (run that at scale)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    sim = F.round(cosine(F.col("ea"), F.col("eb")), 6)
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", sim.alias("sim"))
+        .filter(F.col("sim") >= 0.3)
+    )
+
+
+# ----------------------------------------------------------------------
+# Random-hyperplane LSH (deterministic planes, shared with the oracle)
+# ----------------------------------------------------------------------
+N_PLANES = 8
+DIM = 64
+_PLANES = np.random.default_rng(42).standard_normal((N_PLANES, DIM)).round(6)
+
+
+def _bucket_spark(e: Column) -> Column:
+    bits = [
+        F.when(_dot(e.cast("array<double>"), F.array(*[F.lit(float(v)) for v in p])) > 0, 1 << i)
+        .otherwise(0)
+        for i, p in enumerate(_PLANES)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def _bucket_sql(col: str) -> str:
+    terms = []
+    for i, p in enumerate(_PLANES):
+        lit = "[" + ", ".join(repr(float(v)) for v in p) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(CAST({col} AS DOUBLE[]), {lit}) > 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+@query(
+    "x3_lsh_buckets",
+    oracle=f"""
+    SELECT {_bucket_sql('embedding')} AS bucket,
+           COUNT(*) AS n_vectors,
+           MIN(vec_id) AS min_vec_id
+    FROM embeddings GROUP BY 1
+    """,
+)
+def x3_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane signature buckets (SimHash-for-vectors). Planes
+    are deterministic (seed 42) literals, broadcast into codegen — at
+    100 TB this is a single narrow scan producing an 8-bit key."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.groupBy(_bucket_spark(F.col("embedding")).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.min("vec_id").alias("min_vec_id"),
+    )
+
+
+@query(
+    "x3_lsh_candidate_pairs",
+    oracle=f"""
+    WITH sig AS (
+      SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket
+      FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket AS bucket,
+           ROUND({_DUCK_COS.format(a='a.embedding', b='b.embedding')}, 6) AS sim
+    FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE ROUND({_DUCK_COS.format(a='a.embedding', b='b.embedding')}, 6) >= 0.25
+    """,
+)
+def x3_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH near-dup path: equi-join on bucket (hash join on an int key,
+    ~|pairs·2^-planes| of the cross join), exact cosine only on candidates."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sig = emb.withColumn("bucket", _bucket_spark(F.col("embedding")))
+    a = sig.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("bucket"),
+    )
+    b = sig.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("bucket").alias("bucket_b"),
+    )
+    sim = F.round(cosine(F.col("ea"), F.col("eb")), 6)
+    return (
+        a.join(b, (F.col("bucket") == F.col("bucket_b")) & (F.col("vec_a") < F.col("vec_b")))
+        .select("vec_a", "vec_b", "bucket", sim.alias("sim"))
+        .filter(F.col("sim") >= 0.25)
+    )

@@ -1,1 +1,230 @@
-"""(stub — filled in this round)"""
+"""X4 — text analysis over the ``documents`` table (SURVEY.md §2.10).
+
+Training-data-pipeline text ops: doc statistics, term frequencies,
+stopword/quality ratios, token counting, fingerprinting, language-ID
+heuristic. Everything is built-in array/string functions (JVM-side,
+codegen) — no Python in the hot path; at 100 TB these run as a single
+scan + one aggregation shuffle each.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.testdata import load_table
+
+_STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
+_SW_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+_ES_WORDS = ["el", "la", "de", "que", "y", "en", "un", "es", "se", "no"]
+_DE_WORDS = ["der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "auf"]
+_EN_WORDS = _STOPWORDS
+
+
+def _hits_spark(words_col, wordlist):
+    arr = F.array(*[F.lit(w) for w in wordlist])
+    return F.size(F.array_intersect(words_col, arr))
+
+
+def _hits_sql(wordlist):
+    lst = ", ".join(f"'{w}'" for w in wordlist)
+    return (
+        "len(list_intersect(list_distinct(string_split(text, ' ')), "
+        f"[{lst}]))"
+    )
+
+
+@query(
+    "x4_doc_stats",
+    oracle="""
+    SELECT doc_id, lang, source,
+           LENGTH(text) AS n_chars_actual,
+           len(string_split(text, ' ')) AS n_words,
+           CAST(LENGTH(replace(text, ' ', '')) AS DOUBLE)
+             / len(string_split(text, ' ')) AS avg_word_len
+    FROM documents
+    """,
+)
+def x4_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    return doc.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.length("text").alias("n_chars_actual"),
+        F.size(words).alias("n_words"),
+        (
+            F.length(F.regexp_replace("text", " ", "")).cast("double")
+            / F.size(words)
+        ).alias("avg_word_len"),
+    )
+
+
+@query(
+    "x4_term_frequency",
+    oracle="""
+    SELECT term, COUNT(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+    GROUP BY term HAVING COUNT(*) >= 5
+    """,
+)
+def x4_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode → count: the word-count shape. Partial aggregation does the
+    heavy lifting map-side; only (term, partial n) rows shuffle."""
+    doc = load_table(spark, sf_dir, "documents")
+    return (
+        doc.select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 5)
+    )
+
+
+@query(
+    "x4_lang_stats",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(CAST(n_chars AS DECIMAL(18,0))) AS DOUBLE) / COUNT(n_chars)
+             AS avg_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def x4_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = load_table(spark, sf_dir, "documents")
+    return doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum(F.col("n_chars").cast("decimal(18,0)")).cast("double")
+            / F.count("n_chars")
+        ).alias("avg_chars"),
+    )
+
+
+@query(
+    "x4_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           n_words,
+           stop_hits,
+           CAST(stop_hits AS DOUBLE) / n_words AS stopword_ratio,
+           CASE WHEN n_words BETWEEN 5 AND 5000
+                     AND CAST(stop_hits AS DOUBLE) / n_words < 0.9
+                THEN 1 ELSE 0 END AS quality_keep
+    FROM (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_words,
+             len(list_filter(string_split(text, ' '),
+                             w -> w IN ({_SW_SQL}))) AS stop_hits
+      FROM documents
+    )
+    """,
+)
+def x4_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length/stopword-ratio quality gate — the classic pretraining-corpus
+    filter, as pure column expressions."""
+    doc = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    sw = F.array(*[F.lit(w) for w in _STOPWORDS])
+    stop_hits = F.size(F.filter(words, lambda w: F.array_contains(sw, w)))
+    n_words = F.size(words)
+    ratio = stop_hits.cast("double") / n_words
+    return doc.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        stop_hits.alias("stop_hits"),
+        ratio.alias("stopword_ratio"),
+        F.when((n_words.between(5, 5000)) & (ratio < 0.9), 1)
+        .otherwise(0)
+        .alias("quality_keep"),
+    )
+
+
+@query(
+    "x4_token_count",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]')) AS bpe_ish_tokens
+    FROM documents
+    """,
+)
+def x4_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokens + a BPE-ish regex count (alnum runs or single
+    punctuation) — the cheap token estimator for corpus budgeting."""
+    doc = load_table(spark, sf_dir, "documents")
+    return doc.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.size(
+            F.expr(
+                r"regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]', 0)"
+            )
+        ).alias("bpe_ish_tokens"),
+    )
+
+
+@query(
+    "x4_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(string_split(text, ' ')), ' ')) AS fingerprint
+    FROM documents
+    """,
+)
+def x4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive document fingerprint: sort tokens, hash — the
+    canonical-form key for shuffle-friendly near-dup blocking."""
+    doc = load_table(spark, sf_dir, "documents")
+    return doc.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.array_sort(F.split("text", " ")))).alias(
+            "fingerprint"
+        ),
+    )
+
+
+@query(
+    "x4_lang_id_heuristic",
+    oracle=f"""
+    SELECT doc_id, lang,
+           en_hits, es_hits, de_hits,
+           CASE WHEN en_hits = 0 AND es_hits = 0 AND de_hits = 0 THEN 'unknown'
+                WHEN en_hits >= es_hits AND en_hits >= de_hits THEN 'en'
+                WHEN es_hits >= de_hits THEN 'es'
+                ELSE 'de' END AS lang_guess
+    FROM (
+      SELECT doc_id, lang,
+             {_hits_sql(_EN_WORDS)} AS en_hits,
+             {_hits_sql(_ES_WORDS)} AS es_hits,
+             {_hits_sql(_DE_WORDS)} AS de_hits
+      FROM documents
+    )
+    """,
+)
+def x4_lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wordlist-vote language ID (n-gram-heuristic family): count distinct
+    marker-word hits per language, argmax with a fixed tie order."""
+    doc = load_table(spark, sf_dir, "documents")
+    words = F.array_distinct(F.split("text", " "))
+    en, es, de = (
+        _hits_spark(words, _EN_WORDS),
+        _hits_spark(words, _ES_WORDS),
+        _hits_spark(words, _DE_WORDS),
+    )
+    guess = (
+        F.when((en == 0) & (es == 0) & (de == 0), "unknown")
+        .when((en >= es) & (en >= de), "en")
+        .when(es >= de, "es")
+        .otherwise("de")
+    )
+    return doc.select(
+        "doc_id",
+        "lang",
+        en.alias("en_hits"),
+        es.alias("es_hits"),
+        de.alias("de_hits"),
+        guess.alias("lang_guess"),
+    )
