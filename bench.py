@@ -1,0 +1,81 @@
+"""Benchmark harness — times headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}. Each query is forced end-to-end via
+the noop sink (full execution, no driver-side result serialization).
+
+Headline set spans the engine surface: TPC-H-style aggregation + join,
+the flagship latest-per-key window, dedup (exact-hash + n-gram Jaccard),
+cosine top-k similarity, text quality scoring, JSON extract-aggregate,
+and lag-gap sessionization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+
+from pyspark.sql import SparkSession
+
+from weather_data_pipeline_spark import registry
+from weather_data_pipeline_spark.session import tune
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+HEADLINE = [
+    "ext_q1_pricing_summary",
+    "ext_q3_shipping_priority",
+    "o15_latest_per_key",
+    "x1_exact_dedup_hash",
+    "x2_ngram_jaccard",
+    "x3_cosine_topk",
+    "x4_quality_score",
+    "x5_json_extract_agg",
+    "x6_session_windows",
+]
+
+
+def _sf_from_dir(path: str) -> float:
+    m = re.search(r"sf([0-9.]+)", path)
+    return float(m.group(1)) if m else -1.0
+
+
+def main() -> None:
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("weather_data_pipeline_spark-bench")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    tune(spark)
+    qs = registry.queries()
+
+    # JVM/codegen warmup on a tiny table so q1 doesn't pay startup cost.
+    spark.read.parquet(f"{SF_DIR}/region.parquet").count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": _sf_from_dir(SF_DIR),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
