@@ -1,0 +1,92 @@
+"""End-to-end weather pipeline: raw JSON tree → staged → curated table →
+flagship → serving (reference lifecycle §3.1-3.3, restated Spark-first)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from weather_data_pipeline_spark import pipeline
+from weather_data_pipeline_spark.sources import weather as wsrc
+from weather_data_pipeline_spark.transforms import flatten_raw
+
+
+@pytest.fixture(scope="module")
+def curated(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("wx"))
+    table = "weather.weather_test"
+    spark.sql("DROP TABLE IF EXISTS weather.weather_test")
+    pipeline.extract_to_raw(root)
+    staged = pipeline.stage(spark, root)
+    pipeline.curate(spark, staged, table=table, path=f"{root}/curated")
+    return table
+
+
+def test_fixture_deterministic(tmp_path):
+    """Two generations are byte-identical (the committed fixture is stable)."""
+    a, b = tmp_path / "a", tmp_path / "b"
+    wsrc.write_raw_docs(wsrc.synthesize_raw_docs(), str(a))
+    wsrc.write_raw_docs(wsrc.synthesize_raw_docs(), str(b))
+    fa = sorted(p.relative_to(a) for p in a.rglob("*.txt"))
+    assert len(fa) == 27
+    for rel in fa:
+        assert (a / rel).read_bytes() == (b / rel).read_bytes()
+
+
+def test_staged_schema(spark):
+    staged = flatten_raw(wsrc.read_raw(spark, wsrc.ensure_fixture()))
+    assert len(staged.columns) == 31  # FIXTURES.md §A flattened schema
+    assert staged.columns[0] == "city"
+    assert dict(staged.dtypes)["localtime"] == "timestamp_ntz"
+    assert staged.count() == 27
+    # H:mm single-digit hours parsed, none lost
+    assert staged.filter(F.col("localtime").isNull()).count() == 0
+
+
+def test_partition_pruning_one_day(spark, tmp_path):
+    """Reading one date dir (the reference's manual pruning) sees 9 rows."""
+    root = str(tmp_path)
+    pipeline.extract_to_raw(root)
+    one = pipeline.stage(spark, root, date=wsrc.FIXTURE_DATES[0])
+    assert one.count() == 9
+
+
+def test_curated_partitioned_table(spark, curated):
+    df = spark.table(curated)
+    assert df.count() == 27
+    assert "ingest_date" in df.columns
+    # date predicate prunes to one partition's files
+    pruned = df.filter(F.col("ingest_date") == wsrc.FIXTURE_DATES[1])
+    assert pruned.count() == 9
+    # partition filter must reach the scan, not run as a post-filter
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(ingest_date" in plan
+
+
+def test_flagship_latest_snapshot(spark, curated):
+    latest = pipeline.latest_snapshot(spark, curated)
+    rows = latest.collect()
+    assert len(rows) == 9  # one per city
+    by_city = {r.city: r for r in rows}
+    assert set(by_city) == set(wsrc.CITIES)
+    # each flagship row carries the max localtime for its city
+    staged = spark.table(curated)
+    maxes = {
+        r.city: r.mx
+        for r in staged.groupBy("city").agg(F.max("localtime").alias("mx")).collect()
+    }
+    for city, r in by_city.items():
+        assert r.localtime == maxes[city]
+
+
+def test_serve_filter_and_json(spark, curated):
+    latest = pipeline.latest_snapshot(spark, curated)
+    all_rows = pipeline.serve(latest, "All")
+    assert len(all_rows) == 9
+    london = pipeline.serve(latest, "London")
+    assert len(london) == 1
+    doc = json.loads(london[0])
+    assert doc["city"] == "London"
+    assert "temp_c" in doc
