@@ -1,1 +1,138 @@
-"""(stub — filled in this round)"""
+"""O27-O30 — the ML stage as registry queries (SURVEY.md §2.6).
+
+GBT fit/predict values are engine-specific (XGBoost vs Spark GBT —
+SURVEY.md §7.4.3), so those queries are rows-only. What IS
+oracle-checkable is checked exactly:
+
+- the deterministic hash split (portable md5 bucketing — the 100 TB form
+  of train/test split: reproducible, no sampling state, stable under
+  repartition);
+- the OLS regression baseline via regr_* aggregates (closed-form, both
+  engines implement the same estimator).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import weather as wsrc
+from ..sources.testdata import load_table
+from ..transforms import flatten_raw
+
+
+def _staged(spark: SparkSession) -> DataFrame:
+    root = wsrc.ensure_fixture()
+    return flatten_raw(wsrc.read_raw(spark, root), with_ingest_date=True)
+
+
+# ----------------------------------------------------------------------
+# O27 — train/test split
+# ----------------------------------------------------------------------
+@query(
+    "o27_hash_split",
+    oracle="""
+    SELECT bucket < 9 AS is_train, COUNT(*) AS n,
+           SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+    FROM (
+      SELECT l_quantity,
+             CAST(('0x' || substr(md5(CAST(l_orderkey * 10 + l_linenumber
+                                           AS VARCHAR)), 1, 8)) AS BIGINT)
+             % 10 AS bucket
+      FROM lineitem
+    ) GROUP BY 1
+    """,
+)
+def o27_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/10 split by md5 bucket of the row key — the
+    distributed restatement of train_test_split(train_size=0.9, seed)
+    (weather_etl.py:125) that is stable across engines, runs, and
+    repartitions (randomSplit is seed-stable only within one engine)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rowkey = (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("string")
+    bucket = F.conv(F.substring(F.md5(rowkey), 1, 8), 16, 10).cast("long") % 10
+    return (
+        li.select("l_quantity", bucket.alias("bucket"))
+        .groupBy((F.col("bucket") < 9).alias("is_train"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"),
+        )
+    )
+
+
+@query("o27_random_split")
+def o27_random_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """randomSplit([0.9, 0.1], seed=365) — Spark's own sampling split
+    (rows-only: sampling is engine-specific)."""
+    from ..ml.regression import prepare_features, split
+
+    train, test = split(prepare_features(_staged(spark)))
+    return train.select(F.lit("train").alias("part"), "city", "temp_c").unionByName(
+        test.select(F.lit("test").alias("part"), "city", "temp_c")
+    )
+
+
+# ----------------------------------------------------------------------
+# O28/O30 — closed-form regression baseline (oracle-exact)
+# ----------------------------------------------------------------------
+@query(
+    "o28_linreg_baseline",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def o28_linreg_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS fit as an aggregation — model fitting expressed as
+    regr_* aggregates (single shuffle, partial-aggregated map-side; the
+    closed-form twin of the GBT fit, and the oracle-exact face of O28/O30)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias("intercept"),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ----------------------------------------------------------------------
+# O28/O29/O30 — GBT train / predict / score on the weather shape
+# ----------------------------------------------------------------------
+@query("o28_gbt_train_predict")
+def o28_gbt_train_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full reference train path (weather_etl.py:110-139): encode, split,
+    GBT fit, holdout predictions with abs error (O23). Rows-only."""
+    from ..ml.regression import fit_gbt, prepare_features, split
+
+    feats = prepare_features(_staged(spark))
+    train, test = split(feats)
+    model = fit_gbt(train, max_iter=5)
+    preds = model.transform(test if test.count() > 0 else train)
+    return preds.select(
+        "city",
+        F.col("temp_c").alias("actual"),
+        F.col("prediction").alias("predicted"),
+        F.abs(F.col("temp_c") - F.col("prediction")).alias("abs_err"),
+    )
+
+
+@query("o29_next_day_forecast")
+def o29_next_day_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full reference inference path (weather_etl.py:140-172): latest
+    snapshot per city → epoch +86400 → batch predict → keyed
+    (city, predicted_temp, at_date). Rows-only."""
+    from ..ml.regression import fit_gbt, predict_next_day, prepare_features
+    from .flagship import latest_per_key
+
+    staged = _staged(spark)
+    model = fit_gbt(prepare_features(staged), max_iter=5)
+    latest = latest_per_key(
+        staged, key="city", order="localtime", tiebreak="localtime_epoch"
+    )
+    return predict_next_day(model, latest)
