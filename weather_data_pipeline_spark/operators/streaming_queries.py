@@ -1,0 +1,108 @@
+"""Streaming queries for the driver contract — each runs a Structured
+Streaming job to completion (availableNow) and returns the result as a
+DataFrame, oracle-checked against the batch semantics it must match:
+stream-batch parity is the correctness bar for §2.8.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..streaming import jobs
+
+_GAP_US = 30 * 60 * 1_000_000
+
+
+@query(
+    "s_latest_per_key_stream",
+    oracle="""
+    SELECT user_id, event_id, ts, event_type, value
+    FROM (
+      SELECT e.*, ROW_NUMBER() OVER
+        (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events e
+    ) WHERE rn = 1
+    """,
+)
+def s_latest_per_key_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship O15 as an incremental stream: file source → foreachBatch
+    merge into a latest-per-key state table. Oracle = the batch flagship —
+    stream and batch must agree exactly."""
+    state = os.path.join(jobs.SCRATCH, f"s_latest_state_{uuid.uuid4().hex[:8]}")
+    src = jobs.stream_events(spark, sf_dir)
+    jobs.incremental_latest_per_key(
+        spark, src, key="user_id", order="ts", tiebreak="event_id", state_path=state
+    )
+    return jobs.read_state(spark, state).select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        "event_type",
+        "value",
+    )
+
+
+@query(
+    "s_tumbling_hourly_stream",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour_start, event_type,
+           COUNT(*) AS n,
+           SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def s_tumbling_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h watermark agg, complete mode — every window in the memory
+    sink equals the batch time-bucketed aggregation."""
+    sink = f"s_tumbling_{uuid.uuid4().hex[:8]}"
+    jobs.tumbling_counts(jobs.stream_events(spark, sf_dir), sink)
+    return spark.table(sink).select(
+        F.col("window.start").cast("timestamp_ntz").alias("hour_start"),
+        "event_type",
+        "n",
+        "total_value",
+    )
+
+
+@query(
+    "s_session_window_stream",
+    oracle=f"""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {_GAP_US}
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT *, SUM(new_sess) OVER
+               (PARTITION BY user_id ORDER BY ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM marked
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, session_id
+    HAVING MAX(ts) + INTERVAL 30 MINUTE <= (SELECT MAX(ts) FROM events)
+    """,
+)
+def s_session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming sessionization via native session_window (append
+    mode, zero watermark delay). Emits exactly the *closed* sessions —
+    end ≤ max event time; the oracle is the batch lag-gap CTE restricted
+    the same way (open tail sessions stay in state, by design)."""
+    sink = f"s_session_{uuid.uuid4().hex[:8]}"
+    jobs.session_windows(jobs.stream_events(spark, sf_dir), sink)
+    return spark.table(sink).select(
+        "user_id",
+        F.col("session_window.start").cast("timestamp_ntz").alias("session_start"),
+        F.col("session_window.end").cast("timestamp_ntz").alias("session_end"),
+        "n_events",
+    )

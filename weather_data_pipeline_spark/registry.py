@@ -73,6 +73,7 @@ def _load_all() -> None:
         relational,
         sessionize,
         similarity,
+        streaming_queries,
         text_analysis,
         weather_queries,
         windows,

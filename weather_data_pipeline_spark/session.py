@@ -40,7 +40,14 @@ def default_parallelism() -> int:
 
 def tune(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable engine conf to an existing session (idempotent)."""
-    for k, v in RUNTIME_CONF.items():
+    conf = dict(RUNTIME_CONF)
+    # Size the shuffle to the environment (runtime-settable). Matters even
+    # with AQE: stateful streaming ops don't coalesce, and the state-store
+    # partition count is locked into the checkpoint at first run.
+    conf["spark.sql.shuffle.partitions"] = os.environ.get(
+        "SPARK_GRAFT_SHUFFLE_PARTITIONS", str(default_parallelism())
+    )
+    for k, v in conf.items():
         try:
             spark.conf.set(k, v)
         except Exception:

@@ -1,0 +1,177 @@
+"""Structured Streaming restatement of the reference's incremental shape
+(SURVEY.md §2.8).
+
+The reference's cadence — files land under ``data/{date}/`` daily
+(weather_etl.py:33-40), each run processes the new partition
+(weather_etl.py:63), flagship = latest-per-key (weather_etl.py:145) — is a
+textbook incremental stream. Spark-native forms:
+
+- file stream source over the raw tree (schema-full; new files are
+  discovered per trigger, ``availableNow`` = process-backlog-then-stop,
+  which replaces Airflow's daily batch + catchup);
+- latest-per-key state via ``foreachBatch`` running the batch O15 plan on
+  (state ∪ new batch) — the engine's batch operator reused incrementally,
+  exactly once per trigger;
+- event-time windows: tumbling ``F.window`` and gap-based
+  ``F.session_window`` aggregations with watermarks for late data.
+
+Every job takes ``trigger(availableNow=True)`` and a checkpoint dir, so
+tests and batch-parity oracles run it to completion deterministically.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import TESTDATA, WEATHER_RAW
+
+#: Scratch root for checkpoints/state (inside the repo; gitignored).
+SCRATCH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".scratch",
+)
+
+
+def _ckpt(tag: str) -> str:
+    path = os.path.join(SCRATCH, f"{tag}-{uuid.uuid4().hex[:8]}")
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+def stream_raw_weather(spark: SparkSession, root: str) -> DataFrame:
+    """File-stream source over the raw weather tree (O3's streaming twin).
+    Explicit schema — a streaming source must never infer."""
+    return (
+        spark.readStream.schema(WEATHER_RAW)
+        .option("pathGlobFilter", "*.txt")
+        .json(os.path.join(root, "data", "*"))
+    )
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-stream over the events parquet (ns→µs conversion as in the
+    batch reader, sources/testdata.py).
+
+    ``ts`` stays TIMESTAMP here (not NTZ): watermarks require an instant
+    type. The session timezone is pinned UTC (session.tune), so
+    NTZ↔TIMESTAMP casts at the job edges are exact identities."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(TESTDATA["events"])
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_to_completion(writer, tag: str, checkpoint: str | None = None):
+    """Start with availableNow (drain backlog, stop) and block until done.
+    A caller-supplied ``checkpoint`` makes repeat runs incremental: only
+    files not yet recorded in the checkpoint's file log are processed."""
+    q = writer.option("checkpointLocation", checkpoint or _ckpt(tag)).trigger(
+        availableNow=True
+    ).start()
+    q.awaitTermination()
+    return q
+
+
+def _state_version(state_path: str) -> str | None:
+    ptr = os.path.join(state_path, "_VERSION")
+    if not os.path.exists(ptr):
+        return None
+    with open(ptr) as f:
+        return f.read().strip() or None
+
+
+def read_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """Read the current snapshot of an incremental state directory."""
+    version = _state_version(state_path)
+    if version is None:
+        raise FileNotFoundError(f"no state snapshot at {state_path}")
+    return spark.read.parquet(os.path.join(state_path, version))
+
+
+def incremental_latest_per_key(
+    spark: SparkSession,
+    source: DataFrame,
+    key: str,
+    order: str,
+    tiebreak: str,
+    state_path: str,
+    checkpoint: str | None = None,
+) -> None:
+    """Latest-per-key maintained incrementally: each micro-batch merges into
+    a state snapshot via the batch O15 plan over (state ∪ batch).
+
+    This is the §2.8 'latest-per-key state' pattern with exactly-once
+    output per trigger. State is snapshot-versioned parquet: every batch
+    writes a NEW directory, then atomically flips a ``_VERSION`` pointer —
+    readers never observe a half-overwritten state (the write-new-then-swap
+    protocol of Delta/Iceberg, done manually so the engine carries no table
+    -format dependency). The per-batch plan is one shuffle on the key.
+    """
+    from ..operators.flagship import latest_per_key
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        s = batch.sparkSession
+        version = _state_version(state_path)
+        if version is not None:
+            prev = s.read.parquet(os.path.join(state_path, version))
+            merged = prev.unionByName(batch)
+        else:
+            merged = batch
+        out = latest_per_key(merged, key, order, tiebreak)
+        new_version = f"v{batch_id}-{uuid.uuid4().hex[:8]}"
+        out.write.parquet(os.path.join(state_path, new_version))
+        tmp = os.path.join(state_path, f"_VERSION.{new_version}")
+        with open(tmp, "w") as f:
+            f.write(new_version)
+        os.replace(tmp, os.path.join(state_path, "_VERSION"))  # atomic flip
+
+    run_to_completion(
+        source.writeStream.foreachBatch(merge).outputMode("update"),
+        "latest-state",
+        checkpoint,
+    )
+
+
+def tumbling_counts(source: DataFrame, sink_table: str) -> None:
+    """Tumbling 1h event-time window agg with a 1-day watermark (§2.8's
+    'one-table-per-day' cadence as a real window). Complete mode → the
+    memory sink holds every window, comparable to the batch oracle."""
+    agg = (
+        source.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+        )
+    )
+    run_to_completion(
+        agg.writeStream.format("memory").queryName(sink_table).outputMode("complete"),
+        f"tumbling-{sink_table}",
+    )
+
+
+def session_windows(source: DataFrame, sink_table: str, gap: str = "30 minutes") -> None:
+    """Native stateful sessionization: ``session_window`` aggregation,
+    append mode (the only mode session windows support on streams).
+
+    Zero watermark delay → when the availableNow run drains, the final
+    no-data batch flushes every *closed* session (end ≤ max event time);
+    still-open sessions (the last one per key) correctly stay in state
+    awaiting more data — that withheld tail IS the streaming semantics,
+    not a bug."""
+    agg = (
+        source.withWatermark("ts", "0 seconds")
+        .groupBy("user_id", F.session_window("ts", gap))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    run_to_completion(
+        agg.writeStream.format("memory").queryName(sink_table).outputMode("append"),
+        f"session-{sink_table}",
+    )
