@@ -48,6 +48,8 @@ def _norm(v):
         return v.isoformat()
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_norm(x) for x in v) + "]"
+    if hasattr(v, "tolist"):  # numpy array/scalar from the Arrow collect path
+        return _norm(v.tolist())
     return str(v)
 
 

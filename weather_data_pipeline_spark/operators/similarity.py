@@ -209,3 +209,45 @@ def x3_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", "bucket", sim.alias("sim"))
         .filter(F.col("sim") >= 0.25)
     )
+
+
+# ----------------------------------------------------------------------
+# Per-label centroids via applyInPandas (the IVF coarse-quantizer step)
+# ----------------------------------------------------------------------
+_CENTROID_SCHEMA = "label int, centroid array<double>"
+
+
+def _centroid_of_group(pdf):
+    import numpy as np
+    import pandas as pd
+
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    return pd.DataFrame(
+        {
+            "label": [int(pdf["label"].iloc[0])],
+            "centroid": [np.round(mat.mean(axis=0), 6).tolist()],
+        }
+    )
+
+
+@query(
+    "x3_label_centroids",
+    oracle="""
+    WITH flat AS (
+      SELECT label, i AS idx, CAST(embedding[i] AS DOUBLE) AS val
+      FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+    )
+    SELECT label, array_agg(a ORDER BY idx) AS centroid
+    FROM (SELECT label, idx, ROUND(AVG(val), 6) AS a FROM flat GROUP BY label, idx)
+    GROUP BY label
+    """,
+)
+def x3_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid via Arrow-batched ``applyInPandas`` —
+    the coarse-quantizer (IVF) build step: one numpy mean per group, one
+    shuffle on the group key. At 100 TB the same shape computes k-means
+    iterations (assign = argmin over broadcast centroids, update = this)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "label", F.col("embedding").cast("array<double>").alias("embedding")
+    ).groupBy("label").applyInPandas(_centroid_of_group, schema=_CENTROID_SCHEMA)

@@ -70,6 +70,7 @@ def _load_all() -> None:
         joins_aggs,
         json_ops,
         ml_queries,
+        multimodal,
         relational,
         sessionize,
         similarity,
