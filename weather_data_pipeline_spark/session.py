@@ -87,3 +87,14 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return tune(spark)
+
+
+def fan_out(df, parallelism: int | None = None):
+    """Repartition IF the plan has fewer partitions than the target — small
+    local files scan as 1-2 tasks and would serialize every downstream
+    narrow op. On a real cluster (input already split into many partitions)
+    this is a no-op, so it never adds a shuffle at scale."""
+    target = parallelism or default_parallelism()
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
