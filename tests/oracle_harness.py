@@ -59,12 +59,14 @@ def _multiset(rows, col_names):
 
 
 def _spark_rows(sdf):
-    """Arrow-path collect (~10× faster than py4j row conversion)."""
-    import pandas as pd
+    """Arrow-path collect (~10× faster than py4j row conversion).
 
-    pdf = sdf.toPandas()
-    pdf = pdf.astype(object).where(pd.notnull(pdf), None)
-    return [tuple(r) for r in pdf.itertuples(index=False, name=None)]
+    Straight to Arrow, never through pandas: pandas upcasts a nullable
+    int64 column to float64 (ints print as '100.0' and hash-mismatch the
+    oracle); pyarrow's to_pylist keeps ints as ints with None for null."""
+    tbl = sdf.toArrow()
+    cols = tbl.column_names
+    return [tuple(d[c] for c in cols) for d in tbl.to_pylist()]
 
 
 def compare(spark, name: str, fn, sql: str, sf_dir: str) -> None:

@@ -1,0 +1,93 @@
+"""Plan-quality gates (SURVEY.md §4): pin the physical plan properties the
+100 TB posture depends on, not just query answers."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from weather_data_pipeline_spark import registry
+from weather_data_pipeline_spark.plans.inspect import (
+    has_broadcast_join,
+    has_partial_aggregation,
+    num_shuffles,
+    pushed_filters,
+    scan_columns,
+    wholestage_codegen_spans,
+)
+from weather_data_pipeline_spark.sources.testdata import load_table
+
+SF = "/root/testdata/sf0.01"
+_Q = registry.queries()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """q1's shipdate predicate must land in PushedFilters, not a post-scan
+    Filter alone."""
+    df = _Q["ext_q1_pricing_summary"](spark, SF)
+    pushed = pushed_filters(df)
+    assert any("l_shipdate" in p and "LessThanOrEqual" in p for p in pushed), pushed
+
+
+def test_column_pruning(spark):
+    """A 3-column projection reads 3 columns, never the whole table."""
+    df = _Q["o12_projection"](spark, SF)
+    cols = scan_columns(df)
+    assert cols and sorted(cols[0]) == ["p_name", "p_partkey", "p_retailprice"]
+
+
+def test_small_dims_broadcast(spark):
+    """customer ⋈ nation ⋈ region: both dimension joins must broadcast —
+    a shuffle join on a 25-row table would be wrong at any scale."""
+    df = _Q["ext_join_broadcast_dims"](spark, SF)
+    assert has_broadcast_join(df)
+
+
+def test_aggregation_is_partial(spark):
+    """q1 partial-aggregates map-side: the exchange carries ~6 group rows
+    per task, not 60k input rows."""
+    df = _Q["ext_q1_pricing_summary"](spark, SF)
+    assert has_partial_aggregation(df)
+    assert num_shuffles(df) == 1
+
+
+def test_flagship_single_shuffle(spark):
+    """Latest-per-key is one hash shuffle on the key (window form)."""
+    df = _Q["o15_latest_per_key"](spark, SF)
+    assert num_shuffles(df) == 1
+
+
+def test_asof_join_single_shuffle(spark):
+    """The as-of join never joins: one window shuffle, no Join operator."""
+    df = _Q["x7_asof_join"](spark, SF)
+    assert num_shuffles(df) == 1
+    assert "Join" not in df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_whole_stage_codegen_active(spark):
+    """Scan→filter→project→partial-agg fuses into codegen regions."""
+    df = _Q["ext_q1_pricing_summary"](spark, SF)
+    assert wholestage_codegen_spans(df) >= 1
+
+
+def test_cosine_topk_corpus_never_shuffles(spark):
+    """Brute-force top-k: queries broadcast; the only exchange is the
+    final per-query window (tiny: |queries|·|corpus| reduced rows)."""
+    df = _Q["x3_cosine_topk"](spark, SF)
+    assert has_broadcast_join(df)
+
+
+def test_partition_pruning_counts_files(spark, tmp_path):
+    """Partitioned curated table: a date predicate prunes to 1/3 of files."""
+    from weather_data_pipeline_spark import pipeline
+    from weather_data_pipeline_spark.sources import weather as wsrc
+
+    root = str(tmp_path)
+    table = "weather.weather_plan_test"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    pipeline.extract_to_raw(root)
+    pipeline.curate(spark, pipeline.stage(spark, root), table=table, path=f"{root}/c")
+    full = spark.table(table)
+    pruned = full.filter(F.col("ingest_date") == wsrc.FIXTURE_DATES[0])
+    n_full = full._jdf.queryExecution().executedPlan().toString().count("file:")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan

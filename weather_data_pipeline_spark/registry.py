@@ -65,6 +65,7 @@ def _load_all() -> None:
     if _LOADED:
         return
     from .operators import (  # noqa: F401
+        advanced,
         dedup,
         flagship,
         joins_aggs,
