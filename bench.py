@@ -35,6 +35,8 @@ HEADLINE = [
     "x4_quality_score",
     "x5_json_extract_agg",
     "x6_session_windows",
+    "x7_asof_join",
+    "ext_grouping_sets",
 ]
 
 
