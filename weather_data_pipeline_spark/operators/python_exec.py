@@ -1,0 +1,143 @@
+"""Python execution surface: scalar pandas UDF, Python UDTF, and custom
+stateful streaming (applyInPandasWithState).
+
+The reference has no UDF/UDAF/UDTF of any kind (SURVEY.md §2.9); the
+engine ships the full Python-execution API anyway because that's the
+escape hatch every real pipeline eventually needs. Rules of the house:
+
+- Arrow-batched pandas UDFs only — never row-at-a-time ``F.udf`` (10-100×
+  slower; SURVEY.md guidance);
+- deterministic arithmetic (plain IEEE ops) so even Python-side operators
+  stay oracle-checkable;
+- stateful streaming via ``applyInPandasWithState`` with an explicit
+  state schema — the engine-native form of a custom streaming operator.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udtf
+from pyspark.sql.types import DoubleType
+
+from ..registry import query
+from ..sources.testdata import load_table
+from ..streaming import jobs
+
+
+# ----------------------------------------------------------------------
+# Scalar pandas UDF (Arrow-vectorized, one numpy op per batch)
+# ----------------------------------------------------------------------
+@pandas_udf(DoubleType())
+def _gross_up(value: pd.Series) -> pd.Series:
+    # deterministic IEEE double arithmetic — identical in any engine
+    return (value * 1.08 + 1.0).round(6)
+
+
+@query(
+    "ext_pandas_udf_scalar",
+    oracle="""
+    SELECT event_id, value, ROUND(value * 1.08 + 1.0, 6) AS grossed
+    FROM events
+    """,
+)
+def ext_pandas_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized scalar pandas UDF: whole Arrow batches cross the
+    JVM↔Python boundary once, the kernel is one numpy expression. (The
+    built-in-function form of this exact expression is preferred in real
+    plans — this query exists to keep the UDF path itself under the
+    oracle.)"""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select("event_id", "value", _gross_up("value").alias("grossed"))
+
+
+# ----------------------------------------------------------------------
+# Python UDTF (table function: one input row → N output rows)
+# ----------------------------------------------------------------------
+@udtf(returnType="word: string, pos: int")
+class _WordSplit:
+    def eval(self, text: str):
+        if text:
+            for pos, word in enumerate(text.split(" ")):
+                yield word, pos
+
+
+@query(
+    "ext_python_udtf",
+    oracle="""
+    SELECT doc_id, words[i] AS word, i - 1 AS pos
+    FROM (SELECT doc_id, string_split(text, ' ') AS words
+          FROM documents WHERE doc_id < 50),
+         UNNEST(generate_series(1, len(words))) AS t(i)
+    """,
+)
+def ext_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 user-defined TABLE function) under LATERAL
+    join — the row-expanding escape hatch (a real pipeline would put a
+    sentence segmenter or parser here; the built-in explode form is
+    `x4_term_frequency`)."""
+    doc = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    spark.udtf.register("word_split", _WordSplit)
+    doc.createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        "SELECT d.doc_id, s.word, s.pos "
+        "FROM udtf_docs d, LATERAL word_split(d.text) s"
+    )
+
+
+# ----------------------------------------------------------------------
+# Custom stateful streaming operator (applyInPandasWithState)
+# ----------------------------------------------------------------------
+def _running_totals(key, pdf_iter, state):
+    """Per-user running (count, value-sum) maintained in explicit state."""
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdf_iter:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, round(total, 2)))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+    )
+
+
+@query(
+    "s_stateful_running_totals",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def s_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator: ``applyInPandasWithState`` keeps
+    (count, sum) per user in the state store and emits the running totals
+    each trigger. After an availableNow drain the state equals the batch
+    aggregation — the oracle. (Python state op; sums accumulate in decimal
+    -exact per-batch chunks, rounded at the emit boundary.)"""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    sink = f"s_stateful_{uuid.uuid4().hex[:8]}"
+    src = jobs.stream_events(spark, sf_dir)
+    out = src.groupBy("user_id").applyInPandasWithState(
+        _running_totals,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    jobs.run_to_completion(
+        out.writeStream.format("memory").queryName(sink).outputMode("update"),
+        "stateful-totals",
+    )
+    # final state per user = last emitted row per user (single batch here,
+    # but dedupe defensively by taking the max running count)
+    latest = spark.table(sink).groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("total_value", "n_events").alias("total_value"),
+    )
+    return latest

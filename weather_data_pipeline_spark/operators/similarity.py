@@ -251,3 +251,98 @@ def x3_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "label", F.col("embedding").cast("array<double>").alias("embedding")
     ).groupBy("label").applyInPandas(_centroid_of_group, schema=_CENTROID_SCHEMA)
+
+
+# ----------------------------------------------------------------------
+# IVF approximate top-k (coarse quantize → probe one list)
+# ----------------------------------------------------------------------
+_DUCK_CENTROIDS = """
+    flat AS (
+      SELECT label, i AS idx, CAST(embedding[i] AS DOUBLE) AS val
+      FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+    ), cents AS (
+      SELECT label, array_agg(a ORDER BY idx) AS centroid
+      FROM (SELECT label, idx, ROUND(AVG(val), 6) AS a
+            FROM flat GROUP BY label, idx)
+      GROUP BY label
+    ), assigned AS (
+      SELECT vec_id, embedding, label AS bucket FROM (
+        SELECT e.vec_id, e.embedding, c.label,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY ROUND({cos}, 6) DESC, c.label) AS rn
+        FROM embeddings e CROSS JOIN cents c
+      ) WHERE rn = 1
+    )
+""".format(cos=_DUCK_COS.format(a="e.embedding", b="c.centroid"))
+
+
+@query(
+    "x3_ivf_topk",
+    oracle=f"""
+    WITH {_DUCK_CENTROIDS}
+    SELECT query_id, vec_id, sim FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+             ROUND({_DUCK_COS.format(a='q.embedding', b='c.embedding')}, 6) AS sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY ROUND({_DUCK_COS.format(a='q.embedding', b='c.embedding')}, 6) DESC,
+                        c.vec_id) AS rn
+      FROM (SELECT * FROM assigned WHERE vec_id < {N_QUERIES}) q
+      JOIN assigned c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+    ) WHERE rn <= {TOP_K}
+    """,
+)
+def x3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: per-label centroids are the coarse
+    quantizer; every vector is assigned to its nearest centroid (argmin
+    over a broadcast list — narrow, no shuffle of the corpus); a query
+    probes only its own list (nprobe=1), so the exact cosine runs against
+    |corpus|/k vectors instead of the full corpus.
+
+    This is the composition of x3_label_centroids (quantizer build) and a
+    bucket-equi-join probe — the same plan shape at 100 TB, with k-means
+    iterations refining the centroids. Deterministic end-to-end (rounded
+    centroids + fold-order-stable cosines), hence fully oracle-checked —
+    approximate in RECALL, not in arithmetic."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = F.broadcast(
+        emb.select(
+            "label", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        .groupBy("label")
+        .applyInPandas(_centroid_of_group, schema=_CENTROID_SCHEMA)
+    )
+    sim_c = F.round(cosine(F.col("embedding"), F.col("centroid")), 6)
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        sim_c.desc(), F.col("label").asc()
+    )
+    assigned = (
+        emb.select("vec_id", "embedding")  # emb.label must not collide
+        .crossJoin(cents)
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", F.col("label").alias("bucket"))
+    )
+    q = F.broadcast(
+        assigned.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("bucket").alias("q_bucket"),
+        )
+    )
+    sim = F.round(cosine(F.col("q_emb"), F.col("embedding")), 6)
+    w_topk = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id")
+    )
+    return (
+        assigned.join(
+            q,
+            (F.col("bucket") == F.col("q_bucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", "vec_id", sim.alias("sim"))
+        .withColumn("rn", F.row_number().over(w_topk))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "vec_id", "sim")
+    )

@@ -72,6 +72,7 @@ def _load_all() -> None:
         json_ops,
         ml_queries,
         multimodal,
+        python_exec,
         relational,
         sessionize,
         similarity,
