@@ -70,10 +70,14 @@ def test_whole_stage_codegen_active(spark):
 
 
 def test_cosine_topk_corpus_never_shuffles(spark):
-    """Brute-force top-k: queries broadcast; the only exchange is the
-    final per-query window (tiny: |queries|·|corpus| reduced rows)."""
+    """Brute-force top-k: query vectors are closed over in the Arrow
+    kernel (no join at all), the corpus is scanned once, and the only
+    exchange is the final per-query window (|queries|·|corpus| reduced
+    rows, tiny)."""
     df = _Q["x3_cosine_topk"](spark, SF)
-    assert has_broadcast_join(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert num_shuffles(df) == 1
 
 
 def test_partition_pruning_counts_files(spark, tmp_path):
