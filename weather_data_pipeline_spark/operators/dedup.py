@@ -132,6 +132,14 @@ def x2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("grams").alias("n"),
         F.explode("grams").alias("shingle"),
     )
+    # Shuffle on a 64-bit fingerprint of the shingle, not the string: the
+    # shuffle key is a fixed 8 bytes instead of ~25 (3 words + separators),
+    # and hash/compare in the aggregation map is word-sized. A collision
+    # merges two posting lists (could overcount one intersection); with D
+    # distinct shingles the probability any collision exists is ~D²/2⁶⁵ —
+    # at 10⁹ shingles (100 TB scale) ~3·10⁻²; use 128-bit (two xxhash64
+    # seeds) where that matters.
+    sh = sh.select("doc_id", "n", F.xxhash64("shingle").alias("shingle"))
     # Inverted index: shingles in a single document (the vast majority)
     # produce zero pairs by construction. ds is sorted, so doc_a < doc_b.
     postings = (
