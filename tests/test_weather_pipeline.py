@@ -90,3 +90,33 @@ def test_serve_filter_and_json(spark, curated):
     doc = json.loads(london[0])
     assert doc["city"] == "London"
     assert "temp_c" in doc
+
+
+def test_weather_api_datasource(spark):
+    """O1 custom DataSource: one InputPartition per (city, day); synthetic
+    rows equal the fixture raw layer exactly; options narrow the fetch."""
+    from weather_data_pipeline_spark.sources import api_source
+    from weather_data_pipeline_spark.transforms import flatten_raw
+
+    api_source.register(spark)
+    df = spark.read.format("weather_api").load()
+    assert df.rdd.getNumPartitions() == len(wsrc.CITIES) * len(wsrc.FIXTURE_DATES)
+
+    root = wsrc.ensure_fixture()
+    from_files = flatten_raw(wsrc.read_raw(spark, root), with_ingest_date=True)
+    from_api = flatten_raw(df, with_ingest_date=True)
+    assert sorted(map(tuple, from_api.collect())) == sorted(
+        map(tuple, from_files.collect())
+    )
+
+    narrow = (
+        spark.read.format("weather_api")
+        .option("cities", "London,Cairo")
+        .option("dates", wsrc.FIXTURE_DATES[0])
+        .load()
+    )
+    rows = narrow.select("location.name", "ingest_date").collect()
+    assert sorted((r[0], r[1]) for r in rows) == [
+        ("Cairo", wsrc.FIXTURE_DATES[0]),
+        ("London", wsrc.FIXTURE_DATES[0]),
+    ]

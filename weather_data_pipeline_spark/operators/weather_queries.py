@@ -60,6 +60,22 @@ def w_flatten_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _staged(spark)
 
 
+@query("w_api_source", oracle=_STAGED_SQL)
+def w_api_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 as a custom Spark 4 Python DataSource (``format("weather_api")``,
+    ``sources/api_source.py``): one InputPartition per (city, day), fetch
+    parallelism = cluster width instead of the reference's serial driver
+    loop (weather_etl.py:35-37). Synthetic mode generates documents
+    byte-identical to the committed fixture, so the oracle is the same
+    ``read_json`` staged SQL as ``w_flatten_stage``."""
+    from ..sources import api_source
+
+    api_source.register(spark)
+    return flatten_raw(
+        spark.read.format("weather_api").load(), with_ingest_date=True
+    )
+
+
 @query(
     "w_flagship_latest",
     oracle=f"""

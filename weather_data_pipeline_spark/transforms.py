@@ -46,9 +46,14 @@ def flatten_raw(df: DataFrame, with_ingest_date: bool = False) -> DataFrame:
     # O10: keep only condition.text, drop icon/code (weather_etl.py:79).
     cols.append(F.col("current.condition.text").alias("condition"))
     if with_ingest_date:
-        cols.append(
-            F.regexp_extract(
-                F.input_file_name(), r"(\d{4}-\d{2}-\d{2})", 1
-            ).alias("ingest_date")
-        )
+        # File-backed scans recover the date from the partition directory;
+        # the weather_api DataSource carries it in the payload instead.
+        if "ingest_date" in df.columns:
+            cols.append(F.col("ingest_date"))
+        else:
+            cols.append(
+                F.regexp_extract(
+                    F.input_file_name(), r"(\d{4}-\d{2}-\d{2})", 1
+                ).alias("ingest_date")
+            )
     return df.select(*cols)
