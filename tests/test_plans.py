@@ -95,3 +95,35 @@ def test_partition_pruning_counts_files(spark, tmp_path):
     n_full = full._jdf.queryExecution().executedPlan().toString().count("file:")
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
+
+
+def test_bucketed_join_zero_shuffle(spark):
+    """orders ⋈ lineitem both bucketed on orderkey: the join plan has no
+    Exchange at all — the layout pre-paid the shuffle at write time."""
+    from weather_data_pipeline_spark.sources.io import bucketed_write
+    from weather_data_pipeline_spark.sources.testdata import load_table
+
+    for name, key in [("orders", "o_orderkey"), ("lineitem", "l_orderkey")]:
+        spark.sql(f"DROP TABLE IF EXISTS bkt_{name}")
+        bucketed_write(load_table(spark, SF, name), f"bkt_{name}", key, 8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = (
+            spark.table("bkt_orders")
+            .join(
+                spark.table("bkt_lineitem"),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        assert joined.count() == 5
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        join_part = plan.split("HashAggregate")[-1]  # below the agg exchange
+        assert "Exchange" not in join_part, join_part
+        assert "SortMergeJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        for name in ["orders", "lineitem"]:
+            spark.sql(f"DROP TABLE IF EXISTS bkt_{name}")
