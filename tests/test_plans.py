@@ -127,3 +127,11 @@ def test_bucketed_join_zero_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         for name in ["orders", "lineitem"]:
             spark.sql(f"DROP TABLE IF EXISTS bkt_{name}")
+
+
+def test_range_join_is_equi_not_nested_loop(spark):
+    """Binned interval join plans as a hash/sort-merge equi-join on the
+    bin — never BroadcastNestedLoopJoin (quadratic at scale)."""
+    df = _Q["ext_range_join"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan

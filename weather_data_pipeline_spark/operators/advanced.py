@@ -176,3 +176,137 @@ def ext_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     to a single Expand + aggregate, not four scans)."""
     register_views(spark, sf_dir)
     return spark.sql(_GSETS_SQL)
+
+
+# ----------------------------------------------------------------------
+# Skew-safe salted join
+# ----------------------------------------------------------------------
+def salted_join(
+    large: DataFrame,
+    small: DataFrame,
+    large_key: str,
+    small_key: str,
+    salt_from: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Equi-join where a hot key on the ``large`` side would overwhelm one
+    reducer: the large side is salted deterministically from one of its
+    own unique columns (``salt_from``), the small side is replicated
+    ``n_salts`` ways, and the join runs on (key, salt) — the hot key's
+    rows spread over ``n_salts`` reducers. Semantically invisible:
+    identical rows to the plain join, ``n_salts``× the small side's
+    shuffle volume as the price. (AQE's skew-join split handles moderate
+    skew on its own; the explicit form is the template for extreme skew
+    and for stateful/streaming joins AQE can't re-plan.)"""
+    salt = F.pmod(F.xxhash64(F.col(salt_from)), F.lit(n_salts))
+    lg = large.withColumn("_salt", salt.cast("int"))
+    sm = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return lg.join(
+        sm, (F.col(large_key) == F.col(small_key)) & (lg._salt == sm._salt)
+    ).drop("_salt")
+
+
+@query(
+    "ext_salted_join",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS total_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def ext_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem ⋈ orders through the salted-join template; the oracle is
+    the plain join — salting must not change a single row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    joined = salted_join(
+        li, orders, "l_orderkey", "o_orderkey", salt_from="l_linenumber"
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("total_price"),
+    )
+
+
+# ----------------------------------------------------------------------
+# Binned range (interval) join
+# ----------------------------------------------------------------------
+def range_join_binned(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bin_width: int,
+) -> DataFrame:
+    """Point-in-interval join without a nested-loop: both sides are mapped
+    to ``bin_width``-sized buckets of the (numeric) range dimension — a
+    point lands in one bin, an interval explodes to the bins it spans —
+    then an equi-join on the bin plus the residual range predicate.
+    Candidate pairs are bounded by bin co-residency, so cost tracks true
+    overlap; a plain ``points.join(intervals, between)`` would plan as a
+    broadcast-nested-loop, quadratic at scale. Pick ``bin_width`` near the
+    typical interval length: much smaller multiplies interval replication,
+    much larger multiplies false candidates."""
+    p_bin = (F.col(point_col) / bin_width).cast("long")
+    i_bins = F.sequence(
+        (F.col(start_col) / bin_width).cast("long"),
+        (F.col(end_col) / bin_width).cast("long"),
+    )
+    p = points.withColumn("_bin", p_bin)
+    i = intervals.withColumn("_bin", F.explode(i_bins))
+    return (
+        p.join(i, "_bin")
+        .filter(
+            (F.col(point_col) >= F.col(start_col))
+            & (F.col(point_col) <= F.col(end_col))
+        )
+        .drop("_bin")
+    )
+
+
+@query(
+    "ext_range_join",
+    oracle="""
+    WITH iv AS (
+      SELECT event_id AS iv_id, user_id AS iv_user,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS start_us,
+             epoch_us(CAST(ts AS TIMESTAMP)) + 3600000000 AS end_us
+      FROM events WHERE event_type = 'signup'
+    )
+    SELECT iv_id, iv_user, event_id, event_type
+    FROM events JOIN iv
+      ON epoch_us(CAST(ts AS TIMESTAMP)) >= start_us
+     AND epoch_us(CAST(ts AS TIMESTAMP)) <= end_us
+    WHERE event_id <> iv_id
+    """,
+)
+def ext_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which events fall inside the hour after each signup — binned
+    interval join (1h bins = interval length); the oracle is the naive
+    inequality join DuckDB can afford at sf0.01."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    iv = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("iv_id"),
+        F.col("user_id").alias("iv_user"),
+        F.col("us").alias("start_us"),
+        (F.col("us") + 3_600_000_000).alias("end_us"),
+    )
+    hits = range_join_binned(
+        ev.select("event_id", "event_type", "us"),
+        iv,
+        "us",
+        "start_us",
+        "end_us",
+        bin_width=3_600_000_000,
+    )
+    return hits.filter(F.col("event_id") != F.col("iv_id")).select(
+        "iv_id", "iv_user", "event_id", "event_type"
+    )
