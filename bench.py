@@ -37,6 +37,7 @@ HEADLINE = [
     "x6_session_windows",
     "x7_asof_join",
     "ext_grouping_sets",
+    "ext_range_join",
 ]
 
 
