@@ -106,3 +106,34 @@ def s_session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("session_window.end").cast("timestamp_ntz").alias("session_end"),
         "n_events",
     )
+
+
+@query(
+    "s_stream_stream_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id, p.ts AS p_ts,
+           CAST(p.value AS DECIMAL(18,2)) AS value,
+           v.event_id AS view_id, v.ts AS v_ts
+    FROM events p JOIN events v
+      ON p.user_id = v.user_id
+     AND p.event_type = 'purchase' AND v.event_type = 'view'
+     AND epoch_us(CAST(p.ts AS TIMESTAMP)) >= epoch_us(CAST(v.ts AS TIMESTAMP))
+     AND epoch_us(CAST(p.ts AS TIMESTAMP))
+         <= epoch_us(CAST(v.ts AS TIMESTAMP)) + 3600000000
+    """,
+)
+def s_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join (purchase ⋈ views of the same
+    user in the prior hour): the event-time bound lets Spark expire join
+    state, so state stays bounded on an unbounded stream. Oracle = the
+    batch interval join (µs-truncated on both engines)."""
+    sink = f"s_ssjoin_{uuid.uuid4().hex[:8]}"
+    jobs.stream_stream_interval_join(jobs.stream_events(spark, sf_dir), sink)
+    return spark.table(sink).select(
+        F.col("purchase_id"),
+        F.col("p_user").alias("user_id"),
+        F.col("p_ts").cast("timestamp_ntz").alias("p_ts"),
+        F.col("value").cast("decimal(18,2)").alias("value"),
+        "view_id",
+        F.col("v_ts").cast("timestamp_ntz").alias("v_ts"),
+    )

@@ -175,3 +175,40 @@ def session_windows(source: DataFrame, sink_table: str, gap: str = "30 minutes")
         agg.writeStream.format("memory").queryName(sink_table).outputMode("append"),
         f"session-{sink_table}",
     )
+
+
+def stream_stream_interval_join(
+    source: DataFrame, sink_table: str, horizon: str = "1 hour"
+) -> None:
+    """Watermarked stream-stream inner join: purchases matched to every
+    view by the same user within ``horizon`` before the purchase.
+
+    Both sides carry a watermark and the join condition bounds event-time
+    distance, so Spark can expire join state: a buffered view is dropped
+    once the purchase-side watermark passes ``view ts + horizon`` —
+    bounded state on an unbounded stream. With availableNow all input
+    lands in one micro-batch and inner-join results emit immediately, so
+    the memory sink equals the batch interval join exactly."""
+    views = source.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("view_id"),
+    ).withWatermark("v_ts", horizon)
+    purchases = source.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+        "value",
+    ).withWatermark("p_ts", horizon)
+    joined = purchases.join(
+        views,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr(f"INTERVAL {horizon}")),
+    )
+    run_to_completion(
+        joined.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("append"),
+        f"ssjoin-{sink_table}",
+    )
