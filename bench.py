@@ -38,6 +38,7 @@ HEADLINE = [
     "x7_asof_join",
     "ext_grouping_sets",
     "ext_range_join",
+    "ext_q5_local_supplier",
 ]
 
 

@@ -641,3 +641,109 @@ def o8_json_serialize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("}"),
         ).alias("json_rec"),
     )
+
+
+# ----------------------------------------------------------------------
+# TPC-H Q5 shape: 6-way mixed broadcast/shuffle join
+# ----------------------------------------------------------------------
+@query(
+    "ext_q5_local_supplier",
+    oracle="""
+    SELECT n_name,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def ext_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape — the join-order workout: two fact-fact shuffle
+    joins (orders⋈customer, lineitem⋈orders⋈supplier) with the
+    region→nation dimension chain broadcast, and the region predicate
+    reaching the nation side before any fact row moves. Catalyst +
+    AQE pick broadcast for every sub-10MB side at runtime."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(
+        load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    )
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(price * (1 - disc)).alias("revenue"))
+    )
+
+
+# ----------------------------------------------------------------------
+# TPC-H Q18 shape: HAVING subquery + semi join + deterministic top-k
+# ----------------------------------------------------------------------
+@query(
+    "ext_q18_large_orders",
+    oracle="""
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           SUM(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300
+    )
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def ext_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: the HAVING subquery becomes an aggregated
+    key-set semi-joined (broadcastable — it's tiny after the filter)
+    against orders BEFORE the customer join, so only qualifying orders'
+    rows ever shuffle; top-100 runs as TakeOrderedAndProject with a
+    unique tiebreak."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("q"))
+        .filter(F.col("q") > 300)
+        .select("l_orderkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").join(
+        F.broadcast(big),
+        F.col("o_orderkey") == big.l_orderkey,
+        "left_semi",
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(qty).alias("total_qty"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
