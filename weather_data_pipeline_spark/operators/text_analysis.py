@@ -228,3 +228,45 @@ def x4_lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
         de.alias("de_hits"),
         guess.alias("lang_guess"),
     )
+
+
+# ----------------------------------------------------------------------
+# X8 — deterministic stratified sampling (training-data mixing)
+# ----------------------------------------------------------------------
+#: Per-language keep rates (percent) — the "data mixing" recipe: keep all
+#: English, half German/Spanish/French, a fifth of Chinese.
+MIX_RATES = {"en": 100, "de": 50, "es": 50, "fr": 50, "zh": 20}
+
+
+@query(
+    "x8_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 100 AS bucket
+      FROM documents
+    )
+    WHERE bucket < CASE lang
+        {' '.join(f"WHEN '{k}' THEN {v}" for k, v in MIX_RATES.items())}
+        ELSE 0 END
+    """,
+)
+def x8_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified corpus sampling with per-class rates — the data-mixing
+    primitive of pretraining pipelines. The keep decision is a pure
+    function of the row key (md5 bucket), so the sample is identical
+    across engines, runs, repartitions, and retries — unlike
+    ``df.stat.sampleBy``, whose RNG is engine-specific; that also makes
+    the mix reproducible when the corpus is re-sharded at 100 TB. A
+    narrow filter: no shuffle, fully pushed into the scan stage."""
+    doc = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    rate = F.create_map(
+        *[F.lit(x) for kv in MIX_RATES.items() for x in kv]
+    )[F.col("lang")]
+    return doc.filter(bucket < F.coalesce(rate, F.lit(0))).select("doc_id", "lang")
