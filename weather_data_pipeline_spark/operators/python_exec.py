@@ -141,3 +141,33 @@ def s_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("total_value", "n_events").alias("total_value"),
     )
     return latest
+
+
+# ----------------------------------------------------------------------
+# Grouped-aggregate pandas UDAF (Arrow batch per group → one scalar)
+# ----------------------------------------------------------------------
+@pandas_udf(DoubleType())
+def _median_udaf(value: pd.Series) -> float:
+    # interpolated median: order-independent, same (a+b)/2 IEEE op in any
+    # engine — keeps a Python UDAF oracle-checkable
+    return float(value.median())
+
+
+@query(
+    "ext_pandas_udaf_grouped",
+    oracle="""
+    SELECT event_type, ROUND(median(value), 6) AS median_value
+    FROM events GROUP BY event_type
+    """,
+)
+def ext_pandas_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg pandas UDAF: each group's column arrives as one Arrow
+    batch, the kernel returns one scalar. Median is deliberately a
+    holistic (non-partializable) aggregate — exactly the case where a
+    custom UDAF is warranted over built-ins; Spark plans a full shuffle
+    of group rows (no map-side combine), which is the true cost of any
+    holistic aggregate at scale (cf. salted_agg for the skew antidote)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(_median_udaf("value"), 6).alias("median_value")
+    )
