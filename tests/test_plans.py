@@ -135,3 +135,12 @@ def test_range_join_is_equi_not_nested_loop(spark):
     df = _Q["ext_range_join"](spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_topk_never_global_sorts(spark):
+    """ORDER BY + LIMIT plans as TakeOrderedAndProject (per-partition
+    top-k, k-way merged on the driver) — a full global sort of the
+    aggregate output would shuffle everything to produce 10 rows."""
+    for name in ["ext_q3_shipping_priority", "ext_q18_large_orders"]:
+        plan = _Q[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan, name

@@ -120,3 +120,21 @@ def test_weather_api_datasource(spark):
         ("Cairo", wsrc.FIXTURE_DATES[0]),
         ("London", wsrc.FIXTURE_DATES[0]),
     ]
+
+
+def test_permissive_scan_quarantines_corrupt(spark, tmp_path):
+    """A malformed raw document lands in _corrupt; good rows parse; the
+    strict scan stays the default."""
+    root = str(tmp_path)
+    wsrc.write_raw_docs(wsrc.synthesize_raw_docs([wsrc.FIXTURE_DATES[0]]), root)
+    day_dir = tmp_path / "data" / wsrc.FIXTURE_DATES[0]
+    (day_dir / "Broken.txt").write_text('{"location": {"name": "Broke', "utf-8")
+
+    df = wsrc.read_raw(spark, root, permissive=True)
+    rows = df.collect()
+    assert len(rows) == len(wsrc.CITIES) + 1
+    corrupt = [r for r in rows if r["_corrupt"] is not None]
+    assert len(corrupt) == 1
+    assert corrupt[0]["_corrupt"].startswith('{"location"')
+    good = [r for r in rows if r["_corrupt"] is None]
+    assert all(r["location"]["name"] in wsrc.CITIES for r in good)

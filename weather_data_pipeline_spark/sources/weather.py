@@ -28,6 +28,7 @@ import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
 
 from ..schemas import WEATHER_RAW
 
@@ -187,9 +188,30 @@ def ensure_fixture(root: str | None = None) -> str:
     return root
 
 
-def read_raw(spark: SparkSession, root: str, date: str | None = None) -> DataFrame:
+def read_raw(
+    spark: SparkSession,
+    root: str,
+    date: str | None = None,
+    permissive: bool = False,
+) -> DataFrame:
     """O3 — schema-full JSON scan of the raw layer. ``date`` narrows to one
     day's directory (the reference's manual partition pruning,
-    weather_etl.py:63); None scans every day."""
+    weather_etl.py:63); None scans every day.
+
+    ``permissive`` is the SURVEY §1.2 fallback for an external feed that
+    can ship malformed documents: instead of failing the scan (or
+    silently nulling whole rows), unparseable documents land intact in a
+    ``_corrupt`` column for quarantine — at 100 TB one bad upstream file
+    must never kill a day's batch."""
     path = os.path.join(root, "data", date) if date else os.path.join(root, "data", "*")
-    return spark.read.schema(WEATHER_RAW).json(path)
+    reader = spark.read
+    if permissive:
+        schema = T.StructType(
+            list(WEATHER_RAW.fields) + [T.StructField("_corrupt", T.StringType())]
+        )
+        reader = reader.option("mode", "PERMISSIVE").option(
+            "columnNameOfCorruptRecord", "_corrupt"
+        )
+    else:
+        schema = WEATHER_RAW
+    return reader.schema(schema).json(path)
