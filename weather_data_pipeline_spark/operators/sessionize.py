@@ -156,3 +156,73 @@ def x6_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("session_window.end").alias("session_end"),
         "n_events",
     )
+
+
+# ----------------------------------------------------------------------
+# Time-series rollup + gap fill (hypertable-style downsampling)
+# ----------------------------------------------------------------------
+@query(
+    "x6_gap_fill_locf",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, date_trunc('day', ts) AS day,
+             CAST(value AS DECIMAL(18,2)) AS close_value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, date_trunc('day', ts)
+               ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ), daily AS (
+      SELECT user_id, day, close_value FROM ranked WHERE rn = 1
+    ), spans AS (
+      SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY user_id
+    ), grid AS (
+      SELECT user_id, UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+      FROM spans
+    )
+    SELECT g.user_id, g.day,
+           last_value(d.close_value IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close_value,
+           d.close_value IS NULL AS filled
+    FROM grid g LEFT JOIN daily d USING (user_id, day)
+    """,
+)
+def x6_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style daily rollup with gap fill: last event value per
+    (user, day) — ``max_by`` with a total (ts, event_id) order, one
+    shuffle, no window — then a dense per-user day grid
+    (``sequence`` + explode: the grid is generated, never stored) left-
+    joined back and forward-filled with an IGNORE NULLS window. Missing
+    days are flagged. At scale the grid explode is output-proportional
+    (|users| × span days) and the fill is one partition-local window —
+    no shuffle beyond the rollup's own key exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.max_by("value", F.struct("ts", "event_id"))
+        .cast("decimal(18,2)")
+        .alias("close_value")
+    )
+    grid = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))
+            ).alias("day"),
+        )
+    )
+    joined = grid.join(daily, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "day",
+        F.last("close_value", ignorenulls=True).over(w).alias("close_value"),
+        F.col("close_value").isNull().alias("filled"),
+    )
