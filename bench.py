@@ -39,6 +39,7 @@ HEADLINE = [
     "ext_grouping_sets",
     "ext_range_join",
     "ext_q5_local_supplier",
+    "x6_gap_fill_locf",
 ]
 
 
