@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..streaming import jobs
+from .weather_queries import _STAGED_SQL
 
 _GAP_US = 30 * 60 * 1_000_000
 
@@ -136,4 +137,43 @@ def s_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").cast("decimal(18,2)").alias("value"),
         "view_id",
         F.col("v_ts").cast("timestamp_ntz").alias("v_ts"),
+    )
+
+
+@query(
+    "s_weather_latest_stream",
+    oracle=f"""
+    WITH staged AS ({_STAGED_SQL})
+    SELECT city, localtime, localtime_epoch, temp_c, condition FROM (
+      SELECT s.*, ROW_NUMBER() OVER (
+        PARTITION BY city ORDER BY localtime DESC, localtime_epoch DESC) AS rn
+      FROM staged s
+    ) WHERE rn = 1
+    """,
+)
+def s_weather_latest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's whole pipeline as a stream: file-stream over the
+    raw JSON tree → staging flatten → foreachBatch incremental
+    latest-per-key state (snapshot-versioned parquet, atomic pointer
+    flip). Oracle = the batch flagship SQL over the same fixture —
+    stream-batch parity on the reference's own data shape."""
+    import os
+    import uuid
+
+    from ..sources import weather as wsrc
+    from ..transforms import flatten_raw
+
+    root = wsrc.ensure_fixture()
+    state = os.path.join(jobs.SCRATCH, f"s_weather_state_{uuid.uuid4().hex[:8]}")
+    src = flatten_raw(jobs.stream_raw_weather(spark, root))
+    jobs.incremental_latest_per_key(
+        spark,
+        src,
+        key="city",
+        order="localtime",
+        tiebreak="localtime_epoch",
+        state_path=state,
+    )
+    return jobs.read_state(spark, state).select(
+        "city", "localtime", "localtime_epoch", "temp_c", "condition"
     )
