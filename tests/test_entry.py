@@ -29,3 +29,20 @@ def test_contract_shape(spark):
     qs, oracles = mod.queries(), mod.oracle_sql()
     assert set(oracles) <= set(qs)
     assert "o15_latest_per_key" in qs
+
+
+def test_first_50_slots_cover_survey_operators():
+    """The driver correctness-checks only the first 50 registered queries;
+    the explicit priority list must fill exactly those slots, every one
+    oracle-paired so each gets a full value-hash row."""
+    from weather_data_pipeline_spark import registry
+
+    names = list(registry.queries())
+    assert len(registry._PRIORITY) == 50
+    assert tuple(names[:50]) == registry._PRIORITY
+    oracles = registry.oracle_sql()
+    assert all(n in oracles for n in names[:50])
+    # one representative per operator family
+    for prefix in ("o", "w_", "x1", "x2", "x3", "x4", "x5", "x6", "x7",
+                   "x8", "ext_q1", "ext_window", "ext_pandas", "s_"):
+        assert any(n.startswith(prefix) for n in names[:50]), prefix

@@ -46,14 +46,85 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
+# The driver verifies correctness for the first 50 registered queries only,
+# in registration order. This explicit priority list pins the first 50 slots
+# to one representative per SURVEY.md §2 operator (O7–O28, X1–X8, TPC-H
+# headliners, streaming, python-exec) plus every query that failed hash_match
+# in round 1, so each operator family carries a driver correctness row.
+# Remaining queries keep their module registration order after the cap.
+_PRIORITY: tuple[str, ...] = (
+    # flagship + weather reference pipeline (O1, O3, O9/O10, O15, O31)
+    "o15_latest_per_key",
+    "w_flagship_latest",
+    "w_flatten_stage",
+    "w_api_source",
+    # reference relational / scalar surface (O7–O26)
+    "o7_sql_table_scan",
+    "o8_json_serialize",
+    "o9_nested_flatten",
+    "o11_rename",
+    "o12_projection",
+    "o13_filter_eq",
+    "o14_rank_filter_topk",
+    "o16_union_all",
+    "o18_column_zip",
+    "o19_parse_nonpadded_hour",
+    "o20_epoch_roundtrip",
+    "o21_ts_to_string",
+    "o22_epoch_shift_day",
+    "o24_map_encode",
+    "o25_map_decode",
+    "o26_date_math",
+    # ML tier (O27–O30)
+    "o27_hash_split",
+    "o28_linreg_baseline",
+    # LLM-data ops (X1–X8)
+    "x1_exact_dedup",
+    "x2_ngram_jaccard",
+    "x3_cosine_topk",
+    "x3_lsh_candidate_pairs",
+    "x3_embedding_near_dup",
+    "x3_ivf_topk",
+    "x4_quality_score",
+    "x4_term_frequency",
+    "x5_json_get_path",
+    "x5_json_extract_agg",
+    "x6_session_windows",
+    "x6_session_window_native",
+    "x6_gap_fill_locf",
+    "x7_asof_join",
+    "x8_stratified_sample",
+    # TPC-H headliners + round-1 hash-fail set
+    "ext_q1_pricing_summary",
+    "ext_q3_shipping_priority",
+    "ext_q5_local_supplier",
+    "ext_q18_large_orders",
+    "ext_rollup",
+    "ext_pivot",
+    "ext_grouping_sets",
+    "ext_salted_agg",
+    "ext_join_broadcast_dims",
+    # window, python-exec, streaming representatives
+    "ext_window_ranks",
+    "ext_pandas_udf_scalar",
+    "s_latest_per_key_stream",
+    "s_stateful_running_totals",
+)
+
+
+def _prioritized(d: dict[str, object]) -> dict[str, object]:
+    head = {k: d[k] for k in _PRIORITY if k in d}
+    return head | {k: v for k, v in d.items() if k not in head}
+
+
 def queries() -> dict[str, QueryFn]:
     _load_all()
-    return dict(_QUERIES)
+    return _prioritized(_QUERIES)  # type: ignore[return-value]
 
 
 def oracle_sql() -> dict[str, str]:
     _load_all()
-    return dict(_ORACLE)
+    return _prioritized(_ORACLE)  # type: ignore[return-value]
 
 
 _LOADED = False
