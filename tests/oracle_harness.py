@@ -2,9 +2,16 @@
 
 Runs a registered Spark query and its DuckDB oracle SQL on the same
 parquet tables and compares row count, sorted column names, and an
-order-insensitive value multiset. Stricter than the driver on floats:
-exact repr equality (our determinism policy should make engine floats
-bitwise identical; see registry docstring).
+order-insensitive value multiset with exact float repr equality (our
+determinism policy should make engine floats bitwise identical; see
+registry docstring).
+
+Round-1 driver lesson: DECIMAL results with trailing-zero cents render
+float-style on one side of the driver's hash (``1234.0`` vs ``1234.00``)
+and fail hash_match even when values are equal. Policy here is therefore
+stricter than value equality: a registered query may not emit DECIMAL at
+the output boundary at all — accumulate decimal internally, emit
+``ROUND(CAST(.. AS DOUBLE), s)`` (``functions.scalars.dsum_out``).
 """
 
 from __future__ import annotations
@@ -38,8 +45,11 @@ def _norm(v):
             return "nan"
         return repr(v)
     if isinstance(v, decimal.Decimal):
-        # 12.30 and 12.3 normalize equal; scale differences are cosmetic.
-        return format(v.normalize(), "f")
+        # Declared-scale rendering (NO .normalize()): 12.30 != 12.3, exactly
+        # as strict as the driver's hash. Reaching here at all means a query
+        # leaked a DECIMAL past the output boundary (compare() rejects that
+        # for Spark results; oracle-side decimals surface as mismatches).
+        return format(v, "f")
     if isinstance(v, _dt.datetime):
         if v.tzinfo is not None:
             v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
@@ -71,6 +81,14 @@ def _spark_rows(sdf):
 
 def compare(spark, name: str, fn, sql: str, sf_dir: str) -> None:
     sdf = fn(spark, sf_dir)
+    dec_cols = [
+        f.name for f in sdf.schema.fields if f.dataType.typeName().startswith("decimal")
+    ]
+    assert not dec_cols, (
+        f"{name}: DECIMAL at the output boundary {dec_cols} — trailing-zero "
+        "values hash differently across engines; emit ROUND(CAST(.. AS "
+        "DOUBLE), s) instead (functions.scalars.dsum_out)"
+    )
     spark_cols = list(sdf.columns)
     spark_rows = _spark_rows(sdf)
 

@@ -30,3 +30,25 @@ def dsum(col: Column | str, precision: int = 18, scale: int = 2) -> Column:
 def davg(col: Column | str, precision: int = 18, scale: int = 2) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return dsum(c, precision, scale).cast("double") / F.count(c)
+
+
+def dsum_out(col: Column | str, precision: int = 18, scale: int = 2) -> Column:
+    """``dsum`` rendered for the OUTPUT boundary: rounded DOUBLE.
+
+    DECIMAL results with trailing-zero cents (``1234.00``) render
+    differently across engines/serializers (``1234.0`` float-style vs
+    ``1234.00``), so value-hash comparisons fail on representation even
+    when values are equal. Accumulate exact decimal internally, but emit
+    ``ROUND(CAST(sum AS DOUBLE), scale)`` — and write the identical shape
+    in the oracle SQL: ``ROUND(CAST(SUM(CAST(x AS DECIMAL(p,s))) AS
+    DOUBLE), s)``. The round is numerically a no-op (the decimal already
+    has ≤ ``scale`` places); it exists purely to normalize representation
+    identically on both sides.
+    """
+    return F.round(dsum(col, precision, scale).cast("double"), scale)
+
+
+def dec_out(c: Column, scale: int = 2) -> Column:
+    """Render an already-DECIMAL aggregate column as rounded DOUBLE (same
+    output-boundary policy as ``dsum_out`` for composed expressions)."""
+    return F.round(c.cast("double"), scale)

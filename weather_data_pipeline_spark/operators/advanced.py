@@ -135,7 +135,8 @@ def ext_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ext_salted_agg",
     oracle="""
     SELECT event_type, COUNT(*) AS n,
-           SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS total_value
     FROM events GROUP BY event_type
     """,
 )
@@ -154,7 +155,8 @@ def ext_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(18,2)")).alias("pv"),
     )
     return salted.groupBy("event_type").agg(
-        F.sum("pn").alias("n"), F.sum("pv").alias("total_value")
+        F.sum("pn").alias("n"),
+        F.round(F.sum("pv").cast("double"), 2).alias("total_value"),
     )
 
 
@@ -163,7 +165,8 @@ def ext_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------------------------------------------------
 _GSETS_SQL = """
     SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS total
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
                             (o_orderstatus, o_orderpriority), ())
@@ -212,7 +215,8 @@ def salted_join(
     "ext_salted_join",
     oracle="""
     SELECT o_orderpriority, COUNT(*) AS n,
-           SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS total_price
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS total_price
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderpriority
     """,
@@ -229,7 +233,9 @@ def ext_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("total_price"),
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("total_price"),
     )
 
 

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.scalars import davg, dsum
+from ..functions.scalars import davg, dec_out, dsum, dsum_out
 from ..registry import query
 from ..sources.testdata import load_table
 
@@ -31,13 +31,17 @@ from ..sources.testdata import load_table
     "ext_q1_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           SUM(CAST(l_quantity AS DECIMAL(18,2)))      AS sum_qty,
-           SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-           SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-               * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
-           SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                 AS DOUBLE), 2)                        AS sum_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                 AS DOUBLE), 2)                        AS sum_base_price,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                 AS DOUBLE), 4)                        AS sum_disc_price,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
                * (1 - CAST(l_discount AS DECIMAL(18,2)))
-               * (1 + CAST(l_tax AS DECIMAL(18,2))))      AS sum_charge,
+               * (1 + CAST(l_tax AS DECIMAL(18,2))))
+                 AS DOUBLE), 6)                        AS sum_charge,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
                / COUNT(l_quantity)                     AS avg_qty,
            CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
@@ -60,10 +64,10 @@ def ext_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc = F.col("l_discount").cast("decimal(18,2)")
     tax = F.col("l_tax").cast("decimal(18,2)")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum(qty).alias("sum_qty"),
-        F.sum(price).alias("sum_base_price"),
-        F.sum(price * (1 - disc)).alias("sum_disc_price"),
-        F.sum(price * (1 - disc) * (1 + tax)).alias("sum_charge"),
+        dec_out(F.sum(qty), 2).alias("sum_qty"),
+        dec_out(F.sum(price), 2).alias("sum_base_price"),
+        dec_out(F.sum(price * (1 - disc)), 4).alias("sum_disc_price"),
+        dec_out(F.sum(price * (1 - disc) * (1 + tax)), 6).alias("sum_charge"),
         (F.sum(qty).cast("double") / F.count("l_quantity")).alias("avg_qty"),
         (F.sum(disc).cast("double") / F.count("l_discount")).alias("avg_disc"),
         F.count(F.lit(1)).alias("count_order"),
@@ -78,7 +82,8 @@ def ext_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT r_name, n_name,
            COUNT(*) AS n_customers,
-           SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS total_acctbal
+           ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS total_acctbal
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
@@ -97,7 +102,7 @@ def ext_join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name", "n_name")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            dsum("c_acctbal").alias("total_acctbal"),
+            dsum_out("c_acctbal").alias("total_acctbal"),
         )
     )
 
@@ -109,8 +114,9 @@ def ext_join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ext_q3_shipping_priority",
     oracle="""
     SELECT l_orderkey,
-           SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-               * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS revenue,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4)
+             AS revenue,
            o_orderdate, o_orderpriority
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON l_orderkey = o_orderkey
@@ -141,7 +147,7 @@ def ext_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.join(orders, cust.c_custkey == orders.o_custkey)
         .join(li, li.l_orderkey == orders.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(price * (1 - disc)).alias("revenue"))
+        .agg(dec_out(F.sum(price * (1 - disc)), 4).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
@@ -362,7 +368,8 @@ def ext_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ext_rollup",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS sum_qty,
            COUNT(*) AS n
     FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
@@ -370,7 +377,7 @@ def ext_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ext_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
-        dsum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n")
+        dsum_out("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n")
     )
 
 
@@ -378,7 +385,8 @@ def ext_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ext_cube",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS sum_price,
            COUNT(*) AS n
     FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
@@ -386,7 +394,8 @@ def ext_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ext_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(
-        dsum("l_extendedprice").alias("sum_price"), F.count(F.lit(1)).alias("n")
+        dsum_out("l_extendedprice").alias("sum_price"),
+        F.count(F.lit(1)).alias("n"),
     )
 
 
@@ -394,8 +403,10 @@ def ext_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ext_pivot",
     oracle="""
     SELECT l_returnflag,
-           SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_linestatus = 'O') AS "O",
-           SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_linestatus = 'F') AS "F"
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                 FILTER (l_linestatus = 'O') AS DOUBLE), 2) AS "O",
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                 FILTER (l_linestatus = 'F') AS DOUBLE), 2) AS "F"
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -406,7 +417,7 @@ def ext_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag")
         .pivot("l_linestatus", ["O", "F"])
-        .agg(dsum("l_quantity"))
+        .agg(dsum_out("l_quantity"))
     )
 
 
@@ -597,7 +608,8 @@ def ext_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
     "o7_sql_table_scan",
     oracle="""
     SELECT o_orderstatus, COUNT(*) AS n,
-           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS total
     FROM orders GROUP BY o_orderstatus
     """,
 )
@@ -608,7 +620,8 @@ def o7_sql_table_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT o_orderstatus, COUNT(*) AS n,
-               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+                 AS total
         FROM orders_sql_v GROUP BY o_orderstatus
         """
     )
@@ -650,8 +663,9 @@ def o8_json_serialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ext_q5_local_supplier",
     oracle="""
     SELECT n_name,
-           SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-               * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4)
+             AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -694,7 +708,7 @@ def ext_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(nation, supp.s_nationkey == nation.n_nationkey)
         .join(region, nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(F.sum(price * (1 - disc)).alias("revenue"))
+        .agg(dec_out(F.sum(price * (1 - disc)), 4).alias("revenue"))
     )
 
 
@@ -705,7 +719,8 @@ def ext_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ext_q18_large_orders",
     oracle="""
     SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
-           SUM(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS total_qty
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON o_orderkey = l_orderkey
@@ -743,7 +758,7 @@ def ext_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.join(orders, cust.c_custkey == orders.o_custkey)
         .join(li, li.l_orderkey == orders.o_orderkey)
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.sum(qty).alias("total_qty"))
+        .agg(dec_out(F.sum(qty), 2).alias("total_qty"))
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(100)
     )

@@ -56,7 +56,8 @@ def x5_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
            COUNT(*) AS n,
-           SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS total_value
     FROM events
     GROUP BY CAST(json_extract_string(props, '$.k') AS INTEGER) % 10
     """,
@@ -71,6 +72,8 @@ def x5_json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k_bucket")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("total_value"),
         )
     )

@@ -34,7 +34,8 @@ def _staged(spark: SparkSession) -> DataFrame:
     "o27_hash_split",
     oracle="""
     SELECT bucket < 9 AS is_train, COUNT(*) AS n,
-           SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS qty
     FROM (
       SELECT l_quantity,
              CAST(('0x' || substr(md5(CAST(l_orderkey * 10 + l_linenumber
@@ -57,7 +58,9 @@ def o27_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy((F.col("bucket") < 9).alias("is_train"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"),
+            F.round(
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("qty"),
         )
     )
 

@@ -100,9 +100,11 @@ def o13_filter_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey, l_linenumber,
            l_extendedprice AS actual,
-           CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(0.9 AS DECIMAL(2,1)) AS predicted,
-           ABS(CAST(l_extendedprice AS DECIMAL(18,2))
-               - CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(0.9 AS DECIMAL(2,1))) AS abs_err
+           ROUND(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(0.9 AS DECIMAL(2,1)) AS DOUBLE), 3) AS predicted,
+           ROUND(CAST(ABS(CAST(l_extendedprice AS DECIMAL(18,2))
+               - CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(0.9 AS DECIMAL(2,1))) AS DOUBLE), 3) AS abs_err
     FROM lineitem
     """,
 )
@@ -121,8 +123,8 @@ def o18_column_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
         F.col("l_extendedprice").alias("actual"),
-        pred.alias("predicted"),
-        F.abs(p - pred).alias("abs_err"),
+        F.round(pred.cast("double"), 3).alias("predicted"),
+        F.round(F.abs(p - pred).cast("double"), 3).alias("abs_err"),
     )
 
 

@@ -23,7 +23,8 @@ SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
     oracle="""
     SELECT date_trunc('hour', ts) AS hour_start, event_type,
            COUNT(*) AS n,
-           SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS total_value
     FROM events GROUP BY date_trunc('hour', ts), event_type
     """,
 )
@@ -35,7 +36,9 @@ def x6_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("hour", "ts").alias("hour_start"), "event_type"
     ).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("total_value"),
     )
 
 
@@ -56,11 +59,18 @@ def _sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SESSION_CTE = f"""
+def _session_cte(boundary_op: str) -> str:
+    """Lag-gap sessionization CTE. ``boundary_op`` encodes the convention
+    for an event exactly ``gap`` after its predecessor: ``">"`` keeps it in
+    the session (the lag-gap composition's convention); ``">="`` starts a
+    new one (Spark native ``session_window`` semantics — windows are
+    [start, start+gap) and touching windows don't merge)."""
+    return f"""
     WITH marked AS (
       SELECT user_id, event_id, ts, value,
              CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
-                    OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+                    OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                       {boundary_op} {SESSION_GAP_US}
                   THEN 1 ELSE 0 END AS new_sess
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -73,6 +83,9 @@ _SESSION_CTE = f"""
 """
 
 
+_SESSION_CTE = _session_cte(">")
+
+
 @query(
     "x6_session_windows",
     oracle=_SESSION_CTE
@@ -82,7 +95,8 @@ _SESSION_CTE = f"""
            MIN(ts) AS session_start,
            MAX(ts) AS session_end,
            epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us,
-           SUM(CAST(value AS DECIMAL(18,2))) AS session_value
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS session_value
     FROM sessions GROUP BY user_id, session_id
     """,
 )
@@ -98,7 +112,9 @@ def x6_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros(F.max("ts").cast("timestamp"))
             - F.unix_micros(F.min("ts").cast("timestamp"))
         ).alias("duration_us"),
-        F.sum(F.col("value").cast("decimal(18,2)")).alias("session_value"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("session_value"),
     )
 
 
@@ -133,7 +149,7 @@ def x6_session_stats_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "x6_session_window_native",
-    oracle=_SESSION_CTE
+    oracle=_session_cte(">=")
     + """
     SELECT user_id,
            MIN(ts) AS session_start,
@@ -145,7 +161,11 @@ def x6_session_stats_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x6_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark's built-in ``session_window`` (same operator Structured
     Streaming uses for stateful sessionization). Its window end is
-    last-event + gap; the oracle reproduces that from the lag-gap CTE."""
+    last-event + gap; the oracle reproduces that from the lag-gap CTE with
+    the native boundary convention: an event exactly ``gap`` after its
+    predecessor starts a NEW session (windows are [start, start+gap) —
+    touching windows don't merge), hence ``>=`` in the oracle's gap test
+    where the lag-gap composition uses ``>``."""
     ev = load_table(spark, sf_dir, "events")
     sw = F.session_window("ts", "30 minutes")
     return ev.groupBy("user_id", sw).agg(
@@ -166,7 +186,8 @@ def x6_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH ranked AS (
       SELECT user_id, date_trunc('day', ts) AS day,
-             CAST(value AS DECIMAL(18,2)) AS close_value,
+             ROUND(CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE), 2)
+               AS close_value,
              ROW_NUMBER() OVER (
                PARTITION BY user_id, date_trunc('day', ts)
                ORDER BY ts DESC, event_id DESC) AS rn
@@ -200,9 +221,12 @@ def x6_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(
         "user_id", F.date_trunc("day", "ts").alias("day")
     ).agg(
-        F.max_by("value", F.struct("ts", "event_id"))
-        .cast("decimal(18,2)")
-        .alias("close_value")
+        F.round(
+            F.max_by("value", F.struct("ts", "event_id"))
+            .cast("decimal(18,2)")
+            .cast("double"),
+            2,
+        ).alias("close_value")
     )
     grid = (
         daily.groupBy("user_id")

@@ -53,7 +53,8 @@ def s_latest_per_key_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT date_trunc('hour', ts) AS hour_start, event_type,
            COUNT(*) AS n,
-           SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS total_value
     FROM events GROUP BY 1, 2
     """,
 )
@@ -66,7 +67,7 @@ def s_tumbling_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("window.start").cast("timestamp_ntz").alias("hour_start"),
         "event_type",
         "n",
-        "total_value",
+        F.round(F.col("total_value").cast("double"), 2).alias("total_value"),
     )
 
 
@@ -113,7 +114,7 @@ def s_session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     "s_stream_stream_join",
     oracle="""
     SELECT p.event_id AS purchase_id, p.user_id, p.ts AS p_ts,
-           CAST(p.value AS DECIMAL(18,2)) AS value,
+           ROUND(CAST(CAST(p.value AS DECIMAL(18,2)) AS DOUBLE), 2) AS value,
            v.event_id AS view_id, v.ts AS v_ts
     FROM events p JOIN events v
       ON p.user_id = v.user_id
@@ -134,7 +135,9 @@ def s_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("purchase_id"),
         F.col("p_user").alias("user_id"),
         F.col("p_ts").cast("timestamp_ntz").alias("p_ts"),
-        F.col("value").cast("decimal(18,2)").alias("value"),
+        F.round(F.col("value").cast("decimal(18,2)").cast("double"), 2).alias(
+            "value"
+        ),
         "view_id",
         F.col("v_ts").cast("timestamp_ntz").alias("v_ts"),
     )

@@ -102,9 +102,10 @@ def ext_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ext_window_running_sum",
     oracle="""
     SELECT user_id, event_id, ts,
-           SUM(CAST(value AS DECIMAL(18,2))) OVER
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER
              (PARTITION BY user_id ORDER BY ts, event_id
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_value,
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS DOUBLE), 2) AS running_value,
            COUNT(*) OVER
              (PARTITION BY user_id ORDER BY ts, event_id
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_so_far
@@ -123,7 +124,9 @@ def ext_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_id",
         "ts",
-        F.sum(F.col("value").cast("decimal(18,2)")).over(w).alias("running_value"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double"), 2
+        ).alias("running_value"),
         F.count(F.lit(1)).over(w).alias("n_so_far"),
     )
 
