@@ -58,3 +58,28 @@ def test_latest_per_key_strategies_agree(spark, data):
     )
     assert w == expect
     assert a == expect
+
+
+def test_native_session_window_boundary_convention(spark):
+    """An event exactly GAP after its predecessor MERGES into the session:
+    Spark's native session_window merges touching windows (the new event's
+    window starts exactly at the previous window's end and they coalesce).
+    This pins the x6_session_window_native oracle's strict `>` gap test —
+    the same convention as the lag-gap composition. (An advisory claimed
+    the opposite; this test is the ground truth.)"""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00"),
+            (1, "2024-01-01 00:30:00"),  # exactly 30min later → merges
+            (1, "2024-01-01 01:00:01"),  # 30min + 1s → new session
+        ],
+        "user_id int, ts_s string",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    sessions = (
+        df.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert sorted(r["n"] for r in sessions) == [1, 2]

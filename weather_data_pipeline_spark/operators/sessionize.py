@@ -62,9 +62,12 @@ def _sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _session_cte(boundary_op: str) -> str:
     """Lag-gap sessionization CTE. ``boundary_op`` encodes the convention
     for an event exactly ``gap`` after its predecessor: ``">"`` keeps it in
-    the session (the lag-gap composition's convention); ``">="`` starts a
-    new one (Spark native ``session_window`` semantics — windows are
-    [start, start+gap) and touching windows don't merge)."""
+    the session — which is ALSO Spark native ``session_window`` behavior
+    (verified by tests/test_properties.py::
+    test_native_session_window_boundary_convention: an event landing
+    exactly on the previous window's end extends the session; Spark merges
+    touching windows). ``">="`` would model a strict [start, end) engine
+    and is kept only for documentation/contrast."""
     return f"""
     WITH marked AS (
       SELECT user_id, event_id, ts, value,
@@ -149,7 +152,7 @@ def x6_session_stats_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "x6_session_window_native",
-    oracle=_session_cte(">=")
+    oracle=_session_cte(">")
     + """
     SELECT user_id,
            MIN(ts) AS session_start,
@@ -161,11 +164,11 @@ def x6_session_stats_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x6_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark's built-in ``session_window`` (same operator Structured
     Streaming uses for stateful sessionization). Its window end is
-    last-event + gap; the oracle reproduces that from the lag-gap CTE with
-    the native boundary convention: an event exactly ``gap`` after its
-    predecessor starts a NEW session (windows are [start, start+gap) —
-    touching windows don't merge), hence ``>=`` in the oracle's gap test
-    where the lag-gap composition uses ``>``."""
+    last-event + gap; the oracle reproduces that from the lag-gap CTE.
+    Boundary convention verified by test: an event exactly ``gap`` after
+    its predecessor MERGES into the session (Spark merges touching
+    windows), so the oracle's gap test is strict ``>`` — the same
+    convention as the lag-gap composition."""
     ev = load_table(spark, sf_dir, "events")
     sw = F.session_window("ts", "30 minutes")
     return ev.groupBy("user_id", sw).agg(
