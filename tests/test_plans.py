@@ -144,3 +144,54 @@ def test_topk_never_global_sorts(spark):
     for name in ["ext_q3_shipping_priority", "ext_q18_large_orders"]:
         plan = _Q[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
         assert "TakeOrderedAndProject" in plan, name
+
+
+def test_ivf_assignment_no_crossjoin_no_window_shuffle(spark):
+    """IVF centroid assignment is a broadcast-argmax inside mapInPandas:
+    the plan must contain no cross/nested-loop join and no Window (the
+    old shape shuffled k× the corpus through a row_number window). The
+    only remaining exchanges are the quantizer build's label groupBy and
+    the final per-query top-k — both bounded by k/|queries|, not corpus."""
+    import re
+
+    df = _Q["x3_ivf_topk"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # exactly one Window operator: the final per-query top-k (the
+    # WindowGroupLimit entries are its per-partition pushdown, not a
+    # second window)
+    assert len(re.findall(r"\bWindow \[", plan)) <= 1
+
+
+def test_near_dup_collect_is_gated(spark):
+    """The exact all-pairs rung must refuse to broadcast an oversized
+    corpus (driver-OOM guard) and name the LSH rung in the error."""
+    import pytest
+
+    from weather_data_pipeline_spark.operators import similarity as sim
+
+    orig = sim.MAX_BROADCAST_VECTORS
+    sim.MAX_BROADCAST_VECTORS = 1
+    try:
+        with pytest.raises(ValueError, match="x3_lsh_candidate_pairs"):
+            sim.x3_embedding_near_dup(spark, SF)
+    finally:
+        sim.MAX_BROADCAST_VECTORS = orig
+
+
+def test_simhash_kernel_zero_shuffle_and_matches_sql_form(spark):
+    """The Arrow SimHash kernel is a narrow scan→project (zero Exchange —
+    the old SQL form shuffled tokens × 64 bits), and produces the exact
+    signatures of the SQL form."""
+    from weather_data_pipeline_spark.operators import dedup
+
+    df = _Q["x2_simhash"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # no KEY shuffle (the old form hash-partitioned tokens × 64 bits twice);
+    # the only allowed Exchange is fan_out's round-robin task-spreading,
+    # which disappears at scale (it only fires when partitions < cores)
+    assert "hashpartitioning" not in plan
+    assert num_shuffles(df) <= 1
+    a = sorted(tuple(r) for r in df.collect())
+    b = sorted(tuple(r) for r in dedup.simhash_sql_form(spark, SF).collect())
+    assert a == b

@@ -192,14 +192,62 @@ def x2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _token_hashes(doc: DataFrame) -> DataFrame:
+    """(doc_id, array<long> of per-distinct-token xxhash64) — hashing stays
+    JVM-side inside a transform() over the token array; no explode."""
+    return doc.select(
+        "doc_id",
+        F.transform(
+            F.array_distinct(F.split("text", " ")), lambda w: F.xxhash64(w)
+        ).alias("hs"),
+    )
+
+
+def _simhash_kernel(hs_series):
+    """Arrow-batched signature kernel: per doc, 64 bit-votes over the
+    token-hash array, sign → signature. uint64 accumulation viewed back
+    as int64 so bit 63 matches Java's signed shiftleft(1L, 63)."""
+    import numpy as np
+    import pandas as pd
+
+    bits = np.arange(64, dtype=np.int64)
+    out = np.empty(len(hs_series), dtype=np.int64)
+    for i, hs in enumerate(hs_series):
+        h = np.asarray(hs, dtype=np.int64)
+        if h.size == 0:
+            out[i] = 0
+            continue
+        votes = (((h[:, None] >> bits[None, :]) & 1) * 2 - 1).sum(axis=0)
+        sig = int(np.packbits(votes > 0, bitorder="little").view(np.uint64)[0])
+        out[i] = sig - (1 << 64) if sig >= (1 << 63) else sig
+    return pd.Series(out)
+
+
 @query("x2_simhash")
 def x2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash signatures: per-token xxhash64 (JVM-side), bitwise
-    votes, sign → signature. Near-dups have small Hamming distance; the
-    signature is a 8-byte groupable key. Rows-only (hash engine-specific).
+    """64-bit SimHash signatures: per-token xxhash64 (JVM-side, inside a
+    transform() over the distinct-token array), then the 64 bit-votes and
+    sign computed per doc in one Arrow-batched pandas UDF. Rows-only
+    (hash engine-specific); tests cross-check against the pure-SQL form.
 
-    Plan shape: explode(tokens) × explode(64 bits) → two partial-agg
-    shuffles keyed by doc — no Python, no cross join."""
+    Plan shape: a single narrow scan→project — ZERO shuffles. The
+    previous SQL form (kept as ``simhash_sql_form`` for the cross-check)
+    exploded tokens × 64 bits, inflating shuffle volume 64× per token;
+    the kernel computes the same signature without moving a row."""
+    doc = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    sig = pandas_udf(_simhash_kernel, LongType())
+    return _token_hashes(fan_out(doc)).select(
+        "doc_id", sig("hs").alias("simhash")
+    )
+
+
+def simhash_sql_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The all-SQL SimHash (explode tokens × explode 64 bits → two
+    partial-agg shuffles). Same signatures as the kernel — kept as the
+    oracle-free cross-check and as documentation of the semantics."""
     doc = load_table(spark, sf_dir, "documents")
     tok = doc.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")

@@ -34,6 +34,11 @@ from ..sources.testdata import load_table
 N_QUERIES = 10  # vec_id < 10 are the query vectors
 TOP_K = 5
 
+# Hard ceiling for any driver-side corpus materialization. 2e5 vectors
+# × 64 dims × 8 B ≈ 100 MB — comfortably broadcastable; beyond it the
+# exact all-pairs rung must not run at all (use the LSH rung instead).
+MAX_BROADCAST_VECTORS = 200_000
+
 
 def _dot(a: Column, b: Column) -> Column:
     """Sequential left-to-right double dot product (matches DuckDB's
@@ -165,10 +170,21 @@ def x3_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emits only the surviving (a < b, sim ≥ τ) pairs — ~50× over the
     nested-loop join with a per-pair HOF at sf0.1. Past ~10⁵ vectors the
     right move is pruning, not a faster constant: x3_lsh_candidate_pairs
-    is the same semantics behind signature buckets."""
+    is the same semantics behind signature buckets — and the driver
+    collect below is HARD-GATED on corpus size so this rung can never be
+    pointed at a 100 TB table by accident (it fails fast with the LSH
+    rung named, instead of OOMing the driver)."""
     import pandas as pd
 
     emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()  # parquet metadata count — no scan
+    if n > MAX_BROADCAST_VECTORS:
+        raise ValueError(
+            f"x3_embedding_near_dup is the exact all-pairs rung and "
+            f"broadcasts the corpus ({n} vectors > "
+            f"{MAX_BROADCAST_VECTORS}): use x3_lsh_candidate_pairs "
+            f"(bucket-pruned, sub-quadratic) at this scale"
+        )
     rows = (
         emb.select("vec_id", F.col("embedding").cast("array<double>"))
         .collect()
@@ -374,34 +390,60 @@ _DUCK_CENTROIDS = """
 )
 def x3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) ANN: per-label centroids are the coarse
-    quantizer; every vector is assigned to its nearest centroid (argmin
-    over a broadcast list — narrow, no shuffle of the corpus); a query
-    probes only its own list (nprobe=1), so the exact cosine runs against
-    |corpus|/k vectors instead of the full corpus.
+    quantizer; every vector is assigned to its nearest centroid by an
+    argmax over the broadcast centroid matrix INSIDE ``mapInPandas`` —
+    the corpus is scanned once and never shuffled or replicated for
+    assignment (k centroids ≪ corpus, so collecting them is bounded by
+    the quantizer size, not the data size). A query probes only its own
+    list (nprobe=1), so the exact cosine runs against |corpus|/k vectors
+    instead of the full corpus.
 
     This is the composition of x3_label_centroids (quantizer build) and a
     bucket-equi-join probe — the same plan shape at 100 TB, with k-means
     iterations refining the centroids. Deterministic end-to-end (rounded
     centroids + fold-order-stable cosines), hence fully oracle-checked —
     approximate in RECALL, not in arithmetic."""
+    import pandas as pd
+
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = F.broadcast(
+    cent_rows = (
         emb.select(
             "label", F.col("embedding").cast("array<double>").alias("embedding")
         )
         .groupBy("label")
         .applyInPandas(_centroid_of_group, schema=_CENTROID_SCHEMA)
+        .collect()  # bounded: one row per centroid (the quantizer, not the data)
     )
-    sim_c = F.round(cosine(F.col("embedding"), F.col("centroid")), 6)
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        sim_c.desc(), F.col("label").asc()
-    )
-    assigned = (
-        emb.select("vec_id", "embedding")  # emb.label must not collide
-        .crossJoin(cents)
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", F.col("label").alias("bucket"))
+    cent_rows.sort(key=lambda r: r["label"])  # argmax first-hit = lowest label
+    c_labels = np.array([r["label"] for r in cent_rows], dtype=np.int64)
+    c_mat = np.array([r["centroid"] for r in cent_rows], dtype=np.float64)
+    c_norms = _seq_self_norms(c_mat)
+    bc = spark.sparkContext.broadcast((c_labels, c_mat, c_norms))
+
+    def assign(batches):
+        labels, cm, cn = bc.value
+        for pdf in batches:
+            mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            norms = _seq_self_norms(mat)
+            # acc[i, j] = dot(vec i, centroid j), accumulated dim-by-dim —
+            # the same left-to-right fold as the SQL oracle's cosine.
+            acc = np.zeros((mat.shape[0], cm.shape[0]))
+            for k in range(mat.shape[1]):
+                acc += np.outer(mat[:, k], cm[:, k])
+            sims = np.round(acc / np.outer(norms, cn), 6)
+            best = np.argmax(sims, axis=1)  # ties → first = lowest label
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "embedding": pdf["embedding"],
+                    "bucket": labels[best],
+                }
+            )
+
+    assigned = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).mapInPandas(
+        assign, schema="vec_id long, embedding array<double>, bucket long"
     )
     q = F.broadcast(
         assigned.filter(F.col("vec_id") < N_QUERIES).select(
