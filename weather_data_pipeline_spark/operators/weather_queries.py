@@ -96,6 +96,52 @@ def w_flagship_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("city", "localtime", "localtime_epoch", "temp_c", "condition")
 
 
+wsrc.ensure_corrupt_fixture()
+
+
+@query(
+    "w_corrupt_quarantine",
+    oracle=f"""
+    SELECT regexp_extract(filename, '(\\d{{4}}-\\d{{2}}-\\d{{2}})', 1)
+             AS ingest_date,
+           COUNT(*) AS n_docs,
+           SUM(CASE WHEN NOT json_valid(content) THEN 1 ELSE 0 END)
+             AS n_quarantined,
+           SUM(CASE WHEN json_valid(content)
+                     AND json_extract_string(content, '$.location.name')
+                         IS NOT NULL
+                    THEN 1 ELSE 0 END) AS n_parsed,
+           MIN(CASE WHEN NOT json_valid(content) THEN md5(content) END)
+             AS quarantine_digest
+    FROM read_text('{wsrc.CORRUPT_FIXTURE_ROOT}/data/*/*.txt')
+    GROUP BY 1
+    """,
+)
+def w_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3's permissive fallback, driver-visible: a raw tree with injected
+    malformed documents scans without failing; unparseable docs land
+    intact in ``_corrupt`` (digest-checked against the oracle's bytes),
+    while a syntactically-valid doc missing every field is sparse data,
+    NOT corruption — the quarantine rule is JSON syntax, exactly
+    DuckDB's ``json_valid``. At 100 TB this is the difference between
+    quarantining one upstream file and losing a day's batch."""
+    root = wsrc.ensure_corrupt_fixture()
+    df = wsrc.read_raw(spark, root, permissive=True).withColumn(
+        "file", F.input_file_name()
+    )
+    corrupt = F.col("_corrupt").isNotNull()
+    return df.groupBy(
+        F.regexp_extract("file", r"(\d{4}-\d{2}-\d{2})", 1).alias("ingest_date")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(corrupt.cast("long")).alias("n_quarantined"),
+        # a real data column in the plan also satisfies Spark's rule that a
+        # raw-JSON query may not reference the corrupt column alone
+        F.sum(F.col("location.name").isNotNull().cast("long")).alias("n_parsed"),
+        F.min(F.when(corrupt, F.md5("_corrupt"))).alias("quarantine_digest"),
+    )
+
+
 _CITY_CASE = " ".join(
     f"WHEN '{c}' THEN {i}" for i, c in enumerate(wsrc.CITIES)
 )

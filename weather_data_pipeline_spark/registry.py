@@ -55,8 +55,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 _PRIORITY: tuple[str, ...] = (
     # flagship + weather reference pipeline (O1, O3, O9/O10, O15, O31)
     "o15_latest_per_key",
-    "w_flagship_latest",
-    "w_flatten_stage",
+    "w_flagship_latest",  # runs the full O3-scan → flatten chain inline
+    "w_corrupt_quarantine",
     "w_api_source",
     # reference relational / scalar surface (O7–O26)
     "o7_sql_table_scan",

@@ -188,6 +188,34 @@ def ensure_fixture(root: str | None = None) -> str:
     return root
 
 
+#: Corrupt-feed fixture root: the standard tree plus three injected files
+#: that pin the quarantine semantics (see ``ensure_corrupt_fixture``).
+CORRUPT_FIXTURE_ROOT = FIXTURE_ROOT + "_corrupt"
+
+#: (date, filename, raw bytes, is_corrupt) — is_corrupt is the EXPECTED
+#: verdict: quarantine is about JSON syntax, not schema. A valid-JSON doc
+#: with none of our fields is sparse data (fields null), not corruption.
+CORRUPT_INJECTIONS = [
+    (FIXTURE_DATES[0], "Broken.txt", '{"location":{"name":"Broken","region":', True),
+    (FIXTURE_DATES[1], "Garbage.txt", "this is not json {{{", True),
+    (FIXTURE_DATES[2], "Sparse.txt", '{"unrelated_field":123}', False),
+]
+
+
+def ensure_corrupt_fixture(root: str | None = None) -> str:
+    """Standard fixture tree + injected malformed documents — the O3
+    permissive-scan workout: one bad upstream file must never kill the
+    batch, and must land intact in ``_corrupt`` for quarantine."""
+    root = root or CORRUPT_FIXTURE_ROOT
+    probe = os.path.join(root, "data", FIXTURE_DATES[1], "Garbage.txt")
+    if not os.path.exists(probe):
+        write_raw_docs(synthesize_raw_docs(), root)
+        for date, fname, payload, _ in CORRUPT_INJECTIONS:
+            with open(os.path.join(root, "data", date, fname), "w") as f:
+                f.write(payload)
+    return root
+
+
 def read_raw(
     spark: SparkSession,
     root: str,
