@@ -59,3 +59,32 @@ def test_next_day_forecast_keyed(staged):
     latest_epochs = {r.city: r.localtime_epoch for r in latest.collect()}
     for r in rows:
         assert int(r.at_date.timestamp()) - latest_epochs[r.city] in (86400,)
+
+
+def test_gbt_holdout_abs_err_band(spark):
+    """The rows-only GBT query still carries a correctness claim: the
+    time-based holdout (last fixture day) yields one prediction per city
+    with a bounded error — temp features correlate strongly day-to-day,
+    so a fit that regressed to garbage would blow this band."""
+    from weather_data_pipeline_spark.operators.ml_queries import (
+        o28_gbt_train_predict,
+    )
+
+    rows = o28_gbt_train_predict(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) == 9
+    assert {r.city for r in rows} == set(wsrc.CITIES)
+    errs = [r.abs_err for r in rows]
+    assert all(e >= 0 and e == e for e in errs)  # finite, non-negative
+    assert sum(errs) / len(errs) < 8.0  # mean abs err sanity band (deg C)
+
+
+def test_forecast_temp_plausibility_band(spark):
+    """o29's next-day predictions stay inside the fixture's physical
+    range — a units or feature-wiring regression would leave it."""
+    from weather_data_pipeline_spark.operators.ml_queries import (
+        o29_next_day_forecast,
+    )
+
+    rows = o29_next_day_forecast(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) == 9
+    assert all(-20.0 < r.predicted_temp < 50.0 for r in rows)

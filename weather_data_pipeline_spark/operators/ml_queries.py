@@ -110,13 +110,21 @@ def o28_linreg_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("o28_gbt_train_predict")
 def o28_gbt_train_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full reference train path (weather_etl.py:110-139): encode, split,
-    GBT fit, holdout predictions with abs error (O23). Rows-only."""
-    from ..ml.regression import fit_gbt, prepare_features, split
+    GBT fit, holdout predictions with abs error (O23). Rows-only.
 
-    feats = prepare_features(_staged(spark))
-    train, test = split(feats)
+    The holdout is the LAST ingest day (time-based split): deterministic,
+    non-empty by construction (every fixture day has all 9 cities), and
+    the forecasting-honest protocol — no driver-side count() guarding an
+    emptiness that a random split could produce. ``o27_random_split``
+    keeps the randomSplit surface itself under test."""
+    from ..ml.regression import fit_gbt, prepare_features
+
+    staged = _staged(spark)
+    holdout_day = wsrc.FIXTURE_DATES[-1]
+    train = prepare_features(staged.filter(F.col("ingest_date") != holdout_day))
+    test = prepare_features(staged.filter(F.col("ingest_date") == holdout_day))
     model = fit_gbt(train, max_iter=5)
-    preds = model.transform(test if test.count() > 0 else train)
+    preds = model.transform(test)
     return preds.select(
         "city",
         F.col("temp_c").alias("actual"),
