@@ -1,0 +1,134 @@
+"""Scale-step evidence: measure headline queries at sf0.1 AND a 10x
+replica, so the README shuffle-inventory's "what changes at 1000x"
+column rests on a measured scaling exponent, not speculation.
+
+The 10x replica is built by unioning 10 key-shifted copies of the sf0.1
+tables (keys shifted per copy so join fan-outs and key cardinalities
+scale realistically instead of producing 10x duplicates of every key;
+document texts get a per-copy suffix token so the dedup duplicate RATE
+is preserved rather than collapsing across copies). Written once to
+$SPARK_GRAFT_SCALE_DIR (default /tmp/spark_graft_scale10) and reused.
+
+Run:  python tools/scale_bench.py
+Emits one JSON line {query: {t_1x, t_10x, ratio}} and writes
+BENCH_SCALE.json at the repo root.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from weather_data_pipeline_spark import registry  # noqa: E402
+from weather_data_pipeline_spark.session import tune  # noqa: E402
+from weather_data_pipeline_spark.sources.testdata import load_table  # noqa: E402
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SCALE_DIR = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/spark_graft_scale10")
+COPIES = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "10"))
+
+#: Key shifts: far above any base key so copies never collide.
+K_ORDER = 10_000_000
+K_CUST = 1_000_000
+K_PART = 1_000_000
+K_SUPP = 1_000_000
+K_EVENT = 10_000_000
+K_USER = 1_000_000
+K_DOC = 1_000_000
+
+QUERIES = [
+    "ext_q1_pricing_summary",
+    "ext_q3_shipping_priority",
+    "o15_latest_per_key",
+    "x1_exact_dedup_hash",
+    "x5_json_extract_agg",
+]
+
+
+def _replicate(df: DataFrame, shifts: dict[str, int], text_col: str | None = None) -> DataFrame:
+    parts = []
+    for i in range(COPIES):
+        c = df
+        for col, k in shifts.items():
+            c = c.withColumn(col, F.col(col) + F.lit(i * k))
+        if text_col is not None and i > 0:
+            c = c.withColumn(text_col, F.concat(F.col(text_col), F.lit(f" rep{i}")))
+        parts.append(c)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def build(spark: SparkSession) -> None:
+    probe = os.path.join(SCALE_DIR, "documents.parquet")
+    if os.path.exists(probe):
+        return
+    os.makedirs(SCALE_DIR, exist_ok=True)
+    li = load_table(spark, BASE, "lineitem")
+    orders = load_table(spark, BASE, "orders")
+    cust = load_table(spark, BASE, "customer")
+    ev = load_table(spark, BASE, "events")
+    doc = load_table(spark, BASE, "documents")
+
+    _replicate(li, {"l_orderkey": K_ORDER, "l_partkey": K_PART, "l_suppkey": K_SUPP}) \
+        .write.mode("overwrite").parquet(f"{SCALE_DIR}/lineitem.parquet")
+    _replicate(orders, {"o_orderkey": K_ORDER, "o_custkey": K_CUST}) \
+        .write.mode("overwrite").parquet(f"{SCALE_DIR}/orders.parquet")
+    _replicate(cust, {"c_custkey": K_CUST}) \
+        .write.mode("overwrite").parquet(f"{SCALE_DIR}/customer.parquet")
+    # events.ts round-trips through int64 nanos so load_table's schema holds
+    _replicate(ev, {"event_id": K_EVENT, "user_id": K_USER}) \
+        .withColumn("ts", (F.unix_micros(F.col("ts").cast("timestamp")) * 1000)) \
+        .write.mode("overwrite").parquet(f"{SCALE_DIR}/events.parquet")
+    _replicate(doc, {"doc_id": K_DOC}, text_col="text") \
+        .write.mode("overwrite").parquet(f"{SCALE_DIR}/documents.parquet")
+    # small dims referenced by q3/q5 plan construction: symlink base copies
+    for t in ["region", "nation", "supplier", "part", "embeddings"]:
+        dst = f"{SCALE_DIR}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{BASE}/{t}.parquet", dst)
+
+
+def _time(qs, name: str, spark: SparkSession, sf_dir: str) -> float:
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
+def main() -> None:
+    spark = (
+        SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+        .appName("scale-bench")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    tune(spark)
+    build(spark)
+    qs = registry.queries()
+    out = {}
+    for name in QUERIES:
+        t1 = _time(qs, name, spark, BASE)
+        t10 = _time(qs, name, spark, SCALE_DIR)
+        out[name] = {"t_1x": t1, "t_10x": t10, "ratio": round(t10 / t1, 2)}
+    payload = {"copies": COPIES, "base": BASE, "queries": out}
+    print(json.dumps(payload))
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "BENCH_SCALE.json"), "w") as f:
+        json.dump(payload, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
