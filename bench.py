@@ -40,6 +40,8 @@ HEADLINE = [
     "ext_range_join",
     "ext_q5_local_supplier",
     "x6_gap_fill_locf",
+    "x2_simhash",
+    "x3_ivf_topk",
 ]
 
 

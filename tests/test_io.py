@@ -58,3 +58,28 @@ def test_partitioned_write_prunes_and_sizes(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PartitionFilters" in plan
+
+
+def test_live_http_fetch_is_import_gated():
+    """O1's live path (fetch_current) must not be required for any offline
+    path: the requests import is function-local (module imports clean with
+    no network stack), and the synthetic generator is the contract surface
+    — its documents are byte-identical to the committed fixture."""
+    import inspect
+    import json
+    import os
+
+    from weather_data_pipeline_spark.sources import weather as wsrc
+
+    src = inspect.getsource(wsrc.fetch_current)
+    assert "import requests" in src  # gated inside the function...
+    mod_src = inspect.getsource(wsrc)
+    head = mod_src.split("def fetch_current")[0]
+    assert "import requests" not in head  # ...never at module top level
+
+    # synthetic generator ≡ committed fixture, byte for byte
+    root = wsrc.ensure_fixture()
+    date, city = wsrc.FIXTURE_DATES[0], wsrc.CITIES[0]
+    with open(os.path.join(root, "data", date, f"{city}.txt")) as f:
+        on_disk = json.load(f)
+    assert on_disk == wsrc.synthesize_raw_doc(city, date)
