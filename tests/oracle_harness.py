@@ -21,6 +21,7 @@ import decimal
 import math
 
 import duckdb
+import pyarrow as pa
 
 from weather_data_pipeline_spark.schemas import TABLE_NAMES
 
@@ -68,6 +69,53 @@ def _multiset(rows, col_names):
     return sorted("|".join(_norm(r[i]) for i in order) for r in rows)
 
 
+def _portable_arrow_type(t: pa.DataType) -> bool:
+    """The only Arrow types both engines render identically at the driver's
+    hash layer. Notably EXCLUDES decimal128: DuckDB SUM(<int>) yields
+    HUGEINT → decimal128(38,0) while Spark emits int64 — value-equal rows
+    that still hash-mismatch (round-2 driver fails w_corrupt_quarantine /
+    x6_session_windows). Oracles must CAST integer SUMs to BIGINT and
+    decimal aggregates to ROUND(CAST(.. AS DOUBLE), s)."""
+    if (
+        pa.types.is_integer(t)
+        or pa.types.is_floating(t)
+        or pa.types.is_boolean(t)
+        or pa.types.is_string(t)
+        or pa.types.is_large_string(t)
+        or pa.types.is_binary(t)
+        or pa.types.is_timestamp(t)
+        or pa.types.is_date(t)
+    ):
+        return True
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return _portable_arrow_type(t.value_type)
+    if pa.types.is_dictionary(t):
+        return _portable_arrow_type(t.value_type)
+    return False
+
+
+def oracle_arrow(con: duckdb.DuckDBPyConnection, name: str, sql: str):
+    """Run oracle SQL and fetch via Arrow — the same layer the driver hashes
+    at — rejecting non-portable output types on the DUCKDB side. fetchall()
+    would mask HUGEINT/DECIMAL as plain Python ints/Decimals and compare
+    equal even when the driver's type-sensitive hash fails (the round-1 AND
+    round-2 blind spot; VERDICT r2 §What's-wrong-2)."""
+    res = con.execute(sql)
+    tbl = res.arrow()
+    bad = [
+        f"{f.name}:{f.type}" for f in tbl.schema if not _portable_arrow_type(f.type)
+    ]
+    assert not bad, (
+        f"{name}: non-portable Arrow type(s) in ORACLE output {bad} — "
+        "DuckDB HUGEINT/DECIMAL render differently from Spark at the "
+        "driver's hash layer; CAST integer SUMs to BIGINT and decimal "
+        "aggregates to ROUND(CAST(.. AS DOUBLE), s) in the oracle SQL"
+    )
+    cols = tbl.column_names
+    rows = [tuple(d[c] for c in cols) for d in tbl.to_pylist()]
+    return cols, rows
+
+
 def _spark_rows(sdf):
     """Arrow-path collect (~10× faster than py4j row conversion).
 
@@ -93,9 +141,7 @@ def compare(spark, name: str, fn, sql: str, sf_dir: str) -> None:
     spark_rows = _spark_rows(sdf)
 
     con = duck_connection(sf_dir)
-    res = con.execute(sql)
-    duck_cols = [d[0] for d in res.description]
-    duck_rows = res.fetchall()
+    duck_cols, duck_rows = oracle_arrow(con, name, sql)
     con.close()
 
     assert sorted(spark_cols) == sorted(duck_cols), (

@@ -19,6 +19,29 @@ def test_oracle_parity(spark, name):
     compare(spark, name, _QUERIES[name], _ORACLE[name], SF_ORACLE)
 
 
+def test_harness_rejects_hugeint_oracle():
+    """The oracle side must be checked at the Arrow layer: a bare
+    SUM(<int>) (DuckDB HUGEINT → decimal128(38,0)) has to fail pytest
+    locally, BEFORE the driver's type-sensitive hash ever sees it — this
+    was the round-1 and round-2 blind spot."""
+    import duckdb
+
+    from .oracle_harness import oracle_arrow
+
+    con = duckdb.connect()
+    with pytest.raises(AssertionError, match="non-portable"):
+        oracle_arrow(
+            con, "bare_sum", "SELECT SUM(x) AS s FROM (VALUES (1),(2)) t(x)"
+        )
+    cols, rows = oracle_arrow(
+        con,
+        "cast_sum",
+        "SELECT CAST(SUM(x) AS BIGINT) AS s FROM (VALUES (1),(2)) t(x)",
+    )
+    assert cols == ["s"] and rows == [(3,)]
+    con.close()
+
+
 def test_every_query_runs(spark):
     """Queries without an oracle still must run and return a schema."""
     for name, fn in _QUERIES.items():

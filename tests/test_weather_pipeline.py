@@ -138,3 +138,36 @@ def test_permissive_scan_quarantines_corrupt(spark, tmp_path):
     assert corrupt[0]["_corrupt"].startswith('{"location"')
     good = [r for r in rows if r["_corrupt"] is None]
     assert all(r["location"]["name"] in wsrc.CITIES for r in good)
+
+
+def test_corrupt_digest_byte_robust(spark):
+    """The quarantine digest must be byte-robust, not coincidence-robust
+    (VERDICT r2 #5): trailing SPACES are content and survive into
+    md5(_corrupt); a trailing LINE TERMINATOR is framing that Spark's
+    line-split strips — so the expected digest is md5(payload minus
+    trailing \\r\\n only), exactly the oracle's rtrim(content, \\n\\r)."""
+    import hashlib
+    import os.path
+
+    root = wsrc.ensure_corrupt_fixture()
+    rows = (
+        wsrc.read_raw(spark, root, permissive=True)
+        .withColumn("file", F.input_file_name())
+        # Spark refuses plans referencing only _corrupt — keep one real
+        # data column in the projection (QUERY_ONLY_CORRUPT_RECORD_COLUMN)
+        .filter(F.col("_corrupt").isNotNull() | F.col("location.name").isNull())
+        .select("file", F.md5("_corrupt").alias("digest"), "location.name")
+        .filter(F.col("digest").isNotNull())
+        .collect()
+    )
+    got = {os.path.basename(r["file"]): r["digest"] for r in rows}
+    expected = {
+        fname: hashlib.md5(payload.rstrip("\r\n").encode()).hexdigest()
+        for _, fname, payload, is_corrupt in wsrc.CORRUPT_INJECTIONS
+        if is_corrupt
+    }
+    assert got == expected
+    # the variants genuinely differ: spaces kept, newline stripped
+    assert expected["TrailingWS.txt"] != hashlib.md5(
+        b"not json, trailing spaces"
+    ).hexdigest()

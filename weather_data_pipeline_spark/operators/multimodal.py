@@ -92,7 +92,7 @@ def mm_metadata_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
                 ELSE 'video/mp4' END AS media_type,
            COUNT(*) AS n,
-           SUM(4 + octet_length(encode(text))) AS total_bytes,
+           CAST(SUM(4 + octet_length(encode(text))) AS BIGINT) AS total_bytes,
            MAX(4 + octet_length(encode(text))) AS max_bytes
     FROM documents GROUP BY 1
     """,

@@ -78,9 +78,14 @@ def _session_cte(boundary_op: str) -> str:
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sessions AS (
-      SELECT *, SUM(new_sess) OVER
+      SELECT * EXCLUDE (new_sess),
+             -- DuckDB SUM(int) yields HUGEINT → Arrow decimal128(38,0); the
+             -- driver's hash is type-sensitive, so cast at the source since
+             -- session_id is emitted by x6_session_windows' output.
+             CAST(SUM(new_sess) OVER
                (PARTITION BY user_id ORDER BY ts, event_id
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
       FROM marked
     )
 """

@@ -82,9 +82,10 @@ def s_tumbling_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sessions AS (
-      SELECT *, SUM(new_sess) OVER
+      SELECT *, CAST(SUM(new_sess) OVER
                (PARTITION BY user_id ORDER BY ts
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
       FROM marked
     )
     SELECT user_id,

@@ -19,9 +19,10 @@ from .flagship import latest_per_key
 
 FIXTURE_GLOB = f"{wsrc.FIXTURE_ROOT}/data/*/*.txt"
 
-# The registry imports this module before any oracle SQL can run, so the
-# fixture provably exists by the time DuckDB scans it.
-wsrc.ensure_fixture()
+# No module-level fixture writes (importing the registry must be
+# side-effect-free; ADVICE r2): the Spark fns materialize their own
+# fixtures, and registry.oracle_sql() materializes both trees before any
+# DuckDB glob can run.
 
 _STAGED_COLS_SQL = ",\n       ".join(
     [
@@ -96,22 +97,23 @@ def w_flagship_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("city", "localtime", "localtime_epoch", "temp_c", "condition")
 
 
-wsrc.ensure_corrupt_fixture()
-
-
 @query(
     "w_corrupt_quarantine",
     oracle=f"""
     SELECT regexp_extract(filename, '(\\d{{4}}-\\d{{2}}-\\d{{2}})', 1)
              AS ingest_date,
            COUNT(*) AS n_docs,
-           SUM(CASE WHEN NOT json_valid(content) THEN 1 ELSE 0 END)
-             AS n_quarantined,
-           SUM(CASE WHEN json_valid(content)
+           CAST(SUM(CASE WHEN NOT json_valid(content) THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_quarantined,
+           CAST(SUM(CASE WHEN json_valid(content)
                      AND json_extract_string(content, '$.location.name')
                          IS NOT NULL
-                    THEN 1 ELSE 0 END) AS n_parsed,
-           MIN(CASE WHEN NOT json_valid(content) THEN md5(content) END)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_parsed,
+           -- rtrim strips FRAMING only (the line terminator Spark's
+           -- line-split never hands to _corrupt); trailing spaces are
+           -- content and stay in the digested bytes on both engines.
+           MIN(CASE WHEN NOT json_valid(content)
+                    THEN md5(rtrim(content, chr(10) || chr(13))) END)
              AS quarantine_digest
     FROM read_text('{wsrc.CORRUPT_FIXTURE_ROOT}/data/*/*.txt')
     GROUP BY 1

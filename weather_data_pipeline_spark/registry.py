@@ -124,7 +124,19 @@ def queries() -> dict[str, QueryFn]:
 
 def oracle_sql() -> dict[str, str]:
     _load_all()
+    _materialize_fixtures()
     return _prioritized(_ORACLE)  # type: ignore[return-value]
+
+
+def _materialize_fixtures() -> None:
+    """The weather oracles scan fixture trees with read_json/read_text
+    globs; materialize them (atomic, idempotent) before handing out oracle
+    SQL so DuckDB never races a missing file. Lives here — not at operator
+    import time — so importing the registry stays side-effect-free."""
+    from .sources import weather as wsrc
+
+    wsrc.ensure_fixture()
+    wsrc.ensure_corrupt_fixture()
 
 
 _LOADED = False

@@ -167,6 +167,15 @@ def fetch_current(cities: list[str] | None = None, api_key: str | None = None) -
     return out
 
 
+def _atomic_write(path: str, payload: str) -> None:
+    """tmp-file + rename so a concurrent reader (parallel pytest worker,
+    driver oracle run) never observes a half-written fixture file."""
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        f.write(payload)
+    os.replace(tmp, path)
+
+
 def write_raw_docs(docs: list[tuple[str, str, dict]], root: str) -> None:
     """O2 — raw JSON sink with the reference's ``data/{date}/{City}.txt``
     layout (weather_etl.py:33-40). Compact one-line JSON: line-delimited
@@ -174,8 +183,9 @@ def write_raw_docs(docs: list[tuple[str, str, dict]], root: str) -> None:
     for date, city, doc in docs:
         d = os.path.join(root, "data", date)
         os.makedirs(d, exist_ok=True)
-        with open(os.path.join(d, f"{city}.txt"), "w") as f:
-            json.dump(doc, f, separators=(",", ":"))
+        _atomic_write(
+            os.path.join(d, f"{city}.txt"), json.dumps(doc, separators=(",", ":"))
+        )
 
 
 def ensure_fixture(root: str | None = None) -> str:
@@ -199,6 +209,14 @@ CORRUPT_INJECTIONS = [
     (FIXTURE_DATES[0], "Broken.txt", '{"location":{"name":"Broken","region":', True),
     (FIXTURE_DATES[1], "Garbage.txt", "this is not json {{{", True),
     (FIXTURE_DATES[2], "Sparse.txt", '{"unrelated_field":123}', False),
+    # Byte-robustness variants (VERDICT r2 #5): trailing spaces are CONTENT
+    # (both engines must keep them in the digested bytes); a trailing line
+    # terminator is FRAMING (Spark's line-split strips it, DuckDB read_text
+    # keeps it — the oracle rtrims \n\r before md5 to match). Single-line
+    # only: a multi-line corrupt file would be N Spark records vs 1 DuckDB
+    # file row and the quarantine COUNT itself would diverge.
+    (FIXTURE_DATES[0], "TrailingWS.txt", "not json, trailing spaces   ", True),
+    (FIXTURE_DATES[2], "TrailingNL.txt", "broken {{{ trailing newline\n", True),
 ]
 
 
@@ -207,12 +225,12 @@ def ensure_corrupt_fixture(root: str | None = None) -> str:
     permissive-scan workout: one bad upstream file must never kill the
     batch, and must land intact in ``_corrupt`` for quarantine."""
     root = root or CORRUPT_FIXTURE_ROOT
-    probe = os.path.join(root, "data", FIXTURE_DATES[1], "Garbage.txt")
+    last_date, last_fname = CORRUPT_INJECTIONS[-1][0], CORRUPT_INJECTIONS[-1][1]
+    probe = os.path.join(root, "data", last_date, last_fname)
     if not os.path.exists(probe):
         write_raw_docs(synthesize_raw_docs(), root)
         for date, fname, payload, _ in CORRUPT_INJECTIONS:
-            with open(os.path.join(root, "data", date, fname), "w") as f:
-                f.write(payload)
+            _atomic_write(os.path.join(root, "data", date, fname), payload)
     return root
 
 
