@@ -44,5 +44,5 @@ def test_first_50_slots_cover_survey_operators():
     assert all(n in oracles for n in names[:50])
     # one representative per operator family
     for prefix in ("o", "w_", "x1", "x2", "x3", "x4", "x5", "x6", "x7",
-                   "x8", "ext_q1", "ext_window", "ext_pandas", "s_"):
+                   "x8", "mm_", "ext_q1", "ext_window", "ext_pandas", "s_"):
         assert any(n.startswith(prefix) for n in names[:50]), prefix

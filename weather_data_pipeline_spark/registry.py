@@ -94,21 +94,25 @@ _PRIORITY: tuple[str, ...] = (
     "x6_gap_fill_locf",
     "x7_asof_join",
     "x8_stratified_sample",
+    # multimodal representatives (rotated in r3 so no family is driver-dark;
+    # ext_pivot / ext_grouping_sets / ext_join_broadcast_dims rotate out —
+    # each passed r1+r2 and stays covered by the local parity sweep, with
+    # their families still in-window via ext_rollup / ext_salted_agg)
+    "mm_metadata_extract",
+    "mm_type_rollup",
     # TPC-H headliners + round-1 hash-fail set
     "ext_q1_pricing_summary",
     "ext_q3_shipping_priority",
     "ext_q5_local_supplier",
     "ext_q18_large_orders",
     "ext_rollup",
-    "ext_pivot",
-    "ext_grouping_sets",
     "ext_salted_agg",
-    "ext_join_broadcast_dims",
     # window, python-exec, streaming representatives
     "ext_window_ranks",
     "ext_pandas_udf_scalar",
     "s_latest_per_key_stream",
     "s_stateful_running_totals",
+    "s_stream_stream_join",
 )
 
 
