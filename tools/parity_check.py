@@ -18,7 +18,14 @@ from tests.oracle_harness import compare
 
 def main() -> int:
     args = [a for a in sys.argv[1:]]
-    sf_dir = args.pop(0) if args and a_is_dir(args[0]) else "/root/testdata/sf0.01"
+    # Only consume argv[1] as sf_dir if it actually holds the test tables —
+    # a bare `isdir` probe would swallow a name filter that happens to
+    # collide with a local directory name.
+    sf_dir = (
+        args.pop(0)
+        if args and a_is_data_dir(args[0])
+        else "/root/testdata/sf0.01"
+    )
     spark = get_spark(app_name="parity-check")
     qs, osql = registry.queries(), registry.oracle_sql()
     names = [n for n in sorted(qs) if not args or any(a in n for a in args)]
@@ -46,10 +53,10 @@ def main() -> int:
     return 1 if failed else 0
 
 
-def a_is_dir(a: str) -> bool:
+def a_is_data_dir(a: str) -> bool:
     import os
 
-    return os.path.isdir(a)
+    return os.path.isdir(a) and os.path.exists(os.path.join(a, "lineitem.parquet"))
 
 
 if __name__ == "__main__":

@@ -46,6 +46,7 @@ K_DOC = 1_000_000
 QUERIES = [
     "ext_q1_pricing_summary",
     "ext_q3_shipping_priority",
+    "ext_q5_local_supplier",  # exercises the replicated part/supplier dims
     "o15_latest_per_key",
     "x1_exact_dedup_hash",
     "x5_json_extract_agg",
@@ -67,16 +68,31 @@ def _replicate(df: DataFrame, shifts: dict[str, int], text_col: str | None = Non
     return out
 
 
+#: Bump when the replica layout changes so stale dirs rebuild.
+_REPLICA_VERSION = 2
+
+
 def build(spark: SparkSession) -> None:
-    probe = os.path.join(SCALE_DIR, "documents.parquet")
-    if os.path.exists(probe):
-        return
+    marker = os.path.join(SCALE_DIR, "_SCALE_META.json")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            meta = json.load(f)
+        if meta.get("version") == _REPLICA_VERSION and meta.get("copies") == COPIES:
+            return
+    if os.path.isdir(SCALE_DIR):
+        # stale layout (e.g. pre-v2 symlinked part/supplier with dangling
+        # FKs): rebuild from scratch — never let an overwrite-write chase
+        # a symlink into the read-only base tables
+        import shutil
+        shutil.rmtree(SCALE_DIR)
     os.makedirs(SCALE_DIR, exist_ok=True)
     li = load_table(spark, BASE, "lineitem")
     orders = load_table(spark, BASE, "orders")
     cust = load_table(spark, BASE, "customer")
     ev = load_table(spark, BASE, "events")
     doc = load_table(spark, BASE, "documents")
+    part = load_table(spark, BASE, "part")
+    supp = load_table(spark, BASE, "supplier")
 
     _replicate(li, {"l_orderkey": K_ORDER, "l_partkey": K_PART, "l_suppkey": K_SUPP}) \
         .write.mode("overwrite").parquet(f"{SCALE_DIR}/lineitem.parquet")
@@ -84,17 +100,28 @@ def build(spark: SparkSession) -> None:
         .write.mode("overwrite").parquet(f"{SCALE_DIR}/orders.parquet")
     _replicate(cust, {"c_custkey": K_CUST}) \
         .write.mode("overwrite").parquet(f"{SCALE_DIR}/customer.parquet")
+    # part/supplier replicate with the SAME shifts lineitem applies to
+    # l_partkey/l_suppkey, so every replica FK resolves (a symlinked base
+    # copy would leave 9/10 of lineitem's part/supplier keys dangling and
+    # silently shrink dim-join results)
+    _replicate(part, {"p_partkey": K_PART}) \
+        .write.mode("overwrite").parquet(f"{SCALE_DIR}/part.parquet")
+    _replicate(supp, {"s_suppkey": K_SUPP}) \
+        .write.mode("overwrite").parquet(f"{SCALE_DIR}/supplier.parquet")
     # events.ts round-trips through int64 nanos so load_table's schema holds
     _replicate(ev, {"event_id": K_EVENT, "user_id": K_USER}) \
         .withColumn("ts", (F.unix_micros(F.col("ts").cast("timestamp")) * 1000)) \
         .write.mode("overwrite").parquet(f"{SCALE_DIR}/events.parquet")
     _replicate(doc, {"doc_id": K_DOC}, text_col="text") \
         .write.mode("overwrite").parquet(f"{SCALE_DIR}/documents.parquet")
-    # small dims referenced by q3/q5 plan construction: symlink base copies
-    for t in ["region", "nation", "supplier", "part", "embeddings"]:
+    # keyless-from-the-fact-side dims (nation/region keys are never
+    # shifted) and embeddings: symlink base copies
+    for t in ["region", "nation", "embeddings"]:
         dst = f"{SCALE_DIR}/{t}.parquet"
         if not os.path.exists(dst):
             os.symlink(f"{BASE}/{t}.parquet", dst)
+    with open(marker, "w") as f:
+        json.dump({"version": _REPLICA_VERSION, "copies": COPIES}, f)
 
 
 def _time(qs, name: str, spark: SparkSession, sf_dir: str) -> float:

@@ -195,7 +195,7 @@ def x2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _token_hashes(doc: DataFrame) -> DataFrame:
     """(doc_id, array<long> of per-distinct-token xxhash64) — hashing stays
     JVM-side inside a transform() over the token array; no explode."""
-    return doc.select(
+    return doc.where(F.col("text").isNotNull()).select(
         "doc_id",
         F.transform(
             F.array_distinct(F.split("text", " ")), lambda w: F.xxhash64(w)
@@ -213,6 +213,9 @@ def _simhash_kernel(hs_series):
     bits = np.arange(64, dtype=np.int64)
     out = np.empty(len(hs_series), dtype=np.int64)
     for i, hs in enumerate(hs_series):
+        if hs is None:  # null text upstream of the filter — degrade, don't crash
+            out[i] = 0
+            continue
         h = np.asarray(hs, dtype=np.int64)
         if h.size == 0:
             out[i] = 0

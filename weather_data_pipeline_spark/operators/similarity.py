@@ -177,13 +177,15 @@ def x3_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     emb = load_table(spark, sf_dir, "embeddings")
-    n = emb.count()  # parquet metadata count — no scan
-    if n > MAX_BROADCAST_VECTORS:
+    # Guard job cost is bounded regardless of source format: scan stops
+    # after MAX+1 rows instead of counting the whole corpus.
+    over = emb.limit(MAX_BROADCAST_VECTORS + 1).count() > MAX_BROADCAST_VECTORS
+    if over:
         raise ValueError(
             f"x3_embedding_near_dup is the exact all-pairs rung and "
-            f"broadcasts the corpus ({n} vectors > "
-            f"{MAX_BROADCAST_VECTORS}): use x3_lsh_candidate_pairs "
-            f"(bucket-pruned, sub-quadratic) at this scale"
+            f"broadcasts the corpus (> {MAX_BROADCAST_VECTORS} vectors): "
+            f"use x3_lsh_candidate_pairs (bucket-pruned, sub-quadratic) "
+            f"at this scale"
         )
     rows = (
         emb.select("vec_id", F.col("embedding").cast("array<double>"))
@@ -403,6 +405,17 @@ def x3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterations refining the centroids. Deterministic end-to-end (rounded
     centroids + fold-order-stable cosines), hence fully oracle-checked —
     approximate in RECALL, not in arithmetic."""
+    return ivf_topk(spark, sf_dir, nprobe=1)
+
+
+def ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int = 1) -> DataFrame:
+    """Parameterized IVF probe: each query searches its ``nprobe`` nearest
+    lists (exact cosine only within those). Raising nprobe trades probe
+    cost for recall — the standard IVF knob; the measured recall ladder
+    lives in ``tests/test_plans.py::test_ivf_recall_floor`` and README.
+    Corpus assignment stays a single-bucket argmax (one scan, no shuffle);
+    only the tiny query side fans out ×nprobe before the bucket
+    equi-join, so probe cost scales with |queries|·nprobe·(corpus/k)."""
     import pandas as pd
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -440,16 +453,48 @@ def x3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
+    def probe(batches):
+        # query side: top-nprobe nearest centroids each, exploded — runs
+        # over the (tiny, broadcastable) query set only
+        labels, cm, cn = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            norms = _seq_self_norms(mat)
+            acc = np.zeros((mat.shape[0], cm.shape[0]))
+            for k in range(mat.shape[1]):
+                acc += np.outer(mat[:, k], cm[:, k])
+            sims = np.round(acc / np.outer(norms, cn), 6)
+            out = []
+            for i in range(mat.shape[0]):
+                # stable order: sim desc, label asc (labels pre-sorted, so
+                # a stable sort on -sim preserves the label tiebreak)
+                order = np.argsort(-sims[i], kind="stable")[:nprobe]
+                for j in order:
+                    out.append(
+                        (
+                            int(pdf["vec_id"].iloc[i]),
+                            pdf["embedding"].iloc[i],
+                            int(labels[j]),
+                        )
+                    )
+            yield pd.DataFrame(
+                out, columns=["query_id", "q_emb", "q_bucket"]
+            )
+
     assigned = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     ).mapInPandas(
         assign, schema="vec_id long, embedding array<double>, bucket long"
     )
     q = F.broadcast(
-        assigned.filter(F.col("vec_id") < N_QUERIES).select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("q_emb"),
-            F.col("bucket").alias("q_bucket"),
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        .mapInPandas(
+            probe, schema="query_id long, q_emb array<double>, q_bucket long"
         )
     )
     sim = F.round(cosine(F.col("q_emb"), F.col("embedding")), 6)
@@ -467,3 +512,39 @@ def x3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("query_id", "vec_id", "sim")
     )
+
+
+@query(
+    "x3_ivf_topk_nprobe2",
+    oracle=f"""
+    WITH {_DUCK_CENTROIDS},
+    qprobe AS (
+      SELECT vec_id, embedding, label AS bucket FROM (
+        SELECT e.vec_id, e.embedding, c.label,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY ROUND({_DUCK_COS.format(a='e.embedding', b='c.centroid')}, 6) DESC,
+                          c.label) AS rn
+        FROM embeddings e CROSS JOIN cents c
+        WHERE e.vec_id < {N_QUERIES}
+      ) WHERE rn <= 2
+    )
+    SELECT query_id, vec_id, sim FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+             ROUND({_DUCK_COS.format(a='q.embedding', b='c.embedding')}, 6) AS sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY ROUND({_DUCK_COS.format(a='q.embedding', b='c.embedding')}, 6) DESC,
+                        c.vec_id) AS rn
+      FROM qprobe q
+      JOIN assigned c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+    ) WHERE rn <= {TOP_K}
+    """,
+)
+def x3_ivf_topk_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with nprobe=2: each query additionally searches its runner-up
+    list, recovering neighbors that fell just across a Voronoi boundary —
+    the standard recall knob, exercised end-to-end and oracle-checked
+    (each corpus vector lives in exactly one list, so probing two disjoint
+    lists can never duplicate a candidate pair)."""
+    return ivf_topk(spark, sf_dir, nprobe=2)
