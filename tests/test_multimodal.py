@@ -1,14 +1,26 @@
 """Multimodal binary-column plumbing: payload construction, Arrow-batched
-feature extraction, and the explicitly-stubbed codec boundary."""
+feature extraction, and the real pure-numpy decode kernel (PPM/BMP) with
+its capability-probe degradation for codec-less formats."""
 
 from __future__ import annotations
 
+import hashlib
+import struct
+
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
 from weather_data_pipeline_spark.operators import multimodal as mm
 
 SF = "/root/testdata/sf0.001"
+
+
+def _ref_ppm(doc_id: int) -> bytes:
+    """Pure-Python reference of media_table's image payload."""
+    w, h = doc_id % 8 + 2, doc_id % 5 + 2
+    hexpix = (hashlib.sha256(str(doc_id).encode()).hexdigest() * 6)[: 6 * w * h]
+    return f"P6\n{w} {h}\n255\n".encode() + bytes.fromhex(hexpix)
 
 
 def test_media_table_schema(spark):
@@ -21,26 +33,90 @@ def test_media_table_schema(spark):
 
 def test_magic_prefix_consistent(spark):
     m = mm.media_table(spark, SF)
-    bad = m.filter(
-        F.lower(F.hex(F.substring("payload", 1, 4)))
-        != F.element_at(
-            F.create_map(*[F.lit(x) for kv in mm._MAGIC.items() for x in kv]),
-            F.col("media_type"),
+    for mt, magic in mm._MAGIC.items():
+        nb = len(magic) // 2
+        bad = m.filter(F.col("media_type") == mt).filter(
+            F.lower(F.hex(F.substring("payload", 1, nb))) != magic
         )
+        assert bad.count() == 0, mt
+
+
+def test_image_payload_matches_reference(spark):
+    """The JVM-built PPM payload is byte-identical to the pure-Python
+    reference construction — decodability is not an accident of one row."""
+    m = mm.media_table(spark, SF)
+    rows = (
+        m.filter(F.col("doc_id") % 3 == 0)
+        .select("doc_id", "payload")
+        .limit(20)
+        .collect()
     )
-    assert bad.count() == 0
+    assert rows
+    for r in rows:
+        assert bytes(r.payload) == _ref_ppm(r.doc_id), r.doc_id
 
 
-def test_decode_features_deterministic(spark):
-    a = mm.mm_decode_features(spark, SF).collect()
-    b = mm.mm_decode_features(spark, SF).collect()
-    assert sorted(map(str, a)) == sorted(map(str, b))
-    by_id = {r.doc_id: r for r in a}
-    assert all(0.0 <= r.mean_byte <= 255.0 for r in a)
-    # frame count tracks payload size: one frame per 64 bytes + 1
-    assert all(r.n_frames == r.n_bytes // 64 + 1 for r in a)
+def test_decode_ppm_round_trip():
+    img = mm.decode_image(_ref_ppm(12))
+    w, h = 12 % 8 + 2, 12 % 5 + 2
+    assert img.shape == (h, w, 3)
+    hexpix = (hashlib.sha256(b"12").hexdigest() * 6)[: 6 * w * h]
+    assert img.tobytes() == bytes.fromhex(hexpix)
+
+
+def test_decode_ppm_comments_and_whitespace():
+    raw = bytes(range(2 * 2 * 3))
+    payload = b"P6\n# a comment\n 2  2 \n255\n" + raw
+    img = mm.decode_image(payload)
+    assert img.shape == (2, 2, 3)
+    assert img.tobytes() == raw
+
+
+def test_decode_bmp_24bpp():
+    """Hand-built 2x2 bottom-up 24bpp BMP: rows pad to 4 bytes, pixels
+    are BGR on disk, row order is bottom-up → decoder must undo both."""
+    # RGB image: [[red, green], [blue, white]]
+    top = [(255, 0, 0), (0, 255, 0)]
+    bot = [(0, 0, 255), (255, 255, 255)]
+    stride = (2 * 3 + 3) & ~3  # 8
+    raster = b""
+    for row in (bot, top):  # bottom-up storage
+        line = b"".join(bytes((b, g, r)) for (r, g, b) in row)
+        raster += line + b"\x00" * (stride - len(line))
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(raster), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(raster), 0, 0, 0, 0)
+    )
+    img = mm.decode_image(header + raster)
+    assert img.shape == (2, 2, 3)
+    assert [tuple(px) for px in img[0]] == top
+    assert [tuple(px) for px in img[1]] == bot
+
+
+def test_decode_features_real_for_images(spark):
+    feats = mm.mm_decode_features(spark, SF).collect()
+    by_id = {r.doc_id: r for r in feats}
+    assert all(0.0 <= r.mean_byte <= 255.0 for r in feats)
+    assert all(r.n_frames == r.n_bytes // 64 + 1 for r in feats)
+    img_rows = [r for r in feats if r.media_type == "image/ppm"]
+    other = [r for r in feats if r.media_type != "image/ppm"]
+    assert img_rows and other
+    # every image row decoded for real, with dimensions matching doc_id
+    for r in img_rows:
+        assert r.decoded
+        assert (r.width, r.height) == (r.doc_id % 8 + 2, r.doc_id % 5 + 2)
+        ref = mm.decode_image(_ref_ppm(r.doc_id))
+        assert r.mean_pixel == pytest.approx(float(ref.mean()), abs=1e-6)
+    # codec-less formats degrade, not crash
+    assert all(not r.decoded and r.width is None for r in other)
+    # determinism
+    again = {r.doc_id: r for r in mm.mm_decode_features(spark, SF).collect()}
+    assert {k: str(v) for k, v in by_id.items()} == {
+        k: str(v) for k, v in again.items()
+    }
 
 
 def test_decode_stub_is_explicit():
     with pytest.raises(NotImplementedError):
-        mm.decode_image(b"\x89PNG")
+        mm.decode_image(b"\x89PNG\r\n\x1a\n....")

@@ -163,6 +163,33 @@ def test_ivf_assignment_no_crossjoin_no_window_shuffle(spark):
     assert len(re.findall(r"\bWindow \[", plan)) <= 1
 
 
+def test_ivf_recall_floor(spark):
+    """The ANN's quality claim, measured: recall@5 of the IVF probe
+    against the exact brute-force top-k. The label-based quantizer only
+    weakly aligns with cosine geometry on this testdata, so absolute
+    recall is modest — the assertions pin (a) a floor per nprobe and
+    (b) that the nprobe knob strictly buys recall, which is the property
+    the 100 TB rung depends on. Measured 2026-08: nprobe=1 → 0.16,
+    nprobe=2 → 0.40 at sf0.001 (0.18 / 0.36 at sf0.01)."""
+    from weather_data_pipeline_spark.operators import similarity as sim
+
+    exact = {}
+    for r in _Q["x3_cosine_topk"](spark, SF).collect():
+        exact.setdefault(r.query_id, set()).add(r.vec_id)
+
+    def recall(nprobe):
+        got = {}
+        for r in sim.ivf_topk(spark, SF, nprobe=nprobe).collect():
+            got.setdefault(r.query_id, set()).add(r.vec_id)
+        per_q = [len(got.get(q, set()) & v) / len(v) for q, v in exact.items()]
+        return sum(per_q) / len(per_q)
+
+    r1, r2 = recall(1), recall(2)
+    assert r1 >= 0.10, r1
+    assert r2 >= 0.30, r2
+    assert r2 > r1, (r1, r2)
+
+
 def test_near_dup_collect_is_gated(spark):
     """The exact all-pairs rung must refuse to broadcast an oversized
     corpus (driver-OOM guard) and name the LSH rung in the error."""
@@ -195,3 +222,32 @@ def test_simhash_kernel_zero_shuffle_and_matches_sql_form(spark):
     a = sorted(tuple(r) for r in df.collect())
     b = sorted(tuple(r) for r in dedup.simhash_sql_form(spark, SF).collect())
     assert a == b
+
+
+def test_simhash_null_text_drops_like_sql_form(spark):
+    """NULL text: the SQL form silently drops the doc (explode of a null
+    array). The kernel path must degrade identically — filter upstream,
+    never raise in the executor."""
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    from weather_data_pipeline_spark.operators import dedup
+
+    doc = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, None), (3, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    sig = pandas_udf(dedup._simhash_kernel, LongType())
+    rows = (
+        dedup._token_hashes(doc)
+        .select("doc_id", sig("hs").alias("simhash"))
+        .collect()
+    )
+    assert sorted(r.doc_id for r in rows) == [1, 3]
+    sigs = {r.doc_id: r.simhash for r in rows}
+    assert sigs[1] == sigs[3]
+    # and the kernel itself tolerates a raw None batch value
+    import pandas as pd
+
+    out = dedup._simhash_kernel(pd.Series([None, []], dtype=object))
+    assert list(out) == [0, 0]

@@ -5,10 +5,12 @@ The pattern a 100 TB training-data pipeline needs: media travels as a
 feature-extraction / resize / frame-sampling run as Arrow-batched pandas
 functions over ``mapInPandas`` (one Python process per partition, columnar
 interchange, no per-row pickling). The testdata has no true media, so the
-*payload* here is deterministic synthetic bytes derived from ``documents``
-— byte-level ops (hash, length, magic, sampling) are real and
-oracle-checked; the codec-dependent decode step is a clearly-marked stub
-(``decode_image``) since no image/audio library ships in this container.
+payloads are deterministic synthetic bytes derived from ``documents`` —
+and the image slot carries a REAL decodable image: a P6 PPM built
+JVM-side (header + sha256-derived pixel bytes), so ``decode_image`` is a
+real pure-numpy decoder (PPM + 24bpp BMP), capability-probed per payload;
+formats with no in-container codec (wav/mp4) keep the explicit
+``NotImplementedError`` stub path and degrade to byte-level features.
 
 Plan shape at scale: a media table partitions by content-hash range; all
 ops below are narrow (no shuffle) except the groupBy rollups, which
@@ -27,19 +29,28 @@ from ..registry import query
 from ..sources.testdata import load_table
 
 #: media-type assignment: deterministic round-robin by doc_id.
-_MEDIA_TYPES = ["image/png", "audio/wav", "video/mp4"]
+_MEDIA_TYPES = ["image/ppm", "audio/wav", "video/mp4"]
 
-#: Magic prefixes per media type (real file signatures).
-_MAGIC = {"image/png": "89504e47", "audio/wav": "52494646", "video/mp4": "66747970"}
+#: Magic prefixes per media type (real file signatures; PPM's is the
+#: 2-byte ASCII "P6").
+_MAGIC = {"image/ppm": "5036", "audio/wav": "52494646", "video/mp4": "66747970"}
+
+#: PPM dimensions derived from doc_id — single-digit by construction so
+#: the header length is a fixed 11 bytes and oracles stay simple.
+_PPM_W = "doc_id % 8 + 2"  # 2..9
+_PPM_H = "doc_id % 5 + 2"  # 2..6
 
 
 def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``documents`` → (doc_id, media_type, payload BINARY, meta STRUCT).
 
-    Payload = magic bytes + the document text's bytes (deterministic, so
-    oracles can rebuild it); meta carries the typed per-media fields every
-    real pipeline tracks (byte size, fake width/height derived from the
-    payload hash — stand-ins for decoded dimensions).
+    Image rows (doc_id % 3 == 0) carry a REAL P6 PPM: ``P6\\n{w} {h}\\n255\\n``
+    header + 3·w·h pixel bytes cut from repeated ``sha256(doc_id)`` — built
+    entirely with JVM expressions (format_string / repeat / sha2 / unhex),
+    deterministic, so oracles and tests can rebuild it byte-for-byte.
+    Audio/video rows stay magic + text bytes (no in-container codec to
+    decode them anyway); meta carries the typed per-media fields every
+    real pipeline tracks.
     """
     doc = load_table(spark, sf_dir, "documents")
     mt = F.element_at(
@@ -49,27 +60,57 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     magic = F.element_at(
         F.create_map(*[F.lit(x) for kv in _MAGIC.items() for x in kv]), mt
     )
-    payload = F.concat(F.unhex(magic), F.encode("text", "UTF-8"))
+    w = F.expr(_PPM_W)
+    h = F.expr(_PPM_H)
+    header = F.format_string("P6\n%d %d\n255\n", w, h)
+    # 3·w·h pixel bytes = 6·w·h hex chars; sha256 hex is 64 chars, w·h ≤ 54
+    # → repeat 6× (384 chars) always suffices
+    pixels = F.unhex(
+        F.substring(
+            F.repeat(F.sha2(F.col("doc_id").cast("string"), 256), 6),
+            1,
+            (F.lit(6) * w * h).cast("int"),
+        )
+    )
+    payload = F.when(
+        F.col("doc_id") % 3 == 0, F.concat(F.encode(header, "UTF-8"), pixels)
+    ).otherwise(F.concat(F.unhex(magic), F.encode("text", "UTF-8")))
     return doc.select(
         "doc_id",
         mt.alias("media_type"),
         payload.alias("payload"),
         F.struct(
             F.length(payload).alias("n_bytes"),
-            (F.abs(F.xxhash64(payload)) % 1920 + 1).cast("int").alias("width"),
-            (F.abs(F.xxhash64(payload, F.lit(1))) % 1080 + 1).cast("int").alias("height"),
+            F.when(F.col("doc_id") % 3 == 0, w.cast("int")).alias("width"),
+            F.when(F.col("doc_id") % 3 == 0, h.cast("int")).alias("height"),
         ).alias("meta"),
     )
 
 
+#: DuckDB twin of the payload byte length: PPM rows are an 11-byte header
+#: (single-digit w/h by construction) + 3·w·h pixels; others are 4 magic
+#: bytes + the utf-8 text.
+_ORACLE_N_BYTES = """
+    CASE WHEN doc_id % 3 = 0
+         THEN octet_length(encode('P6' || chr(10)
+              || CAST(doc_id % 8 + 2 AS VARCHAR) || ' '
+              || CAST(doc_id % 5 + 2 AS VARCHAR) || chr(10) || '255'
+              || chr(10))) + 3 * (doc_id % 8 + 2) * (doc_id % 5 + 2)
+         ELSE 4 + octet_length(encode(text)) END
+"""
+
+
 @query(
     "mm_metadata_extract",
-    oracle="""
+    oracle=f"""
     SELECT doc_id,
-           CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+           CASE doc_id % 3 WHEN 0 THEN 'image/ppm' WHEN 1 THEN 'audio/wav'
                 ELSE 'video/mp4' END AS media_type,
-           4 + octet_length(encode(text)) AS n_bytes,
-           CASE doc_id % 3 WHEN 0 THEN '89504e47' WHEN 1 THEN '52494646'
+           {_ORACLE_N_BYTES} AS n_bytes,
+           CASE doc_id % 3
+                WHEN 0 THEN lower(hex('P6' || chr(10)
+                                      || CAST(doc_id % 8 + 2 AS VARCHAR)))
+                WHEN 1 THEN '52494646'
                 ELSE '66747970' END AS magic_hex
     FROM documents
     """,
@@ -88,12 +129,12 @@ def mm_metadata_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "mm_type_rollup",
-    oracle="""
-    SELECT CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+    oracle=f"""
+    SELECT CASE doc_id % 3 WHEN 0 THEN 'image/ppm' WHEN 1 THEN 'audio/wav'
                 ELSE 'video/mp4' END AS media_type,
            COUNT(*) AS n,
-           CAST(SUM(4 + octet_length(encode(text))) AS BIGINT) AS total_bytes,
-           MAX(4 + octet_length(encode(text))) AS max_bytes
+           CAST(SUM({_ORACLE_N_BYTES}) AS BIGINT) AS total_bytes,
+           MAX({_ORACLE_N_BYTES}) AS max_bytes
     FROM documents GROUP BY 1
     """,
 )
@@ -119,22 +160,74 @@ _FEATURE_SCHEMA = T.StructType(
         T.StructField("n_bytes", T.IntegerType()),
         T.StructField("mean_byte", T.DoubleType()),
         T.StructField("n_frames", T.IntegerType()),
+        T.StructField("decoded", T.BooleanType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_pixel", T.DoubleType()),
     ]
 )
 
 
-def decode_image(payload: bytes) -> object:
-    """STUB — real decode needs an image codec library (PIL/cv2), which
-    this container does not ship. The Spark-side plumbing (binary column →
-    Arrow batch → per-payload Python call → typed result schema) is real
-    and tested via the deterministic byte-level features below."""
-    raise NotImplementedError("image codec not available in this environment")
+def decode_image(payload: bytes):
+    """Pure-numpy image decode — no external codec needed.
+
+    Supports the two formats a codec-less container can still honestly
+    decode: binary PPM (``P6``, maxval ≤ 255, comments allowed) and
+    uncompressed 24-bit BMP (``BM``, BI_RGB, top-down or bottom-up).
+    Returns an (h, w, 3) uint8 RGB array. Any other signature raises
+    ``NotImplementedError`` — the capability-probe boundary the feature
+    extractor degrades across (wav/mp4 payloads take this path)."""
+    import numpy as np
+
+    if payload[:2] == b"P6":
+        pos, vals = 2, []
+        while len(vals) < 3:
+            while payload[pos : pos + 1].isspace():
+                pos += 1
+            if payload[pos : pos + 1] == b"#":  # comment to end-of-line
+                while payload[pos : pos + 1] not in (b"\n", b""):
+                    pos += 1
+                continue
+            start = pos
+            while payload[pos : pos + 1] and not payload[pos : pos + 1].isspace():
+                pos += 1
+            vals.append(int(payload[start:pos]))
+        pos += 1  # exactly one whitespace byte separates maxval from raster
+        w, h, maxval = vals
+        if maxval > 255:
+            raise NotImplementedError("16-bit-per-channel PPM not supported")
+        arr = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+        return arr.reshape(h, w, 3).copy()
+    if payload[:2] == b"BM":
+        import struct
+
+        off = struct.unpack_from("<I", payload, 10)[0]
+        w, h = struct.unpack_from("<ii", payload, 18)
+        bpp = struct.unpack_from("<H", payload, 28)[0]
+        compression = struct.unpack_from("<I", payload, 30)[0]
+        if bpp != 24 or compression != 0:
+            raise NotImplementedError("only 24bpp uncompressed BMP supported")
+        bottom_up = h > 0
+        h = abs(h)
+        stride = (w * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+        rows = np.frombuffer(
+            payload, dtype=np.uint8, count=stride * h, offset=off
+        ).reshape(h, stride)
+        img = rows[:, : w * 3].reshape(h, w, 3)[..., ::-1]  # BGR → RGB
+        if bottom_up:
+            img = img[::-1]
+        return img.copy()
+    raise NotImplementedError(
+        f"no pure-numpy decoder for signature {payload[:4]!r}"
+    )
 
 
 def _feature_batches(it: Iterator) -> Iterator:
     """mapInPandas worker: one pandas frame per Arrow batch. Byte-level
-    features are computed vectorized with numpy; a real decoder would call
-    ``decode_image(payload)`` here instead of the mean-byte stand-in."""
+    features are vectorized numpy for every row; decodable payloads
+    (PPM/BMP — probed per payload via ``decode_image``) additionally get
+    real decoded width/height/mean-pixel; codec-less formats degrade to
+    the byte-level columns with ``decoded = False``."""
     import numpy as np
     import pandas as pd
 
@@ -146,6 +239,19 @@ def _feature_batches(it: Iterator) -> Iterator:
         )
         # frame sampling stand-in: one "frame" per 64 payload bytes
         n_frames = (n_bytes // 64 + 1).astype("int32")
+        decoded, width, height, mean_pixel = [], [], [], []
+        for b in payloads:
+            try:
+                img = decode_image(bytes(b))
+                decoded.append(True)
+                height.append(img.shape[0])
+                width.append(img.shape[1])
+                mean_pixel.append(round(float(img.mean()), 6))
+            except NotImplementedError:
+                decoded.append(False)
+                width.append(None)
+                height.append(None)
+                mean_pixel.append(None)
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
@@ -153,6 +259,10 @@ def _feature_batches(it: Iterator) -> Iterator:
                 "n_bytes": n_bytes,
                 "mean_byte": mean_byte.round(6),
                 "n_frames": n_frames,
+                "decoded": decoded,
+                "width": pd.array(width, dtype="Int32"),
+                "height": pd.array(height, dtype="Int32"),
+                "mean_pixel": pd.array(mean_pixel, dtype="float64"),
             }
         )
 
@@ -161,17 +271,18 @@ def _feature_batches(it: Iterator) -> Iterator:
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction over media payloads via Arrow-batched
     ``mapInPandas`` — the decode/resize/frame-sample execution pattern.
-    Rows-only: the features are deterministic, but byte-mean arithmetic
-    is a Python-side stand-in with no DuckDB twin."""
+    Image rows are REALLY decoded (pure-numpy P6 PPM); wav/mp4 degrade to
+    byte-level features across the ``decode_image`` capability probe.
+    Rows-only: deterministic, but pixel decode has no DuckDB twin."""
     m = media_table(spark, sf_dir)
     return m.mapInPandas(_feature_batches, schema=_FEATURE_SCHEMA)
 
 
 @query(
     "mm_frame_sample",
-    oracle="""
+    oracle=f"""
     WITH media AS (
-      SELECT doc_id, 4 + octet_length(encode(text)) AS n_bytes
+      SELECT doc_id, {_ORACLE_N_BYTES} AS n_bytes
       FROM documents
     )
     SELECT doc_id, i AS frame_idx, (i - 1) * 64 AS byte_offset
