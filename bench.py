@@ -65,18 +65,24 @@ def main() -> None:
     # JVM/codegen warmup on a tiny table so q1 doesn't pay startup cost.
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()
 
-    # Two timed runs per query, report the best: run 1 pays one-time
-    # whole-stage-codegen JIT compilation (~1-2 s/query in a fresh JVM, a
-    # fixed cost amortized to nothing over a real workload); run 2 is the
-    # steady-state the engine actually delivers.
+    # Three timed runs per query; report best AND median. Run 1 pays
+    # one-time whole-stage-codegen JIT compilation (~1-2 s/query in a
+    # fresh JVM, a fixed cost amortized to nothing over a real workload),
+    # so `value` stays best-of-n (steady state, round-over-round
+    # comparable); the medians expose run-to-run drift so a noisy box
+    # can't masquerade as a plan regression.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     times: dict[str, float] = {}
+    medians: dict[str, float] = {}
     for name in HEADLINE:
-        best = float("inf")
-        for _ in range(2):
+        samples = []
+        for _ in range(runs):
             t0 = time.perf_counter()
             qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        times[name] = round(best, 3)
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        times[name] = round(samples[0], 3)
+        medians[name] = round(samples[len(samples) // 2], 3)
 
     print(
         json.dumps(
@@ -85,6 +91,8 @@ def main() -> None:
                 "value": round(sum(times.values()), 3),
                 "unit": "sec",
                 "queries": times,
+                "queries_median": medians,
+                "runs": runs,
                 "sf": _sf_from_dir(SF_DIR),
             }
         )

@@ -117,6 +117,33 @@ def test_decode_features_real_for_images(spark):
     }
 
 
+def test_resize_thumbnail_round_trip(spark):
+    rows = mm.mm_resize_thumbnail(spark, SF).collect()
+    assert rows
+    for r in rows[:20]:
+        assert (r.thumb_w, r.thumb_h) == (mm._THUMB_W, mm._THUMB_H)
+        # thumbnail is a REAL re-encoded PPM: decodes back to the exact
+        # nearest-neighbor selection of the source image
+        thumb = mm.decode_image(bytes(r.thumbnail))
+        assert thumb.shape == (mm._THUMB_H, mm._THUMB_W, 3)
+        src = mm.decode_image(_ref_ppm(r.doc_id))
+        ref = mm.resize_image(src, mm._THUMB_W, mm._THUMB_H)
+        assert thumb.tobytes() == ref.tobytes()
+        assert r.mean_pixel == pytest.approx(float(ref.mean()), abs=1e-6)
+    # only decodable (image) rows appear
+    assert all(r.doc_id % 3 == 0 for r in rows)
+
+
+def test_resize_is_nearest_neighbor():
+    import numpy as np
+
+    img = np.arange(6 * 4 * 3, dtype=np.uint8).reshape(6, 4, 3)
+    out = mm.resize_image(img, 2, 3)
+    assert out.shape == (3, 2, 3)
+    # rows 0,2,4 and cols 0,2 selected: floor(i*src/out)
+    assert (out == img[[0, 2, 4]][:, [0, 2]]).all()
+
+
 def test_decode_stub_is_explicit():
     with pytest.raises(NotImplementedError):
         mm.decode_image(b"\x89PNG\r\n\x1a\n....")

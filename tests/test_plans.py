@@ -167,27 +167,31 @@ def test_ivf_recall_floor(spark):
     """The ANN's quality claim, measured: recall@5 of the IVF probe
     against the exact brute-force top-k. The label-based quantizer only
     weakly aligns with cosine geometry on this testdata, so absolute
-    recall is modest — the assertions pin (a) a floor per nprobe and
-    (b) that the nprobe knob strictly buys recall, which is the property
-    the 100 TB rung depends on. Measured 2026-08: nprobe=1 → 0.16,
-    nprobe=2 → 0.40 at sf0.001 (0.18 / 0.36 at sf0.01)."""
+    recall is modest — the assertions pin (a) a floor per rung and
+    (b) that both knobs (nprobe, k-means refinement) strictly buy
+    recall, which is the property the 100 TB rung depends on. Measured
+    2026-08 at sf0.001: label quantizer 0.16 (nprobe=1) / 0.40
+    (nprobe=2); 2 Lloyd iterations lift nprobe=1 to 0.32 (sf0.01:
+    0.18/0.36 label, 0.24 k-means)."""
     from weather_data_pipeline_spark.operators import similarity as sim
 
     exact = {}
     for r in _Q["x3_cosine_topk"](spark, SF).collect():
         exact.setdefault(r.query_id, set()).add(r.vec_id)
 
-    def recall(nprobe):
+    def recall(**kw):
         got = {}
-        for r in sim.ivf_topk(spark, SF, nprobe=nprobe).collect():
+        for r in sim.ivf_topk(spark, SF, **kw).collect():
             got.setdefault(r.query_id, set()).add(r.vec_id)
         per_q = [len(got.get(q, set()) & v) / len(v) for q, v in exact.items()]
         return sum(per_q) / len(per_q)
 
-    r1, r2 = recall(1), recall(2)
+    r1, r2 = recall(nprobe=1), recall(nprobe=2)
+    rk = recall(nprobe=1, kmeans_iters=2)
     assert r1 >= 0.10, r1
     assert r2 >= 0.30, r2
     assert r2 > r1, (r1, r2)
+    assert rk >= 0.20 and rk > r1, (rk, r1)
 
 
 def test_near_dup_collect_is_gated(spark):

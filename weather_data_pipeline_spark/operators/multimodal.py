@@ -278,6 +278,91 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.mapInPandas(_feature_batches, schema=_FEATURE_SCHEMA)
 
 
+#: thumbnail size for mm_resize_thumbnail
+_THUMB_W, _THUMB_H = 4, 4
+
+_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("thumb_w", T.IntegerType()),
+        T.StructField("thumb_h", T.IntegerType()),
+        T.StructField("thumbnail", T.BinaryType()),
+        T.StructField("mean_pixel", T.DoubleType()),
+    ]
+)
+
+
+def resize_image(img, out_w: int, out_h: int):
+    """Nearest-neighbor resize of an (h, w, 3) uint8 array — pure numpy
+    index selection (``idx = floor(i · src / out)``), no codec."""
+    import numpy as np
+
+    h, w = img.shape[:2]
+    rows = np.floor(np.arange(out_h) * h / out_h).astype(int)
+    cols = np.floor(np.arange(out_w) * w / out_w).astype(int)
+    return img[rows][:, cols]
+
+
+def encode_ppm(img) -> bytes:
+    """Re-encode an (h, w, 3) uint8 array as binary P6 PPM bytes — the
+    inverse of ``decode_image``'s PPM path (round-trip test-pinned)."""
+    h, w = img.shape[:2]
+    return f"P6\n{w} {h}\n255\n".encode() + img.tobytes()
+
+
+def _resize_batches(it: Iterator) -> Iterator:
+    import pandas as pd
+
+    for pdf in it:
+        out = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            try:
+                img = decode_image(bytes(payload))
+            except NotImplementedError:
+                continue  # codec-less formats have no pixels to resize
+            thumb = resize_image(img, _THUMB_W, _THUMB_H)
+            out.append(
+                (
+                    int(doc_id),
+                    img.shape[1],
+                    img.shape[0],
+                    _THUMB_W,
+                    _THUMB_H,
+                    encode_ppm(thumb),
+                    round(float(thumb.mean()), 6),
+                )
+            )
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "doc_id",
+                "width",
+                "height",
+                "thumb_w",
+                "thumb_h",
+                "thumbnail",
+                "mean_pixel",
+            ],
+        )
+
+
+@query("mm_resize_thumbnail")
+def mm_resize_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode → nearest-neighbor resize → re-encode, per Arrow batch over
+    ``mapInPandas`` — the thumbnailing stage of a media pipeline, running
+    the REAL pure-numpy PPM decoder and emitting real re-encoded PPM
+    thumbnail bytes (binary out-column). Narrow plan: scan-side filter to
+    the decodable media type, then one Python stage, no shuffle.
+    Rows-only: pixel arithmetic has no DuckDB twin; determinism and a
+    decode(encode(x)) round-trip are test-pinned."""
+    m = media_table(spark, sf_dir)
+    return m.filter(F.col("media_type") == "image/ppm").mapInPandas(
+        _resize_batches, schema=_RESIZE_SCHEMA
+    )
+
+
 @query(
     "mm_frame_sample",
     oracle=f"""
