@@ -5,9 +5,10 @@ Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 the noop sink (full execution, no driver-side result serialization).
 
 Headline set spans the engine surface: TPC-H-style aggregation + join,
-the flagship latest-per-key window, dedup (exact-hash + n-gram Jaccard),
-cosine top-k similarity, text quality scoring, JSON extract-aggregate,
-and lag-gap sessionization.
+the flagship latest-per-key window, dedup (exact-hash, n-gram Jaccard,
+SimHash), similarity (cosine top-k, IVF probe, k-means-refined IVF),
+text quality scoring, JSON extract-aggregate, lag-gap sessionization,
+and media decode+resize.
 """
 
 from __future__ import annotations
@@ -42,6 +43,8 @@ HEADLINE = [
     "x6_gap_fill_locf",
     "x2_simhash",
     "x3_ivf_topk",
+    "x3_ivf_kmeans_topk",
+    "mm_resize_thumbnail",
 ]
 
 

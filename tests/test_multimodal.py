@@ -147,3 +147,26 @@ def test_resize_is_nearest_neighbor():
 def test_decode_stub_is_explicit():
     with pytest.raises(NotImplementedError):
         mm.decode_image(b"\x89PNG\r\n\x1a\n....")
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        w=st.integers(min_value=1, max_value=16),
+        h=st.integers(min_value=1, max_value=16),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    @settings(max_examples=50, deadline=None)
+    def test_ppm_encode_decode_round_trip(w, h, seed):
+        """decode(encode(img)) == img for arbitrary small RGB arrays —
+        the PPM codec pair is lossless by construction."""
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        out = mm.decode_image(mm.encode_ppm(img))
+        assert out.shape == img.shape
+        assert (out == img).all()
+
+except ImportError:  # pragma: no cover - hypothesis ships in this env
+    pass
