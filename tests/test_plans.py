@@ -228,6 +228,24 @@ def test_simhash_kernel_zero_shuffle_and_matches_sql_form(spark):
     assert a == b
 
 
+def test_min_label_propagate_multi_hop_chain(spark):
+    """A 4-node chain (1-2, 2-3, 3-4) has diameter 3, so min-label
+    propagation must iterate past round one to converge — pins the
+    fixpoint loop, not just the clique-shaped easy case; plus a disjoint
+    pair and a singleton."""
+    from weather_data_pipeline_spark.operators import dedup
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6)], "doc_a long, doc_b long"
+    )
+    got = {
+        r.doc_id: r.component
+        for r in dedup.min_label_propagate(nodes, pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7}
+
+
 def test_simhash_null_text_drops_like_sql_form(spark):
     """NULL text: the SQL form silently drops the doc (explode of a null
     array). The kernel path must degrade identically — filter upstream,

@@ -92,10 +92,10 @@ def shingles(df: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
-@query(
-    "x2_ngram_jaccard",
-    oracle="""
-    WITH w AS (
+#: shared CTE chain: shingles → per-doc counts → shared-gram pair counts,
+#: plus the thresholded near-dup pair set (reused by the components oracle)
+_JACCARD_CTES = """
+    w AS (
       SELECT doc_id, string_split(text, ' ') AS words FROM documents
       WHERE len(string_split(text, ' ')) >= 3
     ), sh AS (
@@ -108,13 +108,22 @@ def shingles(df: DataFrame, n: int = 3) -> DataFrame:
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
+    ), dup_pairs AS (
+      SELECT doc_a, doc_b, inter,
+             ROUND(inter / (ca.n + cb.n - inter), 6) AS jaccard
+      FROM pairs
+      JOIN counts ca ON ca.doc_id = doc_a
+      JOIN counts cb ON cb.doc_id = doc_b
+      WHERE inter / (ca.n + cb.n - inter) >= 0.05
     )
-    SELECT doc_a, doc_b, inter,
-           ROUND(inter / (ca.n + cb.n - inter), 6) AS jaccard
-    FROM pairs
-    JOIN counts ca ON ca.doc_id = doc_a
-    JOIN counts cb ON cb.doc_id = doc_b
-    WHERE inter / (ca.n + cb.n - inter) >= 0.05
+"""
+
+
+@query(
+    "x2_ngram_jaccard",
+    oracle=f"""
+    WITH {_JACCARD_CTES}
+    SELECT doc_a, doc_b, inter, jaccard FROM dup_pairs
     """,
 )
 def x2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -158,6 +167,105 @@ def x2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.filter(jac >= 0.05)
         .select("doc_a", "doc_b", "inter", F.round(jac, 6).alias("jaccard"))
     )
+
+
+#: convergence safety bound for min-label propagation (graph diameter of
+#: near-dup clusters; dup groups are clique-ish, so real diameters are tiny)
+_MAX_CC_ITERS = 50
+
+
+@query(
+    "x2_dup_components",
+    oracle=f"""
+    WITH RECURSIVE {_JACCARD_CTES},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM dup_pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM dup_pairs
+    ),
+    reach(node, lab) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS doc_id, MIN(lab) AS component,
+           CAST(node = MIN(lab) AS BOOLEAN) AS is_canonical
+    FROM reach GROUP BY node
+    """,
+)
+def x2_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup ladder's final rung: connected components over the
+    near-dup pair graph, so each duplicate GROUP (not just each pair) gets
+    one canonical keeper — ``component`` is the min doc_id reachable, and
+    ``is_canonical`` marks the doc a pipeline would keep. Docs with no
+    near-dup edge are their own singleton component.
+
+    Implementation is min-label propagation: labels start as own doc_id;
+    each iteration joins labels to the (doubled) edge list, takes the
+    neighborhood min, and ``localCheckpoint``s the result so lineage stays
+    flat across iterations (the standard Spark iterative-algorithm shape —
+    on a cluster this is ``checkpoint()`` to reliable storage). One
+    shuffle per iteration on doc_id; iterations bounded by cluster
+    diameter (clique-ish dup groups → 2-3 in practice), with convergence
+    detected by the strictly-decreasing label sum — one cheap agg per
+    round, no extra join. At 100 TB the same loop runs with the
+    large-star/small-star optimization (alternate min over full vs local
+    neighborhoods) to collapse high-diameter chains in O(log n) rounds;
+    the join shape is identical. Oracle: the identical fixpoint via a
+    recursive reachability CTE."""
+    doc = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = x2_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    labels = min_label_propagate(doc, pairs)
+    return labels.select(
+        "doc_id",
+        "component",
+        (F.col("doc_id") == F.col("component")).alias("is_canonical"),
+    )
+
+
+def min_label_propagate(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Connected components via min-label propagation until fixpoint.
+
+    ``nodes``: (doc_id); ``pairs``: undirected edges as (doc_a, doc_b).
+    Returns (doc_id, component) where component = min doc_id reachable."""
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    # near-dup graphs are tiny relative to the corpus: broadcast the edge
+    # list so each propagation round is map-side (the corpus never
+    # reshuffles to meet edges); at edge counts past broadcast budget this
+    # hint drops out and AQE plans a shuffle join instead.
+    edges = F.broadcast(edges.localCheckpoint())
+    labels = nodes.select("doc_id", F.col("doc_id").alias("component"))
+    labels = labels.localCheckpoint()
+    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
+    for _ in range(_MAX_CC_ITERS):
+        nbr_min = (
+            edges.join(labels, edges["src"] == labels["doc_id"])
+            .groupBy(edges["dst"].alias("doc_id"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        labels = (
+            labels.alias("l")
+            .join(nbr_min.alias("n"), "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("l.component"),
+                    F.coalesce(F.col("n.nbr_component"), F.col("l.component")),
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        new_sum = labels.agg(F.sum("component")).collect()[0][0]
+        if new_sum == prev_sum:  # labels only decrease → equal sum = fixpoint
+            break
+        prev_sum = new_sum
+    else:
+        raise RuntimeError(
+            f"component labels still moving after {_MAX_CC_ITERS} rounds"
+        )
+    return labels
 
 
 @query("x2_minhash_lsh")
