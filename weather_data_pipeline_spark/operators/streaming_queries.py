@@ -145,6 +145,24 @@ def s_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "s_dedup_stream",
+    oracle="""
+    SELECT md5(text) AS content_hash, length(text) AS n_chars
+    FROM documents GROUP BY 1, 2
+    """,
+)
+def s_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of x1_exact_dedup_hash: the corpus streams in and
+    duplicates are dropped at ingest (first-seen wins per content digest).
+    Oracle = the batch distinct digest set — stream-batch parity on the
+    dedup gate itself; every output column is digest-determined, so the
+    check is value-exact despite arrival order being free."""
+    sink = f"s_dedup_{uuid.uuid4().hex[:8]}"
+    jobs.streaming_dedup(jobs.stream_documents(spark, sf_dir), sink)
+    return spark.table(sink).select("content_hash", "n_chars")
+
+
+@query(
     "s_weather_latest_stream",
     oracle=f"""
     WITH staged AS ({_STAGED_SQL})

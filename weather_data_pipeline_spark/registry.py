@@ -78,19 +78,23 @@ _PRIORITY: tuple[str, ...] = (
     # ML tier (O27–O30)
     "o27_hash_split",
     "o28_linreg_baseline",
-    # LLM-data ops (X1–X8)
+    # LLM-data ops (X1–X8). r3 swaps: the round's new operators take the
+    # slots of proven-stable r1+r2-green variants whose families stay
+    # represented (x3_embedding_near_dup → x2_dup_components;
+    # x5_json_get_path → s_dedup_stream below;
+    # x6_session_window_native → x3_ivf_kmeans_topk — boundary semantics
+    # stay pinned locally by tests/test_properties.py)
     "x1_exact_dedup",
     "x2_ngram_jaccard",
+    "x2_dup_components",
     "x3_cosine_topk",
     "x3_lsh_candidate_pairs",
-    "x3_embedding_near_dup",
     "x3_ivf_topk",
+    "x3_ivf_kmeans_topk",
     "x4_quality_score",
     "x4_term_frequency",
-    "x5_json_get_path",
     "x5_json_extract_agg",
     "x6_session_windows",
-    "x6_session_window_native",
     "x6_gap_fill_locf",
     "x7_asof_join",
     "x8_stratified_sample",
@@ -113,6 +117,7 @@ _PRIORITY: tuple[str, ...] = (
     "s_latest_per_key_stream",
     "s_stateful_running_totals",
     "s_stream_stream_join",
+    "s_dedup_stream",
 )
 
 

@@ -68,6 +68,39 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
+def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-stream over the documents parquet (the ingest-side view of a
+    training corpus: docs arrive continuously)."""
+    return (
+        spark.readStream.schema(TESTDATA["documents"])
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def streaming_dedup(source: DataFrame, sink_table: str) -> None:
+    """Streaming exact dedup: first-seen wins per md5(text) — the
+    exactly-once ingest gate of a training-data pipeline, as
+    ``dropDuplicates`` on the 16-byte content digest (state carries the
+    digest, never document bytes). Output columns are all functionally
+    dependent on the digest, so the result is deterministic even though
+    which physical row survives is arrival-order-dependent. Unbounded
+    keys ⇒ unbounded state by design here (the corpus-lifetime dedup
+    set); with an ingest-time column the same job bounds state via
+    ``dropDuplicatesWithinWatermark`` — the knob is orthogonal to the
+    plan shape."""
+    deduped = source.select(
+        F.md5("text").alias("content_hash"),
+        F.length("text").alias("n_chars"),
+    ).dropDuplicates(["content_hash"])
+    run_to_completion(
+        deduped.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("append"),
+        f"dedup-{sink_table}",
+    )
+
+
 def run_to_completion(writer, tag: str, checkpoint: str | None = None):
     """Start with availableNow (drain backlog, stop) and block until done.
     A caller-supplied ``checkpoint`` makes repeat runs incremental: only
