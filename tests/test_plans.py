@@ -163,6 +163,33 @@ def test_ivf_assignment_no_crossjoin_no_window_shuffle(spark):
     assert len(re.findall(r"\bWindow \[", plan)) <= 1
 
 
+def test_partial_agg_centroids_match_full_group_mean(spark):
+    """The map-side-combine centroid path (shuffle carries ≤ k·partitions
+    partial rows) produces the same 6-decimal centroids as the
+    full-group applyInPandas mean it replaces in the k-means loop."""
+    import pytest
+
+    from weather_data_pipeline_spark.operators import similarity as sim
+
+    emb = load_table(spark, SF, "embeddings")
+    full = {
+        r["label"]: r["centroid"]
+        for r in emb.select(
+            "label", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        .groupBy("label")
+        .applyInPandas(sim._centroid_of_group, schema=sim._CENTROID_SCHEMA)
+        .collect()
+    }
+    partial = {
+        r["label"]: r["centroid"]
+        for r in sim.centroids_partial_agg(emb, "label").collect()
+    }
+    assert full.keys() == partial.keys()
+    for k in full:
+        assert full[k] == pytest.approx(partial[k], abs=2e-6), k
+
+
 def test_ivf_recall_floor(spark):
     """The ANN's quality claim, measured: recall@5 of the IVF probe
     against the exact brute-force top-k. The label-based quantizer only

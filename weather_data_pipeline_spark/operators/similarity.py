@@ -408,6 +408,51 @@ def x3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(spark, sf_dir, nprobe=1)
 
 
+def centroids_partial_agg(df: DataFrame, key_col: str) -> DataFrame:
+    """Per-key vector means with MAP-SIDE COMBINE: a ``mapInPandas`` pass
+    emits one (key, partial_sum, n) row per key per partition, so the
+    shuffle carries ≤ k·partitions rows instead of the corpus — the
+    vector analog of a partial aggregation, and the shape a 100 TB
+    k-means update step needs (a plain groupBy+applyInPandas mean would
+    re-shuffle every corpus row each iteration). The tiny final combine
+    sums partials per key and divides once."""
+    import pandas as pd
+
+    def partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            keys = pdf[key_col].to_numpy()
+            out_k, out_s, out_n = [], [], []
+            for k in np.unique(keys):
+                m = keys == k
+                out_k.append(int(k))
+                out_s.append(mat[m].sum(axis=0).tolist())
+                out_n.append(int(m.sum()))
+            yield pd.DataFrame({"label": out_k, "psum": out_s, "n": out_n})
+
+    def combine(pdf):
+        tot = np.stack(pdf["psum"].to_numpy()).astype(np.float64).sum(axis=0)
+        n = int(pdf["n"].sum())
+        return pd.DataFrame(
+            {
+                "label": [int(pdf["label"].iloc[0])],
+                "centroid": [np.round(tot / n, 6).tolist()],
+            }
+        )
+
+    return (
+        df.select(
+            F.col(key_col).alias(key_col),
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+        .mapInPandas(partials, schema="label long, psum array<double>, n long")
+        .groupBy("label")
+        .applyInPandas(combine, schema=_CENTROID_SCHEMA)
+    )
+
+
 def _assign_fn(bc):
     """mapInPandas kernel factory: nearest-centroid assignment by argmax
     over the broadcast (labels, matrix, norms) triple — the corpus scans
@@ -460,15 +505,7 @@ def ivf_topk(
     emb = load_table(spark, sf_dir, "embeddings")
 
     def collect_centroids(df, key_col):
-        rows = (
-            df.select(
-                F.col(key_col).alias("label"),
-                F.col("embedding").cast("array<double>").alias("embedding"),
-            )
-            .groupBy("label")
-            .applyInPandas(_centroid_of_group, schema=_CENTROID_SCHEMA)
-            .collect()  # bounded: one row per centroid, not per data row
-        )
+        rows = centroids_partial_agg(df, key_col).collect()
         rows.sort(key=lambda r: r["label"])  # argmax first-hit = lowest label
         labels = np.array([r["label"] for r in rows], dtype=np.int64)
         mat = np.array([r["centroid"] for r in rows], dtype=np.float64)
