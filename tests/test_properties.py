@@ -83,3 +83,51 @@ def test_native_session_window_boundary_convention(spark):
         .collect()
     )
     assert sorted(r["n"] for r in sessions) == [1, 2]
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: the greedy per-shard recurrence (kernel) must match a
+# brute-force reimplementation on arbitrary token-length sequences,
+# including docs larger than the whole bin budget.
+# ---------------------------------------------------------------------------
+
+pack_lengths = st.lists(
+    st.integers(min_value=1, max_value=300),  # > PACK_BUDGET possible
+    min_size=1,
+    max_size=50,
+)
+
+
+@settings(max_examples=50, deadline=None)
+@given(lengths=pack_lengths)
+def test_pack_shard_matches_brute_force(lengths):
+    import pandas as pd
+
+    from weather_data_pipeline_spark.operators.text_analysis import (
+        PACK_BUDGET,
+        _pack_shard,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(lengths)),
+            "shard": 0,
+            "n_tokens": lengths,
+        }
+    )
+    got = _pack_shard(pdf)["bin_id"].tolist()
+
+    expect, cum, b = [], 0, 0
+    for n in lengths:
+        if cum + n > PACK_BUDGET and cum > 0:
+            b, cum = b + 1, 0
+        cum += n
+        expect.append(b)
+    assert got == expect
+    # every doc lands in a bin; bins are contiguous from 0
+    assert sorted(set(got)) == list(range(max(got) + 1))
+    # an oversized doc always sits alone: it opens a bin (any prior cum
+    # overflows) and the next doc necessarily overflows out of it
+    for i, n in enumerate(lengths):
+        if n > PACK_BUDGET:
+            assert got.count(got[i]) == 1

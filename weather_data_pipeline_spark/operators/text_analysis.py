@@ -270,3 +270,79 @@ def x8_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.lit(x) for kv in MIX_RATES.items() for x in kv]
     )[F.col("lang")]
     return doc.filter(bucket < F.coalesce(rate, F.lit(0))).select("doc_id", "lang")
+
+
+#: sequence packing: shard fan-out and per-bin token budget
+PACK_SHARDS = 32
+PACK_BUDGET = 128
+
+
+def _pack_shard(pdf):
+    """Greedy sequential packing within one shard, docs in doc_id order:
+    cum += n_tokens; overflow closes the bin. Sequential by design — the
+    parallelism lives across shards, which is how production packers run
+    (pack per shard/file, never a global sequential pass)."""
+    import pandas as pd
+
+    pdf = pdf.sort_values("doc_id")
+    bins, cum, b = [], 0, 0
+    for n in pdf["n_tokens"]:
+        if cum + n > PACK_BUDGET and cum > 0:
+            b += 1
+            cum = 0
+        cum += n
+        bins.append(b)
+    return pd.DataFrame(
+        {
+            "doc_id": pdf["doc_id"],
+            "shard": pdf["shard"],
+            "n_tokens": pdf["n_tokens"],
+            "bin_id": bins,
+        }
+    )
+
+
+@query(
+    "x8_sequence_packing",
+    oracle=f"""
+    WITH RECURSIVE d AS (
+      SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
+             len(string_split(text, ' ')) AS n_tokens,
+             ROW_NUMBER() OVER (
+               PARTITION BY doc_id % {PACK_SHARDS} ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    packed(shard, rn, doc_id, n_tokens, bin_id, cum) AS (
+      SELECT shard, rn, doc_id, n_tokens, 0, n_tokens FROM d WHERE rn = 1
+      UNION ALL
+      SELECT d.shard, d.rn, d.doc_id, d.n_tokens,
+             CASE WHEN p.cum + d.n_tokens > {PACK_BUDGET} AND p.cum > 0
+                  THEN p.bin_id + 1 ELSE p.bin_id END,
+             CASE WHEN p.cum + d.n_tokens > {PACK_BUDGET} AND p.cum > 0
+                  THEN d.n_tokens ELSE p.cum + d.n_tokens END
+      FROM packed p JOIN d ON d.shard = p.shard AND d.rn = p.rn + 1
+    )
+    SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(bin_id AS BIGINT) AS bin_id
+    FROM packed
+    """,
+)
+def x8_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — the batch-prep step that concatenates documents
+    into fixed-token-budget training bins. Packing is inherently
+    sequential, so the scalable form shards first (deterministic
+    ``doc_id % PACK_SHARDS``) and packs greedily WITHIN each shard in
+    doc_id order via ``applyInPandas`` — one shuffle on shard, every
+    shard packs in parallel, no global order dependency. A doc larger
+    than the budget occupies a bin alone. Oracle: the identical greedy
+    recurrence as a recursive CTE over per-shard row numbers."""
+    doc = load_table(spark, sf_dir, "documents")
+    shards = doc.select(
+        "doc_id",
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    return shards.groupBy("shard").applyInPandas(
+        _pack_shard,
+        schema="doc_id long, shard long, n_tokens long, bin_id long",
+    )
