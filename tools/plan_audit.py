@@ -1,0 +1,81 @@
+"""Generate PLANS.md: the formatted physical plan + a scale summary for
+every headline query at sf0.1 — the `.explain` evidence behind the
+README's shuffle inventory, kept as a reviewable artifact.
+
+Run:  python tools/plan_audit.py            (writes PLANS.md at repo root)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import HEADLINE, SF_DIR  # noqa: E402
+from weather_data_pipeline_spark import registry  # noqa: E402
+from weather_data_pipeline_spark.plans import inspect as pi  # noqa: E402
+from weather_data_pipeline_spark.session import get_spark  # noqa: E402
+
+#: Queries whose driver function runs multiple Spark jobs (bounded driver
+#: collects of quantizer/probe rows, or checkpointed iterations): the
+#: returned DataFrame's plan covers only the FINAL job, noted inline.
+MULTI_JOB = {
+    "x3_ivf_topk": "quantizer build + query probe run as prior bounded jobs",
+    "x3_ivf_kmeans_topk": "init + 2 Lloyd iterations run as prior bounded jobs",
+}
+
+
+def main() -> None:
+    spark = get_spark(app_name="plan-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = registry.queries()
+    out = [
+        "# PLANS — headline-query physical plans (generated)",
+        "",
+        f"Source of truth: `python tools/plan_audit.py` at `{SF_DIR}`. The",
+        "summary line per query counts Exchanges (shuffles), flags broadcast",
+        "joins and map-side partial aggregation, and lists filters pushed",
+        "into the parquet scan; the full formatted plan follows. Queries",
+        "that run bounded driver-side jobs before the final plan say so.",
+        "",
+    ]
+    for name in HEADLINE:
+        df = qs[name](spark, SF_DIR)
+        n_ex = pi.num_shuffles(df)
+        bits = [f"exchanges={n_ex}"]
+        if pi.has_broadcast_join(df):
+            bits.append("broadcast-join")
+        if pi.has_partial_aggregation(df):
+            bits.append("partial-agg")
+        pushed = pi.pushed_filters(df)
+        if pushed:
+            bits.append(f"pushed-filters={len(pushed)}")
+        note = MULTI_JOB.get(name)
+        out.append(f"## {name}")
+        out.append("")
+        out.append(f"**{', '.join(bits)}**" + (f" — _{note}_" if note else ""))
+        if pushed:
+            out.append("")
+            out.append("Pushed: `" + "`, `".join(sorted(set(pushed))[:8]) + "`")
+        out.append("")
+        formatted = (
+            df._jdf.queryExecution()
+            .explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "formatted"
+                )
+            )
+        )
+        out.append("```")
+        out.append(formatted.rstrip())
+        out.append("```")
+        out.append("")
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "PLANS.md"), "w") as f:
+        f.write("\n".join(out) + "\n")
+    print(f"wrote PLANS.md ({len(HEADLINE)} queries)")
+
+
+if __name__ == "__main__":
+    main()
