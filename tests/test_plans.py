@@ -255,6 +255,14 @@ def test_simhash_kernel_zero_shuffle_and_matches_sql_form(spark):
     assert a == b
 
 
+def test_new_ops_shuffle_budgets(spark):
+    """Plan gates for the round-3 operators: sequence packing pays exactly
+    one exchange (the shard shuffle), thumbnailing pays none (narrow scan
+    → Python stage)."""
+    assert num_shuffles(_Q["x8_sequence_packing"](spark, SF)) == 1
+    assert num_shuffles(_Q["mm_resize_thumbnail"](spark, SF)) == 0
+
+
 def test_min_label_propagate_multi_hop_chain(spark):
     """A 4-node chain (1-2, 2-3, 3-4) has diameter 3, so min-label
     propagation must iterate past round one to converge — pins the
