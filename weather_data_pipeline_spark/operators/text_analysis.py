@@ -272,6 +272,44 @@ def x8_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc.filter(bucket < F.coalesce(rate, F.lit(0))).select("doc_id", "lang")
 
 
+#: polynomial rolling-hash parameters (Rabin–Karp style): base × prior
+#: acc + portable 32-bit token hash, mod a prime small enough that
+#: acc·base + h < 2⁶³ — identical arithmetic on both engines, no overflow
+#: (Spark longs wrap silently, DuckDB BIGINTs error; staying < 2⁶³ avoids
+#: depending on either behavior).
+ROLL_BASE = 1_000_003
+ROLL_MOD = 1_000_000_007
+
+
+@query(
+    "x4_rolling_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(text, ' '),
+                 w -> CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT))),
+             (acc, h) -> (acc * {ROLL_BASE} + h) % {ROLL_MOD}) AS rolling_fp
+    FROM documents
+    """,
+)
+def x4_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-SENSITIVE document fingerprint: a Rabin–Karp-style polynomial
+    rolling hash folded over the token sequence (x4_fingerprint's
+    sorted-md5 is the order-insensitive complement). Token hashes are
+    md5-prefix integers — portable across engines, unlike xxhash64 — so
+    the whole fingerprint is oracle-exact. Pure JVM fold (aggregate HOF)
+    over the split array: narrow, zero shuffles."""
+    doc = load_table(spark, sf_dir, "documents")
+    tok_hash = lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long")  # noqa: E731
+    roll = F.aggregate(
+        F.split("text", " "),
+        F.lit(0).cast("long"),
+        lambda acc, w: (acc * F.lit(ROLL_BASE) + tok_hash(w)) % F.lit(ROLL_MOD),
+    )
+    return doc.select("doc_id", roll.alias("rolling_fp"))
+
+
 #: sequence packing: shard fan-out and per-bin token budget
 PACK_SHARDS = 32
 PACK_BUDGET = 128
