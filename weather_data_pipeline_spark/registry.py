@@ -47,77 +47,67 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # The driver verifies correctness for the first 50 registered queries only,
-# in registration order. This explicit priority list pins the first 50 slots
-# to one representative per SURVEY.md §2 operator (O7–O28, X1–X8, TPC-H
-# headliners, streaming, python-exec) plus every query that failed hash_match
-# in round 1, so each operator family carries a driver correctness row.
-# Remaining queries keep their module registration order after the cap.
+# in registration order. Round-4 rotation (VERDICT r3 ask #1): pin the
+# flagship plus one driver-green representative per operator family
+# (24 slots, including both round-2 hash-fail regressions), then give the
+# remaining 26 slots to every query that has NEVER had a driver correctness
+# row in rounds 1–3 — after this round the r1–r4 union covers all 112
+# registered queries. Queries rotated out are r1–r3 driver-green and stay
+# value-checked by the arrow-faithful local sweep (tests/test_oracle_parity.py).
 _PRIORITY: tuple[str, ...] = (
-    # flagship + weather reference pipeline (O1, O3, O9/O10, O15, O31)
-    "o15_latest_per_key",
-    "w_flagship_latest",  # runs the full O3-scan → flatten chain inline
-    "w_corrupt_quarantine",
-    "w_api_source",
-    # reference relational / scalar surface (O7–O26)
-    "o7_sql_table_scan",
-    "o8_json_serialize",
-    "o9_nested_flatten",
-    "o11_rename",
-    "o12_projection",
-    "o13_filter_eq",
-    "o14_rank_filter_topk",
-    "o16_union_all",
-    "o18_column_zip",
-    "o19_parse_nonpadded_hour",
-    "o20_epoch_roundtrip",
-    "o21_ts_to_string",
-    "o22_epoch_shift_day",
-    "o24_map_encode",
-    "o25_map_decode",
-    "o26_date_math",
-    # ML tier (O27–O30)
-    "o27_hash_split",
-    "o28_linreg_baseline",
-    # LLM-data ops (X1–X8). r3 swaps: the round's new operators take the
-    # slots of proven-stable r1+r2-green variants whose families stay
-    # represented (x3_embedding_near_dup → x2_dup_components;
-    # x5_json_get_path → s_dedup_stream below;
-    # x6_session_window_native → x3_ivf_kmeans_topk — boundary semantics
-    # stay pinned locally by tests/test_properties.py)
+    # pinned family representatives (all driver-green in r1–r3)
+    "o15_latest_per_key",  # flagship
+    "w_flagship_latest",  # weather O3-scan → flatten chain
+    "w_corrupt_quarantine",  # r2 hash-fail regression pin
+    "w_api_source",  # O1 Python DataSource
+    "o7_sql_table_scan",  # relational tier rep
+    "o27_hash_split",  # ML split
+    "o28_linreg_baseline",  # ML fit/score (O28/O30/O23)
     "x1_exact_dedup",
     "x2_ngram_jaccard",
     "x2_dup_components",
     "x3_cosine_topk",
-    "x3_lsh_candidate_pairs",
-    "x3_ivf_topk",
-    "x3_ivf_kmeans_topk",
+    "x3_ivf_kmeans_topk",  # perf-weak family keeps a driver row
     "x4_quality_score",
-    "x4_term_frequency",
     "x5_json_extract_agg",
-    "x6_session_windows",
-    "x6_gap_fill_locf",
+    "x6_session_windows",  # r2 hash-fail regression pin
     "x7_asof_join",
     "x8_stratified_sample",
-    # multimodal representatives (rotated in r3 so no family is driver-dark;
-    # ext_pivot / ext_grouping_sets / ext_join_broadcast_dims rotate out —
-    # each passed r1+r2 and stays covered by the local parity sweep, with
-    # their families still in-window via ext_rollup / ext_salted_agg)
     "mm_metadata_extract",
-    "mm_type_rollup",
-    # TPC-H headliners + round-1 hash-fail set
     "ext_q1_pricing_summary",
     "ext_q3_shipping_priority",
-    "ext_q5_local_supplier",
-    "ext_q18_large_orders",
-    "ext_rollup",
-    "ext_salted_agg",
-    # window, python-exec, streaming representatives
-    "ext_window_ranks",
-    "ext_pandas_udf_scalar",
+    "ext_salted_agg",  # skew handling rep
+    "ext_pandas_udf_scalar",  # python-exec rep
     "s_latest_per_key_stream",
     "s_stateful_running_totals",
-    "s_stream_stream_join",
-    "s_dedup_stream",
+    # never-driver-checked set (26) — exact complement of
+    # CORRECTNESS_r01∪r02∪r03 keys over the 112 registered queries
+    "w_flatten_stage",
+    "w_city_encode",
+    "ext_window_lag_lead",
+    "ext_window_running_sum",
+    "ext_window_range_frame",
+    "ext_window_first_last",
+    "ext_python_udtf",
+    "ext_pandas_udaf_grouped",
+    "x3_lsh_buckets",
+    "x3_label_centroids",
+    "x3_ivf_topk_nprobe2",
+    "x4_doc_stats",
+    "x4_lang_stats",
+    "x4_token_count",
+    "x4_fingerprint",
+    "x4_lang_id_heuristic",
+    "x4_rolling_fingerprint",
+    "x6_tumbling_hourly",
+    "x6_session_stats_per_user",
+    "x8_sequence_packing",
+    "mm_decode_features",
+    "mm_resize_thumbnail",
+    "mm_frame_sample",
+    "s_tumbling_hourly_stream",
+    "s_session_window_stream",
+    "s_weather_latest_stream",
 )
 
 
