@@ -16,6 +16,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import time
 
 from pyspark.sql import SparkSession
@@ -68,24 +69,29 @@ def main() -> None:
     # JVM/codegen warmup on a tiny table so q1 doesn't pay startup cost.
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()
 
-    # Three timed runs per query; report best AND median. Run 1 pays
-    # one-time whole-stage-codegen JIT compilation (~1-2 s/query in a
-    # fresh JVM, a fixed cost amortized to nothing over a real workload),
-    # so `value` stays best-of-n (steady state, round-over-round
-    # comparable); the medians expose run-to-run drift so a noisy box
-    # can't masquerade as a plan regression.
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-    times: dict[str, float] = {}
-    medians: dict[str, float] = {}
-    for name in HEADLINE:
-        samples = []
-        for _ in range(runs):
+    # n timed runs per query, INTERLEAVED (pass 1 runs every query once,
+    # then pass 2, ...) so a box-load spike lands on one pass of every
+    # query instead of all runs of one query — ambient drift becomes
+    # per-query dispersion rather than a fake plan regression. Pass 1
+    # pays one-time whole-stage-codegen JIT compilation (~1-2 s/query in
+    # a fresh JVM, a fixed cost amortized to nothing over a real
+    # workload), so `value` stays best-of-n (steady state, round-over-
+    # round comparable); true medians (statistics.median — the old
+    # samples[n//2] picked the UPPER middle on even n) and stdevs expose
+    # run-to-run drift per query.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(runs):
+        for name in HEADLINE:
             t0 = time.perf_counter()
             qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            samples.append(time.perf_counter() - t0)
-        samples.sort()
-        times[name] = round(samples[0], 3)
-        medians[name] = round(samples[len(samples) // 2], 3)
+            samples[name].append(time.perf_counter() - t0)
+    times = {n: round(min(s), 3) for n, s in samples.items()}
+    medians = {n: round(statistics.median(s), 3) for n, s in samples.items()}
+    stdevs = {
+        n: round(statistics.stdev(s), 3) if len(s) > 1 else 0.0
+        for n, s in samples.items()
+    }
 
     print(
         json.dumps(
@@ -95,6 +101,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "queries_median": medians,
+                "queries_stdev": stdevs,
                 "runs": runs,
                 "sf": _sf_from_dir(SF_DIR),
             }

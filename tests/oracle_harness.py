@@ -75,7 +75,14 @@ def _portable_arrow_type(t: pa.DataType) -> bool:
     HUGEINT → decimal128(38,0) while Spark emits int64 — value-equal rows
     that still hash-mismatch (round-2 driver fails w_corrupt_quarantine /
     x6_session_windows). Oracles must CAST integer SUMs to BIGINT and
-    decimal aggregates to ROUND(CAST(.. AS DOUBLE), s)."""
+    decimal aggregates to ROUND(CAST(.. AS DOUBLE), s).
+
+    Also EXCLUDES list/struct/map: the driver's pandas canonicalizer
+    sorts/hashes raw column values and numpy arrays are unhashable —
+    x3_label_centroids' array<double> column crashed the round-4 driver
+    while this filter admitted it locally (VERDICT r4 §What's-wrong-3).
+    Nested output must be exploded to scalar long form or serialized to a
+    string on BOTH engines."""
     if (
         pa.types.is_integer(t)
         or pa.types.is_floating(t)
@@ -87,8 +94,6 @@ def _portable_arrow_type(t: pa.DataType) -> bool:
         or pa.types.is_date(t)
     ):
         return True
-    if pa.types.is_list(t) or pa.types.is_large_list(t):
-        return _portable_arrow_type(t.value_type)
     if pa.types.is_dictionary(t):
         return _portable_arrow_type(t.value_type)
     return False
@@ -136,6 +141,17 @@ def compare(spark, name: str, fn, sql: str, sf_dir: str) -> None:
         f"{name}: DECIMAL at the output boundary {dec_cols} — trailing-zero "
         "values hash differently across engines; emit ROUND(CAST(.. AS "
         "DOUBLE), s) instead (functions.scalars.dsum_out)"
+    )
+    nested_cols = [
+        f.name
+        for f in sdf.schema.fields
+        if f.dataType.typeName() in ("array", "map", "struct")
+    ]
+    assert not nested_cols, (
+        f"{name}: nested type at the SPARK output boundary {nested_cols} — "
+        "the driver's canonicalizer cannot sort/hash numpy arrays (round-4 "
+        "x3_label_centroids crash); explode to scalar long form or "
+        "serialize to a string on both engines"
     )
     spark_cols = list(sdf.columns)
     spark_rows = _spark_rows(sdf)

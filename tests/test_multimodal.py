@@ -122,9 +122,10 @@ def test_resize_thumbnail_round_trip(spark):
     assert rows
     for r in rows[:20]:
         assert (r.thumb_w, r.thumb_h) == (mm._THUMB_W, mm._THUMB_H)
-        # thumbnail is a REAL re-encoded PPM: decodes back to the exact
+        # thumb_hex is a REAL re-encoded PPM (as hex — the driver's
+        # canonicalizer can't hash raw binary): decodes back to the exact
         # nearest-neighbor selection of the source image
-        thumb = mm.decode_image(bytes(r.thumbnail))
+        thumb = mm.decode_image(bytes.fromhex(r.thumb_hex))
         assert thumb.shape == (mm._THUMB_H, mm._THUMB_W, 3)
         src = mm.decode_image(_ref_ppm(r.doc_id))
         ref = mm.resize_image(src, mm._THUMB_W, mm._THUMB_H)
@@ -147,6 +148,37 @@ def test_resize_is_nearest_neighbor():
 def test_decode_stub_is_explicit():
     with pytest.raises(NotImplementedError):
         mm.decode_image(b"\x89PNG\r\n\x1a\n....")
+
+
+def test_corrupt_payloads_quarantine_not_crash(spark):
+    """A truncated PPM / garbage BMP must degrade like a codec-less
+    format (decoded=False, byte features intact), never kill the job —
+    the 100 TB posture for a single corrupt object (ADVICE r4 #2)."""
+    trunc_ppm = _ref_ppm(12)[:20]  # header promises 6x4, raster cut short
+    short_bmp = b"BM\x01\x02"  # header runs off the end
+    header_only = b"P6\n"  # dies while parsing dimensions
+    df = spark.createDataFrame(
+        [
+            (1, "image/ppm", bytearray(trunc_ppm)),
+            (2, "image/ppm", bytearray(short_bmp)),
+            (3, "image/ppm", bytearray(header_only)),
+        ],
+        schema="doc_id long, media_type string, payload binary",
+    )
+    feats = df.mapInPandas(mm._feature_batches, schema=mm._FEATURE_SCHEMA).collect()
+    assert len(feats) == 3
+    assert all(not r.decoded and r.width is None for r in feats)
+    assert all(r.mean_byte is not None and r.n_bytes > 0 for r in feats)
+    thumbs = df.mapInPandas(mm._resize_batches, schema=mm._RESIZE_SCHEMA).collect()
+    assert thumbs == []  # quarantined rows simply drop out of the resize
+    # the good payload still decodes alongside corrupt neighbors
+    mixed = df.unionAll(
+        spark.createDataFrame(
+            [(12, "image/ppm", bytearray(_ref_ppm(12)))], schema=df.schema
+        )
+    )
+    ok = mixed.mapInPandas(mm._feature_batches, schema=mm._FEATURE_SCHEMA).collect()
+    assert [r.doc_id for r in ok if r.decoded] == [12]
 
 
 try:

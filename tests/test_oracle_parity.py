@@ -42,6 +42,32 @@ def test_harness_rejects_hugeint_oracle():
     con.close()
 
 
+def test_harness_rejects_array_oracle():
+    """Nested output types must fail locally: the driver's pandas
+    canonicalizer cannot sort/hash numpy arrays — this is exactly the
+    round-4 x3_label_centroids driver crash, now a locally catchable
+    regression on both engines."""
+    import duckdb
+
+    from .oracle_harness import oracle_arrow
+
+    con = duckdb.connect()
+    with pytest.raises(AssertionError, match="non-portable"):
+        oracle_arrow(con, "arr", "SELECT [1, 2, 3] AS xs")
+    con.close()
+
+
+def test_harness_rejects_array_spark(spark):
+    """Spark-side twin of the nested-type gate."""
+    from .oracle_harness import compare
+
+    def q(spark, sf_dir):
+        return spark.sql("SELECT array(1, 2) AS xs")
+
+    with pytest.raises(AssertionError, match="nested"):
+        compare(spark, "arr", q, "SELECT 1", SF_ORACLE)
+
+
 def test_every_query_runs(spark):
     """Queries without an oracle still must run and return a schema."""
     for name, fn in _QUERIES.items():

@@ -165,10 +165,11 @@ def test_ivf_assignment_no_crossjoin_no_window_shuffle(spark):
 
 def test_partial_agg_centroids_match_full_group_mean(spark):
     """The map-side-combine centroid path (shuffle carries ≤ k·partitions
-    partial rows) produces the same 6-decimal centroids as the
-    full-group applyInPandas mean it replaces in the k-means loop."""
-    import pytest
-
+    partial rows) produces EXACTLY the same 6-decimal centroids as the
+    full-group applyInPandas mean it replaces in the k-means loop: both
+    paths sum with math.fsum (exactly rounded, order-insensitive), so the
+    result no longer depends on partition boundaries (ADVICE r4 #1) —
+    exercised across three different partitionings."""
     from weather_data_pipeline_spark.operators import similarity as sim
 
     emb = load_table(spark, SF, "embeddings")
@@ -181,13 +182,14 @@ def test_partial_agg_centroids_match_full_group_mean(spark):
         .applyInPandas(sim._centroid_of_group, schema=sim._CENTROID_SCHEMA)
         .collect()
     }
-    partial = {
-        r["label"]: r["centroid"]
-        for r in sim.centroids_partial_agg(emb, "label").collect()
-    }
-    assert full.keys() == partial.keys()
-    for k in full:
-        assert full[k] == pytest.approx(partial[k], abs=2e-6), k
+    for reshaped in (emb, emb.repartition(7), emb.repartition(1)):
+        partial = {
+            r["label"]: r["centroid"]
+            for r in sim.centroids_partial_agg(reshaped, "label").collect()
+        }
+        assert full.keys() == partial.keys()
+        for k in full:
+            assert full[k] == partial[k], k
 
 
 def test_ivf_recall_floor(spark):

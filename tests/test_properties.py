@@ -131,3 +131,41 @@ def test_pack_shard_matches_brute_force(lengths):
     for i, n in enumerate(lengths):
         if n > PACK_BUDGET:
             assert got.count(got[i]) == 1
+
+
+# ---------------------------------------------------------------------------
+# pack_sequences shard-count sweep (r3 ask #7): the shard count is a tuning
+# knob, not a semantic constant — the packed output must satisfy the greedy
+# recurrence per shard at 1 (global sequential), 32 (default), and 1024
+# (more shards than docs → every shard is a trivial singleton pack).
+# ---------------------------------------------------------------------------
+
+
+def test_pack_sequences_across_shard_counts(spark):
+    import pytest  # noqa: F401
+
+    from weather_data_pipeline_spark.operators.text_analysis import (
+        PACK_BUDGET,
+        pack_sequences,
+    )
+    from weather_data_pipeline_spark.sources.testdata import load_table
+
+    doc = load_table(spark, "/root/testdata/sf0.001", "documents")
+    n_docs = doc.count()
+    for shards in (1, 32, 1024):
+        rows = sorted(
+            (r.doc_id, r.shard, r.n_tokens, r.bin_id)
+            for r in pack_sequences(doc, shards=shards).collect()
+        )
+        assert len(rows) == n_docs, shards  # every doc packed exactly once
+        by_shard: dict = {}
+        for doc_id, shard, n, b in rows:
+            assert shard == doc_id % shards
+            by_shard.setdefault(shard, []).append((doc_id, n, b))
+        for shard, docs in by_shard.items():
+            cum, bb = 0, 0
+            for doc_id, n, b in sorted(docs):
+                if cum + n > PACK_BUDGET and cum > 0:
+                    bb, cum = bb + 1, 0
+                cum += n
+                assert b == bb, (shards, shard, doc_id)

@@ -42,6 +42,7 @@ K_SUPP = 1_000_000
 K_EVENT = 10_000_000
 K_USER = 1_000_000
 K_DOC = 1_000_000
+K_VEC = 1_000_000
 
 QUERIES = [
     "ext_q1_pricing_summary",
@@ -50,6 +51,16 @@ QUERIES = [
     "o15_latest_per_key",
     "x1_exact_dedup_hash",
     "x5_json_extract_agg",
+    # Python-stage headliners (r3 ask #4): their 100 TB story must rest on
+    # a measured scaling exponent too, not plan shape alone. vec_id shifts
+    # keep the IVF probe set fixed (vec_id < N_QUERIES only matches copy
+    # 0) while the corpus and every inverted list grow 10x — the scale
+    # axis an ANN index actually faces.
+    "x2_ngram_jaccard",
+    "x2_simhash",
+    "x3_ivf_topk",
+    "x3_ivf_kmeans_topk",
+    "x6_session_windows",
 ]
 
 
@@ -69,7 +80,7 @@ def _replicate(df: DataFrame, shifts: dict[str, int], text_col: str | None = Non
 
 
 #: Bump when the replica layout changes so stale dirs rebuild.
-_REPLICA_VERSION = 2
+_REPLICA_VERSION = 3
 
 
 def build(spark: SparkSession) -> None:
@@ -108,15 +119,21 @@ def build(spark: SparkSession) -> None:
         .write.mode("overwrite").parquet(f"{SCALE_DIR}/part.parquet")
     _replicate(supp, {"s_suppkey": K_SUPP}) \
         .write.mode("overwrite").parquet(f"{SCALE_DIR}/supplier.parquet")
-    # events.ts round-trips through int64 nanos so load_table's schema holds
+    # events.ts writes as native µs TIMESTAMP_NTZ (load_table sniffs the
+    # footer unit since round 5, so no int64-nanos round-trip needed)
     _replicate(ev, {"event_id": K_EVENT, "user_id": K_USER}) \
-        .withColumn("ts", (F.unix_micros(F.col("ts").cast("timestamp")) * 1000)) \
         .write.mode("overwrite").parquet(f"{SCALE_DIR}/events.parquet")
     _replicate(doc, {"doc_id": K_DOC}, text_col="text") \
         .write.mode("overwrite").parquet(f"{SCALE_DIR}/documents.parquet")
+    # embeddings replicate with shifted vec_id and UNshifted label: the
+    # corpus and each of the k inverted lists grow 10x while the probe
+    # set (vec_id < N_QUERIES) stays fixed to copy 0
+    emb = load_table(spark, BASE, "embeddings")
+    _replicate(emb, {"vec_id": K_VEC}) \
+        .write.mode("overwrite").parquet(f"{SCALE_DIR}/embeddings.parquet")
     # keyless-from-the-fact-side dims (nation/region keys are never
-    # shifted) and embeddings: symlink base copies
-    for t in ["region", "nation", "embeddings"]:
+    # shifted): symlink base copies
+    for t in ["region", "nation"]:
         dst = f"{SCALE_DIR}/{t}.parquet"
         if not os.path.exists(dst):
             os.symlink(f"{BASE}/{t}.parquet", dst)

@@ -207,12 +207,12 @@ def x2_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     on a cluster this is ``checkpoint()`` to reliable storage). One
     shuffle per iteration on doc_id; iterations bounded by cluster
     diameter (clique-ish dup groups → 2-3 in practice), with convergence
-    detected by the strictly-decreasing label sum — one cheap agg per
-    round, no extra join. At 100 TB the same loop runs with the
-    large-star/small-star optimization (alternate min over full vs local
-    neighborhoods) to collapse high-diameter chains in O(log n) rounds;
-    the join shape is identical. Oracle: the identical fixpoint via a
-    recursive reachability CTE."""
+    detected by a did-any-label-shrink existence probe on the
+    checkpointed step — limit-1, overflow-proof at any row count. At
+    100 TB the same loop runs with the large-star/small-star optimization
+    (alternate min over full vs local neighborhoods) to collapse
+    high-diameter chains in O(log n) rounds; the join shape is identical.
+    Oracle: the identical fixpoint via a recursive reachability CTE."""
     doc = load_table(spark, sf_dir, "documents").select("doc_id")
     pairs = x2_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     labels = min_label_propagate(doc, pairs)
@@ -238,14 +238,19 @@ def min_label_propagate(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
     edges = F.broadcast(edges.localCheckpoint())
     labels = nodes.select("doc_id", F.col("doc_id").alias("component"))
     labels = labels.localCheckpoint()
-    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
     for _ in range(_MAX_CC_ITERS):
         nbr_min = (
             edges.join(labels, edges["src"] == labels["doc_id"])
             .groupBy(edges["dst"].alias("doc_id"))
             .agg(F.min("component").alias("nbr_component"))
         )
-        labels = (
+        # `shrunk` rides along in the checkpointed step so convergence is
+        # a limit-1 existence probe on materialized data — overflow-proof
+        # at any scale (the previous SUM(component) probe could alias on
+        # int64 overflow once Σ doc_id exceeds 2^63; ADVICE r4 #3) and no
+        # costlier: labels only decrease, so "no label shrank" IS the
+        # fixpoint.
+        stepped = (
             labels.alias("l")
             .join(nbr_min.alias("n"), "doc_id", "left")
             .select(
@@ -254,13 +259,15 @@ def min_label_propagate(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
                     F.col("l.component"),
                     F.coalesce(F.col("n.nbr_component"), F.col("l.component")),
                 ).alias("component"),
+                F.coalesce(
+                    F.col("n.nbr_component") < F.col("l.component"), F.lit(False)
+                ).alias("shrunk"),
             )
             .localCheckpoint()
         )
-        new_sum = labels.agg(F.sum("component")).collect()[0][0]
-        if new_sum == prev_sum:  # labels only decrease → equal sum = fixpoint
+        labels = stepped.select("doc_id", "component")
+        if stepped.filter("shrunk").isEmpty():
             break
-        prev_sum = new_sum
     else:
         raise RuntimeError(
             f"component labels still moving after {_MAX_CC_ITERS} rounds"

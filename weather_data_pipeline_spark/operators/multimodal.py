@@ -222,6 +222,31 @@ def decode_image(payload: bytes):
     )
 
 
+def _try_decode(payload: bytes):
+    """``decode_image`` with malformed payloads QUARANTINED, not fatal: a
+    truncated ``P6``/``BM`` raises ValueError (short frombuffer/reshape),
+    IndexError (header runs off the end) or struct.error (short BMP
+    header) — at 100 TB a single corrupt object must degrade exactly like
+    a codec-less format, never kill the job. Returns None when the
+    payload can't be decoded for any reason."""
+    import struct
+
+    try:
+        return decode_image(payload)
+    except (NotImplementedError, ValueError, IndexError, struct.error):
+        return None
+
+
+def _trunc6(total: int, n: int) -> float:
+    """Integer-exact mean truncated to 6 decimals: ``(total·10⁶) // n / 1e6``.
+    Floor division on exact ints on BOTH engines (DuckDB twin:
+    ``(sum * 1000000) // n``), then one double division — bit-identical
+    results with no round-half ties for the engines to disagree on (the
+    harness determinism policy; ROUND() is half-away in DuckDB but
+    half-even in numpy/pandas)."""
+    return (total * 1_000_000) // n / 1e6
+
+
 def _feature_batches(it: Iterator) -> Iterator:
     """mapInPandas worker: one pandas frame per Arrow batch. Byte-level
     features are vectorized numpy for every row; decodable payloads
@@ -235,19 +260,19 @@ def _feature_batches(it: Iterator) -> Iterator:
         payloads = pdf["payload"]
         n_bytes = payloads.str.len().astype("int32")
         mean_byte = payloads.map(
-            lambda b: float(np.frombuffer(b, dtype=np.uint8).mean())
+            lambda b: _trunc6(int(np.frombuffer(b, dtype=np.uint8).sum()), len(b))
         )
         # frame sampling stand-in: one "frame" per 64 payload bytes
         n_frames = (n_bytes // 64 + 1).astype("int32")
         decoded, width, height, mean_pixel = [], [], [], []
         for b in payloads:
-            try:
-                img = decode_image(bytes(b))
+            img = _try_decode(bytes(b))
+            if img is not None:
                 decoded.append(True)
                 height.append(img.shape[0])
                 width.append(img.shape[1])
-                mean_pixel.append(round(float(img.mean()), 6))
-            except NotImplementedError:
+                mean_pixel.append(_trunc6(int(img.sum()), img.size))
+            else:
                 decoded.append(False)
                 width.append(None)
                 height.append(None)
@@ -257,7 +282,7 @@ def _feature_batches(it: Iterator) -> Iterator:
                 "doc_id": pdf["doc_id"],
                 "media_type": pdf["media_type"],
                 "n_bytes": n_bytes,
-                "mean_byte": mean_byte.round(6),
+                "mean_byte": mean_byte,
                 "n_frames": n_frames,
                 "decoded": decoded,
                 "width": pd.array(width, dtype="Int32"),
@@ -267,13 +292,78 @@ def _feature_batches(it: Iterator) -> Iterator:
         )
 
 
-@query("mm_decode_features")
+#: DuckDB reconstruction of the payload as an UPPERCASE hex string —
+#: byte-for-byte the Spark payload (test-pinned by the parity sweep): PPM
+#: header+sha256 pixels for image rows, magic+utf8(text) otherwise. Byte
+#: sums are computed from hex pairs (odd position weighs 16): that is the
+#: only pure-SQL way DuckDB can do byte arithmetic over a blob, and it
+#: makes the decode kernels fully hash-verifiable with no golden files.
+_MM_PAYLOAD_CTES = """
+    base AS (
+      SELECT doc_id, text,
+             doc_id % 8 + 2 AS w, doc_id % 5 + 2 AS h,
+             doc_id % 3 AS m
+      FROM documents
+    ), payload AS (
+      SELECT doc_id, m, w, h,
+             CASE
+               WHEN m = 0 THEN
+                 upper(hex(encode('P6' || chr(10) || CAST(w AS VARCHAR) || ' '
+                       || CAST(h AS VARCHAR) || chr(10) || '255' || chr(10))))
+                 || upper(substr(repeat(sha256(CAST(doc_id AS VARCHAR)), 6),
+                                 1, CAST(6 * w * h AS INTEGER)))
+               WHEN m = 1 THEN '52494646' || upper(hex(encode(text)))
+               ELSE '66747970' || upper(hex(encode(text)))
+             END AS phex
+      FROM base
+    ), bytesum AS (
+      SELECT p.doc_id,
+             CAST(length(p.phex) // 2 AS INTEGER) AS n_bytes,
+             CAST(SUM((CASE WHEN g.i % 2 = 1 THEN 16 ELSE 1 END)
+                  * (strpos('0123456789ABCDEF',
+                            substr(p.phex, CAST(g.i AS INTEGER), 1)) - 1))
+                  AS BIGINT) AS bsum
+      FROM payload p, UNNEST(generate_series(1, length(p.phex))) AS g(i)
+      GROUP BY p.doc_id, p.phex
+    )
+"""
+
+#: header "P6\n{w} {h}\n255\n" byte sum for single-digit w,h:
+#: P(80)+6(54)+\n(10)+digit(48+w)+sp(32)+digit(48+h)+\n(10)+2(50)+5(53)
+#: +5(53)+\n(10) = 448+w+h.
+_MM_HEADER_SUM = "448 + b.w + b.h"
+
+
+@query(
+    "mm_decode_features",
+    oracle=f"""
+    WITH {_MM_PAYLOAD_CTES}
+    SELECT b.doc_id,
+           CASE b.m WHEN 0 THEN 'image/ppm' WHEN 1 THEN 'audio/wav'
+                ELSE 'video/mp4' END AS media_type,
+           s.n_bytes,
+           CAST((s.bsum * 1000000) // s.n_bytes AS DOUBLE) / 1000000.0
+             AS mean_byte,
+           CAST(s.n_bytes // 64 + 1 AS INTEGER) AS n_frames,
+           b.m = 0 AS decoded,
+           CASE WHEN b.m = 0 THEN CAST(b.w AS INTEGER) END AS width,
+           CASE WHEN b.m = 0 THEN CAST(b.h AS INTEGER) END AS height,
+           CASE WHEN b.m = 0 THEN
+             CAST(((s.bsum - ({_MM_HEADER_SUM})) * 1000000)
+                  // (3 * b.w * b.h) AS DOUBLE) / 1000000.0
+           END AS mean_pixel
+    FROM base b JOIN bytesum s USING (doc_id)
+    """,
+)
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction over media payloads via Arrow-batched
     ``mapInPandas`` — the decode/resize/frame-sample execution pattern.
     Image rows are REALLY decoded (pure-numpy P6 PPM); wav/mp4 degrade to
     byte-level features across the ``decode_image`` capability probe.
-    Rows-only: deterministic, but pixel decode has no DuckDB twin."""
+    Hash-verified: the DuckDB oracle rebuilds the payload bytes as hex and
+    recomputes every byte/pixel statistic with integer-exact arithmetic
+    (``_MM_PAYLOAD_CTES``), so the decode kernel's output is value-checked
+    end-to-end, not rows-only."""
     m = media_table(spark, sf_dir)
     return m.mapInPandas(_feature_batches, schema=_FEATURE_SCHEMA)
 
@@ -288,7 +378,11 @@ _RESIZE_SCHEMA = T.StructType(
         T.StructField("height", T.IntegerType()),
         T.StructField("thumb_w", T.IntegerType()),
         T.StructField("thumb_h", T.IntegerType()),
-        T.StructField("thumbnail", T.BinaryType()),
+        # hex STRING, not binary: the driver's pandas canonicalizer must
+        # sort/hash output values, and Spark's Arrow collect can surface
+        # binary as bytearray (unhashable) — same portability class as the
+        # round-4 array<double> crash. bytes.fromhex() recovers the PPM.
+        T.StructField("thumb_hex", T.StringType()),
         T.StructField("mean_pixel", T.DoubleType()),
     ]
 )
@@ -318,10 +412,9 @@ def _resize_batches(it: Iterator) -> Iterator:
     for pdf in it:
         out = []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            try:
-                img = decode_image(bytes(payload))
-            except NotImplementedError:
-                continue  # codec-less formats have no pixels to resize
+            img = _try_decode(bytes(payload))
+            if img is None:
+                continue  # codec-less or corrupt: no pixels to resize
             thumb = resize_image(img, _THUMB_W, _THUMB_H)
             out.append(
                 (
@@ -330,8 +423,8 @@ def _resize_batches(it: Iterator) -> Iterator:
                     img.shape[0],
                     _THUMB_W,
                     _THUMB_H,
-                    encode_ppm(thumb),
-                    round(float(thumb.mean()), 6),
+                    encode_ppm(thumb).hex(),
+                    _trunc6(int(thumb.sum()), thumb.size),
                 )
             )
         yield pd.DataFrame(
@@ -342,21 +435,61 @@ def _resize_batches(it: Iterator) -> Iterator:
                 "height",
                 "thumb_w",
                 "thumb_h",
-                "thumbnail",
+                "thumb_hex",
                 "mean_pixel",
             ],
         )
 
 
-@query("mm_resize_thumbnail")
+@query(
+    "mm_resize_thumbnail",
+    oracle=f"""
+    WITH {_MM_PAYLOAD_CTES},
+    img AS (
+      SELECT p.doc_id, p.w, p.h, substr(p.phex, 23) AS pixhex
+      FROM payload p WHERE p.m = 0
+    ),
+    -- nearest-neighbor grid: thumb pixel (r,c) selects source pixel
+    -- (r·h//4, c·w//4); one source pixel = 6 hex chars at 6·idx+1
+    thumb AS (
+      SELECT i.doc_id, i.w, i.h,
+             string_agg(
+               substr(i.pixhex,
+                      CAST(6 * ((r.r * i.h // 4) * i.w + (c.c * i.w // 4)) + 1
+                           AS INTEGER), 6),
+               '' ORDER BY r.r, c.c) AS thex
+      FROM img i,
+           UNNEST(generate_series(0, 3)) AS r(r),
+           UNNEST(generate_series(0, 3)) AS c(c)
+      GROUP BY i.doc_id, i.w, i.h
+    ),
+    tsum AS (
+      SELECT t.doc_id,
+             CAST(SUM((CASE WHEN g.i % 2 = 1 THEN 16 ELSE 1 END)
+                  * (strpos('0123456789ABCDEF',
+                            substr(t.thex, CAST(g.i AS INTEGER), 1)) - 1))
+                  AS BIGINT) AS psum
+      FROM thumb t, UNNEST(generate_series(1, 96)) AS g(i)
+      GROUP BY t.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(t.w AS INTEGER) AS width, CAST(t.h AS INTEGER) AS height,
+           4 AS thumb_w, 4 AS thumb_h,
+           lower(hex(encode('P6' || chr(10) || '4 4' || chr(10) || '255'
+                            || chr(10))) || t.thex) AS thumb_hex,
+           CAST((s.psum * 1000000) // 48 AS DOUBLE) / 1000000.0 AS mean_pixel
+    FROM thumb t JOIN tsum s USING (doc_id)
+    """,
+)
 def mm_resize_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode → nearest-neighbor resize → re-encode, per Arrow batch over
     ``mapInPandas`` — the thumbnailing stage of a media pipeline, running
-    the REAL pure-numpy PPM decoder and emitting real re-encoded PPM
-    thumbnail bytes (binary out-column). Narrow plan: scan-side filter to
-    the decodable media type, then one Python stage, no shuffle.
-    Rows-only: pixel arithmetic has no DuckDB twin; determinism and a
-    decode(encode(x)) round-trip are test-pinned."""
+    the REAL pure-numpy PPM decoder and emitting the re-encoded PPM
+    thumbnail as lowercase hex. Narrow plan: scan-side filter to the
+    decodable media type, then one Python stage, no shuffle.
+    Hash-verified: the oracle replays the nearest-neighbor index math
+    (``r·h//4``, ``c·w//4``) over the hex payload and re-derives the
+    thumbnail bytes and pixel mean with integer-exact arithmetic."""
     m = media_table(spark, sf_dir)
     return m.filter(F.col("media_type") == "image/ppm").mapInPandas(
         _resize_batches, schema=_RESIZE_SCHEMA

@@ -310,33 +310,63 @@ def x4_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc.select("doc_id", roll.alias("rolling_fp"))
 
 
-#: sequence packing: shard fan-out and per-bin token budget
+#: sequence packing defaults: shard fan-out and per-bin token budget
+#: (the registered query pins these; pack_sequences takes both as
+#: arguments — shard count is a tuning knob, not a semantic constant)
 PACK_SHARDS = 32
 PACK_BUDGET = 128
 
 
-def _pack_shard(pdf):
-    """Greedy sequential packing within one shard, docs in doc_id order:
-    cum += n_tokens; overflow closes the bin. Sequential by design — the
-    parallelism lives across shards, which is how production packers run
-    (pack per shard/file, never a global sequential pass)."""
+def _pack_shard_fn(budget: int):
+    """Kernel factory: greedy sequential packing within one shard, docs
+    in doc_id order: cum += n_tokens; overflow closes the bin. Sequential
+    by design — the parallelism lives across shards, which is how
+    production packers run (pack per shard/file, never a global
+    sequential pass)."""
     import pandas as pd
 
-    pdf = pdf.sort_values("doc_id")
-    bins, cum, b = [], 0, 0
-    for n in pdf["n_tokens"]:
-        if cum + n > PACK_BUDGET and cum > 0:
-            b += 1
-            cum = 0
-        cum += n
-        bins.append(b)
-    return pd.DataFrame(
-        {
-            "doc_id": pdf["doc_id"],
-            "shard": pdf["shard"],
-            "n_tokens": pdf["n_tokens"],
-            "bin_id": bins,
-        }
+    def pack(pdf):
+        pdf = pdf.sort_values("doc_id")
+        bins, cum, b = [], 0, 0
+        for n in pdf["n_tokens"]:
+            if cum + n > budget and cum > 0:
+                b += 1
+                cum = 0
+            cum += n
+            bins.append(b)
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "shard": pdf["shard"],
+                "n_tokens": pdf["n_tokens"],
+                "bin_id": bins,
+            }
+        )
+
+    return pack
+
+
+def _pack_shard(pdf):
+    """Default-budget kernel (kept for the property-test surface)."""
+    return _pack_shard_fn(PACK_BUDGET)(pdf)
+
+
+def pack_sequences(
+    doc: DataFrame, shards: int = PACK_SHARDS, budget: int = PACK_BUDGET
+) -> DataFrame:
+    """Shard → greedy per-shard pack (see x8_sequence_packing). ``shards``
+    trades parallelism against packing efficiency (more shards = more
+    parallel packers but more partially-filled final bins); at 100 TB
+    it should track the write-side file count, so it is an argument, not
+    a constant (r3 ask #7)."""
+    sharded = doc.select(
+        "doc_id",
+        (F.col("doc_id") % shards).alias("shard"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    return sharded.groupBy("shard").applyInPandas(
+        _pack_shard_fn(budget),
+        schema="doc_id long, shard long, n_tokens long, bin_id long",
     )
 
 
@@ -374,13 +404,4 @@ def x8_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard packs in parallel, no global order dependency. A doc larger
     than the budget occupies a bin alone. Oracle: the identical greedy
     recurrence as a recursive CTE over per-shard row numbers."""
-    doc = load_table(spark, sf_dir, "documents")
-    shards = doc.select(
-        "doc_id",
-        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
-        F.size(F.split("text", " ")).alias("n_tokens"),
-    )
-    return shards.groupBy("shard").applyInPandas(
-        _pack_shard,
-        schema="doc_id long, shard long, n_tokens long, bin_id long",
-    )
+    return pack_sequences(load_table(spark, sf_dir, "documents"))

@@ -50,10 +50,16 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # in registration order. Round-4 rotation (VERDICT r3 ask #1): pin the
 # flagship plus one driver-green representative per operator family
 # (24 slots, including both round-2 hash-fail regressions), then give the
-# remaining 26 slots to every query that has NEVER had a driver correctness
-# row in rounds 1–3 — after this round the r1–r4 union covers all 112
-# registered queries. Queries rotated out are r1–r3 driver-green and stay
-# value-checked by the arrow-faithful local sweep (tests/test_oracle_parity.py).
+# remaining 26 slots to every query that had never had a driver correctness
+# row in rounds 1–3 — the r1–r4 union now covers all 112 registered
+# queries. Rotated-out queries are either r1–r4 driver-green or no-oracle
+# rows-only by nature (x2_minhash_lsh, x2_simhash, ext_approx_count_distinct,
+# o27_random_split, o28_gbt_train_predict, o29_next_day_forecast — engine-
+# specific hashes / RNG / ML fits with banded plausibility tests instead);
+# only the oracle-backed ones stay value-checked by the arrow-faithful local
+# sweep (tests/test_oracle_parity.py). All 50 driver slots are oracle-
+# bearing (enforced by tests/test_entry.py) since round 5 added DuckDB
+# oracles for the two multimodal decode kernels.
 _PRIORITY: tuple[str, ...] = (
     # pinned family representatives (all driver-green in r1–r3)
     "o15_latest_per_key",  # flagship

@@ -169,10 +169,12 @@ TESTDATA: dict[str, T.StructType] = {
             T.StructField("l_shipdate", T.TimestampNTZType()),
         ]
     ),
-    # events.ts is parquet TIMESTAMP(NANOS) — Spark has no nanos type, so
-    # the scan reads it as raw int64 (spark.sql.legacy.parquet.nanosAsLong)
-    # and sources.testdata converts to µs TIMESTAMP_NTZ exactly (integer
-    # div, matching DuckDB's ns→µs truncation).
+    # events.ts unit varies by testdata generation (ns in rounds 1-4, µs
+    # since round 5) — sources.testdata sniffs ONE parquet footer and
+    # picks the read path: ns → raw int64 scan with this schema
+    # (spark.sql.legacy.parquet.nanosAsLong) + exact integer div to µs
+    # (matching DuckDB's ns→µs truncation); µs/ms → native TIMESTAMP_NTZ
+    # scan (EVENTS_TS_NTZ).
     "events": T.StructType(
         [
             T.StructField("event_id", T.LongType()),

@@ -12,9 +12,44 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.sql import types as T
+
 from ..schemas import TABLE_NAMES, TESTDATA
 
+#: events schema for µs/ms-unit parquet (ts read natively as NTZ).
+EVENTS_TS_NTZ = T.StructType(
+    [
+        T.StructField(f.name, T.TimestampNTZType() if f.name == "ts" else f.dataType)
+        for f in TESTDATA["events"].fields
+    ]
+)
+
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: per-sf_dir cache of the events.ts parquet unit ('ns'|'us'|'ms') — one
+#: footer read per directory, driver-side.
+_EVENTS_TS_UNIT: dict[str, str] = {}
+
+
+def events_ts_unit(sf_dir: str) -> str:
+    """Sniff the physical timestamp unit of events.ts from ONE parquet
+    footer. The driver has regenerated testdata with different units
+    across rounds (nanos → micros in round 5); assuming a unit silently
+    shifts every timestamp by 1000× (round-5 regression: seven events-
+    table oracle parities went red). One footer read per sf_dir, cached —
+    NOT schema inference over the whole file set."""
+    if sf_dir not in _EVENTS_TS_UNIT:
+        import pyarrow.parquet as pq
+
+        path = f"{sf_dir}/events.parquet"
+        if os.path.isdir(path):  # directory-of-parts layout
+            part = next(
+                e.path for e in os.scandir(path) if e.name.endswith(".parquet")
+            )
+            path = part
+        t = pq.read_schema(path).field("ts").type
+        _EVENTS_TS_UNIT[sf_dir] = getattr(t, "unit", "ns")
+    return _EVENTS_TS_UNIT[sf_dir]
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -22,15 +57,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TESTDATA:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     if name == "events":
-        # parquet TIMESTAMP(NANOS) is unreadable by Spark's timestamp types;
-        # scan as int64 nanos, truncate to µs with exact integer division
-        # (matches DuckDB's ns→µs behavior), expose as TIMESTAMP_NTZ.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.schema(TESTDATA[name]).parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn(
-            "ts",
-            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
-        )
+        if events_ts_unit(sf_dir) == "ns":
+            # parquet TIMESTAMP(NANOS) is unreadable by Spark's timestamp
+            # types; scan as int64 nanos, truncate to µs with exact integer
+            # division (matches DuckDB's ns→µs behavior), expose as
+            # TIMESTAMP_NTZ.
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.schema(TESTDATA[name]).parquet(
+                f"{sf_dir}/{name}.parquet"
+            )
+            return df.withColumn(
+                "ts",
+                F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+            )
+        # µs/ms: Spark reads these natively; declare ts TIMESTAMP_NTZ in
+        # the explicit scan schema (still no footer-inference data pass).
+        df = spark.read.schema(EVENTS_TS_NTZ).parquet(f"{sf_dir}/{name}.parquet")
+        return df
     return spark.read.schema(TESTDATA[name]).parquet(f"{sf_dir}/{name}.parquet")
 
 

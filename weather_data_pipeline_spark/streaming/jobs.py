@@ -53,19 +53,29 @@ def stream_raw_weather(spark: SparkSession, root: str) -> DataFrame:
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-stream over the events parquet (ns→µs conversion as in the
-    batch reader, sources/testdata.py).
+    """File-stream over the events parquet (same footer-sniffed unit
+    handling as the batch reader, sources/testdata.py — the driver has
+    shipped both ns- and µs-unit testdata across rounds).
 
     ``ts`` stays TIMESTAMP here (not NTZ): watermarks require an instant
     type. The session timezone is pinned UTC (session.tune), so
     NTZ↔TIMESTAMP casts at the job edges are exact identities."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from ..sources.testdata import EVENTS_TS_NTZ, events_ts_unit
+
+    if events_ts_unit(sf_dir) == "ns":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = (
+            spark.readStream.schema(TESTDATA["events"])
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     raw = (
-        spark.readStream.schema(TESTDATA["events"])
+        spark.readStream.schema(EVENTS_TS_NTZ)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
