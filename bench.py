@@ -88,8 +88,10 @@ def main() -> None:
             samples[name].append(time.perf_counter() - t0)
     times = {n: round(min(s), 3) for n, s in samples.items()}
     medians = {n: round(statistics.median(s), 3) for n, s in samples.items()}
+    # dispersion over steady-state passes only (pass 1 pays the one-time
+    # codegen JIT — including it would report compilation, not drift)
     stdevs = {
-        n: round(statistics.stdev(s), 3) if len(s) > 1 else 0.0
+        n: round(statistics.stdev(s[1:]), 3) if len(s) > 2 else 0.0
         for n, s in samples.items()
     }
 

@@ -283,6 +283,68 @@ def test_min_label_propagate_multi_hop_chain(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7}
 
 
+def test_ivf_corpus_is_cached(spark):
+    """The IVF build re-derives its corpus projection for the quantizer
+    init, each Lloyd iteration, the final assignment, and the probe — the
+    plan must read the cached projection (InMemoryTableScan), not re-scan
+    parquet every time (r3 ask #5)."""
+    from weather_data_pipeline_spark.plans.inspect import executed_plan
+
+    df = _Q["x3_ivf_topk"](spark, SF)
+    plan = executed_plan(df)
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan, plan[:2000]
+
+
+def test_star_components_matches_min_label_on_random_graphs(spark):
+    """large-star/small-star must agree with min-label propagation (and
+    hence the recursive-CTE oracle) on assorted graph shapes: random
+    sparse graphs, a clique, disjoint pairs, isolated nodes."""
+    import random
+
+    from weather_data_pipeline_spark.operators import dedup
+
+    rng = random.Random(7)
+    cases = [
+        [(1, 2), (2, 3), (3, 4), (5, 6)],
+        [(a, b) for a in range(1, 6) for b in range(a + 1, 6)],  # clique
+        [(rng.randrange(1, 30), rng.randrange(1, 30)) for _ in range(25)],
+        [(rng.randrange(1, 50), rng.randrange(1, 50)) for _ in range(40)],
+    ]
+    for pairs_data in cases:
+        pairs_data = [(a, b) for a, b in pairs_data if a != b]
+        n_max = max(max(p) for p in pairs_data) + 2
+        nodes = spark.createDataFrame(
+            [(i,) for i in range(1, n_max)], "doc_id long"
+        )
+        pairs = spark.createDataFrame(pairs_data, "doc_a long, doc_b long")
+        want = {
+            r.doc_id: r.component
+            for r in dedup.min_label_propagate(nodes, pairs).collect()
+        }
+        labels, rounds = dedup.star_components(nodes, pairs)
+        got = {r.doc_id: r.component for r in labels.collect()}
+        assert got == want, pairs_data
+        assert rounds <= 12
+
+
+def test_star_components_chain_logarithmic_rounds(spark):
+    """The case star contraction exists for: a 1024-node chain has
+    diameter 1023 (min-label would need ~1023 rounds — far past
+    _MAX_CC_ITERS), but alternating large/small-star collapses it in
+    O(log n) rounds, every node labeled with the chain minimum."""
+    from weather_data_pipeline_spark.operators import dedup
+
+    n = 1024
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    labels, rounds = dedup.star_components(nodes, pairs)
+    got = {r.doc_id: r.component for r in labels.collect()}
+    assert got == {i: 0 for i in range(n)}
+    assert rounds <= 25, rounds  # ~2*log2(1024)=20 expected, O(n) would blow up
+
+
 def test_simhash_null_text_drops_like_sql_form(spark):
     """NULL text: the SQL form silently drops the doc (explode of a null
     array). The kernel path must degrade identically — filter upstream,

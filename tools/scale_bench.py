@@ -71,7 +71,16 @@ def _replicate(df: DataFrame, shifts: dict[str, int], text_col: str | None = Non
         for col, k in shifts.items():
             c = c.withColumn(col, F.col(col) + F.lit(i * k))
         if text_col is not None and i > 0:
-            c = c.withColumn(text_col, F.concat(F.col(text_col), F.lit(f" rep{i}")))
+            # Tag EVERY token with the copy index, not just append a
+            # suffix: a suffix leaves copies sharing all but one shingle,
+            # so every cross-copy pair becomes an n-gram near-dup
+            # candidate and candidate pairs grow ~copies² (the v2 replica
+            # showed a fake 34x at 10x on x2_ngram_jaccard). Per-token
+            # tagging keeps copies disjoint in shingle space — the dup
+            # RATE stays constant, matching how real 10x data behaves.
+            c = c.withColumn(
+                text_col, F.regexp_replace(F.col(text_col), r"(\S+)", f"c{i}_$1")
+            )
         parts.append(c)
     out = parts[0]
     for p in parts[1:]:
@@ -80,7 +89,7 @@ def _replicate(df: DataFrame, shifts: dict[str, int], text_col: str | None = Non
 
 
 #: Bump when the replica layout changes so stale dirs rebuild.
-_REPLICA_VERSION = 3
+_REPLICA_VERSION = 4
 
 
 def build(spark: SparkSession) -> None:

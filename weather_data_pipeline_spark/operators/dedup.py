@@ -275,6 +275,117 @@ def min_label_propagate(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
     return labels
 
 
+def _star_round(edges: DataFrame, large: bool) -> DataFrame:
+    """One large-star or small-star contraction over a directed edge list.
+
+    For each node u with neighborhood Γ(u) (symmetrized) and
+    m = min(Γ(u) ∪ {u}): large-star re-points every STRICTLY LARGER
+    neighbor at m (collapses long tails toward minima without ever
+    disturbing smaller nodes); small-star re-points u and its ≤-neighbors
+    at m (flattens the local minima into stars). Alternating the two
+    converges to per-component stars rooted at the component minimum in
+    O(log n) rounds — Kiveris et al., "Connected Components in MapReduce
+    and Beyond" (SOCC'14) — vs the O(diameter) of plain min-label
+    propagation. Each round is one groupBy(src) shuffle + a distinct."""
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    m = sym.groupBy("src").agg(
+        F.least(F.min("dst"), F.first("src")).alias("m")
+    )
+    joined = sym.join(m, "src")
+    if large:
+        # u's strictly-larger neighbors re-point at m(u); smaller-side
+        # rows of each undirected edge are covered by the reversed row's
+        # perspective — emissions REPLACE the edge set, nothing is kept.
+        out = joined.filter(F.col("dst") > F.col("src")).select(
+            F.col("dst").alias("src"), F.col("m").alias("dst")
+        )
+    else:
+        out = joined.filter(F.col("dst") <= F.col("src")).select(
+            F.col("dst").alias("src"), F.col("m").alias("dst")
+        ).union(m.select(F.col("src"), F.col("m").alias("dst")))
+    return out.filter(F.col("src") != F.col("dst")).distinct()
+
+
+def star_components(
+    nodes: DataFrame, pairs: DataFrame, max_iters: int = _MAX_CC_ITERS
+) -> tuple[DataFrame, int]:
+    """Connected components via alternating large-star/small-star — the
+    O(log n)-round form of ``min_label_propagate`` (r3 ask #8): a 10⁴-node
+    chain converges in ~2·log₂ rounds where plain propagation needs 10⁴.
+    Same contract: (doc_id) nodes + undirected (doc_a, doc_b) pairs →
+    (doc_id, component = min reachable doc_id). Returns (labels, rounds).
+
+    Fixpoint probe is EXACT and overflow-proof: equal edge count plus an
+    empty multiset difference (``exceptAll``) between consecutive rounds —
+    never a sum that could alias. Each round localCheckpoints so lineage
+    stays flat (cluster form: ``checkpoint()`` to reliable storage)."""
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_edges = edges.count()
+    rounds = 0
+    for _ in range(max_iters):
+        stepped = _star_round(edges, large=True)
+        stepped = _star_round(stepped, large=False).localCheckpoint()
+        rounds += 1
+        n_stepped = stepped.count()
+        if n_stepped == n_edges and stepped.exceptAll(edges).isEmpty():
+            break
+        edges, n_edges = stepped, n_stepped
+    else:
+        raise RuntimeError(f"star contraction still moving after {max_iters} rounds")
+    # Fixpoint edges form stars (child → component root, root < child):
+    # a node's component is its root if it has one, else itself.
+    roots = edges.groupBy(F.col("src").alias("doc_id")).agg(
+        F.min("dst").alias("root")
+    )
+    labels = nodes.join(roots, "doc_id", "left").select(
+        "doc_id", F.coalesce("root", "doc_id").alias("component")
+    )
+    return labels, rounds
+
+
+@query(
+    "x2_dup_components_star",
+    oracle=f"""
+    WITH RECURSIVE {_JACCARD_CTES},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM dup_pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM dup_pairs
+    ),
+    reach(node, lab) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS doc_id, MIN(lab) AS component,
+           CAST(node = MIN(lab) AS BOOLEAN) AS is_canonical
+    FROM reach GROUP BY node
+    """,
+)
+def x2_dup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``x2_dup_components`` computed by the O(log n) star-contraction
+    loop instead of O(diameter) min-label propagation — same oracle, same
+    output, different (scale-preferred) physical algorithm: at 100 TB a
+    high-diameter near-dup graph (transcript chains, crawl mirrors) makes
+    per-round shuffles the dominant cost, and large-star/small-star
+    bounds the round count logarithmically."""
+    doc = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = x2_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    labels, _ = star_components(doc, pairs)
+    return labels.select(
+        "doc_id",
+        "component",
+        (F.col("doc_id") == F.col("component")).alias("is_canonical"),
+    )
+
+
 @query("x2_minhash_lsh")
 def x2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash LSH candidate pairs (pyspark.ml): shingle → sparse vector →

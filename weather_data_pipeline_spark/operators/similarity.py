@@ -435,6 +435,35 @@ def x3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(spark, sf_dir, nprobe=1)
 
 
+#: Corpus-size threshold for the map-side-combine centroid build. The
+#: isolated A/B (tools/ivf_ab.py, BENCH_IVF_AB.json) measured the
+#: partial-agg form ~1.5x SLOWER than a plain groupBy+applyInPandas mean
+#: at 2k AND 20k vectors: its extra Arrow stage (~0.2 s fixed) dominates
+#: while the avoided shuffle is only megabytes. The shuffle it avoids
+#: grows linearly with the corpus (~0.5 GB/iteration at 1M x 64-dim
+#: doubles) while the stage cost stays fixed, so above this row count the
+#: combine form wins and below it the simple form does. Both are
+#: exact-equal (fsum paths, test-pinned) — the switch is purely physical.
+CENTROID_PARTIAL_AGG_MIN_ROWS = 1_000_000
+
+
+def build_centroids(df: DataFrame, key_col: str, n_rows: int) -> DataFrame:
+    """Per-key centroid build with an adaptive physical strategy (the AQE
+    move, made explicit): small corpora take one groupBy+applyInPandas
+    mean; large corpora take the map-side-combine form whose shuffle is
+    bounded by k x partitions rows instead of the corpus."""
+    if n_rows >= CENTROID_PARTIAL_AGG_MIN_ROWS:
+        return centroids_partial_agg(df, key_col)
+    return (
+        df.select(
+            F.col(key_col).alias("label"),
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+        .groupBy("label")
+        .applyInPandas(_centroid_of_group, schema=_CENTROID_SCHEMA)
+    )
+
+
 def centroids_partial_agg(df: DataFrame, key_col: str) -> DataFrame:
     """Per-key vector means with MAP-SIDE COMBINE: a ``mapInPandas`` pass
     emits one (key, partial_sum, n) row per key per partition, so the
@@ -544,8 +573,10 @@ def ivf_topk(
         "label",
     ).cache()
 
+    n_corpus = base.count()  # one cheap job against the cached projection
+
     def collect_centroids(df, key_col):
-        rows = centroids_partial_agg(df, key_col).collect()
+        rows = build_centroids(df, key_col, n_corpus).collect()
         rows.sort(key=lambda r: r["label"])  # argmax first-hit = lowest label
         labels = np.array([r["label"] for r in rows], dtype=np.int64)
         mat = np.array([r["centroid"] for r in rows], dtype=np.float64)

@@ -99,7 +99,9 @@ _PRIORITY: tuple[str, ...] = (
     "x3_lsh_buckets",
     "x3_label_centroids",
     "x3_ivf_topk_nprobe2",
-    "x4_doc_stats",
+    # x4_doc_stats (r4 driver-green) rotated out for the round-5 star-
+    # contraction twin so the new query gets a driver row immediately
+    "x2_dup_components_star",
     "x4_lang_stats",
     "x4_token_count",
     "x4_fingerprint",
