@@ -83,3 +83,46 @@ def test_live_http_fetch_is_import_gated():
     with open(os.path.join(root, "data", date, f"{city}.txt")) as f:
         on_disk = json.load(f)
     assert on_disk == wsrc.synthesize_raw_doc(city, date)
+
+
+def test_events_ts_unit_sniffing_all_units(spark, tmp_path):
+    """The driver has regenerated events.parquet with different timestamp
+    units across rounds (ns in r1-r4, µs in r5) — the round-5 regression
+    shifted every event time 1000x and silently broke seven queries.
+    Pin the footer-sniffing read path: identical wall-clock values must
+    come back for ns, µs, and ms encodings of the same data."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from weather_data_pipeline_spark.sources import testdata
+
+    base = dt.datetime(2024, 3, 1, 12, 30, 45, 123456)
+    ts_vals = [base, base + dt.timedelta(hours=1, microseconds=789)]
+    want = {(1, ts_vals[0]), (2, ts_vals[1])}
+    for unit in ("ns", "us", "ms"):
+        d = tmp_path / f"events_{unit}"
+        d.mkdir()
+        tbl = pa.table(
+            {
+                "event_id": pa.array([1, 2], pa.int64()),
+                "ts": pa.array(ts_vals, pa.timestamp(unit)),
+                "user_id": pa.array([10, 20], pa.int64()),
+                "event_type": pa.array(["click", "view"]),
+                "value": pa.array([1.5, 2.5], pa.float64()),
+                "props": pa.array(["{}", "{}"]),
+            }
+        )
+        pq.write_table(tbl, str(d / "events.parquet"))
+        assert testdata.events_ts_unit(str(d)) == unit
+        got = {
+            (r.event_id, r.ts)
+            for r in testdata.load_table(spark, str(d), "events").collect()
+        }
+        if unit == "ms":  # ms encoding already truncated sub-ms digits
+            want_u = {(i, t.replace(microsecond=t.microsecond // 1000 * 1000))
+                      for i, t in want}
+        else:
+            want_u = want
+        assert got == want_u, unit
