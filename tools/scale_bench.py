@@ -151,6 +151,9 @@ def build(spark: SparkSession) -> None:
 
 
 def _time(qs, name: str, spark: SparkSession, sf_dir: str) -> float:
+    # one untimed warmup pays whole-stage-codegen JIT so the measured
+    # ratio compares steady states (bench.py's convention)
+    qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
     best = float("inf")
     for _ in range(2):
         t0 = time.perf_counter()
