@@ -386,6 +386,155 @@ def x2_dup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: portable MinHash: signature length and banding for the LSH twin
+MINHASH_K = 16
+
+
+@query(
+    "x2_minhash_portable",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+      FROM w, UNNEST(generate_series(1, len(words) - 2)) AS t(i)
+    )
+    SELECT doc_id, CAST(g.i AS BIGINT) AS sig_idx,
+           MIN(CAST(('0x' || substr(md5(CAST(g.i AS VARCHAR) || '#' || shingle),
+                                    1, 15)) AS BIGINT)) AS minhash
+    FROM sh, UNNEST(generate_series(0, {MINHASH_K - 1})) AS g(i)
+    GROUP BY doc_id, g.i
+    """,
+)
+def x2_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures with PORTABLE hash permutations — the
+    oracle-backed twin of ``x2_minhash_lsh``: permutation ``i`` hashes a
+    shingle as the md5-prefix int of ``"{{i}}#{{shingle}}"``, the
+    signature is the per-permutation minimum, emitted in scalar long form
+    ``(doc_id, sig_idx, minhash)``. Value-checked end-to-end against
+    DuckDB, so the MinHash rung of the dedup ladder is no longer
+    rows-only-by-nature — only the pyspark.ml hash family is.
+
+    Plan: one narrow scan computes all {MINHASH_K} mins map-side (gram
+    arrays never explode through a shuffle — the groupBy carries one row
+    per doc with K running minima), then a single stack() to long form."""
+    doc = fan_out(load_table(spark, sf_dir, "documents"))
+    sh = shingle_arrays(doc, 3).select(
+        "doc_id", F.explode("grams").alias("s")
+    )
+    mins = sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit(f"{i}#"), F.col("s"))), 1, 15),
+                    16,
+                    10,
+                ).cast("long")
+            ).alias(f"h{i}")
+            for i in range(MINHASH_K)
+        ]
+    )
+    stack_expr = "stack({}, {}) as (sig_idx, minhash)".format(
+        MINHASH_K, ", ".join(f"{i}L, h{i}" for i in range(MINHASH_K))
+    )
+    return mins.selectExpr("doc_id", stack_expr)
+
+
+#: banding for the portable LSH: MINHASH_K/MINHASH_BAND_ROWS bands
+MINHASH_BAND_ROWS = 4
+
+_MINHASH_HX_CTE = f"""
+    w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+      FROM w, UNNEST(generate_series(1, len(words) - 2)) AS t(i)
+    ), hx AS (
+      SELECT doc_id, CAST(g.i AS BIGINT) AS sig_idx,
+             MIN(CAST(('0x' || substr(md5(CAST(g.i AS VARCHAR) || '#' || shingle),
+                                      1, 15)) AS BIGINT)) AS minhash
+      FROM sh, UNNEST(generate_series(0, {MINHASH_K - 1})) AS g(i)
+      GROUP BY doc_id, g.i
+    )
+"""
+
+
+@query(
+    "x2_minhash_lsh_portable",
+    oracle=f"""
+    WITH {_MINHASH_HX_CTE},
+    bands AS (
+      SELECT doc_id, sig_idx // {MINHASH_BAND_ROWS} AS band,
+             md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY sig_idx))
+               AS band_key
+      FROM hx GROUP BY doc_id, sig_idx // {MINHASH_BAND_ROWS}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
+    """,
+)
+def x2_minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full sub-quadratic LSH candidate pipeline, oracle-exact:
+    portable MinHash signature → {MINHASH_K // MINHASH_BAND_ROWS} bands of
+    {MINHASH_BAND_ROWS} rows → md5 band key → bucket equi-join →
+    DISTINCT candidate pairs. This is the SCALE path of the dedup ladder
+    (candidates ∝ true collisions, never |docs|²) with every stage
+    value-checked against DuckDB — the pyspark.ml ``x2_minhash_lsh`` form
+    keeps its engine-native hash family as the rows-only perf variant.
+
+    Plan: signatures compute map-side (one groupBy carrying one row per
+    doc), banding is a projection, and the only data-sized shuffle is the
+    band-key equi-join — the same exchange shape as x2_ngram_jaccard's
+    gram join but on {MINHASH_K // MINHASH_BAND_ROWS} keys per doc
+    instead of one per shingle."""
+    doc = fan_out(load_table(spark, sf_dir, "documents"))
+    sh = shingle_arrays(doc, 3).select("doc_id", F.explode("grams").alias("s"))
+    mins = sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit(f"{i}#"), F.col("s"))), 1, 15),
+                    16,
+                    10,
+                ).cast("long")
+            ).alias(f"h{i}")
+            for i in range(MINHASH_K)
+        ]
+    )
+    n_bands = MINHASH_K // MINHASH_BAND_ROWS
+    band_cols = []
+    for b in range(n_bands):
+        cols = [
+            F.col(f"h{i}").cast("string")
+            for i in range(b * MINHASH_BAND_ROWS, (b + 1) * MINHASH_BAND_ROWS)
+        ]
+        band_cols.append(f"{b}L")
+        band_cols.append(f"bk{b}")
+        mins = mins.withColumn(f"bk{b}", F.md5(F.concat_ws(",", *cols)))
+    bands = mins.selectExpr(
+        "doc_id",
+        "stack({}, {}) as (band, band_key)".format(n_bands, ", ".join(band_cols)),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), "band", "band_key"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), "band", "band_key"
+    )
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
 @query("x2_minhash_lsh")
 def x2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash LSH candidate pairs (pyspark.ml): shingle → sparse vector →
@@ -487,6 +636,59 @@ def simhash_sql_form(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("h", F.xxhash64("w"))
     votes = (
         tok.select("doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"))
+        .groupBy("doc_id", "bit")
+        .agg(F.sum(F.expr("(shiftright(h, bit) & 1) * 2 - 1")).alias("vote"))
+    )
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.expr("CASE WHEN vote > 0 THEN shiftleft(1L, bit) ELSE 0L END")
+        ).alias("simhash")
+    )
+
+
+@query(
+    "x2_simhash_portable",
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, w
+      FROM documents, UNNEST(string_split(text, ' ')) AS t(w)
+    ), h AS (
+      SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h
+      FROM tok
+    ), votes AS (
+      SELECT doc_id, b.b AS bit,
+             CAST(SUM(((h >> CAST(b.b AS INTEGER)) & 1) * 2 - 1) AS BIGINT)
+               AS vote
+      FROM h, UNNEST(generate_series(0, 59)) AS b(b)
+      GROUP BY doc_id, b.b
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN vote > 0
+                    THEN (CAST(1 AS BIGINT) << CAST(bit AS INTEGER))
+                    ELSE 0 END) AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+)
+def x2_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash with PORTABLE token hashes (md5-prefix ints, the
+    x4_rolling_fingerprint convention) — the oracle-backed twin of
+    ``x2_simhash``: identical bit-vote semantics, value-checked
+    end-to-end against DuckDB, proving the signature pipeline is
+    hash-family-agnostic. The xxhash64 Arrow-kernel form stays the perf
+    path (zero shuffles); this twin pays the explode's two partial-agg
+    shuffles in exchange for cross-engine verifiability — use it when an
+    audit needs signatures recomputable outside the JVM."""
+    doc = load_table(spark, sf_dir, "documents")
+    tok = doc.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
+    ).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long").alias("h"),
+    )
+    votes = (
+        tok.select(
+            "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(59))).alias("bit")
+        )
         .groupBy("doc_id", "bit")
         .agg(F.sum(F.expr("(shiftright(h, bit) & 1) * 2 - 1")).alias("vote"))
     )

@@ -55,7 +55,9 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # queries. Rotated-out queries are either r1–r4 driver-green or no-oracle
 # rows-only by nature (x2_minhash_lsh, x2_simhash, ext_approx_count_distinct,
 # o27_random_split, o28_gbt_train_predict, o29_next_day_forecast — engine-
-# specific hashes / RNG / ML fits with banded plausibility tests instead);
+# specific hashes / RNG / ML fits; the hash-sketch rungs additionally carry
+# oracle-exact portable twins x2_minhash_portable / x2_simhash_portable, and
+# the RNG/ML ops carry oracle-exact twins o27_hash_split / o28_linreg);
 # only the oracle-backed ones stay value-checked by the arrow-faithful local
 # sweep (tests/test_oracle_parity.py). All 50 driver slots are oracle-
 # bearing (enforced by tests/test_entry.py) since round 5 added DuckDB
