@@ -169,6 +169,71 @@ def x2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: decontamination: minimum shared distinct shingles to flag a training
+#: doc as contaminated by an eval doc
+DECON_MIN_SHARED = 3
+
+
+@query(
+    "x2_decontaminate",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+      FROM w, UNNEST(generate_series(1, len(words) - 2)) AS t(i)
+    ), hits AS (
+      SELECT tr.doc_id AS train_doc, ev.doc_id AS eval_doc, COUNT(*) AS shared
+      FROM (SELECT * FROM sh WHERE doc_id % 7 <> 0) tr
+      JOIN (SELECT * FROM sh WHERE doc_id % 7 = 0) ev
+        ON tr.shingle = ev.shingle
+      GROUP BY tr.doc_id, ev.doc_id
+      HAVING COUNT(*) >= {DECON_MIN_SHARED}
+    )
+    SELECT train_doc AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_eval_hits,
+           MAX(shared) AS max_shared_shingles
+    FROM hits GROUP BY train_doc
+    """,
+)
+def x2_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the dedup machinery pointed at an eval
+    set: flag every training document sharing ≥ DECON_MIN_SHARED (3)
+    distinct 3-gram shingles with any eval document (the standard n-gram
+    overlap test pretraining pipelines run before training, so benchmark
+    answers don't leak into the corpus). The stand-in eval membership is
+    ``doc_id % 7 = 0`` — in production this side is the benchmark file.
+
+    Plan shape: identical gram-keyed equi-join as x2_ngram_jaccard, but
+    the eval side is ~1/7 of the corpus (in production: tiny) and
+    broadcastable — at 100 TB the training corpus streams past a
+    broadcast eval-shingle set with ZERO data-sized shuffles; here AQE
+    picks the strategy. Raw shingle strings join (not xxhash64) so the
+    oracle is value-exact."""
+    doc = fan_out(load_table(spark, sf_dir, "documents"))
+    sh = shingle_arrays(doc, 3).select(
+        "doc_id", F.explode("grams").alias("shingle")
+    )
+    tr = sh.filter(F.col("doc_id") % 7 != 0).select(
+        F.col("doc_id").alias("train_doc"), "shingle"
+    )
+    ev = sh.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("eval_doc"), "shingle"
+    )
+    hits = (
+        tr.join(ev, "shingle")
+        .groupBy("train_doc", "eval_doc")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= DECON_MIN_SHARED)
+    )
+    return hits.groupBy(F.col("train_doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_eval_hits"),
+        F.max("shared").alias("max_shared_shingles"),
+    )
+
+
 #: convergence safety bound for min-label propagation (graph diameter of
 #: near-dup clusters; dup groups are clique-ish, so real diameters are tiny)
 _MAX_CC_ITERS = 50

@@ -752,3 +752,59 @@ def x3_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids rounded per iteration so both engines walk the identical
     trajectory."""
     return ivf_topk(spark, sf_dir, nprobe=1, kmeans_iters=_KMEANS_ITERS)
+
+
+# ----------------------------------------------------------------------
+# int8 scalar quantization (the ANN memory-compression step)
+# ----------------------------------------------------------------------
+@query(
+    "x3_quantize_int8",
+    oracle="""
+    WITH flat AS (
+      SELECT vec_id, i AS idx, CAST(embedding[i] AS DOUBLE) AS v
+      FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+    ), scales AS (
+      SELECT idx, MAX(ABS(v)) AS maxabs FROM flat GROUP BY idx
+    )
+    SELECT f.vec_id, f.idx,
+           CAST(CASE WHEN s.maxabs = 0 THEN 0
+                ELSE FLOOR(f.v * 127.0 / s.maxabs + 0.5) END AS INTEGER)
+             AS code,
+           ROUND(ABS(f.v - CASE WHEN s.maxabs = 0 THEN 0
+                ELSE FLOOR(f.v * 127.0 / s.maxabs + 0.5) * s.maxabs / 127.0
+                END), 6) AS recon_err
+    FROM flat f JOIN scales s USING (idx)
+    """,
+)
+def x3_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension int8 scalar quantization of the embedding corpus —
+    the memory-compression step an ANN index applies before sharding
+    (4 bytes → 1 byte per dim; recall cost measured by ``recon_err``).
+    Scales are per-dim max-abs over the corpus (one partial-aggregated
+    shuffle on dim index, ≤ dims rows out), codes are
+    ``floor(v·127/scale + 0.5)`` — floor, not round-half, because both
+    engines floor identically while round-half modes differ — and the
+    reconstruction error is reported at the output rounding. Long scalar
+    form (vec_id, idx, code, recon_err), driver-portable.
+
+    At 100 TB the scales aggregate is a metadata-sized broadcast and the
+    encode pass is a narrow projection — the same shape as the IVF
+    assignment scan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"),
+    ).select("vec_id", (F.col("pos") + 1).cast("bigint").alias("idx"), "v")
+    scales = flat.groupBy("idx").agg(F.max(F.abs("v")).alias("maxabs"))
+    code = F.when(F.col("maxabs") == 0, F.lit(0.0)).otherwise(
+        F.floor(F.col("v") * 127.0 / F.col("maxabs") + 0.5)
+    )
+    recon = F.when(F.col("maxabs") == 0, F.lit(0.0)).otherwise(
+        code * F.col("maxabs") / 127.0
+    )
+    return flat.join(F.broadcast(scales), "idx").select(
+        "vec_id",
+        "idx",
+        code.cast("int").alias("code"),
+        F.round(F.abs(F.col("v") - recon), 6).alias("recon_err"),
+    )

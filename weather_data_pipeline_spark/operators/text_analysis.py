@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..registry import query
 from ..sources.testdata import load_table
@@ -270,6 +271,76 @@ def x8_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.lit(x) for kv in MIX_RATES.items() for x in kv]
     )[F.col("lang")]
     return doc.filter(bucket < F.coalesce(rate, F.lit(0))).select("doc_id", "lang")
+
+
+#: target OUTPUT composition for the mixture sampler: integer weights
+#: (en-heavy pretraining mix); exact proportions, not per-class rates.
+MIX_WEIGHTS = {"en": 5, "de": 2, "es": 1, "fr": 1, "zh": 1}
+
+
+@query(
+    "x8_mixture_sample",
+    oracle=f"""
+    WITH wts(lang, w) AS (VALUES
+      {', '.join(f"('{k}', {v})" for k, v in MIX_WEIGHTS.items())}
+    ), counts AS (
+      SELECT d.lang, w.w, COUNT(*) AS n
+      FROM documents d JOIN wts w ON w.lang = d.lang
+      GROUP BY d.lang, w.w
+    ), m AS (
+      SELECT MIN(n * {sum(MIX_WEIGHTS.values())} // w) AS m FROM counts
+    ), take AS (
+      SELECT c.lang, c.w * m.m // {sum(MIX_WEIGHTS.values())} AS take_n
+      FROM counts c, m
+    ), ranked AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+      FROM documents
+    )
+    SELECT r.doc_id, r.lang, r.rnk AS mix_rank
+    FROM ranked r JOIN take t ON t.lang = r.lang
+    WHERE r.rnk <= t.take_n
+    """,
+)
+def x8_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted mixture sampling to an EXACT target composition — the
+    second data-mixing primitive (x8_stratified_sample fixes per-class
+    keep RATES; this fixes output PROPORTIONS): given integer weights,
+    emit the largest corpus subset whose language mix matches them, the
+    binding class taken in full. All arithmetic is integer (counts,
+    floor-divided budgets) and doc selection is the md5-rank order — a
+    pure function of the row keys, so the drawn mix is identical across
+    engines, runs, and re-shards.
+
+    Plan: one tiny groupBy for per-class counts (collected — bounded at
+    |classes| rows, the IVF bounded-collect pattern), then one window
+    shuffle on lang for the rank filter. At 100 TB the rank order is the
+    same exchange a per-class sort-limit would pay; hot classes split via
+    AQE skew handling."""
+    W = sum(MIX_WEIGHTS.values())
+    doc = load_table(spark, sf_dir, "documents")
+    counts = {
+        r["lang"]: r["n"]
+        for r in doc.filter(F.col("lang").isin(*MIX_WEIGHTS))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    m = min(counts[k] * W // w for k, w in MIX_WEIGHTS.items() if k in counts)
+    take = {k: w * m // W for k, w in MIX_WEIGHTS.items() if k in counts}
+    w_rank = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    take_col = F.create_map(
+        *[F.lit(x) for kv in take.items() for x in kv]
+    )[F.col("lang")]
+    return (
+        doc.select("doc_id", "lang")
+        .withColumn("mix_rank", F.row_number().over(w_rank))
+        .filter(F.col("mix_rank") <= F.coalesce(take_col, F.lit(0)))
+    )
 
 
 #: polynomial rolling-hash parameters (Rabin–Karp style): base × prior
