@@ -265,6 +265,21 @@ def test_new_ops_shuffle_budgets(spark):
     assert num_shuffles(_Q["mm_resize_thumbnail"](spark, SF)) == 0
 
 
+def test_round5_op_plan_gates(spark):
+    """Shuffle budgets for the round-5 operators: the mixture sampler is
+    one window exchange; quantization is one dim-agg exchange + a
+    broadcast scales join (the encode pass itself is narrow);
+    decontamination broadcasts the eval side; portable sketches pay two
+    partial-agg exchanges."""
+    assert num_shuffles(_Q["x8_mixture_sample"](spark, SF)) == 1
+    q = _Q["x3_quantize_int8"](spark, SF)
+    assert num_shuffles(q) <= 2 and has_broadcast_join(q)
+    d = _Q["x2_decontaminate"](spark, SF)
+    assert has_broadcast_join(d) and has_partial_aggregation(d)
+    assert num_shuffles(_Q["x2_simhash_portable"](spark, SF)) <= 2
+    assert num_shuffles(_Q["x2_minhash_portable"](spark, SF)) <= 2
+
+
 def test_min_label_propagate_multi_hop_chain(spark):
     """A 4-node chain (1-2, 2-3, 3-4) has diameter 3, so min-label
     propagation must iterate past round one to converge — pins the
