@@ -298,6 +298,26 @@ def test_min_label_propagate_multi_hop_chain(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7}
 
 
+def test_build_centroids_strategies_agree(spark):
+    """The adaptive centroid build (simple groupBy mean below the
+    crossover, map-side combine above) must be a purely PHYSICAL choice:
+    forcing each route via n_rows produces identical rounded centroids."""
+    from weather_data_pipeline_spark.operators import similarity as sim
+
+    emb = load_table(spark, SF, "embeddings").select(
+        "label", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    small = {
+        r["label"]: r["centroid"]
+        for r in sim.build_centroids(emb, "label", n_rows=1).collect()
+    }
+    large = {
+        r["label"]: r["centroid"]
+        for r in sim.build_centroids(emb, "label", n_rows=10**9).collect()
+    }
+    assert small == large
+
+
 def test_ivf_corpus_is_cached(spark):
     """The IVF build re-derives its corpus projection for the quantizer
     init, each Lloyd iteration, the final assignment, and the probe — the
