@@ -61,6 +61,11 @@ QUERIES = [
     "x3_ivf_topk",
     "x3_ivf_kmeans_topk",
     "x6_session_windows",
+    # round-5 operators
+    "x2_decontaminate",
+    "x8_mixture_sample",
+    "x3_quantize_int8",
+    "x4_repetition_score",
 ]
 
 

@@ -273,6 +273,55 @@ def x8_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc.filter(bucket < F.coalesce(rate, F.lit(0))).select("doc_id", "lang")
 
 
+@query(
+    "x4_repetition_score",
+    oracle="""
+    SELECT doc_id, total_grams, distinct_grams,
+           ROUND(1.0 - CAST(distinct_grams AS DOUBLE) / total_grams, 6)
+             AS repetition_ratio,
+           (1.0 - CAST(distinct_grams AS DOUBLE) / total_grams) > 0.2
+             AS repetitive
+    FROM (
+      SELECT doc_id,
+             len(words) - 2 AS total_grams,
+             len(list_distinct(list_transform(
+               generate_series(1, len(words) - 2),
+               i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])))
+               AS distinct_grams
+      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+      WHERE len(words) >= 3
+    )
+    """,
+)
+def x4_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition (Gopher-style quality signal): the
+    fraction of 3-gram occurrences that are repeats of an earlier gram in
+    the same doc — high ratios mark boilerplate/template/spam text that
+    pretraining filters drop. Pure counting (total vs distinct grams), so
+    the score is engine-exact; ZERO shuffles — one narrow projection
+    computes both counts off the same JVM-side NGram array."""
+    from pyspark.ml.feature import NGram
+
+    doc = load_table(spark, sf_dir, "documents")
+    words = doc.select("doc_id", F.split("text", " ").alias("words")).filter(
+        F.size("words") >= 3
+    )
+    grams = NGram(n=3, inputCol="words", outputCol="raw_grams").transform(words)
+    j = grams.select(
+        "doc_id",
+        (F.size("words") - 2).alias("total_grams"),
+        F.size(F.array_distinct("raw_grams")).alias("distinct_grams"),
+    )
+    ratio = 1.0 - F.col("distinct_grams").cast("double") / F.col("total_grams")
+    return j.select(
+        "doc_id",
+        "total_grams",
+        "distinct_grams",
+        F.round(ratio, 6).alias("repetition_ratio"),
+        (ratio > 0.2).alias("repetitive"),
+    )
+
+
 #: target OUTPUT composition for the mixture sampler: integer weights
 #: (en-heavy pretraining mix); exact proportions, not per-class rates.
 MIX_WEIGHTS = {"en": 5, "de": 2, "es": 1, "fr": 1, "zh": 1}
