@@ -88,25 +88,29 @@ _PRIORITY: tuple[str, ...] = (
     "ext_pandas_udf_scalar",  # python-exec rep
     "s_latest_per_key_stream",
     "s_stateful_running_totals",
-    # never-driver-checked set (26) — exact complement of
-    # CORRECTNESS_r01∪r02∪r03 keys over the 112 registered queries
+    # rotating set (26). Round-5 rotation: the r4 window gave every one of
+    # the 112 r4-registered queries a driver row (r1–r4 union complete);
+    # this round swaps EIGHT r4-green entries (x4_doc_stats, w_city_encode,
+    # ext_window_running_sum/range_frame/first_last, x4_lang_stats,
+    # x4_token_count, x4_fingerprint — their rows stand in the union) for
+    # the eight round-5 queries so each gets a driver row immediately.
+    # Events-path queries (x6_tumbling_hourly, streams) stay in-window to
+    # drive the new µs timestamp read path under the real driver.
     "w_flatten_stage",
-    "w_city_encode",
-    "ext_window_lag_lead",
-    "ext_window_running_sum",
-    "ext_window_range_frame",
-    "ext_window_first_last",
+    "ext_window_lag_lead",  # window-frame family rep stays
     "ext_python_udtf",
     "ext_pandas_udaf_grouped",
     "x3_lsh_buckets",
     "x3_label_centroids",
     "x3_ivf_topk_nprobe2",
-    # x4_doc_stats (r4 driver-green) rotated out for the round-5 star-
-    # contraction twin so the new query gets a driver row immediately
     "x2_dup_components_star",
-    "x4_lang_stats",
-    "x4_token_count",
-    "x4_fingerprint",
+    "x2_simhash_portable",
+    "x2_minhash_portable",
+    "x2_minhash_lsh_portable",
+    "x2_decontaminate",
+    "x8_mixture_sample",
+    "x3_quantize_int8",
+    "x4_repetition_score",
     "x4_lang_id_heuristic",
     "x4_rolling_fingerprint",
     "x6_tumbling_hourly",
