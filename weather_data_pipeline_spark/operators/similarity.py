@@ -552,13 +552,15 @@ def ivf_topk(
     equi-join, so probe cost scales with |queries|·nprobe·(corpus/k).
 
     ``kmeans_iters`` Lloyd iterations refine the label-centroid init into
-    a geometry-aligned quantizer: each iteration is one corpus scan
-    (assign = broadcast argmax in ``mapInPandas``) plus one k-bounded
-    shuffle (update = per-bucket Arrow mean) — the exact build loop a
-    100 TB IVF index uses, where only k centroid rows ever reach the
-    driver. Centroids round to 6 decimals per iteration so the whole
-    refinement stays engine-portable (oracle unrolls the same loop in
-    SQL); a bucket that loses all members drops out on both engines."""
+    a geometry-aligned quantizer: each iteration is one cached-corpus
+    scan (assign = broadcast argmax in ``mapInPandas``) plus a centroid
+    update via ``build_centroids`` (adaptive: plain groupBy mean locally,
+    the k·partitions-bounded map-side combine above the measured
+    crossover — see BENCH_IVF_AB.json) — the exact build loop a 100 TB
+    IVF index uses, where only k centroid rows ever reach the driver.
+    Centroids round to 6 decimals per iteration so the whole refinement
+    stays engine-portable (oracle unrolls the same loop in SQL); a bucket
+    that loses all members drops out on both engines."""
     emb = load_table(spark, sf_dir, "embeddings")
     # Iterative-algorithm cache (same move as Spark MLlib's KMeans): the
     # quantizer init, each Lloyd iteration, the final assignment, and the
