@@ -126,3 +126,28 @@ def test_events_ts_unit_sniffing_all_units(spark, tmp_path):
         else:
             want_u = want
         assert got == want_u, unit
+
+
+def test_corrupt_parquet_part_skipped_when_tolerated(spark, tmp_path):
+    """A garbage part file in a table directory fails the strict scan but
+    is SKIPPED (its rows lost, the job alive) with tolerate_corrupt=True —
+    the 100 TB posture for one bad object among tens of thousands."""
+    import shutil
+
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from weather_data_pipeline_spark.sources import testdata
+
+    d = tmp_path / "table"
+    d.mkdir()
+    tdir = d / "region.parquet"
+    tdir.mkdir()
+    shutil.copy("/root/testdata/sf0.001/region.parquet", tdir / "part-0.parquet")
+    (tdir / "part-1.parquet").write_bytes(b"PAR1 this is not a real parquet file")
+
+    with pytest.raises(Py4JJavaError):
+        testdata.load_table(spark, str(d), "region").count()
+
+    ok = testdata.load_table(spark, str(d), "region", tolerate_corrupt=True)
+    assert ok.count() == 5  # the good part's 5 regions survive

@@ -52,10 +52,28 @@ def events_ts_unit(sf_dir: str) -> str:
     return _EVENTS_TS_UNIT[sf_dir]
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one synthetic table as a DataFrame (columnar scan, pushdown-ready)."""
+def load_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    tolerate_corrupt: bool = False,
+) -> DataFrame:
+    """Load one synthetic table as a DataFrame (columnar scan, pushdown-ready).
+
+    ``tolerate_corrupt=True`` sets ``ignoreCorruptFiles`` on the scan so a
+    truncated/garbage parquet part is SKIPPED instead of failing the job —
+    the batch-read twin of the weather path's permissive-JSON quarantine
+    and the posture a 100 TB lake needs (one bad object out of tens of
+    thousands of files must cost its own rows, not the day's run). Off by
+    default: silently dropping files is only acceptable when the caller
+    opted in (test-pinned in tests/test_io.py)."""
     if name not in TESTDATA:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    reader = (
+        spark.read.option("ignoreCorruptFiles", "true")
+        if tolerate_corrupt
+        else spark.read
+    )
     if name == "events":
         if events_ts_unit(sf_dir) == "ns":
             # parquet TIMESTAMP(NANOS) is unreadable by Spark's timestamp
@@ -63,18 +81,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # division (matches DuckDB's ns→µs behavior), expose as
             # TIMESTAMP_NTZ.
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-            df = spark.read.schema(TESTDATA[name]).parquet(
-                f"{sf_dir}/{name}.parquet"
-            )
+            df = reader.schema(TESTDATA[name]).parquet(f"{sf_dir}/{name}.parquet")
             return df.withColumn(
                 "ts",
                 F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
             )
         # µs/ms: Spark reads these natively; declare ts TIMESTAMP_NTZ in
         # the explicit scan schema (still no footer-inference data pass).
-        df = spark.read.schema(EVENTS_TS_NTZ).parquet(f"{sf_dir}/{name}.parquet")
-        return df
-    return spark.read.schema(TESTDATA[name]).parquet(f"{sf_dir}/{name}.parquet")
+        return reader.schema(EVENTS_TS_NTZ).parquet(f"{sf_dir}/{name}.parquet")
+    return reader.schema(TESTDATA[name]).parquet(f"{sf_dir}/{name}.parquet")
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
