@@ -405,6 +405,40 @@ def test_star_components_matches_min_label_on_random_graphs(spark):
         assert rounds <= 12
 
 
+def test_star_components_empty_and_singleton_graphs(spark):
+    """Degenerate inputs: no edges at all → every node is its own
+    component after one probe round; a single self-edge-free pair works."""
+    from weather_data_pipeline_spark.operators import dedup
+
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3)], "doc_id long")
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    labels, rounds = dedup.star_components(nodes, empty)
+    assert {r.doc_id: r.component for r in labels.collect()} == {1: 1, 2: 2, 3: 3}
+    assert rounds == 1
+
+
+def test_approx_count_distinct_within_hll_band(spark):
+    """The rows-only HLL query still gets a quantitative gate: Spark's
+    approx_count_distinct targets ~2-5% relative standard deviation, so
+    each group's estimate must sit within 10% of the exact distinct
+    count — a sketch gone wrong (wrong column, wrong grouping) lands far
+    outside that."""
+    est = {
+        r.l_returnflag: r.approx_parts
+        for r in _Q["ext_approx_count_distinct"](spark, SF).collect()
+    }
+    li = load_table(spark, SF, "lineitem")
+    exact = {
+        r.l_returnflag: r.exact
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("exact"))
+        .collect()
+    }
+    assert est.keys() == exact.keys()
+    for k in exact:
+        assert abs(est[k] - exact[k]) / exact[k] <= 0.10, (k, est[k], exact[k])
+
+
 def test_star_components_chain_logarithmic_rounds(spark):
     """The case star contraction exists for: a 1024-node chain has
     diameter 1023 (min-label would need ~1023 rounds — far past
