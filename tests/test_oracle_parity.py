@@ -3,6 +3,8 @@ this mirrors the driver's t2 correctness gate exactly."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from weather_data_pipeline_spark import registry
@@ -17,6 +19,19 @@ _ORACLE = registry.oracle_sql()
 @pytest.mark.parametrize("name", sorted(_ORACLE))
 def test_oracle_parity(spark, name):
     compare(spark, name, _QUERIES[name], _ORACLE[name], SF_ORACLE)
+
+
+@pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_SWEEP_SF01") != "1",
+    reason="10x-scale parity sweep (~4 min); set SPARK_GRAFT_SWEEP_SF01=1",
+)
+@pytest.mark.parametrize("name", sorted(_ORACLE))
+def test_oracle_parity_sf01(spark, name):
+    """Same sweep at sf0.1 — 10x the driver's check scale. Catches
+    scale-dependent divergence (integer overflow, precision drift,
+    threshold artifacts) the sf0.01 gate can't see. Last full run:
+    114/114 green (round 5)."""
+    compare(spark, name, _QUERIES[name], _ORACLE[name], "/root/testdata/sf0.1")
 
 
 def test_harness_rejects_hugeint_oracle():
