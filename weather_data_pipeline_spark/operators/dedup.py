@@ -169,6 +169,86 @@ def x2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: document-frequency cap for the skew-safe Jaccard variant: shingles
+#: appearing in more than this many docs are dropped before the pair join
+DF_CAP = 5
+
+
+@query(
+    "x2_ngram_jaccard_capped",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+      FROM w, UNNEST(generate_series(1, len(words) - 2)) AS t(i)
+    ), hot AS (
+      SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > {DF_CAP}
+    ), sh2 AS (
+      SELECT * FROM sh ANTI JOIN hot USING (shingle)
+    ), n2 AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh2 GROUP BY doc_id
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, inter,
+           ROUND(CAST(inter AS DOUBLE) / (x.n + y.n - inter), 6) AS jaccard
+    FROM pairs
+    JOIN n2 x ON x.doc_id = doc_a
+    JOIN n2 y ON y.doc_id = doc_b
+    WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.05
+    """,
+)
+def x2_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe n-gram Jaccard: shingles with document frequency above
+    ``DF_CAP`` are dropped BEFORE the pair join. This is the mitigation
+    every production near-dup pipeline applies — a viral shingle (site
+    boilerplate, license headers) has a posting list of millions, and the
+    pair expansion on that ONE join key is quadratic in its length; no
+    salting helps because the blowup is real output, not partition skew.
+    Capping df bounds every posting list, so worst-case pair work is
+    |docs|·DF_CAP instead of Σ df² — and the dropped grams carry almost
+    no similarity signal precisely because they are everywhere. Jaccard
+    is computed consistently over the CAPPED gram sets on both engines.
+
+    Plan shape: the hot-gram list is tiny by construction (only grams
+    with df > cap) → broadcast LEFT ANTI join; everything else is the
+    x2_ngram_jaccard plan."""
+    doc = fan_out(load_table(spark, sf_dir, "documents"))
+    sh = shingle_arrays(doc, 3).select(
+        "doc_id", F.explode("grams").alias("shingle")
+    ).select("doc_id", F.xxhash64("shingle").alias("h"))
+    hot = (
+        sh.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > DF_CAP)
+        .select("h")
+    )
+    sh2 = sh.join(F.broadcast(hot), "h", "left_anti")
+    n2 = sh2.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh2.select(F.col("doc_id").alias("doc_a"), "h")
+    b = sh2.select(F.col("doc_id").alias("doc_b"), "h")
+    pairs = (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = n2.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    nb = n2.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    return (
+        pairs.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(jac >= 0.05)
+        .select("doc_a", "doc_b", "inter", F.round(jac, 6).alias("jaccard"))
+    )
+
+
 #: decontamination: minimum shared distinct shingles to flag a training
 #: doc as contaminated by an eval doc
 DECON_MIN_SHARED = 3
