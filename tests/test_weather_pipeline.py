@@ -171,3 +171,36 @@ def test_corrupt_digest_byte_robust(spark):
     assert expected["TrailingWS.txt"] != hashlib.md5(
         b"not json, trailing spaces"
     ).hexdigest()
+
+
+def test_df_cap_defuses_viral_shingle(spark, tmp_path):
+    """The skew scenario x2_ngram_jaccard_capped exists for: 60 documents
+    share a viral boilerplate sentence but are otherwise unrelated. The
+    uncapped join must surface ~C(60,2) boilerplate-driven candidate
+    pairs; the capped form drops the viral grams (df=60 > DF_CAP) and
+    finds NO pairs — while a genuine near-dup pair (unique shared
+    content, df=2 grams) survives the cap."""
+    import pandas as pd
+
+    from weather_data_pipeline_spark.operators import dedup
+
+    boiler = "subscribe to our newsletter for updates and offers today"
+    rows = []
+    for i in range(60):
+        uniq = " ".join(f"tok{i}x{j}" for j in range(10))
+        rows.append((i, f"{boiler} {uniq}", "en", "web", 0))
+    # one true near-dup pair with UNIQUE shared content (no boilerplate)
+    shared = " ".join(f"dup{j}" for j in range(12))
+    rows.append((100, f"{shared} alpha", "en", "web", 0))
+    rows.append((101, f"{shared} beta", "en", "web", 0))
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(tmp_path / "documents.parquet")
+
+    uncapped = dedup.x2_ngram_jaccard(spark, str(tmp_path)).collect()
+    capped = dedup.x2_ngram_jaccard_capped(spark, str(tmp_path)).collect()
+
+    boiler_pairs = [r for r in uncapped if r.doc_a < 60 and r.doc_b < 60]
+    assert len(boiler_pairs) > 1000  # quadratic blowup on the viral grams
+    capped_pairs = {(r.doc_a, r.doc_b) for r in capped}
+    assert capped_pairs == {(100, 101)}  # real near-dups survive the cap
