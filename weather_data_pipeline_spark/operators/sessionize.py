@@ -258,3 +258,90 @@ def x6_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("close_value", ignorenulls=True).over(w).alias("close_value"),
         F.col("close_value").isNull().alias("filled"),
     )
+
+
+# ----------------------------------------------------------------------
+# Exponential moving average — a sequential recurrence over time
+# ----------------------------------------------------------------------
+#: EMA smoothing factor (ema_t = ALPHA * x_t + (1 - ALPHA) * ema_{t-1})
+EMA_ALPHA = 0.3
+
+
+def _ema_of_user(pdf):
+    """Per-user EMA kernel: days in order, the textbook recurrence in
+    float64, truncated to 6 decimals via floor (floor agrees between
+    Python and DuckDB for negatives too, unlike round-half modes)."""
+    import math
+
+    import pandas as pd
+
+    pdf = pdf.sort_values("day")
+    out, prev = [], None
+    for x in pdf["close_value"]:
+        prev = x if prev is None else EMA_ALPHA * x + (1.0 - EMA_ALPHA) * prev
+        out.append(math.floor(prev * 1_000_000) / 1e6)
+    return pd.DataFrame(
+        {
+            "user_id": pdf["user_id"],
+            "day": pdf["day"],
+            "close_value": pdf["close_value"],
+            "ema": out,
+        }
+    )
+
+
+@query(
+    "x6_ema_daily",
+    oracle=f"""
+    WITH RECURSIVE ranked AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             ROUND(CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE), 2)
+               AS close_value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, date_trunc('day', ts)
+               ORDER BY ts DESC, event_id DESC) AS pick
+      FROM events
+    ), daily AS (
+      SELECT user_id, day, close_value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS rn
+      FROM ranked WHERE pick = 1
+    ), rec(user_id, day, close_value, rn, ema) AS (
+      SELECT user_id, day, close_value, rn, close_value
+      FROM daily WHERE rn = 1
+      UNION ALL
+      SELECT d.user_id, d.day, d.close_value, d.rn,
+             {EMA_ALPHA} * d.close_value + (1.0 - {EMA_ALPHA}) * r.ema
+      FROM rec r JOIN daily d ON d.user_id = r.user_id AND d.rn = r.rn + 1
+    )
+    SELECT user_id, day, close_value,
+           FLOOR(ema * 1000000) / 1000000.0 AS ema
+    FROM rec
+    """,
+)
+def x6_ema_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential moving average of each user's daily close — the
+    time-series recurrence plain window functions cannot express (each
+    row depends on the previous OUTPUT, not the previous input). The
+    scalable form: one shuffle groups each user's daily series, an
+    Arrow-batched ``applyInPandas`` kernel walks the recurrence in
+    order — series length is days-per-user (bounded), parallelism is
+    |users|, the same shape a 100 TB feature pipeline uses for per-entity
+    state sweeps. Oracle: the identical recurrence as a recursive CTE
+    over per-user day ranks (the x8_sequence_packing pattern), with
+    floor-based 6-decimal truncation on both engines — floor agrees
+    across engines for negative values where round-half modes differ."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.round(
+            F.max_by("value", F.struct("ts", "event_id"))
+            .cast("decimal(18,2)")
+            .cast("double"),
+            2,
+        ).alias("close_value")
+    )
+    return daily.groupBy("user_id").applyInPandas(
+        _ema_of_user,
+        schema="user_id long, day timestamp_ntz, close_value double, ema double",
+    )
