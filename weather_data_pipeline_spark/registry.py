@@ -90,12 +90,13 @@ _PRIORITY: tuple[str, ...] = (
     "s_stateful_running_totals",
     # rotating set (26). Round-5 rotation: the r4 window gave every one of
     # the 112 r4-registered queries a driver row (r1–r4 union complete);
-    # this round swaps EIGHT r4-green entries (x4_doc_stats, w_city_encode,
+    # this round swaps TEN r4-green entries (x4_doc_stats, w_city_encode,
     # ext_window_running_sum/range_frame/first_last, x4_lang_stats,
-    # x4_token_count, x4_fingerprint — their rows stand in the union) for
-    # the eight round-5 queries so each gets a driver row immediately.
-    # Events-path queries (x6_tumbling_hourly, streams) stay in-window to
-    # drive the new µs timestamp read path under the real driver.
+    # x4_token_count, x4_fingerprint, x4_lang_id_heuristic,
+    # x4_rolling_fingerprint — their rows stand in the union) for the ten
+    # round-5 queries so each gets a driver row immediately. Events-path
+    # queries (x6_tumbling_hourly, streams, x6_ema_daily) stay in-window
+    # to drive the new µs timestamp read path under the real driver.
     "w_flatten_stage",
     "ext_window_lag_lead",  # window-frame family rep stays
     "ext_python_udtf",
@@ -111,8 +112,8 @@ _PRIORITY: tuple[str, ...] = (
     "x8_mixture_sample",
     "x3_quantize_int8",
     "x4_repetition_score",
-    "x4_lang_id_heuristic",
-    "x4_rolling_fingerprint",
+    "x2_ngram_jaccard_capped",
+    "x6_ema_daily",
     "x6_tumbling_hourly",
     "x6_session_stats_per_user",
     "x8_sequence_packing",
