@@ -46,6 +46,14 @@ HEADLINE = [
     "x3_ivf_topk",
     "x3_ivf_kmeans_topk",
     "mm_resize_thumbnail",
+    # round-5 additions — when comparing totals across rounds, normalize
+    # on the shared-query subset (README bench methodology)
+    "x2_ngram_jaccard_capped",
+    "x2_decontaminate",
+    "x8_mixture_sample",
+    "x3_quantize_int8",
+    "x4_repetition_score",
+    "x6_ema_daily",
 ]
 
 

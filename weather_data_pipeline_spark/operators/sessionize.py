@@ -267,19 +267,30 @@ def x6_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 EMA_ALPHA = 0.3
 
 
-def _ema_of_user(pdf):
-    """Per-user EMA kernel: days in order, the textbook recurrence in
-    float64, truncated to 6 decimals via floor (floor agrees between
-    Python and DuckDB for negatives too, unlike round-half modes)."""
+#: shard fan-out for the EMA kernel: one applyInPandas group per shard
+#: (not per user) — grouped-map sends ONE Arrow frame per group, so
+#: per-user grouping paid ~2 ms of frame overhead × |users| (measured
+#: 4.1 s at sf0.1); 32 shards with the per-user loop inside cut that to
+#: kernel-side microseconds (same trick as x8_sequence_packing).
+EMA_SHARDS = 32
+
+
+def _ema_of_shard(pdf):
+    """Per-shard EMA kernel: users in the shard walked one at a time,
+    days in order — the textbook recurrence in float64, truncated to 6
+    decimals via floor (floor agrees between Python and DuckDB for
+    negatives too, unlike round-half modes)."""
     import math
 
     import pandas as pd
 
-    pdf = pdf.sort_values("day")
-    out, prev = [], None
-    for x in pdf["close_value"]:
-        prev = x if prev is None else EMA_ALPHA * x + (1.0 - EMA_ALPHA) * prev
-        out.append(math.floor(prev * 1_000_000) / 1e6)
+    pdf = pdf.sort_values(["user_id", "day"])
+    out = []
+    for _, g in pdf.groupby("user_id", sort=False):
+        prev = None
+        for x in g["close_value"]:
+            prev = x if prev is None else EMA_ALPHA * x + (1.0 - EMA_ALPHA) * prev
+            out.append(math.floor(prev * 1_000_000) / 1e6)
     return pd.DataFrame(
         {
             "user_id": pdf["user_id"],
@@ -322,14 +333,15 @@ def x6_ema_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponential moving average of each user's daily close — the
     time-series recurrence plain window functions cannot express (each
     row depends on the previous OUTPUT, not the previous input). The
-    scalable form: one shuffle groups each user's daily series, an
-    Arrow-batched ``applyInPandas`` kernel walks the recurrence in
-    order — series length is days-per-user (bounded), parallelism is
-    |users|, the same shape a 100 TB feature pipeline uses for per-entity
-    state sweeps. Oracle: the identical recurrence as a recursive CTE
-    over per-user day ranks (the x8_sequence_packing pattern), with
-    floor-based 6-decimal truncation on both engines — floor agrees
-    across engines for negative values where round-half modes differ."""
+    scalable form: one shuffle groups users into EMA_SHARDS deterministic
+    shards, an Arrow-batched ``applyInPandas`` kernel walks each user's
+    series in order — parallelism across shards, per-user work bounded by
+    days-per-user, the same shape a 100 TB feature pipeline uses for
+    per-entity state sweeps. Oracle: the identical recurrence as a
+    recursive CTE over per-user day ranks (the x8_sequence_packing
+    pattern), with floor-based 6-decimal truncation on both engines —
+    floor agrees across engines for negative values where round-half
+    modes differ."""
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         "user_id", F.date_trunc("day", "ts").alias("day")
@@ -341,7 +353,11 @@ def x6_ema_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("close_value")
     )
-    return daily.groupBy("user_id").applyInPandas(
-        _ema_of_user,
-        schema="user_id long, day timestamp_ntz, close_value double, ema double",
+    return (
+        daily.withColumn("shard", F.col("user_id") % EMA_SHARDS)
+        .groupBy("shard")
+        .applyInPandas(
+            _ema_of_shard,
+            schema="user_id long, day timestamp_ntz, close_value double, ema double",
+        )
     )
