@@ -267,37 +267,103 @@ def x6_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 EMA_ALPHA = 0.3
 
 
-#: shard fan-out for the EMA kernel: one applyInPandas group per shard
-#: (not per user) — grouped-map sends ONE Arrow frame per group, so
+#: Shard-count FLOOR for the EMA kernel: one applyInPandas group per
+#: shard (not per user) — grouped-map sends ONE Arrow frame per group, so
 #: per-user grouping paid ~2 ms of frame overhead × |users| (measured
-#: 4.1 s at sf0.1); 32 shards with the per-user loop inside cut that to
-#: kernel-side microseconds (same trick as x8_sequence_packing).
+#: 4.1 s at sf0.1); sharding with the per-user loop inside cut that to
+#: kernel-side microseconds (same trick as x8_sequence_packing). The
+#: actual shard count is an ARGUMENT (``ema_daily(df, shards=...)``)
+#: scaled to data volume by the caller; the default scales to cluster
+#: parallelism, never below this floor.
 EMA_SHARDS = 32
 
+#: Fail-fast memory guard: a grouped-map shard frame is fully
+#: materialized in one executor's memory, so its row count IS the
+#: kernel's memory bound. 5M rows × 4 narrow columns ≈ 160 MB of Arrow
+#: — comfortable in a multi-GB executor. A shard exceeding this raises
+#: with the remedy (raise ``shards``) instead of OOM-killing the
+#: executor mid-job — the same fail-fast posture as the gated all-pairs
+#: similarity rung (similarity.py).
+EMA_MAX_SHARD_ROWS = 5_000_000
 
-def _ema_of_shard(pdf):
-    """Per-shard EMA kernel: users in the shard walked one at a time,
-    days in order — the textbook recurrence in float64, truncated to 6
-    decimals via floor (floor agrees between Python and DuckDB for
-    negatives too, unlike round-half modes)."""
+
+def ema_shards_for(n_daily_rows: int | None = None) -> int:
+    """Shard count sized to the data: enough shards that every shard
+    frame stays under half the ``EMA_MAX_SHARD_ROWS`` guard (headroom
+    for modulo-hash imbalance), never below cluster parallelism or the
+    ``EMA_SHARDS`` floor. Callers at known scale pass their daily-row
+    count; with no hint the default covers parallelism only."""
+    import math
+
+    from ..session import default_parallelism
+
+    base = max(EMA_SHARDS, default_parallelism())
+    if n_daily_rows is None:
+        return base
+    return max(base, math.ceil(n_daily_rows / (EMA_MAX_SHARD_ROWS // 2)))
+
+
+def _ema_kernel(alpha: float, max_shard_rows: int):
+    """Kernel factory (pack_sequences pattern): per-shard EMA — users in
+    the shard walked one at a time, days in order — the textbook
+    recurrence in float64, truncated to 6 decimals via floor (floor
+    agrees between Python and DuckDB for negatives too, unlike
+    round-half modes)."""
     import math
 
     import pandas as pd
 
-    pdf = pdf.sort_values(["user_id", "day"])
-    out = []
-    for _, g in pdf.groupby("user_id", sort=False):
-        prev = None
-        for x in g["close_value"]:
-            prev = x if prev is None else EMA_ALPHA * x + (1.0 - EMA_ALPHA) * prev
-            out.append(math.floor(prev * 1_000_000) / 1e6)
-    return pd.DataFrame(
-        {
-            "user_id": pdf["user_id"],
-            "day": pdf["day"],
-            "close_value": pdf["close_value"],
-            "ema": out,
-        }
+    def ema_of_shard(pdf):
+        if len(pdf) > max_shard_rows:
+            raise ValueError(
+                f"EMA shard frame has {len(pdf)} rows > bound "
+                f"{max_shard_rows}: raise `shards` (ema_daily(df, "
+                f"shards=ema_shards_for(n_daily_rows))) so each "
+                f"grouped-map frame fits executor memory"
+            )
+        pdf = pdf.sort_values(["user_id", "day"])
+        out = []
+        for _, g in pdf.groupby("user_id", sort=False):
+            prev = None
+            for x in g["close_value"]:
+                prev = x if prev is None else alpha * x + (1.0 - alpha) * prev
+                out.append(math.floor(prev * 1_000_000) / 1e6)
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "day": pdf["day"],
+                "close_value": pdf["close_value"],
+                "ema": out,
+            }
+        )
+
+    return ema_of_shard
+
+
+def ema_daily(
+    daily: DataFrame,
+    shards: int | None = None,
+    alpha: float = EMA_ALPHA,
+    max_shard_rows: int = EMA_MAX_SHARD_ROWS,
+) -> DataFrame:
+    """Shard → per-user EMA recurrence within each shard (see
+    ``x6_ema_daily``). ``shards`` bounds per-executor memory: a shard's
+    whole frame (≈ |daily| / shards rows; ``user_id % shards`` is
+    near-uniform, bound test in tests/test_scale_design.py) is
+    materialized per grouped-map call, so at 100 TB it must scale with
+    data — size it via ``ema_shards_for(n_daily_rows)``. The kernel
+    fail-fasts past ``max_shard_rows`` instead of OOMing. Output values
+    are shard-invariant (each user's series lives entirely in one
+    shard), so correctness never depends on the chosen count."""
+    if shards is None:
+        shards = ema_shards_for()
+    return (
+        daily.withColumn("shard", F.col("user_id") % shards)
+        .groupBy("shard")
+        .applyInPandas(
+            _ema_kernel(alpha, max_shard_rows),
+            schema="user_id long, day timestamp_ntz, close_value double, ema double",
+        )
     )
 
 
@@ -333,11 +399,12 @@ def x6_ema_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponential moving average of each user's daily close — the
     time-series recurrence plain window functions cannot express (each
     row depends on the previous OUTPUT, not the previous input). The
-    scalable form: one shuffle groups users into EMA_SHARDS deterministic
-    shards, an Arrow-batched ``applyInPandas`` kernel walks each user's
-    series in order — parallelism across shards, per-user work bounded by
-    days-per-user, the same shape a 100 TB feature pipeline uses for
-    per-entity state sweeps. Oracle: the identical recurrence as a
+    scalable form: one shuffle groups users into deterministic shards
+    (count = ``ema_shards_for`` — an argument scaled to data volume,
+    guarded by a per-shard row bound), an Arrow-batched ``applyInPandas``
+    kernel walks each user's series in order — parallelism across
+    shards, per-user work bounded by days-per-user, the same shape a
+    100 TB feature pipeline uses for per-entity state sweeps. Oracle: the identical recurrence as a
     recursive CTE over per-user day ranks (the x8_sequence_packing
     pattern), with floor-based 6-decimal truncation on both engines —
     floor agrees across engines for negative values where round-half
@@ -353,11 +420,4 @@ def x6_ema_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("close_value")
     )
-    return (
-        daily.withColumn("shard", F.col("user_id") % EMA_SHARDS)
-        .groupBy("shard")
-        .applyInPandas(
-            _ema_of_shard,
-            schema="user_id long, day timestamp_ntz, close_value double, ema double",
-        )
-    )
+    return ema_daily(daily)
