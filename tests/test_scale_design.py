@@ -86,6 +86,19 @@ def test_ema_kernel_fail_fast_on_oversized_shard():
     assert len(out) == 10
 
 
+def test_uncapped_jaccard_gate(spark, monkeypatch):
+    """The uncapped near-dup rung fail-fasts past its corpus ceiling,
+    naming the capped and LSH rungs — it cannot be pointed at 100 TB by
+    accident (mirror of the gated all-pairs similarity rung)."""
+    from weather_data_pipeline_spark.operators import dedup
+
+    monkeypatch.setattr(dedup, "MAX_UNCAPPED_DOCS", 10)
+    with pytest.raises(ValueError, match="x2_ngram_jaccard_capped"):
+        dedup.x2_ngram_jaccard(spark, SF_ORACLE).count()
+    monkeypatch.setattr(dedup, "MAX_UNCAPPED_DOCS", 1_000_000)
+    assert dedup.x2_ngram_jaccard(spark, SF_ORACLE).count() > 0
+
+
 def test_ema_output_shard_invariant(spark):
     """Shard count is a pure parallelism knob: every user's series lives
     wholly inside one shard, so results are identical for any count."""

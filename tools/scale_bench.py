@@ -66,7 +66,26 @@ QUERIES = [
     "x8_mixture_sample",
     "x3_quantize_int8",
     "x4_repetition_score",
+    # round-6 additions (VERDICT r5 ask #2): every round-5 operator gets
+    # a measured scaling exponent, not just a 1x bench row
+    "x2_ngram_jaccard_capped",
+    "x6_ema_daily",
+    "x8_sequence_packing",
+    "x2_dup_components_star",
+    "mm_decode_features",
 ]
+
+#: Viral boilerplate for the skew replica: untagged (shared verbatim
+#: across copies), so its trigrams' document frequency grows with copy
+#: count — the posting-list blowup the DF cap exists to bound.
+BOILER = (
+    "this content is provided under the standard license terms"
+    " all rights reserved worldwide"
+)
+#: 1-in-20 docs carry the boilerplate (5% — typical site-template rate).
+BOILER_MOD = 20
+SKEW1_DIR = os.environ.get("SPARK_GRAFT_SKEW1_DIR", "/tmp/spark_graft_skew1")
+SKEW10_DIR = os.environ.get("SPARK_GRAFT_SKEW10_DIR", "/tmp/spark_graft_skew10")
 
 
 def _replicate(df: DataFrame, shifts: dict[str, int], text_col: str | None = None) -> DataFrame:
@@ -155,6 +174,48 @@ def build(spark: SparkSession) -> None:
         json.dump({"version": _REPLICA_VERSION, "copies": COPIES}, f)
 
 
+def _with_boiler(df: DataFrame) -> DataFrame:
+    return df.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % BOILER_MOD == 0,
+            F.concat(F.col("text"), F.lit(" " + BOILER)),
+        ).otherwise(F.col("text")),
+    )
+
+
+def build_skew(spark: SparkSession) -> None:
+    """Skew-injected documents replicas at 1x and 10x: the normal replica
+    keeps copies shingle-disjoint (per-token tags), so it models CLEAN 10x
+    growth; these dirs additionally share one untagged boilerplate across
+    5% of docs in EVERY copy, so at 10x its trigrams' posting lists are
+    10x longer and the uncapped pair join faces df² growth — the failure
+    mode x2_ngram_jaccard_capped bounds. K_DOC is divisible by BOILER_MOD,
+    so the same 5% of each copy is selected."""
+    for d, build_df in (
+        (SKEW1_DIR, lambda: _with_boiler(load_table(spark, BASE, "documents"))),
+        (
+            SKEW10_DIR,
+            lambda: _with_boiler(
+                _replicate(
+                    load_table(spark, BASE, "documents"),
+                    {"doc_id": K_DOC},
+                    text_col="text",
+                )
+            ),
+        ),
+    ):
+        marker = os.path.join(d, "_SKEW_META.json")
+        if os.path.exists(marker):
+            with open(marker) as f:
+                if json.load(f).get("version") == _REPLICA_VERSION:
+                    continue
+        os.makedirs(d, exist_ok=True)
+        build_df().write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        with open(marker, "w") as f:
+            json.dump({"version": _REPLICA_VERSION}, f)
+
+
 def _time(qs, name: str, spark: SparkSession, sf_dir: str) -> float:
     # one untimed warmup pays whole-stage-codegen JIT so the measured
     # ratio compares steady states (bench.py's convention)
@@ -184,7 +245,15 @@ def main() -> None:
         t1 = _time(qs, name, spark, BASE)
         t10 = _time(qs, name, spark, SCALE_DIR)
         out[name] = {"t_1x": t1, "t_10x": t10, "ratio": round(t10 / t1, 2)}
-    payload = {"copies": COPIES, "base": BASE, "queries": out}
+    # A/B on the skew-injected replica: the capped variant's 1x→10x ratio
+    # must beat the uncapped one's — df² growth vs the |docs|·cap bound.
+    build_skew(spark)
+    skew = {}
+    for name in ("x2_ngram_jaccard", "x2_ngram_jaccard_capped"):
+        t1 = _time(qs, name, spark, SKEW1_DIR)
+        t10 = _time(qs, name, spark, SKEW10_DIR)
+        skew[name] = {"t_1x": t1, "t_10x": t10, "ratio": round(t10 / t1, 2)}
+    payload = {"copies": COPIES, "base": BASE, "queries": out, "skew": skew}
     print(json.dumps(payload))
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "BENCH_SCALE.json"), "w") as f:

@@ -92,6 +92,31 @@ def shingles(df: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
+#: Past this corpus size the UNCAPPED gram self-join's Σ df² pair blowup
+#: is a real risk (one viral boilerplate shingle in 1% of docs already
+#: means 10⁸ pairs at 10⁶ docs), so the exact uncapped rung refuses to
+#: run and names the next rungs of the ladder — the same fail-fast
+#: posture as the gated all-pairs similarity rung
+#: (similarity.MAX_BROADCAST_VECTORS).
+MAX_UNCAPPED_DOCS = 1_000_000
+
+
+def _gate_uncapped(doc: DataFrame, op: str) -> DataFrame:
+    """Fail fast if ``doc`` exceeds the uncapped-rung ceiling. The guard
+    job is bounded regardless of corpus size: the scan stops after
+    MAX+1 rows instead of counting everything."""
+    if doc.limit(MAX_UNCAPPED_DOCS + 1).count() > MAX_UNCAPPED_DOCS:
+        raise ValueError(
+            f"{op} is the exact UNCAPPED near-dup rung; past "
+            f"{MAX_UNCAPPED_DOCS} docs a single viral shingle makes its "
+            f"pair join quadratic (Σ df²). Use x2_ngram_jaccard_capped "
+            f"(df-capped, pair work ≤ |docs|·DF_CAP) or "
+            f"x2_minhash_lsh_portable (banded buckets, sub-quadratic) "
+            f"at this scale"
+        )
+    return doc
+
+
 #: shared CTE chain: shingles → per-doc counts → shared-gram pair counts,
 #: plus the thresholded near-dup pair set (reused by the components oracle)
 _JACCARD_CTES = """
@@ -147,7 +172,9 @@ def x2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     - Each doc's gram count ``n`` (the Jaccard denominator) rides through
       the join; no separate count join.
     """
-    doc = fan_out(load_table(spark, sf_dir, "documents"))
+    doc = _gate_uncapped(
+        fan_out(load_table(spark, sf_dir, "documents")), "x2_ngram_jaccard"
+    )
     sh = shingle_arrays(doc, 3).select(
         "doc_id",
         F.size("grams").alias("n"),
