@@ -128,6 +128,36 @@ def test_events_ts_unit_sniffing_all_units(spark, tmp_path):
         assert got == want_u, unit
 
 
+def test_events_ts_unit_cache_invalidates_on_regeneration(tmp_path):
+    """The unit cache is keyed on the sniffed file's (path, mtime, size):
+    regenerating events.parquet IN PLACE with a different unit — the
+    driver does this between rounds — must re-sniff, not serve the stale
+    unit (ADVICE r5 #3: a stale 'ns' entry reproduces the exact 1000x
+    shift the sniffing exists to prevent)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from weather_data_pipeline_spark.sources import testdata
+
+    d = tmp_path / "events_regen"
+    d.mkdir()
+    path = str(d / "events.parquet")
+
+    def write(unit):
+        pq.write_table(
+            pa.table({"ts": pa.array([0], pa.timestamp(unit))}), path
+        )
+
+    write("ns")
+    assert testdata.events_ts_unit(str(d)) == "ns"
+    write("us")
+    # same path, new content: force a distinct mtime even on coarse clocks
+    os.utime(path, ns=(os.stat(path).st_atime_ns, os.stat(path).st_mtime_ns + 1))
+    assert testdata.events_ts_unit(str(d)) == "us"
+
+
 def test_corrupt_parquet_part_skipped_when_tolerated(spark, tmp_path):
     """A garbage part file in a table directory fails the strict scan but
     is SKIPPED (its rows lost, the job alive) with tolerate_corrupt=True —

@@ -361,16 +361,27 @@ def test_build_centroids_strategies_agree(spark):
     assert small == large
 
 
-def test_ivf_corpus_is_cached(spark):
-    """The IVF build re-derives its corpus projection for the quantizer
-    init, each Lloyd iteration, the final assignment, and the probe — the
-    plan must read the cached projection (InMemoryTableScan), not re-scan
-    parquet every time (r3 ask #5)."""
-    from weather_data_pipeline_spark.plans.inspect import executed_plan
+def test_ivf_corpus_cache_scoped(spark):
+    """The IVF build's corpus cache is SCOPED to the build: the quantizer
+    init, Lloyd iterations, and probe collect all run against one cached
+    projection (r3 ask #5 — no parquet re-scan per internal job), and the
+    entry is released before the function returns (ADVICE r5 #2 — a
+    session touching several sf_dirs must not accumulate pinned corpora).
+    Pin both: cache()+unpersist() bracket the build in source, and a full
+    evaluation leaves the persistent-RDD registry no larger than before."""
+    import inspect
 
-    df = _Q["x3_ivf_topk"](spark, SF)
-    plan = executed_plan(df)
-    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan, plan[:2000]
+    from weather_data_pipeline_spark.operators import similarity as sim
+
+    src = inspect.getsource(sim.ivf_topk)
+    assert ".cache()" in src and "base.unpersist()" in src
+    # unpersist must come after the last internal collect (the probe)
+    assert src.index("base.unpersist()") > src.index("qrows = ")
+
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    _Q["x3_ivf_topk"](spark, SF).count()
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after <= before, (before, after)
 
 
 def test_star_components_matches_min_label_on_random_graphs(spark):

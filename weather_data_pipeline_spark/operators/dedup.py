@@ -244,7 +244,15 @@ def x2_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape: the hot-gram list is tiny by construction (only grams
     with df > cap) → broadcast LEFT ANTI join; everything else is the
-    x2_ngram_jaccard plan."""
+    x2_ngram_jaccard plan.
+
+    Collision assumption (ADVICE r5 #4): df counts, per-doc n, and
+    intersections are all computed over ``xxhash64(shingle)`` keys while
+    the oracle uses raw shingle strings — a 64-bit collision would merge
+    two gram classes and shift all three quantities at once. With D
+    distinct shingles P(any collision) ≈ D²/2⁶⁵ (≈ 5e-6 at D = 10⁹);
+    at trillion-shingle scale switch the key to a 128-bit fingerprint
+    (two independent xxhash64 seeds), which drops it below 1e-14."""
     doc = fan_out(load_table(spark, sf_dir, "documents"))
     sh = shingle_arrays(doc, 3).select(
         "doc_id", F.explode("grams").alias("shingle")

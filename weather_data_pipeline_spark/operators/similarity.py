@@ -338,7 +338,7 @@ def _centroid_of_group(pdf):
     return pd.DataFrame(
         {
             "label": [int(pdf["label"].iloc[0])],
-            "centroid": [np.round(sums / mat.shape[0], 6).tolist()],
+            "centroid": [(np.floor(sums / mat.shape[0] * 1e6) / 1e6).tolist()],
         }
     )
 
@@ -350,7 +350,7 @@ def _centroid_of_group(pdf):
       SELECT label, i AS idx, CAST(embedding[i] AS DOUBLE) AS val
       FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
     )
-    SELECT label, idx, ROUND(AVG(val), 6) AS val
+    SELECT label, idx, FLOOR(AVG(val) * 1000000) / 1000000.0 AS val
     FROM flat GROUP BY label, idx
     """,
 )
@@ -386,7 +386,7 @@ _DUCK_CENTROIDS = """
       FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
     ), cents AS (
       SELECT label, array_agg(a ORDER BY idx) AS centroid
-      FROM (SELECT label, idx, ROUND(AVG(val), 6) AS a
+      FROM (SELECT label, idx, FLOOR(AVG(val) * 1000000) / 1000000.0 AS a
             FROM flat GROUP BY label, idx)
       GROUP BY label
     ), assigned AS (
@@ -495,7 +495,7 @@ def centroids_partial_agg(df: DataFrame, key_col: str) -> DataFrame:
         return pd.DataFrame(
             {
                 "label": [int(pdf["label"].iloc[0])],
-                "centroid": [np.round(tot / n, 6).tolist()],
+                "centroid": [(np.floor(tot / n * 1e6) / 1e6).tolist()],
             }
         )
 
@@ -558,8 +558,10 @@ def ivf_topk(
     the k·partitions-bounded map-side combine above the measured
     crossover — see BENCH_IVF_AB.json) — the exact build loop a 100 TB
     IVF index uses, where only k centroid rows ever reach the driver.
-    Centroids round to 6 decimals per iteration so the whole refinement
-    stays engine-portable (oracle unrolls the same loop in SQL); a bucket
+    Centroids floor-truncate to 6 decimals per iteration (the repo-wide
+    _trunc6 convention — FLOOR agrees across engines where round-half
+    modes differ, ADVICE r5 #1) so the whole refinement stays
+    engine-portable (oracle unrolls the same loop in SQL); a bucket
     that loses all members drops out on both engines."""
     emb = load_table(spark, sf_dir, "embeddings")
     # Iterative-algorithm cache (same move as Spark MLlib's KMeans): the
@@ -607,6 +609,12 @@ def ivf_topk(
         .select("vec_id", "embedding")
         .collect()
     )
+    # Last cache consumer: every remaining job (the probe join the caller
+    # materializes) re-derives the projection from parquet — one cheap
+    # scan — so release the entry now instead of pinning one
+    # MEMORY_AND_DISK corpus per distinct sf_dir for the session lifetime
+    # (ADVICE r5 #2: multi-sf bench/test sessions were accumulating them).
+    base.unpersist()
     q_mat = np.array([r[1] for r in qrows], dtype=np.float64)
     q_norms = _seq_self_norms(q_mat)
     acc = np.zeros((q_mat.shape[0], c_mat.shape[0]))
@@ -702,7 +710,7 @@ def _duck_kmeans_ctes(iters: int) -> str:
       FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
     ), kcents0 AS (
       SELECT label, array_agg(a ORDER BY idx) AS centroid
-      FROM (SELECT label, idx, ROUND(AVG(val), 6) AS a
+      FROM (SELECT label, idx, FLOOR(AVG(val) * 1000000) / 1000000.0 AS a
             FROM flat GROUP BY label, idx)
       GROUP BY label
     )"""
@@ -715,7 +723,7 @@ def _duck_kmeans_ctes(iters: int) -> str:
       FROM ka{i}, UNNEST(generate_series(1, len(embedding))) AS t(i)
     ), kcents{i} AS (
       SELECT label, array_agg(a ORDER BY idx) AS centroid
-      FROM (SELECT label, idx, ROUND(AVG(val), 6) AS a
+      FROM (SELECT label, idx, FLOOR(AVG(val) * 1000000) / 1000000.0 AS a
             FROM kflat{i} GROUP BY label, idx)
       GROUP BY label
     )"""

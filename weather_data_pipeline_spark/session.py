@@ -90,11 +90,29 @@ def get_spark(
 
 
 def fan_out(df, parallelism: int | None = None):
-    """Repartition IF the plan has fewer partitions than the target — small
+    """Repartition IF the scan cannot reach the target parallelism — small
     local files scan as 1-2 tasks and would serialize every downstream
-    narrow op. On a real cluster (input already split into many partitions)
-    this is a no-op, so it never adds a shuffle at scale."""
+    narrow op. The decision reads input-file sizes from the analyzed plan
+    (``df.inputFiles()`` + stat — metadata only), NOT
+    ``df.rdd.getNumPartitions()``: touching ``.rdd`` forces the deprecated
+    DataFrame→RDD conversion path and materializes the RDD lineage on
+    every call (VERDICT r5 #7). A scan whose bytes exceed
+    ``maxPartitionBytes × target`` already splits into ≥ target input
+    partitions, so at scale (or for non-file sources) this is a no-op and
+    never adds a shuffle."""
     target = parallelism or default_parallelism()
-    if df.rdd.getNumPartitions() < target:
+    try:
+        from urllib.parse import unquote, urlparse
+
+        total = 0
+        for uri in df.inputFiles():
+            p = urlparse(uri)
+            if p.scheme not in ("", "file"):
+                return df  # remote object store: scan splitting handles it
+            total += os.path.getsize(unquote(p.path))
+    except Exception:
+        return df  # non-file source (in-memory, stream): nothing to widen
+    max_pb = int(RUNTIME_CONF["spark.sql.files.maxPartitionBytes"])
+    if total < max_pb * target:
         return df.repartition(target)
     return df

@@ -26,9 +26,12 @@ EVENTS_TS_NTZ = T.StructType(
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-#: per-sf_dir cache of the events.ts parquet unit ('ns'|'us'|'ms') — one
-#: footer read per directory, driver-side.
-_EVENTS_TS_UNIT: dict[str, str] = {}
+#: cache of the events.ts parquet unit ('ns'|'us'|'ms'), keyed on the
+#: sniffed file's (path, mtime_ns, size) so an in-place regeneration —
+#: the driver rewrites testdata between rounds — invalidates the entry
+#: instead of reproducing the exact 1000× shift this sniffing prevents
+#: (ADVICE r5 #3). One footer read per distinct file version.
+_EVENTS_TS_UNIT: dict[tuple[str, int, int], str] = {}
 
 
 def events_ts_unit(sf_dir: str) -> str:
@@ -36,20 +39,21 @@ def events_ts_unit(sf_dir: str) -> str:
     footer. The driver has regenerated testdata with different units
     across rounds (nanos → micros in round 5); assuming a unit silently
     shifts every timestamp by 1000× (round-5 regression: seven events-
-    table oracle parities went red). One footer read per sf_dir, cached —
-    NOT schema inference over the whole file set."""
-    if sf_dir not in _EVENTS_TS_UNIT:
+    table oracle parities went red). One footer read per file version,
+    cached — NOT schema inference over the whole file set."""
+    path = f"{sf_dir}/events.parquet"
+    if os.path.isdir(path):  # directory-of-parts layout
+        path = next(
+            e.path for e in os.scandir(path) if e.name.endswith(".parquet")
+        )
+    st = os.stat(path)
+    key = (path, st.st_mtime_ns, st.st_size)
+    if key not in _EVENTS_TS_UNIT:
         import pyarrow.parquet as pq
 
-        path = f"{sf_dir}/events.parquet"
-        if os.path.isdir(path):  # directory-of-parts layout
-            part = next(
-                e.path for e in os.scandir(path) if e.name.endswith(".parquet")
-            )
-            path = part
         t = pq.read_schema(path).field("ts").type
-        _EVENTS_TS_UNIT[sf_dir] = getattr(t, "unit", "ns")
-    return _EVENTS_TS_UNIT[sf_dir]
+        _EVENTS_TS_UNIT[key] = getattr(t, "unit", "ns")
+    return _EVENTS_TS_UNIT[key]
 
 
 def load_table(
