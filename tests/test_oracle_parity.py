@@ -29,9 +29,34 @@ def test_oracle_parity(spark, name):
 def test_oracle_parity_sf01(spark, name):
     """Same sweep at sf0.1 — 10x the driver's check scale. Catches
     scale-dependent divergence (integer overflow, precision drift,
-    threshold artifacts) the sf0.01 gate can't see. Last full run:
-    114/114 green (round 5)."""
+    threshold artifacts) the sf0.01 gate can't see. The sweep size is
+    asserted (not prosed) by test_rows_only_queries_each_have_a_band_twin:
+    it is always len(registry.oracle_sql())."""
     compare(spark, name, _QUERIES[name], _ORACLE[name], "/root/testdata/sf0.1")
+
+
+#: The ONLY queries allowed to lack an oracle, each paired with the
+#: oracle-bearing band twin that value-checks the same engine-specific
+#: op's contract (registry.py documents why each raw form has no oracle).
+ROWS_ONLY_WITH_TWIN = {
+    "x2_minhash_lsh": "x2_minhash_lsh_recall",
+    "x2_simhash": "x2_simhash_invariants",
+    "ext_approx_count_distinct": "ext_acd_error_band",
+    "o27_random_split": "o27_random_split_invariants",
+    "o28_gbt_train_predict": "o28_gbt_holdout_band",
+    "o29_next_day_forecast": "o29_forecast_band",
+}
+
+
+def test_rows_only_queries_each_have_a_band_twin():
+    """The no-oracle set is CLOSED: adding a query without an oracle
+    fails here unless it is deliberately registered with a band twin —
+    and the sweep count is pinned to the registry, not to prose."""
+    rows_only = set(_QUERIES) - set(_ORACLE)
+    assert rows_only == set(ROWS_ONLY_WITH_TWIN), rows_only
+    for raw, twin in ROWS_ONLY_WITH_TWIN.items():
+        assert twin in _ORACLE, (raw, twin)
+    assert len(_ORACLE) == len(_QUERIES) - len(ROWS_ONLY_WITH_TWIN)
 
 
 def test_harness_rejects_hugeint_oracle():

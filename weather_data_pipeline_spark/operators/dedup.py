@@ -720,7 +720,11 @@ def x2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash LSH candidate pairs (pyspark.ml): shingle → sparse vector →
     minhash sketch → banded bucket join. Sub-quadratic: candidates are
     generated by the bucket join, the exact Jaccard distance is only
-    computed per candidate. Rows-only (hash family is engine-specific)."""
+    computed per candidate. No oracle on the RAW pairs — the candidate
+    set and distances depend on Spark's minhash family and HashingTF's
+    murmur3 bucketing, not only on the data, so no portable SQL can
+    reproduce them. The op's RECALL contract is oracle-checked by
+    ``x2_minhash_lsh_recall``."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     doc = fan_out(load_table(spark, sf_dir, "documents"))
@@ -744,6 +748,62 @@ def x2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("datasetB.doc_id").alias("doc_b"),
             F.round("jaccard_dist", 6).alias("jaccard_dist"),
         )
+    )
+
+
+#: strong-pair threshold and recall floor for the LSH band oracle. With
+#: 5 OR-ed hash tables, a pair at Jaccard s is a candidate with
+#: probability 1−(1−s)⁵ ≥ 0.969 for s ≥ 0.5, so observed recall over the
+#: strong pairs sits near 1; the 0.6 floor is a regression trap (broken
+#: sketch, wrong column, empty join), not a statistical test.
+STRONG_JACCARD = 0.5
+LSH_RECALL_FLOOR = 0.6
+
+
+@query(
+    "x2_minhash_lsh_recall",
+    oracle=f"""
+    WITH {_JACCARD_CTES}
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_strong_pairs,
+           TRUE AS lsh_recall_ok
+    FROM dup_pairs WHERE jaccard >= {STRONG_JACCARD}
+    """,
+)
+def x2_minhash_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band oracle for MinHash LSH (VERDICT r5 ask #6): runs the
+    engine-specific sketch join and value-checks its contract — the
+    candidate set must capture ≥ LSH_RECALL_FLOOR of the TRUE strong
+    pairs (exact raw-shingle Jaccard ≥ STRONG_JACCARD, whose count
+    DuckDB recomputes exactly). The exact strong-pair count rides along
+    so the row is a real value check, not a bare boolean."""
+    doc = fan_out(load_table(spark, sf_dir, "documents"))
+    sh = shingle_arrays(doc, 3).select(
+        "doc_id",
+        F.size("grams").alias("n"),
+        F.explode("grams").alias("shingle"),
+    )
+    s = sh.select("doc_id", "n", F.xxhash64("shingle").alias("h"))
+    a = s.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"), "h")
+    b = s.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"), "h")
+    jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    strong = (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .filter(F.round(jac, 6) >= STRONG_JACCARD)
+        .select("doc_a", "doc_b")
+    )
+    cands = x2_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    captured = strong.join(cands, ["doc_a", "doc_b"], "left_semi")
+    n_strong = strong.agg(F.count(F.lit(1)).alias("n_strong_pairs"))
+    n_cap = captured.agg(F.count(F.lit(1)).alias("n_captured"))
+    return n_strong.crossJoin(n_cap).select(
+        "n_strong_pairs",
+        (
+            (F.col("n_strong_pairs") == 0)
+            | (F.col("n_captured") >= LSH_RECALL_FLOOR * F.col("n_strong_pairs"))
+        ).alias("lsh_recall_ok"),
     )
 
 
@@ -786,7 +846,10 @@ def x2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash signatures: per-token xxhash64 (JVM-side, inside a
     transform() over the distinct-token array), then the 64 bit-votes and
     sign computed per doc in one Arrow-batched pandas UDF. Rows-only
-    (hash engine-specific); tests cross-check against the pure-SQL form.
+    (hash engine-specific — no portable SQL reproduces xxhash64 values);
+    tests cross-check against the pure-SQL form, and the kernel's
+    determinism/count contract is oracle-checked by
+    ``x2_simhash_invariants``.
 
     Plan shape: a single narrow scan→project — ZERO shuffles. The
     previous SQL form (kept as ``simhash_sql_form`` for the cross-check)
@@ -803,6 +866,44 @@ def x2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = pandas_udf(_simhash_kernel, LongType())
     return _token_hashes(fan_out(doc)).select(
         "doc_id", sig("hs").alias("simhash")
+    )
+
+
+@query(
+    "x2_simhash_invariants",
+    oracle="""
+    SELECT COUNT(*) AS n_docs,
+           COUNT(DISTINCT text) AS n_distinct_texts,
+           TRUE AS sig_function_of_text
+    FROM documents WHERE text IS NOT NULL
+    """,
+)
+def x2_simhash_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band oracle for the SimHash kernel (VERDICT r5 ask #6): runs the
+    engine-specific signature computation and value-checks its contract —
+    one signature per non-null document (count checked exactly against
+    DuckDB) and the signature is a pure FUNCTION of the text (identical
+    texts never produce different signatures — catches nondeterminism
+    regressions such as unordered set iteration in the kernel). The raw
+    signatures stay rows-only by nature (xxhash64 values); their bit
+    semantics are separately value-checked via the portable twin
+    ``x2_simhash_portable``."""
+    doc = load_table(spark, sf_dir, "documents")
+    sigs = x2_simhash(spark, sf_dir)
+    per_text = (
+        sigs.join(doc.select("doc_id", "text"), "doc_id")
+        .groupBy("text")
+        .agg(F.countDistinct("simhash").alias("nsig"))
+    )
+    n_docs = sigs.agg(F.count(F.lit(1)).alias("n_docs"))
+    t = per_text.agg(
+        F.count(F.lit(1)).alias("n_distinct_texts"),
+        F.max("nsig").alias("mx"),
+    )
+    return n_docs.crossJoin(t).select(
+        "n_docs",
+        "n_distinct_texts",
+        (F.col("mx") == 1).alias("sig_function_of_text"),
     )
 
 

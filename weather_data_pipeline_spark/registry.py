@@ -49,19 +49,32 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # The driver verifies correctness for the first 50 registered queries only,
 # in registration order. Round-4 rotation (VERDICT r3 ask #1): pin the
 # flagship plus one driver-green representative per operator family
-# (24 slots, including both round-2 hash-fail regressions), then give the
-# remaining 26 slots to every query that had never had a driver correctness
-# row in rounds 1–3 — the r1–r4 union now covers all 112 registered
-# queries. Rotated-out queries are either r1–r4 driver-green or no-oracle
-# rows-only by nature (x2_minhash_lsh, x2_simhash, ext_approx_count_distinct,
-# o27_random_split, o28_gbt_train_predict, o29_next_day_forecast — engine-
-# specific hashes / RNG / ML fits; the hash-sketch rungs additionally carry
-# oracle-exact portable twins x2_minhash_portable / x2_simhash_portable, and
-# the RNG/ML ops carry oracle-exact twins o27_hash_split / o28_linreg);
-# only the oracle-backed ones stay value-checked by the arrow-faithful local
-# sweep (tests/test_oracle_parity.py). All 50 driver slots are oracle-
-# bearing (enforced by tests/test_entry.py) since round 5 added DuckDB
-# oracles for the two multimodal decode kernels.
+# (24 slots, including both round-2 hash-fail regressions), then rotate
+# the remaining 26 slots so the r1–rN union covers every registered query.
+#
+# Rows-only queries (VERDICT r5 ask #6 resolution): exactly six queries
+# carry no oracle, each for a stated reason AND each now paired with an
+# oracle-bearing BAND TWIN that runs the same engine-specific op and
+# value-checks its contract (tests/test_oracle_parity.py::
+# test_rows_only_queries_each_have_a_band_twin pins the pairing):
+#   x2_minhash_lsh        — candidate pairs/distances depend on Spark's
+#                           minhash family + HashingTF murmur3 buckets;
+#                           twin x2_minhash_lsh_recall (recall vs exact
+#                           strong pairs, count oracle-exact)
+#   x2_simhash            — xxhash64 signature values; twin
+#                           x2_simhash_invariants (counts + determinism),
+#                           plus portable twin x2_simhash_portable
+#   ext_approx_count_distinct — HLL++ register estimates; twin
+#                           ext_acd_error_band (|approx−exact| ≤ 4·rsd)
+#   o27_random_split      — XORShift sampler row assignment; twin
+#                           o27_random_split_invariants (partition +
+#                           fraction band), plus o27_hash_split
+#   o28_gbt_train_predict — GBT values engine-specific (SURVEY §7.4.3);
+#                           twin o28_gbt_holdout_band (per-row abs err),
+#                           plus o28_linreg_baseline
+#   o29_next_day_forecast — GBT values; twin o29_forecast_band (exact
+#                           at_date stamp + plausibility band)
+# All 50 driver slots are oracle-bearing (enforced by tests/test_entry.py).
 _PRIORITY: tuple[str, ...] = (
     # pinned family representatives (all driver-green in r1–r3)
     "o15_latest_per_key",  # flagship
@@ -88,30 +101,24 @@ _PRIORITY: tuple[str, ...] = (
     "ext_pandas_udf_scalar",  # python-exec rep
     "s_latest_per_key_stream",
     "s_stateful_running_totals",
-    # rotating set (26). Round-5 rotation: the r4 window gave every one of
-    # the 112 r4-registered queries a driver row (r1–r4 union complete);
-    # this round swaps TEN r4-green entries (x4_doc_stats, w_city_encode,
-    # ext_window_running_sum/range_frame/first_last, x4_lang_stats,
-    # x4_token_count, x4_fingerprint, x4_lang_id_heuristic,
-    # x4_rolling_fingerprint — their rows stand in the union) for the ten
-    # round-5 queries so each gets a driver row immediately. Events-path
-    # queries (x6_tumbling_hourly, streams, x6_ema_daily) stay in-window
-    # to drive the new µs timestamp read path under the real driver.
+    # rotating set (26). Round-6 rotation: swaps seven r5-green entries
+    # (x3_lsh_buckets, x3_ivf_topk_nprobe2, x2_simhash_portable,
+    # x2_minhash_portable, x2_minhash_lsh_portable, x3_quantize_int8,
+    # x4_repetition_score — their rows stand in the r1–r5 union) for the
+    # six new band twins (so every engine-specific op gets a driver-
+    # checked contract row immediately) plus the bucketed-layout join
+    # (VERDICT r5 ask #8 — the zero-exchange co-located join path gets a
+    # driver row again). x6_ema_daily stays in-window to drive the
+    # round-6 parameterized shard kernel under the real driver;
+    # x3_label_centroids stays to drive the floor-trunc centroid change.
     "w_flatten_stage",
     "ext_window_lag_lead",  # window-frame family rep stays
     "ext_python_udtf",
     "ext_pandas_udaf_grouped",
-    "x3_lsh_buckets",
     "x3_label_centroids",
-    "x3_ivf_topk_nprobe2",
     "x2_dup_components_star",
-    "x2_simhash_portable",
-    "x2_minhash_portable",
-    "x2_minhash_lsh_portable",
     "x2_decontaminate",
     "x8_mixture_sample",
-    "x3_quantize_int8",
-    "x4_repetition_score",
     "x2_ngram_jaccard_capped",
     "x6_ema_daily",
     "x6_tumbling_hourly",
@@ -123,6 +130,14 @@ _PRIORITY: tuple[str, ...] = (
     "s_tumbling_hourly_stream",
     "s_session_window_stream",
     "s_weather_latest_stream",
+    # round-6 additions
+    "ext_bucketed_join_agg",
+    "ext_acd_error_band",
+    "o27_random_split_invariants",
+    "o28_gbt_holdout_band",
+    "o29_forecast_band",
+    "x2_minhash_lsh_recall",
+    "x2_simhash_invariants",
 )
 
 
