@@ -1,0 +1,177 @@
+"""Streaming state-store scale evidence (VERDICT r5 ask #9).
+
+Replays the ``s_stateful_running_totals`` operator
+(``applyInPandasWithState`` keeping (count, sum) per user) at 1x (sf0.1
+events) and 10x (the scale_bench events replica), measuring what the
+batch bench cannot see:
+
+- wall time and its scaling ratio;
+- state-store row count and memory (stateOperators progress metrics) —
+  state grows with |users|, NOT with |events|: the store holds one
+  (count, sum) tuple per user, so 10x events with 10x users means 10x
+  state rows but the per-trigger update cost stays one pass over the
+  batch;
+- PARTITION PINNING, measured not asserted: the state operator's
+  shuffle-partition count is locked into the checkpoint at first run
+  (session.py documents this as the reason shuffle.partitions must be
+  sized before first deploy). The tool reruns an existing checkpoint
+  with a deliberately different spark.sql.shuffle.partitions and shows
+  the operator KEEPS the checkpointed count (and the on-disk
+  state/0/<partition> directory count does not change).
+
+Run: python tools/stream_scale.py   (builds the 10x replica if absent)
+Writes BENCH_STREAM_SCALE.json at the repo root.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+from weather_data_pipeline_spark.operators.python_exec import (  # noqa: E402
+    _running_totals,
+)
+from weather_data_pipeline_spark.session import tune  # noqa: E402
+from weather_data_pipeline_spark.sources.testdata import EVENTS_TS_NTZ  # noqa: E402
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SCALE_DIR = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/spark_graft_scale10")
+WORK = "/tmp/spark_graft_stream_scale"
+
+
+def _copy_events(dst: str, src_path: str) -> None:
+    """Stage events parquet part files into ``dst`` as distinct files (a
+    file-stream source discovers whole files; staging lets us append new
+    files later for the incremental pinning run)."""
+    os.makedirs(dst, exist_ok=True)
+    if os.path.isdir(src_path):
+        parts = sorted(glob.glob(os.path.join(src_path, "*.parquet")))
+    else:
+        parts = [src_path]
+    for i, p in enumerate(parts):
+        shutil.copy(p, os.path.join(dst, f"ev_{os.path.basename(src_path)}_{i}.parquet"))
+
+
+def _run(spark: SparkSession, src_dir: str, ckpt: str, sink: str = ""):
+    """One availableNow drain of the running-totals operator; returns
+    (seconds, stateOperators metrics of the last progress with state)."""
+    from pyspark.sql import functions as F
+
+    src = (
+        spark.readStream.schema(EVENTS_TS_NTZ)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(src_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out = src.groupBy("user_id").applyInPandasWithState(
+        _running_totals,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    t0 = time.perf_counter()
+    q = (
+        out.writeStream.format("noop")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dt = round(time.perf_counter() - t0, 3)
+    state = None
+    for p in q.recentProgress:
+        ops = p.get("stateOperators") or []
+        if ops and ops[0].get("numRowsTotal"):
+            state = ops[0]
+    keep = {}
+    if state:
+        keep = {
+            k: state.get(k)
+            for k in (
+                "numRowsTotal",
+                "numRowsUpdated",
+                "memoryUsedBytes",
+                "numShufflePartitions",
+            )
+        }
+    return dt, keep
+
+
+def _state_dir_count(ckpt: str) -> int:
+    return len(glob.glob(os.path.join(ckpt, "state", "0", "*")))
+
+
+def main() -> None:
+    if os.path.isdir(WORK):
+        shutil.rmtree(WORK)
+    spark = (
+        SparkSession.builder.master(
+            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+        )
+        .appName("stream-scale")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    tune(spark)
+    if not os.path.isdir(os.path.join(SCALE_DIR)):
+        from scale_bench import build  # noqa: F401  (same tools dir)
+
+        build(spark)
+
+    out: dict = {"shuffle_partitions_first_run": spark.conf.get("spark.sql.shuffle.partitions")}
+
+    d1 = os.path.join(WORK, "ev1x")
+    _copy_events(d1, os.path.join(BASE, "events.parquet"))
+    # untimed warmup drain (throwaway checkpoint): pays one-time Python
+    # worker + codegen startup so 1x and 10x compare steady states
+    _run(spark, d1, os.path.join(WORK, "ck_warm"))
+    ck1 = os.path.join(WORK, "ck1x")
+    t1, s1 = _run(spark, d1, ck1, "tot_1x")
+    out["t_1x"], out["state_1x"] = t1, s1
+
+    d10 = os.path.join(WORK, "ev10x")
+    _copy_events(d10, os.path.join(SCALE_DIR, "events.parquet"))
+    ck10 = os.path.join(WORK, "ck10x")
+    t10, s10 = _run(spark, d10, ck10, "tot_10x")
+    out["t_10x"], out["state_10x"] = t10, s10
+    out["ratio"] = round(t10 / t1, 2)
+
+    # Pinning: new data into the 1x source, SAME checkpoint, conf lowered
+    # to 8 — the operator must keep the checkpointed partition count.
+    dirs_before = _state_dir_count(ck1)
+    _copy_events(d1, os.path.join(SCALE_DIR, "events.parquet"))
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    t_inc, s_inc = _run(spark, d1, ck1, "tot_pin")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", out["shuffle_partitions_first_run"]
+    )
+    out["pinning"] = {
+        "conf_on_rerun": 8,
+        "state_partitions_reported": (s_inc or {}).get("numShufflePartitions"),
+        "state_dirs_before": dirs_before,
+        "state_dirs_after": _state_dir_count(ck1),
+        "t_incremental": t_inc,
+        "state_incremental": s_inc,
+    }
+    print(json.dumps(out))
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "BENCH_STREAM_SCALE.json"), "w") as f:
+        json.dump(out, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
