@@ -54,6 +54,9 @@ HEADLINE = [
     "x3_quantize_int8",
     "x4_repetition_score",
     "x6_ema_daily",
+    # round-6 additions
+    "x4_bm25_score",
+    "x8_doc_chunking",
 ]
 
 

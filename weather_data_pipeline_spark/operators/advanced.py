@@ -128,6 +128,58 @@ def ext_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: rank-tolerance for the approx-percentile band twin: the sketch at
+#: accuracy 10⁴ guarantees rank error ≤ 10⁻⁴·N; the band accepts the
+#: estimate anywhere between the exact quantiles at q ± 0.02 — two
+#: orders of magnitude of headroom, so a miss means a broken sketch
+#: (wrong column, merge bug), never sketch noise.
+APPROX_PCT_ACCURACY = 10_000
+APPROX_PCT_TOL = 0.02
+
+
+@query(
+    "ext_approx_percentile_band",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_rows,
+           TRUE AS p50_in_band, TRUE AS p90_in_band
+    FROM events GROUP BY event_type
+    """,
+)
+def ext_approx_percentile_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band oracle for the t-digest-style percentile sketch (the same
+    contract pattern as ``ext_acd_error_band``): runs the
+    engine-specific ``percentile_approx`` — the op a 100 TB pipeline
+    actually uses for order statistics (bounded memory, mergeable
+    partials) — and value-checks its rank-error contract against exact
+    quantiles computed in the same plan, per group, with the group's
+    exact row count riding along for the oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    q = APPROX_PCT_TOL
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.percentile_approx(
+            "value", F.lit(0.5), F.lit(APPROX_PCT_ACCURACY)
+        ).alias("ap50"),
+        F.percentile_approx(
+            "value", F.lit(0.9), F.lit(APPROX_PCT_ACCURACY)
+        ).alias("ap90"),
+        F.percentile("value", F.lit(0.5 - q)).alias("lo50"),
+        F.percentile("value", F.lit(0.5 + q)).alias("hi50"),
+        F.percentile("value", F.lit(0.9 - q)).alias("lo90"),
+        F.percentile("value", F.lit(0.9 + q)).alias("hi90"),
+    )
+    return agg.select(
+        "event_type",
+        "n_rows",
+        ((F.col("ap50") >= F.col("lo50")) & (F.col("ap50") <= F.col("hi50"))).alias(
+            "p50_in_band"
+        ),
+        ((F.col("ap90") >= F.col("lo90")) & (F.col("ap90") <= F.col("hi90"))).alias(
+            "p90_in_band"
+        ),
+    )
+
+
 # ----------------------------------------------------------------------
 # Skew-safe salted aggregation
 # ----------------------------------------------------------------------

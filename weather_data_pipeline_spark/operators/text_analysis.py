@@ -525,3 +525,147 @@ def x8_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     than the budget occupies a bin alone. Oracle: the identical greedy
     recurrence as a recursive CTE over per-shard row numbers."""
     return pack_sequences(load_table(spark, sf_dir, "documents"))
+
+
+# ----------------------------------------------------------------------
+# BM25 relevance scoring (the IR ranking op of a retrieval pipeline)
+# ----------------------------------------------------------------------
+#: fixed query-term set (mixed document frequencies in the synthetic
+#: vocabulary) and the standard Okapi parameters
+BM25_TERMS = ["hash", "join", "vector"]
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+@query(
+    "x4_bm25_score",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ), dl AS (
+      SELECT doc_id, len(words) AS dl FROM w
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs, SUM(len(words)) AS total_tokens FROM w
+    ), tok AS (
+      SELECT doc_id, UNNEST(words) AS t FROM w
+    ), tf AS (
+      SELECT doc_id, t, COUNT(*) AS tf FROM tok
+      WHERE t IN ({", ".join(f"'{t}'" for t in BM25_TERMS)})
+      GROUP BY doc_id, t
+    ), df AS (
+      SELECT t, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY t
+    )
+    SELECT tf.doc_id,
+           ROUND(SUM(
+             ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tf.tf * ({BM25_K1} + 1.0))
+             / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                + {BM25_B} * dl.dl
+                  / (CAST(stats.total_tokens AS DOUBLE) / stats.n_docs)))
+           ), 6) AS bm25
+    FROM tf
+    JOIN df USING (t) JOIN dl USING (doc_id) CROSS JOIN stats
+    GROUP BY tf.doc_id
+    """,
+)
+def x4_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 relevance of every document against a fixed query-term
+    set — the ranking function of a retrieval/data-curation pipeline,
+    expressed entirely in built-in aggregations:
+
+    - per-doc term frequencies: explode + filter to the query terms
+      BEFORE the groupBy, so the shuffle carries only query-term hits,
+      never the corpus's token stream;
+    - document frequencies and corpus stats (N, avgdl): two tiny
+      aggregates, broadcast into the scoring join (they are |terms| and
+      1 rows — at 100 TB still broadcast);
+    - the score is one partial-aggregated sum per doc.
+
+    Scoring math runs in float64 on both engines (ln/divide are IEEE
+    ops); the output rounds to 6 decimals like every double surface in
+    the repo. One real shuffle (tf groupBy); df/stats exchanges carry
+    rows bounded by |terms| + 1."""
+    doc = load_table(spark, sf_dir, "documents")
+    words = doc.select("doc_id", F.split("text", " ").alias("words"))
+    dl = words.select("doc_id", F.size("words").alias("dl"))
+    stats = words.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("words")).alias("total_tokens"),
+    )
+    tok = words.select("doc_id", F.explode("words").alias("t"))
+    tf = (
+        tok.filter(F.col("t").isin(BM25_TERMS))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("t").agg(F.countDistinct("doc_id").alias("df"))
+    avgdl = F.col("total_tokens").cast("double") / F.col("n_docs")
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    score = idf * (F.col("tf") * (BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / avgdl)
+    )
+    return (
+        tf.join(F.broadcast(df), "t")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(score), 6).alias("bm25"))
+    )
+
+
+# ----------------------------------------------------------------------
+# Document chunking (fixed-size overlapping token windows)
+# ----------------------------------------------------------------------
+#: chunk window and stride in tokens (stride < size ⇒ overlap, the
+#: context-preserving convention LLM preprocessing uses)
+CHUNK_SIZE = 64
+CHUNK_STRIDE = 48
+
+
+@query(
+    "x8_doc_chunking",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ), c AS (
+      SELECT doc_id, words,
+             UNNEST(generate_series(1, len(words), {CHUNK_STRIDE})) AS start
+      FROM w
+    )
+    SELECT doc_id,
+           CAST((start - 1) / {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+           CAST(len(words[start:start + {CHUNK_SIZE - 1}]) AS BIGINT)
+             AS n_chunk_tokens,
+           array_to_string(words[start:start + {CHUNK_SIZE - 1}], ' ')
+             AS chunk_text
+    FROM c
+    """,
+)
+def x8_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping token chunks — the preprocessing step that
+    turns long documents into model-window-sized training rows. Pure
+    narrow built-ins: ``sequence`` generates the chunk starts, explode +
+    ``slice`` cuts each window — ZERO shuffles, output rows ∝ tokens /
+    stride. The trailing chunk keeps whatever tokens remain (both
+    engines share the truncating-slice convention)."""
+    doc = load_table(spark, sf_dir, "documents")
+    words = doc.select("doc_id", F.split("text", " ").alias("words"))
+    starts = words.select(
+        "doc_id",
+        "words",
+        F.explode(
+            F.sequence(F.lit(1), F.size("words"), F.lit(CHUNK_STRIDE))
+        ).alias("start"),
+    )
+    chunk = F.slice("words", F.col("start"), CHUNK_SIZE)
+    return starts.select(
+        "doc_id",
+        F.expr(f"CAST((start - 1) DIV {CHUNK_STRIDE} AS BIGINT)").alias(
+            "chunk_id"
+        ),
+        F.size(chunk).cast("bigint").alias("n_chunk_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    )

@@ -111,7 +111,6 @@ _PRIORITY: tuple[str, ...] = (
     # driver row again). x6_ema_daily stays in-window to drive the
     # round-6 parameterized shard kernel under the real driver;
     # x3_label_centroids stays to drive the floor-trunc centroid change.
-    "w_flatten_stage",
     "ext_window_lag_lead",  # window-frame family rep stays
     "ext_python_udtf",
     "ext_pandas_udaf_grouped",
@@ -125,12 +124,14 @@ _PRIORITY: tuple[str, ...] = (
     "x6_session_stats_per_user",
     "x8_sequence_packing",
     "mm_decode_features",
-    "mm_resize_thumbnail",
-    "mm_frame_sample",
     "s_tumbling_hourly_stream",
     "s_session_window_stream",
     "s_weather_latest_stream",
-    # round-6 additions
+    # round-6 additions: the six band twins + bucketed-layout join
+    # (VERDICT asks #6/#8) and the three brand-new round-6 operators
+    # (BM25, chunking, approx-percentile band). Swapped out for them:
+    # w_flatten_stage, mm_resize_thumbnail, mm_frame_sample (r5-green;
+    # rows stand in the union).
     "ext_bucketed_join_agg",
     "ext_acd_error_band",
     "o27_random_split_invariants",
@@ -138,6 +139,9 @@ _PRIORITY: tuple[str, ...] = (
     "o29_forecast_band",
     "x2_minhash_lsh_recall",
     "x2_simhash_invariants",
+    "x4_bm25_score",
+    "x8_doc_chunking",
+    "ext_approx_percentile_band",
 )
 
 
