@@ -575,7 +575,9 @@ def x4_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     - per-doc term frequencies: explode + filter to the query terms
       BEFORE the groupBy, so the shuffle carries only query-term hits,
-      never the corpus's token stream;
+      never the corpus's token stream — and the doc length rides through
+      the explode as a functionally-dependent group key, so no separate
+      length table or doc-keyed join exists at all;
     - document frequencies and corpus stats (N, avgdl): two tiny
       aggregates, broadcast into the scoring join (they are |terms| and
       1 rows — at 100 TB still broadcast);
@@ -583,19 +585,20 @@ def x4_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scoring math runs in float64 on both engines (ln/divide are IEEE
     ops); the output rounds to 6 decimals like every double surface in
-    the repo. One real shuffle (tf groupBy); df/stats exchanges carry
-    rows bounded by |terms| + 1."""
+    the repo. The only corpus-sized shuffle is the tf groupBy (hits
+    only); the final per-doc sum re-exchanges ≤ |docs|·|terms| rows."""
     doc = load_table(spark, sf_dir, "documents")
     words = doc.select("doc_id", F.split("text", " ").alias("words"))
-    dl = words.select("doc_id", F.size("words").alias("dl"))
     stats = words.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size("words")).alias("total_tokens"),
     )
-    tok = words.select("doc_id", F.explode("words").alias("t"))
+    tok = words.select(
+        "doc_id", F.size("words").alias("dl"), F.explode("words").alias("t")
+    )
     tf = (
         tok.filter(F.col("t").isin(BM25_TERMS))
-        .groupBy("doc_id", "t")
+        .groupBy("doc_id", "dl", "t")  # dl functionally dep. on doc_id
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     df = tf.groupBy("t").agg(F.countDistinct("doc_id").alias("df"))
@@ -609,7 +612,6 @@ def x4_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         tf.join(F.broadcast(df), "t")
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(F.round(F.sum(score), 6).alias("bm25"))
