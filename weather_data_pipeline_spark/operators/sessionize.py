@@ -260,6 +260,58 @@ def x6_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "x6_ohlc_daily",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, date_trunc('day', ts)
+               ORDER BY ts, event_id) AS rf,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, date_trunc('day', ts)
+               ORDER BY ts DESC, event_id DESC) AS rl
+      FROM events
+    )
+    SELECT user_id, day,
+           ROUND(CAST(CAST(MAX(CASE WHEN rf = 1 THEN value END)
+                 AS DECIMAL(18,2)) AS DOUBLE), 2) AS open,
+           ROUND(CAST(CAST(MAX(value) AS DECIMAL(18,2)) AS DOUBLE), 2)
+             AS high,
+           ROUND(CAST(CAST(MIN(value) AS DECIMAL(18,2)) AS DOUBLE), 2)
+             AS low,
+           ROUND(CAST(CAST(MAX(CASE WHEN rl = 1 THEN value END)
+                 AS DECIMAL(18,2)) AS DOUBLE), 2) AS close,
+           COUNT(*) AS n_events
+    FROM ranked GROUP BY user_id, day
+    """,
+)
+def x6_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bars — the canonical hypertable/time-series downsample: per
+    (user, day), the first/last value by event time (total order via the
+    (ts, event_id) tiebreak) plus the extremes. All four statistics are
+    partializable aggregates (``min_by``/``max_by``/min/max), so the op
+    is ONE map-side-combined shuffle — never a window: a ROW_NUMBER
+    formulation would shuffle every event row and sort each partition;
+    this form reduces before the exchange, the difference between
+    moving |events| rows and |user·day| rows at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    order = F.struct("ts", "event_id")
+
+    def r2(c):
+        return F.round(c.cast("decimal(18,2)").cast("double"), 2)
+
+    return ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        r2(F.min_by("value", order)).alias("open"),
+        r2(F.max("value")).alias("high"),
+        r2(F.min("value")).alias("low"),
+        r2(F.max_by("value", order)).alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 # ----------------------------------------------------------------------
 # Exponential moving average — a sequential recurrence over time
 # ----------------------------------------------------------------------
