@@ -671,3 +671,62 @@ def x8_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).cast("bigint").alias("n_chunk_tokens"),
         F.concat_ws(" ", chunk).alias("chunk_text"),
     )
+
+
+# ----------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis–Spirakis as top-k)
+# ----------------------------------------------------------------------
+#: docs kept per source in the weighted draw
+ES_K = 20
+#: 2^32 + 1: maps the 32-bit md5 prefix to a uniform in (0, 1]
+_ES_DENOM = 4294967297.0
+
+
+@query(
+    "x8_weighted_sample",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT source, doc_id,
+             ROUND(ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                             1, 8)) AS BIGINT) + 1.0) / {_ES_DENOM})
+                   / n_chars, 9) AS k
+      FROM documents WHERE n_chars > 0
+    ), ranked AS (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY k DESC, doc_id) AS es_rank
+      FROM keyed
+    )
+    SELECT source, doc_id, es_rank FROM ranked WHERE es_rank <= {ES_K}
+    """,
+)
+def x8_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, P(doc) ∝ n_chars — the
+    third data-mixing primitive (stratified fixes keep rates, mixture
+    fixes output proportions; this draws by per-row weight, e.g. sample
+    training docs proportional to length). Efraimidis–Spirakis: each row
+    gets key u^(1/w) (compared as ln(u)/w) with u a DETERMINISTIC
+    md5-derived uniform — a pure function of the row key, so the drawn
+    sample is identical across engines, runs, and re-shards, unlike
+    rand()-based sampling. The weighted draw then IS a per-source top-k:
+    one window shuffle, no RNG state, and at 100 TB the same exchange a
+    sort-limit pays (keys rounded to 9 decimals with a doc_id tiebreak,
+    the repo's rank-determinism convention)."""
+    doc = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("double")
+        + 1.0
+    ) / _ES_DENOM
+    keyed = doc.filter(F.col("n_chars") > 0).select(
+        "source",
+        "doc_id",
+        F.round(F.log(u) / F.col("n_chars"), 9).alias("k"),
+    )
+    w = Window.partitionBy("source").orderBy(F.col("k").desc(), "doc_id")
+    return (
+        keyed.withColumn("es_rank", F.row_number().over(w))
+        .filter(F.col("es_rank") <= ES_K)
+        .select("source", "doc_id", "es_rank")
+    )
