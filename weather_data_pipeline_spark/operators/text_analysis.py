@@ -730,3 +730,55 @@ def x8_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("es_rank") <= ES_K)
         .select("source", "doc_id", "es_rank")
     )
+
+
+# ----------------------------------------------------------------------
+# Unigram LM scoring (perplexity-style quality signal)
+# ----------------------------------------------------------------------
+@query(
+    "x4_unigram_logprob",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents
+    ), vocab AS (
+      SELECT w, COUNT(*) AS c FROM tok GROUP BY w
+    ), total AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS t FROM vocab
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           ROUND(CAST(SUM(CAST(ln(c / CAST(t AS DOUBLE))
+                     AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6)
+             AS avg_logprob
+    FROM tok JOIN vocab USING (w) CROSS JOIN total
+    GROUP BY doc_id
+    """,
+)
+def x4_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram LM — the perplexity-style quality signal pretraining filters
+    use (a doc whose token mix diverges from the corpus scores far
+    below the mean). Shape: one token-count aggregation builds the LM
+    (vocab is |distinct tokens| rows — broadcast at 100 TB when it
+    fits, else a shuffle join on the token), then one partial-aggregated
+    per-doc sum. Determinism: each token's log-prob is truncated to
+    DECIMAL(28,12) BEFORE the sum, so the per-doc total is an EXACT
+    decimal sum — order-independent across partitions and engines —
+    with one double division + round at the emit boundary (the repo's
+    decimal-sum convention from the events aggregations)."""
+    doc = load_table(spark, sf_dir, "documents")
+    tok = doc.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    vocab = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").alias("t"))
+    logp = F.log(F.col("c") / F.col("t").cast("double")).cast("decimal(28,12)")
+    return (
+        tok.join(vocab, "w")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum(logp).cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_logprob"),
+        )
+    )
