@@ -47,3 +47,29 @@ def test_stream_source_schema_full(spark):
     src = jobs.stream_raw_weather(spark, wsrc.ensure_fixture())
     assert src.isStreaming
     assert src.schema.fieldNames() == ["location", "current"]
+
+
+def test_tws_capability_gate(spark):
+    """transformWithStateInPandas needs protobuf for its state-protocol
+    worker; without it the op must fail fast naming the
+    applyInPandasWithState twin — never crash the state worker mid-query.
+    Where the runtime has protobuf, the op must match its batch twin."""
+    import pytest as _pytest
+
+    from weather_data_pipeline_spark.operators import python_exec as px
+
+    from .conftest import SF_ORACLE
+
+    if not px.tws_available():
+        with _pytest.raises(NotImplementedError, match="s_stateful_running_totals"):
+            px.s_user_stats_tws(spark, SF_ORACLE)
+        return
+    from .oracle_harness import compare
+
+    compare(
+        spark,
+        "s_user_stats_tws",
+        px.s_user_stats_tws,
+        px.S_USER_STATS_TWS_ORACLE,
+        SF_ORACLE,
+    )

@@ -171,3 +171,118 @@ def ext_pandas_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.round(_median_udaf("value"), 6).alias("median_value")
     )
+
+
+# ----------------------------------------------------------------------
+# transformWithState — the Spark 4 arbitrary-state API (successor to
+# applyInPandasWithState: typed state handles, timers, TTL, and state
+# schema evolution; this is the API new stateful operators should target)
+# ----------------------------------------------------------------------
+def tws_available() -> bool:
+    """transformWithState's Python worker speaks a protobuf state
+    protocol; without the protobuf package the worker crashes mid-query
+    (far worse than failing fast here). Probe once at call time."""
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _user_stats_processor():
+    """Factory so the StatefulProcessor class only exists where the
+    import succeeds (the API is Spark 4+)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserStats(StatefulProcessor):
+        """Per-user (count, sum, max) in a typed ValueState — the same
+        semantics as the batch groupBy twin, held exactly-once in the
+        state store across triggers."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState(
+                "agg", "n LONG, total DOUBLE, mx DOUBLE"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._agg.exists():
+                n, total, mx = self._agg.get()
+            else:
+                n, total, mx = 0, 0.0, None
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                m = float(pdf["value"].max())
+                mx = m if mx is None else max(mx, m)
+            self._agg.update((n, total, mx))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(total, 2)],
+                    "max_value": [mx],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return UserStats()
+
+
+#: batch-parity oracle for s_user_stats_tws (checked by
+#: tests/test_streaming.py when the runtime supports the API)
+S_USER_STATS_TWS_ORACLE = """
+    SELECT user_id, COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS total_value,
+           MAX(value) AS max_value
+    FROM events GROUP BY user_id
+"""
+
+
+def s_user_stats_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator on ``transformWithStateInPandas``
+    — the Spark 4 arbitrary-state API (typed ValueState handles; the
+    successor to ``s_stateful_running_totals``'s applyInPandasWithState,
+    adding timers/TTL/state-evolution for long-running 100 TB streams).
+    After an availableNow drain the per-user state equals the batch
+    aggregation — the oracle. Emits in update mode; the memory-sink
+    result dedupes to the final emission per user (max running count).
+
+    NOT in the query registry: the API's Python worker requires the
+    protobuf package, absent from this container — the capability probe
+    fails fast naming the applyInPandasWithState twin instead of letting
+    the state worker crash mid-query. The parity test runs wherever the
+    runtime supports it (tests/test_streaming.py)."""
+    if not tws_available():
+        raise NotImplementedError(
+            "transformWithStateInPandas needs the protobuf package "
+            "(google.protobuf) for its state-protocol worker; use "
+            "s_stateful_running_totals (applyInPandasWithState) on this "
+            "runtime"
+        )
+    sink = f"s_tws_{uuid.uuid4().hex[:8]}"
+    src = jobs.stream_events(spark, sf_dir)
+    out = src.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_user_stats_processor(),
+        outputStructType=(
+            "user_id long, n_events long, total_value double, max_value double"
+        ),
+        outputMode="Update",
+        timeMode="None",
+    )
+    jobs.run_to_completion(
+        out.writeStream.format("memory").queryName(sink).outputMode("update"),
+        "tws-user-stats",
+    )
+    latest = spark.table(sink).groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("total_value", "n_events").alias("total_value"),
+        F.max_by("max_value", "n_events").alias("max_value"),
+    )
+    return latest
