@@ -57,6 +57,9 @@ HEADLINE = [
     # round-6 additions
     "x4_bm25_score",
     "x8_doc_chunking",
+    "x6_ohlc_daily",
+    "x8_weighted_sample",
+    "x4_unigram_logprob",
 ]
 
 

@@ -495,3 +495,52 @@ def test_simhash_null_text_drops_like_sql_form(spark):
 
     out = dedup._simhash_kernel(pd.Series([None, []], dtype=object))
     assert list(out) == [0, 0]
+
+
+# ----------------------------------------------------------------------
+# Round-6 operator plan gates
+# ----------------------------------------------------------------------
+def test_doc_chunking_zero_shuffle(spark):
+    """Chunking is a narrow generate+slice: any Exchange means a
+    regression re-introduced a shuffle into a scan-shaped op."""
+    assert num_shuffles(_Q["x8_doc_chunking"](spark, SF)) == 0
+
+
+def test_bm25_no_doc_keyed_join(spark):
+    """BM25's doc length rides the tf groupBy as a group key; the plan
+    must have NO sort-merge join (df and corpus stats broadcast, dl is
+    never a separate joined table) and keep map-side partial aggs."""
+    df = _Q["x4_bm25_score"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan[:1500]
+    assert has_broadcast_join(df)
+    assert has_partial_aggregation(df)
+
+
+def test_ohlc_single_shuffle_partial_agg(spark):
+    """OHLC is partializable min_by/max_by/min/max — exactly one shuffle
+    moving |user·day| rows, never a window sort of every event."""
+    df = _Q["x6_ohlc_daily"](spark, SF)
+    assert num_shuffles(df) == 1
+    assert has_partial_aggregation(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+
+
+def test_weighted_sample_single_shuffle(spark):
+    """The E-S weighted draw is one per-source window rank — a single
+    exchange on source, no RNG expression in the plan (determinism is
+    the md5 key, not rand())."""
+    df = _Q["x8_weighted_sample"](spark, SF)
+    assert num_shuffles(df) == 1
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "rand(" not in plan
+
+
+def test_unigram_logprob_partial_agg(spark):
+    """The LM build and the per-doc scoring both partial-aggregate; the
+    per-doc sum is a decimal (order-independent) aggregate."""
+    df = _Q["x4_unigram_logprob"](spark, SF)
+    assert has_partial_aggregation(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "decimal(38,12)" in plan.lower() or "decimal(28,12)" in plan.lower()
