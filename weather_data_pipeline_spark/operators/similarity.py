@@ -818,3 +818,155 @@ def x3_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         code.cast("int").alias("code"),
         F.round(F.abs(F.col("v") - recon), 6).alias("recon_err"),
     )
+
+
+# ----------------------------------------------------------------------
+# Product quantization (the ANN memory-compression rung past int8)
+# ----------------------------------------------------------------------
+#: PQ geometry: 64-dim vectors → PQ_M subspaces of PQ_SUB dims, one code
+#: per subspace from the label-seeded codebook (the same quantizer-init
+#: convention as the IVF rung; a Lloyd refinement would layer on exactly
+#: like x3_ivf_kmeans_topk's). With k labels the code is M·log2(k) bits —
+#: ~13 bits vs 2048 bits raw here, the 100 TB memory story.
+PQ_M = 4
+PQ_SUB = 16
+
+
+def _duck_pq_ctes() -> str:
+    """Per-subspace codebook + assignment CTEs (floor-trunc centroids,
+    rounded L2 via the dot identity, lowest-label tiebreak — the repo's
+    IVF assignment conventions, per subspace)."""
+    parts = []
+    for m in range(PQ_M):
+        lo, hi = m * PQ_SUB + 1, (m + 1) * PQ_SUB
+        sub = f"CAST(e.embedding[{lo}:{hi}] AS DOUBLE[])"
+        d2 = (
+            f"ROUND(list_dot_product({sub}, {sub})"
+            f" - 2 * list_dot_product({sub}, c.centroid)"
+            f" + list_dot_product(c.centroid, c.centroid), 6)"
+        )
+        parts.append(
+            f"""flat{m} AS (
+      SELECT label, i AS idx, CAST(embedding[i] AS DOUBLE) AS val
+      FROM embeddings, UNNEST(generate_series({lo}, {hi})) AS t(i)
+    ), cents{m} AS (
+      SELECT label, array_agg(a ORDER BY idx) AS centroid
+      FROM (SELECT label, idx, FLOOR(AVG(val) * 1000000) / 1000000.0 AS a
+            FROM flat{m} GROUP BY label, idx)
+      GROUP BY label
+    ), assign{m} AS (
+      SELECT vec_id, code, err FROM (
+        SELECT e.vec_id, c.label AS code, {d2} AS err,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id ORDER BY {d2}, c.label) AS rn
+        FROM embeddings e CROSS JOIN cents{m} c
+      ) WHERE rn = 1
+    )"""
+        )
+    return ",\n    ".join(parts)
+
+
+def _pq_kernel(bc):
+    """mapInPandas kernel: all PQ_M argmin assignments in ONE corpus
+    pass against the broadcast codebook — sequential per-dim folds and
+    rounded d2 so the arithmetic matches the SQL oracle exactly."""
+
+    def run(batches):
+        import pandas as pd
+
+        books = bc.value  # [(labels_sorted, cmat k×PQ_SUB, cc k)] per m
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            n = mat.shape[0]
+            out = {"vec_id": pdf["vec_id"].to_numpy()}
+            total_err = np.zeros(n)
+            for m, (labels, cm, cc) in enumerate(books):
+                sub = mat[:, m * PQ_SUB : (m + 1) * PQ_SUB]
+                acc = np.zeros((n, cm.shape[0]))
+                aa = np.zeros(n)
+                for k in range(PQ_SUB):  # same left-to-right fold as SQL
+                    acc += np.outer(sub[:, k], cm[:, k])
+                    aa += sub[:, k] * sub[:, k]
+                d2 = np.round(aa[:, None] - 2 * acc + cc[None, :], 6)
+                pick = np.argmin(d2, axis=1)  # first min = lowest label
+                out[f"code_{m}"] = labels[pick]
+                total_err = total_err + d2[np.arange(n), pick]
+            # SUM of the four already-6-decimal subspace errors: a mean
+            # (/64) lands exactly on .5-of-1e-6 ties where np (half-even)
+            # and DuckDB (half-away) disagree; the sum stays ~4 ulp from
+            # any 6-decimal boundary, so round-6 is unambiguous.
+            out["recon_err"] = np.round(total_err, 6)
+            yield pd.DataFrame(out)
+
+    return run
+
+
+@query(
+    "x3_pq_codes",
+    oracle=f"""
+    WITH {_duck_pq_ctes()}
+    SELECT a0.vec_id,
+           a0.code AS code_0, a1.code AS code_1,
+           a2.code AS code_2, a3.code AS code_3,
+           ROUND(a0.err + a1.err + a2.err + a3.err, 6) AS recon_err
+    FROM assign0 a0
+    JOIN assign1 a1 USING (vec_id)
+    JOIN assign2 a2 USING (vec_id)
+    JOIN assign3 a3 USING (vec_id)
+    """,
+)
+def x3_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization: each vector compressed to PQ_M subspace
+    codes (nearest per-subspace centroid by L2) plus its reconstruction
+    error — the ANN memory rung past int8 scalar quantization
+    (x3_quantize_int8): at 100 TB the PQ codes (~2 bytes/vector here)
+    live in RAM while raw vectors stay on disk, and ADC distance tables
+    make candidate scoring a per-subspace lookup.
+
+    Shape: codebook build is ONE aggregation over the posexploded
+    corpus (k·64 cells, floor-trunc 6 — the repo's centroid
+    convention), collected bounded (k ≤ labels) and broadcast; then ONE
+    mapInPandas corpus pass computes all PQ_M argmin assignments — no
+    join, no shuffle beyond the codebook groupBy, the same
+    broadcast-argmax shape as the IVF assignment. Oracle: per-subspace
+    CROSS JOIN argmin with identical rounded-L2 arithmetic (the dot
+    identity, sequential folds)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+        "label",
+    )
+    flat = base.select(
+        "label", F.posexplode("embedding").alias("pos", "val")
+    )
+    cells = (
+        flat.groupBy("label", "pos")
+        .agg((F.floor(F.avg("val") * 1e6) / 1e6).alias("a"))
+        .collect()
+    )
+    by_label: dict[int, list[float]] = {}
+    for r in cells:
+        by_label.setdefault(int(r["label"]), [0.0] * (PQ_M * PQ_SUB))[
+            int(r["pos"])
+        ] = float(r["a"])
+    labels = np.array(sorted(by_label), dtype=np.int64)
+    full = np.array([by_label[int(l)] for l in labels])
+    books = []
+    for m in range(PQ_M):
+        cm = full[:, m * PQ_SUB : (m + 1) * PQ_SUB]
+        cc = np.zeros(cm.shape[0])
+        for k in range(PQ_SUB):
+            cc += cm[:, k] * cm[:, k]
+        books.append((labels, cm, cc))
+    bc = spark.sparkContext.broadcast(books)
+    schema = (
+        "vec_id long, "
+        + ", ".join(f"code_{m} long" for m in range(PQ_M))
+        + ", recon_err double"
+    )
+    return base.select("vec_id", "embedding").mapInPandas(
+        _pq_kernel(bc), schema=schema
+    )
