@@ -866,6 +866,40 @@ def _duck_pq_ctes() -> str:
     return ",\n    ".join(parts)
 
 
+def _pq_codebooks(spark: SparkSession, sf_dir: str):
+    """(base projection, per-subspace codebooks): the label-seeded PQ
+    codebook as [(labels_sorted, k×PQ_SUB matrix, sequential self-dots)]
+    — one aggregation over the posexploded corpus (k·64 cells,
+    floor-trunc 6), collected bounded (k = |labels|)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+        "label",
+    )
+    cells = (
+        base.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg((F.floor(F.avg("val") * 1e6) / 1e6).alias("a"))
+        .collect()
+    )
+    by_label: dict[int, list[float]] = {}
+    for r in cells:
+        by_label.setdefault(int(r["label"]), [0.0] * (PQ_M * PQ_SUB))[
+            int(r["pos"])
+        ] = float(r["a"])
+    labels = np.array(sorted(by_label), dtype=np.int64)
+    full = np.array([by_label[int(lb)] for lb in labels])
+    books = []
+    for m in range(PQ_M):
+        cm = full[:, m * PQ_SUB : (m + 1) * PQ_SUB]
+        cc = np.zeros(cm.shape[0])
+        for k in range(PQ_SUB):
+            cc += cm[:, k] * cm[:, k]
+        books.append((labels, cm, cc))
+    return base, books
+
+
 def _pq_kernel(bc):
     """mapInPandas kernel: all PQ_M argmin assignments in ONE corpus
     pass against the broadcast codebook — sequential per-dim folds and
@@ -933,34 +967,7 @@ def x3_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-argmax shape as the IVF assignment. Oracle: per-subspace
     CROSS JOIN argmin with identical rounded-L2 arithmetic (the dot
     identity, sequential folds)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    base = emb.select(
-        "vec_id",
-        F.col("embedding").cast("array<double>").alias("embedding"),
-        "label",
-    )
-    flat = base.select(
-        "label", F.posexplode("embedding").alias("pos", "val")
-    )
-    cells = (
-        flat.groupBy("label", "pos")
-        .agg((F.floor(F.avg("val") * 1e6) / 1e6).alias("a"))
-        .collect()
-    )
-    by_label: dict[int, list[float]] = {}
-    for r in cells:
-        by_label.setdefault(int(r["label"]), [0.0] * (PQ_M * PQ_SUB))[
-            int(r["pos"])
-        ] = float(r["a"])
-    labels = np.array(sorted(by_label), dtype=np.int64)
-    full = np.array([by_label[int(l)] for l in labels])
-    books = []
-    for m in range(PQ_M):
-        cm = full[:, m * PQ_SUB : (m + 1) * PQ_SUB]
-        cc = np.zeros(cm.shape[0])
-        for k in range(PQ_SUB):
-            cc += cm[:, k] * cm[:, k]
-        books.append((labels, cm, cc))
+    base, books = _pq_codebooks(spark, sf_dir)
     bc = spark.sparkContext.broadcast(books)
     schema = (
         "vec_id long, "
@@ -969,4 +976,139 @@ def x3_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return base.select("vec_id", "embedding").mapInPandas(
         _pq_kernel(bc), schema=schema
+    )
+
+
+def _duck_pq_adc_sql() -> str:
+    """ADC top-k oracle: corpus codes from the assignment CTEs, then each
+    query's distance to a vector = sum of per-subspace distances to the
+    CODED centroids (the distance-table semantics, spelled out in SQL)."""
+    joins = []
+    dsum = []
+    for m in range(PQ_M):
+        lo, hi = m * PQ_SUB + 1, (m + 1) * PQ_SUB
+        qs = f"CAST(q.embedding[{lo}:{hi}] AS DOUBLE[])"
+        joins.append(f"JOIN cents{m} k{m} ON k{m}.label = x.c{m}")
+        dsum.append(
+            f"ROUND(list_dot_product({qs}, {qs})"
+            f" - 2 * list_dot_product({qs}, k{m}.centroid)"
+            f" + list_dot_product(k{m}.centroid, k{m}.centroid), 6)"
+        )
+    return f"""
+    WITH {_duck_pq_ctes()},
+    codes AS (
+      SELECT a0.vec_id, a0.code AS c0, a1.code AS c1,
+             a2.code AS c2, a3.code AS c3
+      FROM assign0 a0
+      JOIN assign1 a1 USING (vec_id)
+      JOIN assign2 a2 USING (vec_id)
+      JOIN assign3 a3 USING (vec_id)
+    ), scored AS (
+      SELECT q.vec_id AS query_id, x.vec_id,
+             ROUND({" + ".join(dsum)}, 6) AS ad2
+      FROM (SELECT * FROM embeddings WHERE vec_id < {N_QUERIES}) q
+      CROSS JOIN codes x
+      {" ".join(joins)}
+      WHERE x.vec_id <> q.vec_id
+    )
+    SELECT query_id, vec_id, ad2 FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY ad2, vec_id) AS rn
+      FROM scored
+    ) WHERE rn <= {TOP_K}
+    """
+
+
+def _pq_adc_kernel(bc, dtabs, q_ids):
+    """One corpus pass: assign each vector's PQ codes (argmin per
+    subspace, as in _pq_kernel) and score every query against it by
+    DISTANCE-TABLE LOOKUP — ad2 = Σ_m dtab[q][m][code_m]. The corpus
+    vector is touched once; per-query work is PQ_M array lookups, not a
+    64-dim distance — the ADC trick that makes PQ search memory- and
+    compute-cheap at 100 TB."""
+
+    def run(batches):
+        import pandas as pd
+
+        books = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            n = mat.shape[0]
+            picks = []
+            for m, (labels, cm, cc) in enumerate(books):
+                sub = mat[:, m * PQ_SUB : (m + 1) * PQ_SUB]
+                acc = np.zeros((n, cm.shape[0]))
+                aa = np.zeros(n)
+                for k in range(PQ_SUB):
+                    acc += np.outer(sub[:, k], cm[:, k])
+                    aa += sub[:, k] * sub[:, k]
+                picks.append(np.argmin(np.round(aa[:, None] - 2 * acc + cc[None, :], 6), axis=1))
+            out = []
+            vec_ids = pdf["vec_id"].to_numpy()
+            for qi, qid in enumerate(q_ids):
+                ad2 = np.zeros(n)
+                for m in range(PQ_M):
+                    ad2 = ad2 + dtabs[qi][m][picks[m]]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "vec_id": vec_ids,
+                            "ad2": np.round(ad2, 6),
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    return run
+
+
+@query("x3_pq_adc_topk", oracle=_duck_pq_adc_sql())
+def x3_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ search via asymmetric distance computation (ADC): queries keep
+    their RAW subvectors; the corpus is represented ONLY by its PQ codes,
+    and each query precomputes a distance TABLE per subspace
+    (|queries|·PQ_M·k rounded distances, driver-built — bounded by
+    construction like the cosine_topk query collect). Scoring a corpus
+    vector is then PQ_M table lookups + a sum — never a 64-dim distance:
+    the standard IVF-PQ probe cost model. One mapInPandas corpus pass,
+    one per-query top-k window; oracle replays codes + table semantics
+    in SQL. Approximate in DISTANCE (quantization error), exact and
+    engine-stable in arithmetic."""
+    base, books = _pq_codebooks(spark, sf_dir)
+    bc = spark.sparkContext.broadcast(books)
+    qrows = (
+        base.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    q_ids = [int(r[0]) for r in qrows]
+    q_mat = np.array([r[1] for r in qrows], dtype=np.float64)
+    dtabs = []
+    for qi in range(q_mat.shape[0]):
+        per_m = []
+        for m, (labels, cm, cc) in enumerate(books):
+            qs = q_mat[qi, m * PQ_SUB : (m + 1) * PQ_SUB]
+            acc = np.zeros(cm.shape[0])
+            qq = 0.0
+            for k in range(PQ_SUB):  # sequential fold, matches the oracle
+                acc += qs[k] * cm[:, k]
+                qq += qs[k] * qs[k]
+            per_m.append(np.round(qq - 2 * acc + cc, 6))
+        dtabs.append(per_m)
+    scored = (
+        base.select("vec_id", "embedding")
+        .mapInPandas(
+            _pq_adc_kernel(bc, dtabs, q_ids),
+            schema="query_id long, vec_id long, ad2 double",
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy("ad2", "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "vec_id", "ad2")
     )
