@@ -112,14 +112,9 @@ _PRIORITY: tuple[str, ...] = (
     # round-6 parameterized shard kernel under the real driver;
     # x3_label_centroids stays to drive the floor-trunc centroid change.
     "ext_window_lag_lead",  # window-frame family rep stays
-    "ext_python_udtf",
-    "ext_pandas_udaf_grouped",
-    "x3_label_centroids",
-    "x2_dup_components_star",
-    "x2_decontaminate",
-    "x8_mixture_sample",
+    "x3_label_centroids",  # stays: drives the round-6 floor-trunc change
     "x2_ngram_jaccard_capped",
-    "x6_ema_daily",
+    "x6_ema_daily",  # stays: drives the round-6 parameterized shard kernel
     "x6_tumbling_hourly",
     "x6_session_stats_per_user",
     "x8_sequence_packing",
@@ -128,10 +123,13 @@ _PRIORITY: tuple[str, ...] = (
     "s_session_window_stream",
     "s_weather_latest_stream",
     # round-6 additions: the six band twins + bucketed-layout join
-    # (VERDICT asks #6/#8) and the three brand-new round-6 operators
-    # (BM25, chunking, approx-percentile band). Swapped out for them:
-    # w_flatten_stage, mm_resize_thumbnail, mm_frame_sample (r5-green;
-    # rows stand in the union).
+    # (VERDICT asks #6/#8) and the eight brand-new round-6 operators
+    # (BM25, chunking, approx-percentile band, OHLC, weighted sample,
+    # unigram LM, PQ codes, PQ-ADC search). Swapped out for them:
+    # w_flatten_stage, mm_resize_thumbnail, mm_frame_sample,
+    # ext_python_udtf, ext_pandas_udaf_grouped, x2_dup_components_star,
+    # x2_decontaminate, x8_mixture_sample (all r5-green with no round-6
+    # code changes; their rows stand in the r1–r5 union).
     "ext_bucketed_join_agg",
     "ext_acd_error_band",
     "o27_random_split_invariants",
@@ -142,6 +140,11 @@ _PRIORITY: tuple[str, ...] = (
     "x4_bm25_score",
     "x8_doc_chunking",
     "ext_approx_percentile_band",
+    "x6_ohlc_daily",
+    "x8_weighted_sample",
+    "x4_unigram_logprob",
+    "x3_pq_codes",
+    "x3_pq_adc_topk",
 )
 
 
