@@ -95,8 +95,14 @@ def test_uncapped_jaccard_gate(spark, monkeypatch):
     monkeypatch.setattr(dedup, "MAX_UNCAPPED_DOCS", 10)
     with pytest.raises(ValueError, match="x2_ngram_jaccard_capped"):
         dedup.x2_ngram_jaccard(spark, SF_ORACLE).count()
+    # the verdict is cached per (file version, ceiling) — the ceiling in
+    # the key means this failing probe can never mask the passing one
+    assert dedup._GATE_CACHE[dedup._gate_key(SF_ORACLE)] is True
+    with pytest.raises(ValueError, match="x2_ngram_jaccard_capped"):
+        dedup.x2_ngram_jaccard(spark, SF_ORACLE).count()  # served from cache
     monkeypatch.setattr(dedup, "MAX_UNCAPPED_DOCS", 1_000_000)
     assert dedup.x2_ngram_jaccard(spark, SF_ORACLE).count() > 0
+    assert dedup._GATE_CACHE[dedup._gate_key(SF_ORACLE)] is False
 
 
 def test_ema_output_shard_invariant(spark):

@@ -73,6 +73,14 @@ QUERIES = [
     "x8_sequence_packing",
     "x2_dup_components_star",
     "mm_decode_features",
+    # round-6 operators: the new text/sampling/PQ surface at 10x
+    "x4_bm25_score",
+    "x4_unigram_logprob",
+    "x8_doc_chunking",
+    "x8_weighted_sample",
+    "x6_ohlc_daily",
+    "x3_pq_codes",
+    "x3_pq_adc_topk",
 ]
 
 #: Viral boilerplate for the skew replica: untagged (shared verbatim

@@ -101,11 +101,41 @@ def shingles(df: DataFrame, n: int = 3) -> DataFrame:
 MAX_UNCAPPED_DOCS = 1_000_000
 
 
-def _gate_uncapped(doc: DataFrame, op: str) -> DataFrame:
+#: probe-verdict cache keyed on (documents file identity, ceiling): the
+#: gate decision is a property of the file version, so repeated
+#: invocations (bench loops, test sweeps) pay the bounded count job
+#: once per file version instead of per call. Keying on mtime/size means
+#: an in-place regeneration re-probes (the events_ts_unit convention);
+#: keying on the ceiling means a test that lowers MAX_UNCAPPED_DOCS
+#: never sees a stale pass.
+_GATE_CACHE: dict[tuple, bool] = {}
+
+
+def _gate_key(sf_dir: str | None):
+    if sf_dir is None:
+        return None
+    import os
+
+    path = f"{sf_dir}/documents.parquet"
+    try:
+        st = os.stat(path)
+    except OSError:
+        return None
+    return (path, st.st_mtime_ns, st.st_size, MAX_UNCAPPED_DOCS)
+
+
+def _gate_uncapped(doc: DataFrame, op: str, sf_dir: str | None = None) -> DataFrame:
     """Fail fast if ``doc`` exceeds the uncapped-rung ceiling. The guard
     job is bounded regardless of corpus size: the scan stops after
-    MAX+1 rows instead of counting everything."""
-    if doc.limit(MAX_UNCAPPED_DOCS + 1).count() > MAX_UNCAPPED_DOCS:
+    MAX+1 rows instead of counting everything — and runs once per
+    documents-file version (verdict cached)."""
+    key = _gate_key(sf_dir)
+    over = _GATE_CACHE.get(key) if key is not None else None
+    if over is None:
+        over = doc.limit(MAX_UNCAPPED_DOCS + 1).count() > MAX_UNCAPPED_DOCS
+        if key is not None:
+            _GATE_CACHE[key] = over
+    if over:
         raise ValueError(
             f"{op} is the exact UNCAPPED near-dup rung; past "
             f"{MAX_UNCAPPED_DOCS} docs a single viral shingle makes its "
@@ -173,7 +203,9 @@ def x2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       the join; no separate count join.
     """
     doc = _gate_uncapped(
-        fan_out(load_table(spark, sf_dir, "documents")), "x2_ngram_jaccard"
+        fan_out(load_table(spark, sf_dir, "documents")),
+        "x2_ngram_jaccard",
+        sf_dir,
     )
     sh = shingle_arrays(doc, 3).select(
         "doc_id",
