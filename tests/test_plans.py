@@ -544,3 +544,23 @@ def test_unigram_logprob_partial_agg(spark):
     assert has_partial_aggregation(df)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "decimal(38,12)" in plan.lower() or "decimal(28,12)" in plan.lower()
+
+
+def test_pq_assignment_no_join_no_shuffle(spark):
+    """PQ code assignment is a broadcast-argmin corpus pass: the
+    returned plan is scan → mapInPandas with ZERO exchanges and no join
+    (the codebook build ran as a prior bounded job)."""
+    df = _Q["x3_pq_codes"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert num_shuffles(df) == 0
+
+
+def test_pq_adc_single_window_exchange(spark):
+    """ADC search: one corpus pass scores all queries by table lookup;
+    the only exchange is the per-query top-k window — never a join
+    against the corpus."""
+    df = _Q["x3_pq_adc_topk"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert num_shuffles(df) == 1
