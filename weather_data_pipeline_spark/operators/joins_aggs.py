@@ -863,3 +863,60 @@ def ext_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(100)
     )
+
+
+# ----------------------------------------------------------------------
+# TPC-H Q10 shape: returned-item reporting (fact-fact join + top-k)
+# ----------------------------------------------------------------------
+@query(
+    "ext_q10_returned_items",
+    oracle="""
+    SELECT c_custkey, c_name,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4)
+             AS revenue,
+           c_acctbal, c_mktsegment
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+    GROUP BY c_custkey, c_name, c_acctbal, c_mktsegment
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def ext_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape — returned-item reporting: which customers drove
+    the most returned revenue last quarter. The scale-relevant shape:
+    BOTH selective predicates (returnflag on lineitem, the quarter on
+    orders) are plain column comparisons that push into the parquet
+    scans, so the fact-fact shuffle join moves only ~25% of lineitem
+    and ~8% of orders; the customer join keys on the already-aggregated
+    order side at |orders| granularity; top-20 runs as
+    TakeOrderedAndProject (per-partition heaps + driver merge of 20
+    rows), never a global sort. Reference parity: the reference's only
+    join is a pandas column zip (weather_etl.py:165); this is the §2.9
+    extension tier exercised at TPC-H shape."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        orders.join(li, li.l_orderkey == orders.o_orderkey)
+        .join(cust, cust.c_custkey == orders.o_custkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+        .agg(dec_out(F.sum(price * (1 - disc)), 4).alias("revenue"))
+        .select(
+            "c_custkey", "c_name", "revenue", "c_acctbal", "c_mktsegment"
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )

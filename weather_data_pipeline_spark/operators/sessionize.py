@@ -473,3 +473,193 @@ def x6_ema_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("close_value")
     )
     return ema_daily(daily)
+
+
+# ----------------------------------------------------------------------
+# Sliding (hopping) windows — each event lands in size/slide windows
+# ----------------------------------------------------------------------
+@query(
+    "x6_sliding_windows",
+    oracle="""
+    WITH assigned AS (
+      SELECT event_type, value,
+             UNNEST([time_bucket(INTERVAL 30 MINUTE, ts),
+                     time_bucket(INTERVAL 30 MINUTE, ts)
+                       - INTERVAL 30 MINUTE]) AS window_start
+      FROM events
+    )
+    SELECT window_start,
+           window_start + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS total_value
+    FROM assigned GROUP BY window_start, event_type
+    """,
+)
+def x6_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping/sliding windows — Spark's native ``F.window(ts, size,
+    slide)`` with a 1 h window hopping every 30 min: every event is
+    assigned to size/slide = 2 overlapping windows and aggregated into
+    both. The replication factor is the expression (explode of 2
+    computed window starts), not a join, so the op is one map-side
+    expansion + one partial-aggregated shuffle — the same plan shape
+    Structured Streaming uses for hopping-window state. Oracle: each
+    event's two epoch-aligned bucket starts via ``time_bucket``,
+    unnested then aggregated identically."""
+    ev = load_table(spark, sf_dir, "events")
+    w = F.window("ts", "1 hour", "30 minutes")
+    return (
+        ev.groupBy(w, "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").cast("timestamp_ntz").alias("window_start"),
+            F.col("window.end").cast("timestamp_ntz").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+# ----------------------------------------------------------------------
+# SCD Type-2 validity intervals — CDC change-capture over an event log
+# ----------------------------------------------------------------------
+@query(
+    "x6_validity_intervals",
+    oracle="""
+    WITH obs AS (
+      SELECT user_id, event_type, ts, event_id,
+             ROUND(CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE), 2) AS value
+      FROM events
+    ), changes AS (
+      SELECT * FROM (
+        SELECT user_id, event_type, ts, event_id, value,
+               LAG(value) OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS prev_value
+        FROM obs
+      ) WHERE prev_value IS NULL OR value <> prev_value
+    )
+    SELECT user_id, event_type, value,
+           ts AS valid_from,
+           LEAD(ts) OVER w AS valid_to,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+           LEAD(ts) OVER w IS NULL AS is_current
+    FROM changes
+    WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+    """,
+)
+def x6_validity_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build from a change log — the CDC staple:
+    collapse consecutive identical observations per (entity, attribute)
+    into change rows, then stamp each change with a [valid_from,
+    valid_to) interval, a version number, and an is_current flag
+    (valid_to NULL = open interval). Composition: lag to detect
+    change points, filter, then lead + row_number over the surviving
+    rows — all three windows share the (user_id, event_type)
+    partitioning, so the whole op is ONE hash shuffle with the window
+    sorts running partition-local; at 100 TB this is the merge-free way
+    to maintain a slowly-changing dimension from an append-only log.
+    The change filter drops ties on (value) only — the (ts, event_id)
+    tiebreak makes the lag order total, so which duplicate survives is
+    deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    r2 = F.round(
+        F.col("value").cast("decimal(18,2)").cast("double"), 2
+    ).alias("value")
+    obs = ev.select("user_id", "event_type", "ts", "event_id", r2)
+    key = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    changes = obs.withColumn("prev_value", F.lag("value").over(key)).filter(
+        F.col("prev_value").isNull()
+        | (F.col("value") != F.col("prev_value"))
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return changes.select(
+        "user_id",
+        "event_type",
+        "value",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.row_number().over(w).cast("long").alias("version"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )
+
+
+# ----------------------------------------------------------------------
+# Per-entity z-score anomaly flags — exact two-pass moments, one shuffle
+# ----------------------------------------------------------------------
+@query(
+    "x6_zscore_anomaly",
+    oracle="""
+    WITH obs AS (
+      SELECT event_id, user_id,
+             ROUND(CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE), 2) AS value,
+             CAST(value AS DECIMAL(18,2)) AS dv
+      FROM events
+    ), stats AS (
+      SELECT event_id, user_id, value,
+             COUNT(*) OVER pw AS n,
+             CAST(SUM(dv) OVER pw AS DOUBLE) AS s1,
+             CAST(SUM(dv * dv) OVER pw AS DOUBLE) AS s2
+      FROM obs
+      WINDOW pw AS (PARTITION BY user_id)
+    )
+    SELECT event_id, user_id, value,
+           CASE WHEN n >= 2 AND (n * s2 - s1 * s1) > 0 THEN
+             FLOOR(((value - s1 / n)
+               / sqrt((n * s2 - s1 * s1) / (n * (n - 1)))) * 1000000)
+               / 1000000.0
+           END AS z,
+           CASE WHEN n >= 2 AND (n * s2 - s1 * s1) > 0 THEN
+             ABS((value - s1 / n)
+               / sqrt((n * s2 - s1 * s1) / (n * (n - 1)))) > 2.0
+           END AS is_anomaly
+    FROM stats
+    """,
+)
+def x6_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity anomaly flags: z-score each event's value against its
+    user's mean/stddev, flag |z| > 2 — the per-key outlier filter a
+    training-data pipeline runs before ingesting telemetry. Determinism
+    across engines: the moments are EXACT decimal sums (count, Σv, Σv²
+    — order-independent), converted to double once, after which mean,
+    sample variance and z are identical IEEE-double expression trees on
+    both engines; z is floor-truncated at 6 decimals. Plan: a single
+    hash shuffle on user_id computes all three moments as one window
+    partition pass, then the z projection is scan-local arithmetic —
+    no join, no second shuffle, and at 100 TB the window's partition-
+    by-only frame (no ORDER BY) never sorts. Degenerate keys (n < 2 or
+    zero variance) yield NULL z/flag rather than NaN."""
+    ev = load_table(spark, sf_dir, "events")
+    dv = F.col("value").cast("decimal(18,2)")
+    obs = ev.select(
+        "event_id",
+        "user_id",
+        F.round(dv.cast("double"), 2).alias("value"),
+        dv.alias("dv"),
+    )
+    pw = Window.partitionBy("user_id")
+    stats = obs.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.count(F.lit(1)).over(pw).alias("n"),
+        F.sum("dv").over(pw).cast("double").alias("s1"),
+        F.sum(F.col("dv") * F.col("dv")).over(pw).cast("double").alias("s2"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    m2 = n * s2 - s1 * s1
+    z = (F.col("value") - s1 / n) / F.sqrt(m2 / (n * (n - 1)))
+    ok = (n >= 2) & (m2 > 0)
+    return stats.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.when(ok, F.floor(z * 1_000_000) / 1e6).alias("z"),
+        F.when(ok, F.abs(z) > 2.0).alias("is_anomaly"),
+    )
