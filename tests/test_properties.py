@@ -169,3 +169,59 @@ def test_pack_sequences_across_shard_counts(spark):
                     bb, cum = bb + 1, 0
                 cum += n
                 assert b == bb, (shards, shard, doc_id)
+
+
+def test_pii_redaction_seeded(spark):
+    """Positive-match semantics for the PII scrub: the corpus-level
+    oracle only proves clean text passes through, so this fixture
+    seeds every rule class plus the ordering traps — an IPv4 whose
+    octets would otherwise feed the card rule, a '+'-phone vs a bare
+    card run — and pins counts and redacted text on BOTH engines."""
+    import duckdb
+
+    from weather_data_pipeline_spark.operators.text_analysis import (
+        PII_RULES,
+        redact_pii,
+    )
+
+    rows = [
+        (0, "contact alice.smith+spam@example.co.uk today"),
+        (1, "server 192.168.100.200 then card 4111111111111111"),
+        (2, "call +14155552671 or +442071838750 now"),
+        (3, "plain text with digits 123 and 1234567890 stays"),
+        (4, "mix a@b.io at 10.0.0.1 pay 5500005555555559 tel +919876543210"),
+    ]
+    expected = [
+        (0, 1, 0, 0, 0, "contact <EMAIL> today"),
+        (1, 0, 1, 0, 1, "server <IP> then card <CARD>"),
+        (2, 0, 0, 2, 0, "call <PHONE> or <PHONE> now"),
+        (3, 0, 0, 0, 0, "plain text with digits 123 and 1234567890 stays"),
+        (4, 1, 1, 1, 1, "mix <EMAIL> at <IP> pay <CARD> tel <PHONE>"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    names = [f"n_{n}" for n, _, _ in PII_RULES]
+    got = [
+        tuple(r)
+        for r in redact_pii(df)
+        .select("doc_id", *names, "text")
+        .orderBy("doc_id")
+        .collect()
+    ]
+    assert got == expected
+    # same rows through the DuckDB side of the rule table
+    txt = "text"
+    counts = []
+    for name, pat, repl in PII_RULES:
+        counts.append(f"len(regexp_extract_all({txt}, '{pat}')) AS n_{name}")
+        txt = f"regexp_replace({txt}, '{pat}', '{repl}', 'g')"
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in rows)
+        + ") AS v(doc_id, text)"
+    )
+    o = con.execute(
+        f"SELECT doc_id, {', '.join(counts)}, {txt} AS text "
+        "FROM documents ORDER BY doc_id"
+    ).fetchall()
+    assert [tuple(r) for r in o] == expected

@@ -119,3 +119,72 @@ def test_ema_output_shard_invariant(spark):
         assert a == b
     finally:
         daily.unpersist()
+
+
+def test_zorder_interleave_matches_reference_bits():
+    """The generated Morton expression against a pure-Python bit
+    interleave, including the max-16-bit edge."""
+    import duckdb
+
+    from weather_data_pipeline_spark.operators.layout import zorder_expr
+
+    def morton(x, y):
+        z = 0
+        for i in range(16):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    cases = [(0, 0), (1, 0), (0, 1), (3, 5), (65535, 65535), (70000, 123)]
+    con = duckdb.connect()
+    for x, y in cases:
+        got = con.execute(
+            f"SELECT {zorder_expr('x', 'y')} FROM (SELECT {x} AS x, {y} AS y)"
+        ).fetchone()[0]
+        assert got == morton(x & 0xFFFF, y & 0xFFFF), (x, y)
+
+
+def test_zorder_clusters_both_dimensions(spark, tmp_path):
+    """The reason the layout op exists: after cluster_by_zorder, each
+    written file's min/max footer range must be tight in BOTH key
+    dimensions — a plain single-column sort would leave the other
+    dimension's per-file range at ~full width (no pruning). Bound: the
+    mean per-file range ≤ 45% of the global range on each dimension
+    (16 z-buckets ideally give ~25–50% per axis at 2 squarish bits)."""
+    import pyarrow.parquet as pq
+
+    from weather_data_pipeline_spark.operators.layout import cluster_by_zorder
+
+    li = load_table(spark, SF_ORACLE, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    )
+    out = str(tmp_path / "zordered")
+    cluster_by_zorder(li, "l_partkey", "l_suppkey", 16).write.parquet(out)
+
+    spans = {"l_partkey": [], "l_suppkey": []}
+    glob = {}
+    import glob as g
+
+    for f in g.glob(out + "/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        lo = {c: None for c in spans}
+        hi = {c: None for c in spans}
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                name = col.path_in_schema
+                if name in spans and col.statistics is not None:
+                    s = col.statistics
+                    lo[name] = s.min if lo[name] is None else min(lo[name], s.min)
+                    hi[name] = s.max if hi[name] is None else max(hi[name], s.max)
+        for c in spans:
+            if lo[c] is not None:
+                spans[c].append(hi[c] - lo[c])
+                glob.setdefault(c, [lo[c], hi[c]])
+                glob[c][0] = min(glob[c][0], lo[c])
+                glob[c][1] = max(glob[c][1], hi[c])
+
+    for c, widths in spans.items():
+        full = glob[c][1] - glob[c][0]
+        mean_frac = sum(widths) / len(widths) / full
+        assert mean_frac <= 0.45, (c, mean_frac)

@@ -782,3 +782,72 @@ def x4_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# PII redaction — regex scrub pass over the document corpus
+# ----------------------------------------------------------------------
+#: (category, pattern, replacement) — applied IN ORDER, so earlier
+#: passes consume text later passes would otherwise match (an IPv4
+#: octet run is redacted before the bare-digit card rule can see it;
+#: '+'-prefixed phones go before cards for the same reason). Patterns
+#: restrict to constructs with identical semantics in Java regex
+#: (Spark) and RE2 (DuckDB): ASCII classes, bounded repetition, \b.
+PII_RULES: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d{9,15}\b", "<PHONE>"),
+    ("card", r"\b\d{13,19}\b", "<CARD>"),
+)
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Sequential regex scrub: per rule, count matches on the CURRENT
+    text (post earlier redactions), then replace. All passes are
+    JVM-side ``regexp_count``/``regexp_replace`` projections — the op
+    is a pure scan-local map with zero shuffles, so at 100 TB it runs
+    at parquet-read speed and composes with any downstream filter."""
+    out = df
+    cur = F.col(text_col)
+    for name, pat, repl in PII_RULES:
+        out = out.withColumn(f"n_{name}", F.regexp_count(cur, F.lit(pat)))
+        out = out.withColumn(text_col, F.regexp_replace(cur, pat, repl))
+    return out
+
+
+def _pii_oracle() -> str:
+    """The same sequential scrub, unrolled into nested SQL expressions —
+    generated from PII_RULES so both engines share one rule table."""
+    txt = "text"
+    counts = []
+    for name, pat, repl in PII_RULES:
+        counts.append(
+            f"len(regexp_extract_all({txt}, '{pat}')) AS n_{name}"
+        )
+        txt = f"regexp_replace({txt}, '{pat}', '{repl}', 'g')"
+    cols = ",\n           ".join(counts)
+    return f"""
+    SELECT doc_id,
+           {cols},
+           {txt} AS text
+    FROM documents
+    """
+
+
+@query("x4_pii_redact", oracle=_pii_oracle())
+def x4_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over the corpus: emails, IPv4s, international phone
+    numbers and card-like digit runs replaced by typed tokens, with a
+    per-category match count per document — the redaction pass every
+    training-data pipeline runs before tokenization. This synthetic
+    corpus contains no PII (counts are all zero and the text passes
+    through unchanged — itself a property worth oracle-checking: a
+    scrubber that mangles clean text is a data-corruption bug); the
+    positive-match semantics are pinned by the seeded fixture test
+    (tests/test_properties.py::test_pii_redaction_seeded), which feeds
+    every rule class plus ordering traps (an IP inside longer digit
+    runs, '+'-phone vs card precedence) through both engines."""
+    doc = load_table(spark, sf_dir, "documents")
+    red = redact_pii(doc.select("doc_id", "text"))
+    names = [f"n_{n}" for n, _, _ in PII_RULES]
+    return red.select("doc_id", *names, "text")

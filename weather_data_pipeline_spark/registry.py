@@ -189,6 +189,7 @@ def _load_all() -> None:
         flagship,
         joins_aggs,
         json_ops,
+        layout,
         ml_queries,
         multimodal,
         python_exec,
