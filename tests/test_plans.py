@@ -564,3 +564,72 @@ def test_pq_adc_single_window_exchange(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert num_shuffles(df) == 1
+
+
+def test_q10_filters_push_and_topk_never_sorts_globally(spark):
+    """Q10's selective predicates (returnflag, the order-date quarter)
+    must reach their parquet scans, and the top-20 must run as
+    TakeOrderedAndProject — a global Sort before a LIMIT would be the
+    100 TB bug."""
+    df = _Q["ext_q10_returned_items"](spark, SF)
+    pushed = pushed_filters(df)
+    assert any("l_returnflag" in p for p in pushed), pushed
+    assert any("o_orderdate" in p for p in pushed), pushed
+    from weather_data_pipeline_spark.plans.inspect import executed_plan
+
+    plan = executed_plan(df)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_sliding_windows_single_shuffle_partial_agg(spark):
+    """The hopping-window expansion is a map-side explode, never a join:
+    one partial-aggregated shuffle total."""
+    df = _Q["x6_sliding_windows"](spark, SF)
+    assert num_shuffles(df) == 1
+    assert has_partial_aggregation(df)
+    from weather_data_pipeline_spark.plans.inspect import executed_plan
+
+    assert "Join" not in executed_plan(df)
+
+
+def test_validity_intervals_single_shuffle(spark):
+    """All three SCD2 windows (lag, lead, row_number) share the
+    (user_id, event_type) partitioning — one exchange, no join."""
+    df = _Q["x6_validity_intervals"](spark, SF)
+    assert num_shuffles(df) == 1
+    from weather_data_pipeline_spark.plans.inspect import executed_plan
+
+    assert "Join" not in executed_plan(df)
+
+
+def test_zscore_single_shuffle_no_join(spark):
+    """Per-key moments via a partition-only window frame: one exchange,
+    no join (the agg+join-back formulation would cost a second
+    exchange). WindowExec still key-sorts within partitions to group
+    rows — that's clustering, not a global sort."""
+    df = _Q["x6_zscore_anomaly"](spark, SF)
+    assert num_shuffles(df) == 1
+    from weather_data_pipeline_spark.plans.inspect import executed_plan
+
+    assert "Join" not in executed_plan(df)
+
+
+def test_pii_redact_zero_shuffles(spark):
+    """The scrub is scan-local projection work only."""
+    df = _Q["x4_pii_redact"](spark, SF)
+    assert num_shuffles(df) == 0
+
+
+def test_zorder_key_no_data_shuffle(spark):
+    """The Morton key is a projection; the only exchange feeds the
+    1-row bounds aggregate, and the bounds join is a broadcast — fact
+    rows never move."""
+    df = _Q["x8_zorder_layout"](spark, SF)
+    from weather_data_pipeline_spark.plans.inspect import executed_plan
+
+    plan = executed_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # the only exchanges allowed are the 1-row bounds aggregate's
+    # (SinglePartition) and its broadcast — fact rows never hash-shuffle
+    assert "hashpartitioning" not in plan

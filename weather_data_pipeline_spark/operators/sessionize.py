@@ -633,8 +633,9 @@ def x6_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash shuffle on user_id computes all three moments as one window
     partition pass, then the z projection is scan-local arithmetic —
     no join, no second shuffle, and at 100 TB the window's partition-
-    by-only frame (no ORDER BY) never sorts. Degenerate keys (n < 2 or
-    zero variance) yield NULL z/flag rather than NaN."""
+    by-only frame (no ORDER BY) needs only a key-clustering sort, and
+    the whole-partition frame is computed once, not per row. Degenerate
+    keys (n < 2 or zero variance) yield NULL z/flag rather than NaN."""
     ev = load_table(spark, sf_dir, "events")
     dv = F.col("value").cast("decimal(18,2)")
     obs = ev.select(

@@ -199,3 +199,38 @@ def s_weather_latest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jobs.read_state(spark, state).select(
         "city", "localtime", "localtime_epoch", "temp_c", "condition"
     )
+
+
+@query(
+    "s_sliding_hourly_stream",
+    oracle="""
+    WITH assigned AS (
+      SELECT event_type, value,
+             UNNEST([time_bucket(INTERVAL 30 MINUTE, ts),
+                     time_bucket(INTERVAL 30 MINUTE, ts)
+                       - INTERVAL 30 MINUTE]) AS window_start
+      FROM events
+    )
+    SELECT window_start,
+           window_start + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS total_value
+    FROM assigned GROUP BY window_start, event_type
+    """,
+)
+def s_sliding_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping 1h/30m watermarked window agg on the event stream —
+    stream/batch parity with x6_sliding_windows' oracle: every event
+    counted in both overlapping windows, window starts epoch-aligned to
+    the slide."""
+    sink = f"s_sliding_{uuid.uuid4().hex[:8]}"
+    jobs.sliding_counts(jobs.stream_events(spark, sf_dir), sink)
+    return spark.table(sink).select(
+        F.col("window.start").cast("timestamp_ntz").alias("window_start"),
+        F.col("window.end").cast("timestamp_ntz").alias("window_end"),
+        "event_type",
+        "n",
+        F.round(F.col("total_value").cast("double"), 2).alias("total_value"),
+    )

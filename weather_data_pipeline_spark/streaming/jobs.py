@@ -255,3 +255,25 @@ def stream_stream_interval_join(
         .outputMode("append"),
         f"ssjoin-{sink_table}",
     )
+
+
+def sliding_counts(
+    source: DataFrame, sink_table: str, size: str = "1 hour", slide: str = "30 minutes"
+) -> None:
+    """Hopping-window event-time agg (size/slide overlapping windows per
+    event — 2 at the defaults). Same watermark/state machinery as
+    ``tumbling_counts``; state rows scale by the overlap factor, which is
+    why production slides are chosen as small integer fractions of the
+    window. Complete mode → memory sink equals the batch hopping agg."""
+    agg = (
+        source.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", size, slide), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+        )
+    )
+    run_to_completion(
+        agg.writeStream.format("memory").queryName(sink_table).outputMode("complete"),
+        f"sliding-{sink_table}",
+    )
