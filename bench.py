@@ -60,6 +60,12 @@ HEADLINE = [
     "x6_ohlc_daily",
     "x8_weighted_sample",
     "x4_unigram_logprob",
+    # round-6 second batch
+    "ext_q10_returned_items",
+    "x6_sliding_windows",
+    "x6_zscore_anomaly",
+    "x4_pii_redact",
+    "x8_zorder_layout",
 ]
 
 

@@ -81,6 +81,13 @@ QUERIES = [
     "x6_ohlc_daily",
     "x3_pq_codes",
     "x3_pq_adc_topk",
+    # round-6 second batch: join/window/layout surface at 10x
+    "ext_q10_returned_items",
+    "x6_sliding_windows",
+    "x6_validity_intervals",
+    "x6_zscore_anomaly",
+    "x4_pii_redact",
+    "x8_zorder_layout",
 ]
 
 #: Viral boilerplate for the skew replica: untagged (shared verbatim

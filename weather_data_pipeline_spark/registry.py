@@ -111,17 +111,24 @@ _PRIORITY: tuple[str, ...] = (
     # driver row again). x6_ema_daily stays in-window to drive the
     # round-6 parameterized shard kernel under the real driver;
     # x3_label_centroids stays to drive the floor-trunc centroid change.
+    # Second round-6 rotation (this session): seven newer operators
+    # (TPC-H Q10, hopping windows batch+stream, SCD2 intervals, z-score
+    # anomaly, PII scrub, z-order layout key) take the slots of seven
+    # r5-green queries whose code is untouched this round
+    # (x8_sequence_packing, x6_tumbling_hourly, x6_session_stats_per_user,
+    # mm_decode_features, s_tumbling_hourly_stream, s_session_window_stream,
+    # s_weather_latest_stream — their rows stand in the r1–r6 union).
     "ext_window_lag_lead",  # window-frame family rep stays
     "x3_label_centroids",  # stays: drives the round-6 floor-trunc change
     "x2_ngram_jaccard_capped",
     "x6_ema_daily",  # stays: drives the round-6 parameterized shard kernel
-    "x6_tumbling_hourly",
-    "x6_session_stats_per_user",
-    "x8_sequence_packing",
-    "mm_decode_features",
-    "s_tumbling_hourly_stream",
-    "s_session_window_stream",
-    "s_weather_latest_stream",
+    "ext_q10_returned_items",
+    "x6_sliding_windows",
+    "x6_validity_intervals",
+    "x6_zscore_anomaly",
+    "x4_pii_redact",
+    "x8_zorder_layout",
+    "s_sliding_hourly_stream",
     # round-6 additions: the six band twins + bucketed-layout join
     # (VERDICT asks #6/#8) and the eight brand-new round-6 operators
     # (BM25, chunking, approx-percentile band, OHLC, weighted sample,
