@@ -66,6 +66,8 @@ HEADLINE = [
     "x6_zscore_anomaly",
     "x4_pii_redact",
     "x8_zorder_layout",
+    "x2_tfidf_cosine",
+    "x6_mad_outliers",
 ]
 
 

@@ -88,6 +88,9 @@ QUERIES = [
     "x6_zscore_anomaly",
     "x4_pii_redact",
     "x8_zorder_layout",
+    "x2_tfidf_cosine",
+    "x6_mad_outliers",
+    "x4_token_normalize",
 ]
 
 #: Viral boilerplate for the skew replica: untagged (shared verbatim

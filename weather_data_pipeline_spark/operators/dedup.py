@@ -1010,3 +1010,141 @@ def x2_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CASE WHEN vote > 0 THEN shiftleft(1L, bit) ELSE 0L END")
         ).alias("simhash")
     )
+
+
+# ----------------------------------------------------------------------
+# TF-IDF cosine near-dup — the weighted rung of the dedup ladder
+# ----------------------------------------------------------------------
+#: document-frequency ceiling for TF-IDF terms: terms above it are
+#: dropped before the pair join. Dual purpose: (a) pair work stays
+#: ≤ |docs|·cap like the capped Jaccard rung; (b) near-ubiquitous terms
+#: carry the least idf weight anyway, so the semantic loss is the
+#: smallest available for the join work saved.
+TFIDF_DF_CAP = 50
+
+#: cosine threshold for emitting a near-dup pair
+TFIDF_MIN_COS = 0.35
+
+
+@query(
+    "x2_tfidf_cosine",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ), tf AS (
+      SELECT doc_id,
+             words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS term,
+             COUNT(*) AS tf
+      FROM w, UNNEST(generate_series(1, len(words) - 2)) AS t(i)
+      GROUP BY doc_id, term
+    ), n_docs AS (
+      SELECT COUNT(*) AS nd FROM w
+    ), stats AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+      HAVING COUNT(*) <= {TFIDF_DF_CAP}
+    ), weighted AS (
+      SELECT doc_id, term, tf * LN(CAST(nd AS DOUBLE) / df) AS wt
+      FROM tf JOIN stats USING (term) CROSS JOIN n_docs
+    ), norms AS (
+      SELECT doc_id, SUM(CAST(wt * wt AS DECIMAL(28,12))) AS norm_sq
+      FROM weighted GROUP BY doc_id
+    ), dots AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             SUM(CAST(a.wt * b.wt AS DECIMAL(28,12))) AS dot
+      FROM weighted a JOIN weighted b
+        ON a.term = b.term AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(dot AS DOUBLE)
+             / sqrt(CAST(na.norm_sq AS DOUBLE) * CAST(nb.norm_sq AS DOUBLE)),
+             6) AS cosine
+    FROM dots
+    JOIN norms na ON na.doc_id = doc_a
+    JOIN norms nb ON nb.doc_id = doc_b
+    WHERE CAST(dot AS DOUBLE)
+      / sqrt(CAST(na.norm_sq AS DOUBLE) * CAST(nb.norm_sq AS DOUBLE))
+      >= {TFIDF_MIN_COS}
+    """,
+)
+def x2_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF-weighted cosine near-dup pairs — the weighted rung between
+    set-overlap Jaccard (every shared shingle counts 1) and embedding
+    cosine (needs a model): shared RARE shingles dominate the score, so
+    boilerplate overlap stops producing false near-dups.
+
+    Same inverted-index shape as ``x2_ngram_jaccard`` — only documents
+    sharing a surviving term ever meet — with the df ceiling doing
+    double duty: pair work bounded at |docs|·cap (the posting-list-skew
+    guard) while dropping exactly the terms idf already weights lowest.
+    Determinism across engines: idf/weight products are IEEE-identical
+    doubles; the order-sensitive parts (dot products, norms) sum
+    DECIMAL(28,12)-cast terms — exact, order-independent — with one
+    double division + sqrt at the emit boundary (the repo's decimal-sum
+    convention). df/tf are counted over RAW shingle strings; only the
+    pair join keys on ``xxhash64`` (the collision caveat documented on
+    x2_ngram_jaccard applies to the join only, never the weights)."""
+    doc = _gate_uncapped(
+        fan_out(load_table(spark, sf_dir, "documents")),
+        "x2_tfidf_cosine",
+        sf_dir,
+    )
+    words = doc.select("doc_id", F.split("text", " ").alias("words")).filter(
+        F.size("words") >= 3
+    )
+    from pyspark.ml.feature import NGram
+
+    grams = NGram(n=3, inputCol="words", outputCol="raw_grams").transform(words)
+    tf = (
+        grams.select("doc_id", F.explode("raw_grams").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    nd = words.count()  # one bounded count job; result folds into idf
+    stats = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= TFIDF_DF_CAP)
+    )
+    weighted = tf.join(stats, "term").select(
+        "doc_id",
+        F.xxhash64("term").alias("h"),
+        (F.col("tf") * F.log(F.lit(float(nd)) / F.col("df"))).alias("wt"),
+    )
+    norms = weighted.groupBy("doc_id").agg(
+        F.sum((F.col("wt") * F.col("wt")).cast("decimal(28,12)")).alias(
+            "norm_sq"
+        )
+    )
+    a = weighted.select(
+        F.col("doc_id").alias("doc_a"), "h", F.col("wt").alias("wa")
+    )
+    b = weighted.select(
+        F.col("doc_id").alias("doc_b"), "h", F.col("wt").alias("wb")
+    )
+    dots = (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum((F.col("wa") * F.col("wb")).cast("decimal(28,12)")).alias(
+                "dot"
+            )
+        )
+    )
+    na = norms.select(
+        F.col("doc_id").alias("doc_a"), F.col("norm_sq").alias("nsq_a")
+    )
+    nb = norms.select(
+        F.col("doc_id").alias("doc_b"), F.col("norm_sq").alias("nsq_b")
+    )
+    cos = F.col("dot").cast("double") / F.sqrt(
+        F.col("nsq_a").cast("double") * F.col("nsq_b").cast("double")
+    )
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(cos >= TFIDF_MIN_COS)
+        .select("doc_a", "doc_b", F.round(cos, 6).alias("cosine"))
+    )

@@ -664,3 +664,76 @@ def x6_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ok, F.floor(z * 1_000_000) / 1e6).alias("z"),
         F.when(ok, F.abs(z) > 2.0).alias("is_anomaly"),
     )
+
+
+# ----------------------------------------------------------------------
+# Robust outliers — median/MAD, the heavy-tail-safe twin of z-score
+# ----------------------------------------------------------------------
+#: scale factor making MAD a consistent sigma estimator under normality
+MAD_K = 1.4826
+
+#: robust-z magnitude above which a point is flagged
+MAD_Z_CUT = 3.5
+
+
+@query(
+    "x6_mad_outliers",
+    oracle=f"""
+    WITH obs AS (
+      SELECT event_id, user_id,
+             ROUND(CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE), 2) AS value
+      FROM events
+    ), med AS (
+      SELECT event_id, user_id, value,
+             quantile_cont(value, 0.5) OVER (PARTITION BY user_id) AS med
+      FROM obs
+    ), mad AS (
+      SELECT event_id, user_id, value, med,
+             quantile_cont(abs(value - med), 0.5)
+               OVER (PARTITION BY user_id) AS mad
+      FROM med
+    )
+    SELECT event_id, user_id, value,
+           CASE WHEN mad > 0 THEN
+             FLOOR(((value - med) / ({MAD_K} * mad)) * 1000000) / 1000000.0
+           END AS robust_z,
+           CASE WHEN mad > 0 THEN
+             ABS((value - med) / ({MAD_K} * mad)) > {MAD_Z_CUT}
+           END AS is_outlier
+    FROM mad
+    """,
+)
+def x6_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier flags per entity — the heavy-tail-safe
+    twin of ``x6_zscore_anomaly``: one extreme value inflates a mean and
+    stddev enough to mask itself (z never flags it), while the median
+    and MAD barely move. Two stacked whole-partition windows (median,
+    then median absolute deviation) share the user_id partitioning, so
+    the op is ONE hash shuffle; Spark's ``percentile`` and DuckDB's
+    ``quantile_cont`` both linearly interpolate at even counts over the
+    same 2-decimal inputs, making the medians IEEE-identical, and the
+    robust z is floor-truncated at 6 decimals. Zero-MAD keys (>50% of
+    the user's values identical) yield NULL rather than ±inf."""
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value").cast("decimal(18,2)").cast("double"), 2).alias(
+            "value"
+        ),
+    )
+    pw = Window.partitionBy("user_id")
+    med = obs.withColumn("med", F.percentile("value", F.lit(0.5)).over(pw))
+    mad = med.withColumn(
+        "mad",
+        F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).over(pw),
+    )
+    rz = (F.col("value") - F.col("med")) / (MAD_K * F.col("mad"))
+    ok = F.col("mad") > 0
+    return mad.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.when(ok, F.floor(rz * 1_000_000) / 1e6).alias("robust_z"),
+        F.when(ok, F.abs(rz) > MAD_Z_CUT).alias("is_outlier"),
+    )

@@ -851,3 +851,65 @@ def x4_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     red = redact_pii(doc.select("doc_id", "text"))
     names = [f"n_{n}" for n, _, _ in PII_RULES]
     return red.select("doc_id", *names, "text")
+
+
+# ----------------------------------------------------------------------
+# Token normalization — the pre-tokenizer cleanup pass
+# ----------------------------------------------------------------------
+#: closed-class words dropped by the normalizer (kept deliberately tiny
+#: and explicit — a real pipeline ships per-language lists; these hit
+#: the synthetic corpus's actual vocabulary so the op is exercised)
+STOPWORDS: tuple[str, ...] = ("a", "the", "of", "and", "to", "in")
+
+
+@query(
+    "x4_token_normalize",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(
+               trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')),
+               ' ') AS raw
+      FROM documents
+    ), kept AS (
+      SELECT doc_id,
+             list_filter(raw, w -> len(w) > 0) AS all_toks,
+             list_filter(raw, w -> len(w) > 0 AND w NOT IN
+               ({", ".join("'" + w + "'" for w in STOPWORDS)})) AS keep
+      FROM toks
+    )
+    SELECT doc_id,
+           array_to_string(keep, ' ') AS norm_text,
+           CAST(len(keep) AS BIGINT) AS n_kept,
+           CAST(len(all_toks) - len(keep) AS BIGINT) AS n_dropped
+    FROM kept
+    """,
+)
+def x4_token_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-tokenizer normalization: lowercase, strip non-alphanumerics,
+    collapse whitespace, drop stopwords — with kept/dropped counts per
+    document (the knob audits what the cleanup destroys). Everything is
+    JVM-side — ``regexp_replace`` + higher-order ``filter`` keeping
+    duplicates in order (``array_except`` would dedup and reorder, the
+    classic wrong answer here) — zero shuffles, scan-speed at 100 TB.
+    The stopword list is a literal IN-list on both engines; at real
+    vocabulary sizes it becomes a broadcast join against a lexicon
+    table, same plan shape as x2_decontaminate's eval side."""
+    doc = load_table(spark, sf_dir, "documents")
+    raw = F.split(
+        F.trim(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " ")
+        ),
+        " ",
+    )
+    all_toks = F.filter(raw, lambda w: F.length(w) > 0)
+    keep = F.filter(
+        raw,
+        lambda w: (F.length(w) > 0) & ~w.isin(*STOPWORDS),
+    )
+    return doc.select(
+        "doc_id",
+        F.array_join(keep, " ").alias("norm_text"),
+        F.size(keep).cast("long").alias("n_kept"),
+        (F.size(all_toks) - F.size(keep)).cast("long").alias("n_dropped"),
+    )

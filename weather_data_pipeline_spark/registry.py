@@ -118,9 +118,15 @@ _PRIORITY: tuple[str, ...] = (
     # (x8_sequence_packing, x6_tumbling_hourly, x6_session_stats_per_user,
     # mm_decode_features, s_tumbling_hourly_stream, s_session_window_stream,
     # s_weather_latest_stream — their rows stand in the r1–r6 union).
+    # x2_ngram_jaccard_capped also rotates out (its round-6 delta was
+    # only the gate-verdict cache — output-identical below the ceiling;
+    # r5 row + local sweep stand) for x2_tfidf_cosine, the new
+    # decimal-sum weighted dedup rung. x6_mad_outliers and
+    # x4_token_normalize are registered outside the window and queue
+    # for the r7 rotation (local parity green).
     "ext_window_lag_lead",  # window-frame family rep stays
     "x3_label_centroids",  # stays: drives the round-6 floor-trunc change
-    "x2_ngram_jaccard_capped",
+    "x2_tfidf_cosine",
     "x6_ema_daily",  # stays: drives the round-6 parameterized shard kernel
     "ext_q10_returned_items",
     "x6_sliding_windows",
