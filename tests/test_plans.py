@@ -633,3 +633,31 @@ def test_zorder_key_no_data_shuffle(spark):
     # the only exchanges allowed are the 1-row bounds aggregate's
     # (SinglePartition) and its broadcast — fact rows never hash-shuffle
     assert "hashpartitioning" not in plan
+
+
+def test_mad_outliers_single_shuffle(spark):
+    """Both percentile windows share the user_id partitioning: one
+    exchange, no join."""
+    df = _Q["x6_mad_outliers"](spark, SF)
+    assert num_shuffles(df) == 1
+    from weather_data_pipeline_spark.plans.inspect import executed_plan
+
+    assert "Join" not in executed_plan(df)
+
+
+def test_token_normalize_zero_shuffles(spark):
+    df = _Q["x4_token_normalize"](spark, SF)
+    assert num_shuffles(df) == 0
+
+
+def test_tfidf_cosine_never_cartesian(spark):
+    """The weighted pair join must stay term-keyed — a cartesian or
+    nested-loop fallback would be the |docs|^2 bug the df ceiling
+    exists to prevent."""
+    df = _Q["x2_tfidf_cosine"](spark, SF)
+    from weather_data_pipeline_spark.plans.inspect import executed_plan
+
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert has_partial_aggregation(df)
