@@ -77,3 +77,47 @@ def x5_json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total_value"),
         )
     )
+
+
+@query(
+    "x5_json_keys_profile",
+    oracle="""
+    WITH kv AS (
+      SELECT e.event_id,
+             unnest(json_keys(e.props)) AS key
+      FROM events e
+    )
+    SELECT key,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT json_extract_string(e2.props, '$.' || key))
+             AS n_distinct_values,
+           MIN(CAST(json_extract_string(e2.props, '$.' || key) AS DOUBLE))
+             AS min_num,
+           MAX(CAST(json_extract_string(e2.props, '$.' || key) AS DOUBLE))
+             AS max_num
+    FROM kv JOIN events e2 USING (event_id)
+    GROUP BY key
+    """,
+)
+def x5_json_keys_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema profiling for semi-structured data: discover the key set
+    of a JSON column and per-key stats (row coverage, value
+    cardinality, numeric range) WITHOUT declaring a schema first — the
+    step before ``from_json`` in any pipeline onboarding an unknown
+    feed. ``json_object_keys`` + explode keeps the parse JVM-side; the
+    aggregation shuffles only (key, value) pairs, and at 100 TB the
+    output is bounded by the key vocabulary, not the row count."""
+    ev = load_table(spark, sf_dir, "events")
+    kv = ev.select(
+        "props",
+        F.explode(F.json_object_keys("props")).alias("key"),
+    ).select(
+        "key",
+        F.expr("get_json_object(props, concat('$.', key))").alias("val"),
+    )
+    return kv.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("val").alias("n_distinct_values"),
+        F.min(F.col("val").cast("double")).alias("min_num"),
+        F.max(F.col("val").cast("double")).alias("max_num"),
+    )

@@ -737,3 +737,84 @@ def x6_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ok, F.floor(rz * 1_000_000) / 1e6).alias("robust_z"),
         F.when(ok, F.abs(rz) > MAD_Z_CUT).alias("is_outlier"),
     )
+
+
+# ----------------------------------------------------------------------
+# Funnel analysis — ordered stage progression per entity
+# ----------------------------------------------------------------------
+@query(
+    "x6_funnel_stages",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS signup_ts
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS first_view_ts
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'view' AND e.ts > s1.signup_ts
+      GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS first_purchase_ts
+      FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s2.first_view_ts
+      GROUP BY e.user_id
+    )
+    SELECT s1.user_id, s1.signup_ts, s2.first_view_ts, s3.first_purchase_ts,
+           CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3
+                     WHEN s2.user_id IS NOT NULL THEN 2
+                     ELSE 1 END AS INTEGER) AS stage_reached
+    FROM s1
+    LEFT JOIN s2 ON s2.user_id = s1.user_id
+    LEFT JOIN s3 ON s3.user_id = s1.user_id
+    """,
+)
+def x6_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel progression (signup → first view AFTER signup →
+    first purchase AFTER that view) per user — the product-analytics
+    staple whose ORDER constraint plain per-type mins can't express
+    (a view before the signup must not count). Each stage is one
+    min-aggregate over events joined to the previous stage's
+    timestamps; every join and aggregation keys on user_id, so the
+    whole funnel reuses ONE hash partitioning — at 100 TB the events
+    table shuffles once and the per-stage frontier tables (≤ |users|
+    rows) ride along. Deeper funnels add stages linearly, never
+    another events scan ordering."""
+    ev = load_table(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    s2 = (
+        ev.join(s1, "user_id")
+        .filter(
+            (F.col("event_type") == "view") & (F.col("ts") > F.col("signup_ts"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view_ts"))
+    )
+    s3 = (
+        ev.join(s2, "user_id")
+        .filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") > F.col("first_view_ts"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase_ts"))
+    )
+    stage = (
+        F.when(F.col("first_purchase_ts").isNotNull(), 3)
+        .when(F.col("first_view_ts").isNotNull(), 2)
+        .otherwise(1)
+    )
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            "user_id",
+            "signup_ts",
+            "first_view_ts",
+            "first_purchase_ts",
+            stage.cast("int").alias("stage_reached"),
+        )
+    )

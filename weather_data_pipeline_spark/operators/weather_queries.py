@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..sources import weather as wsrc
+from ..sources import csv_source as csvsrc
 from ..transforms import CURRENT_SCALARS, flatten_raw
 from .flagship import latest_per_key
 
@@ -166,4 +167,57 @@ def w_city_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return _staged(spark).select(
         "city", "ingest_date", m[F.col("city")].alias("city_code")
+    )
+
+
+@query(
+    "w_csv_quarantine",
+    oracle=f"""
+    SELECT regexp_extract(filename, '(\\d{{4}}-\\d{{2}}-\\d{{2}})', 1)
+             AS ingest_date,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN NOT ok THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_quarantined,
+           ROUND(CAST(SUM(CASE WHEN ok THEN
+                 CAST(string_split(line, ',')[2] AS DECIMAL(18,2)) END)
+               AS DOUBLE), 2) AS temp_sum,
+           MIN(CASE WHEN NOT ok THEN md5(line) END) AS quarantine_digest
+    FROM (
+      SELECT filename, content AS line,
+             len(string_split(content, ',')) >= 3
+               AND TRY_CAST(string_split(content, ',')[2] AS DOUBLE)
+                   IS NOT NULL AS ok
+      FROM read_csv('{csvsrc.CSV_FIXTURE_ROOT}/data/*/*.csv',
+                    delim=chr(1), header=false, filename=true,
+                    columns={{'content': 'VARCHAR'}})
+    )
+    GROUP BY 1
+    """,
+)
+def w_csv_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3's permissive fallback for CSV feeds: malformed rows (wrong
+    arity, unparseable measurement) land intact in ``_corrupt`` —
+    digest-checked against the oracle's raw line bytes — while valid
+    rows aggregate normally. The quarantine rule both engines enforce:
+    at least 3 fields and a numeric measurement (extra trailing fields
+    are dropped by the parser, not corruption); Spark's univocity
+    parser and the oracle's split-and-TRY_CAST verdicts are pinned
+    row-by-row by the fixture (sources/csv_source.py CSV_ROWS)."""
+    root = csvsrc.ensure_csv_fixture()
+    df = csvsrc.read_csv_permissive(spark, root).withColumn(
+        "file", F.input_file_name()
+    )
+    corrupt = F.col("_corrupt").isNotNull()
+    return df.groupBy(
+        F.regexp_extract("file", r"(\d{4}-\d{2}-\d{2})", 1).alias("ingest_date")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(corrupt.cast("long")).alias("n_quarantined"),
+        F.round(
+            F.sum(
+                F.when(~corrupt, F.col("temp_c").cast("decimal(18,2)"))
+            ).cast("double"),
+            2,
+        ).alias("temp_sum"),
+        F.min(F.when(corrupt, F.md5("_corrupt"))).alias("quarantine_digest"),
     )

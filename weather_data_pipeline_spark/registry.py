@@ -182,10 +182,12 @@ def _materialize_fixtures() -> None:
     globs; materialize them (atomic, idempotent) before handing out oracle
     SQL so DuckDB never races a missing file. Lives here — not at operator
     import time — so importing the registry stays side-effect-free."""
+    from .sources import csv_source as csvsrc
     from .sources import weather as wsrc
 
     wsrc.ensure_fixture()
     wsrc.ensure_corrupt_fixture()
+    csvsrc.ensure_csv_fixture()
 
 
 _LOADED = False
