@@ -188,3 +188,33 @@ def test_zorder_clusters_both_dimensions(spark, tmp_path):
         full = glob[c][1] - glob[c][0]
         mean_frac = sum(widths) / len(widths) / full
         assert mean_frac <= 0.45, (c, mean_frac)
+
+
+def test_skew_report_flags_hot_key(spark):
+    """The diagnostic must (a) rank the planted hot key first, (b) scale
+    its salt factor to the hot key's row count, (c) call a uniform key
+    distribution clean — and its driver payload is top_k + one stats
+    row regardless of key cardinality."""
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo/tools")
+    from skew_report import skew_report
+
+    hot = spark.range(10_000).select(
+        F.lit("viral").alias("k"), F.col("id").alias("v")
+    )
+    cold = spark.range(500).select(
+        F.concat(F.lit("k"), F.col("id")).alias("k"), F.col("id").alias("v")
+    )
+    rep = skew_report(hot.unionAll(cold), "k", target_rows_per_task=1_000)
+    assert rep["top_keys"][0]["key"] == "viral"
+    assert rep["max_key_rows"] == 10_000
+    assert rep["recommended_salt"] == 10
+    assert "salt" in rep["advice"]
+
+    uniform = spark.range(5_000).select(
+        (F.col("id") % 50).alias("k"), F.col("id").alias("v")
+    )
+    rep2 = skew_report(uniform, "k")
+    assert rep2["recommended_salt"] == 1
+    assert "no mitigation" in rep2["advice"]

@@ -286,3 +286,84 @@ def s_user_stats_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("max_value", "n_events").alias("max_value"),
     )
     return latest
+
+
+# ----------------------------------------------------------------------
+# Cogrouped applyInPandas (two tables, one aligned kernel call per key)
+# ----------------------------------------------------------------------
+def _reconcile(events_pdf: pd.DataFrame, cust_pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-key reconciliation kernel. Sums use math.fsum (exactly
+    rounded → independent of the arbitrary row order a cogroup hands
+    the kernel — the centroid-kernel convention)."""
+    import math
+
+    key = (
+        events_pdf["user_id"].iloc[0]
+        if len(events_pdf)
+        else cust_pdf["c_custkey"].iloc[0]
+    )
+    total = math.fsum(float(v) for v in events_pdf["value_d"]) if len(events_pdf) else 0.0
+    acctbal = (
+        math.fsum(float(v) for v in cust_pdf["acct_d"]) if len(cust_pdf) else None
+    )
+    return pd.DataFrame(
+        {
+            "key_id": [int(key)],
+            "n_events": [len(events_pdf)],
+            "total_value": [round(total, 2)],
+            "n_customers": [len(cust_pdf)],
+            "acctbal": [None if acctbal is None else round(acctbal, 2)],
+        }
+    )
+
+
+@query(
+    "ext_cogroup_pandas",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id AS key_id, COUNT(*) AS n_events,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS total_value
+      FROM events GROUP BY user_id
+    ), cu AS (
+      SELECT c_custkey AS key_id, COUNT(*) AS n_customers,
+             ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS acctbal
+      FROM customer GROUP BY c_custkey
+    )
+    SELECT COALESCE(ev.key_id, cu.key_id) AS key_id,
+           COALESCE(ev.n_events, 0) AS n_events,
+           COALESCE(ev.total_value, 0.0) AS total_value,
+           COALESCE(cu.n_customers, 0) AS n_customers,
+           cu.acctbal AS acctbal
+    FROM ev FULL OUTER JOIN cu ON ev.key_id = cu.key_id
+    """,
+)
+def ext_cogroup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``cogroup(...).applyInPandas`` — the two-table grouped-map
+    operator (FlatMapCoGroupsInPandas): both inputs hash-shuffle on the
+    key ONCE, then the kernel sees each key's rows from BOTH tables as
+    two aligned pandas frames — the escape hatch for per-key
+    reconciliation logic a SQL full-outer join can't express (here it
+    CAN, which is what makes it oracle-checkable: the kernel must
+    reproduce the full-outer aggregate exactly, fsum keeping Python's
+    double sums order-independent). Both decimal-quantized inputs are
+    prepared JVM-side; each kernel frame holds ONE key's rows, so
+    executor memory is bounded by the largest single key, not the
+    table."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("value").cast("decimal(18,2)").cast("double").alias("value_d"),
+    )
+    cu = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_acctbal").cast("decimal(18,2)").cast("double").alias("acct_d"),
+    )
+    out = ev.groupBy("user_id").cogroup(cu.groupBy("c_custkey")).applyInPandas(
+        _reconcile,
+        schema=(
+            "key_id long, n_events long, total_value double, "
+            "n_customers long, acctbal double"
+        ),
+    )
+    return out

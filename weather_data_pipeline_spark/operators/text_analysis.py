@@ -861,55 +861,68 @@ def x4_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: the synthetic corpus's actual vocabulary so the op is exercised)
 STOPWORDS: tuple[str, ...] = ("a", "the", "of", "and", "to", "in")
 
+#: single-pass word-boundary alternation removing every stopword token;
+#: generated from STOPWORDS and shared verbatim with the DuckDB oracle
+_SW_PATTERN = r"\b(" + "|".join(STOPWORDS) + r")\b"
+
 
 @query(
     "x4_token_normalize",
     oracle=f"""
-    WITH toks AS (
+    WITH cleaned AS (
       SELECT doc_id,
-             string_split(
-               trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')),
-               ' ') AS raw
+             trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+               AS pre
       FROM documents
-    ), kept AS (
-      SELECT doc_id,
-             list_filter(raw, w -> len(w) > 0) AS all_toks,
-             list_filter(raw, w -> len(w) > 0 AND w NOT IN
-               ({", ".join("'" + w + "'" for w in STOPWORDS)})) AS keep
-      FROM toks
+    ), dropped AS (
+      SELECT doc_id, pre,
+             trim(regexp_replace(
+               regexp_replace(pre, '{_SW_PATTERN}', ' ', 'g'),
+               '  +', ' ', 'g')) AS norm_text
+      FROM cleaned
     )
-    SELECT doc_id,
-           array_to_string(keep, ' ') AS norm_text,
-           CAST(len(keep) AS BIGINT) AS n_kept,
-           CAST(len(all_toks) - len(keep) AS BIGINT) AS n_dropped
-    FROM kept
+    SELECT doc_id, norm_text,
+           CAST(CASE WHEN norm_text = '' THEN 0
+                ELSE len(string_split(norm_text, ' ')) END AS BIGINT)
+             AS n_kept,
+           CAST((CASE WHEN pre = '' THEN 0
+                 ELSE len(string_split(pre, ' ')) END)
+              - (CASE WHEN norm_text = '' THEN 0
+                 ELSE len(string_split(norm_text, ' ')) END) AS BIGINT)
+             AS n_dropped
+    FROM dropped
     """,
 )
 def x4_token_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-tokenizer normalization: lowercase, strip non-alphanumerics,
     collapse whitespace, drop stopwords — with kept/dropped counts per
-    document (the knob audits what the cleanup destroys). Everything is
-    JVM-side — ``regexp_replace`` + higher-order ``filter`` keeping
-    duplicates in order (``array_except`` would dedup and reorder, the
-    classic wrong answer here) — zero shuffles, scan-speed at 100 TB.
-    The stopword list is a literal IN-list on both engines; at real
-    vocabulary sizes it becomes a broadcast join against a lexicon
-    table, same plan shape as x2_decontaminate's eval side."""
+    document (the knob audits what the cleanup destroys). Every pass is
+    a codegen'd ``regexp_replace`` (the stopword drop is ONE
+    word-boundary alternation pass, shared verbatim with the oracle) —
+    zero shuffles, and crucially no higher-order array filters: HOF
+    lambdas run interpreted AND re-evaluate per column reference, which
+    benched ~7x slower on the 10x replica before this formulation
+    (BENCH_SCALE.json history). The stopword list is a generated
+    alternation on both engines; at real vocabulary sizes it becomes a
+    broadcast join against a lexicon table, same plan shape as
+    x2_decontaminate's eval side."""
     doc = load_table(spark, sf_dir, "documents")
-    raw = F.split(
-        F.trim(
-            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " ")
-        ),
-        " ",
+    pre = F.trim(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")
     )
-    all_toks = F.filter(raw, lambda w: F.length(w) > 0)
-    keep = F.filter(
-        raw,
-        lambda w: (F.length(w) > 0) & ~w.isin(*STOPWORDS),
+    d = doc.select("doc_id", pre.alias("pre"))
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.col("pre"), _SW_PATTERN, " "), "  +", " "
+        )
     )
-    return doc.select(
+    d = d.select("doc_id", "pre", norm.alias("norm_text"))
+    n_of = lambda c: F.when(  # noqa: E731
+        F.col(c) == "", F.lit(0)
+    ).otherwise(F.size(F.split(F.col(c), " ")))
+    return d.select(
         "doc_id",
-        F.array_join(keep, " ").alias("norm_text"),
-        F.size(keep).cast("long").alias("n_kept"),
-        (F.size(all_toks) - F.size(keep)).cast("long").alias("n_dropped"),
+        "norm_text",
+        n_of("norm_text").cast("long").alias("n_kept"),
+        (n_of("pre") - n_of("norm_text")).cast("long").alias("n_dropped"),
     )
