@@ -181,3 +181,25 @@ def test_corrupt_parquet_part_skipped_when_tolerated(spark, tmp_path):
 
     ok = testdata.load_table(spark, str(d), "region", tolerate_corrupt=True)
     assert ok.count() == 5  # the good part's 5 regions survive
+
+
+def test_compact_small_files(spark, tmp_path):
+    """200 tiny files → the byte-sized file count; rows and values
+    survive the rewrite; the swap leaves no stray directories."""
+    import glob
+    import os
+
+    from weather_data_pipeline_spark.sources.io import compact_small_files
+
+    path = str(tmp_path / "frag")
+    df = spark.range(20_000).selectExpr("id", "id * 2 AS v")
+    df.repartition(200).write.parquet(path)
+    assert len(glob.glob(path + "/*.parquet")) == 200
+    before = spark.read.parquet(path).selectExpr("sum(v)").collect()[0][0]
+
+    n = compact_small_files(spark, path, target_file_bytes=512 * 1024)
+    files = glob.glob(path + "/*.parquet")
+    assert len(files) == n < 200
+    assert spark.read.parquet(path).selectExpr("sum(v)").collect()[0][0] == before
+    assert not glob.glob(str(tmp_path / "frag.old.*"))
+    assert not glob.glob(str(tmp_path / "frag.compact.*"))

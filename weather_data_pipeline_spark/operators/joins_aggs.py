@@ -920,3 +920,94 @@ def ext_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
+
+
+# ----------------------------------------------------------------------
+# CDC merge: apply a change batch onto a snapshot (SCD1 upsert + ops)
+# ----------------------------------------------------------------------
+#: snapshot/batch split point for the CDC merge query
+CDC_CUTOFF = "2024-02-01 00:00:00"
+
+
+@query(
+    "ext_cdc_merge",
+    oracle=f"""
+    WITH snap AS (
+      SELECT user_id, value FROM (
+        SELECT user_id,
+               ROUND(CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE), 2) AS value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts < TIMESTAMP '{CDC_CUTOFF}'
+      ) WHERE rn = 1
+    ), batch AS (
+      SELECT user_id, value, event_type FROM (
+        SELECT user_id,
+               ROUND(CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE), 2) AS value,
+               event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts >= TIMESTAMP '{CDC_CUTOFF}'
+      ) WHERE rn = 1
+    )
+    SELECT COALESCE(s.user_id, b.user_id) AS user_id,
+           CASE WHEN b.user_id IS NULL THEN 'carry'
+                WHEN b.event_type = 'error' AND s.user_id IS NULL THEN 'noop'
+                WHEN b.event_type = 'error' THEN 'delete'
+                WHEN s.user_id IS NULL THEN 'insert'
+                ELSE 'update' END AS op,
+           s.value AS old_value,
+           CASE WHEN b.event_type = 'error' THEN NULL ELSE b.value END
+             AS new_value
+    FROM snap s FULL OUTER JOIN batch b ON s.user_id = b.user_id
+    """,
+)
+def ext_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply — the MERGE INTO shape without a table format: reduce
+    the change feed to one net change per key (latest-wins ``max_by``,
+    the same partializable reduction the flagship uses), full-outer
+    join it against the snapshot, classify each key insert / update /
+    delete (tombstone = an 'error'-typed last event) / carry / noop.
+    Snapshot and batch aggregate AND join on the same user_id
+    partitioning — at 100 TB the feed reduces BEFORE touching the
+    (much larger) snapshot, which is the entire point of netting
+    changes first; writing the result as a new snapshot version is the
+    streaming path's write-new-then-swap protocol
+    (streaming/jobs.py incremental_latest_per_key)."""
+    ev = load_table(spark, sf_dir, "events")
+    r2 = F.round(F.col("value").cast("decimal(18,2)").cast("double"), 2)
+    order = F.struct("ts", "event_id")
+    cutoff = F.lit(CDC_CUTOFF).cast("timestamp_ntz")
+    snap = (
+        ev.filter(F.col("ts") < cutoff)
+        .select("user_id", r2.alias("v"), "ts", "event_id")
+        .groupBy("user_id")
+        .agg(F.max_by("v", order).alias("old_value"))
+    )
+    batch = (
+        ev.filter(F.col("ts") >= cutoff)
+        .select("user_id", r2.alias("v"), "event_type", "ts", "event_id")
+        .groupBy("user_id")
+        .agg(
+            F.max_by("v", order).alias("b_value"),
+            F.max_by("event_type", order).alias("b_type"),
+        )
+    )
+    s, b = snap.alias("s"), batch.alias("b")
+    joined = s.join(b, "user_id", "full_outer")
+    tomb = F.col("b_type") == "error"
+    in_snap = F.col("old_value").isNotNull()
+    in_batch = F.col("b_type").isNotNull()
+    op = (
+        F.when(~in_batch, "carry")
+        .when(tomb & ~in_snap, "noop")
+        .when(tomb, "delete")
+        .when(~in_snap, "insert")
+        .otherwise("update")
+    )
+    return joined.select(
+        "user_id",
+        op.alias("op"),
+        "old_value",
+        F.when(~tomb, F.col("b_value")).alias("new_value"),
+    )

@@ -1112,3 +1112,117 @@ def x3_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("query_id", "vec_id", "ad2")
     )
+
+
+# ----------------------------------------------------------------------
+# k-NN classification — label prediction by neighbor vote
+# ----------------------------------------------------------------------
+@query(
+    "x3_knn_classify",
+    oracle=f"""
+    WITH topk AS (
+      SELECT query_id, vec_id, label FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS vec_id, c.label,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY ROUND({_DUCK_COS.format(a='q.embedding', b='c.embedding')}, 6) DESC,
+                          c.vec_id) AS rn
+        FROM (SELECT * FROM embeddings WHERE vec_id < {N_QUERIES}) q
+        CROSS JOIN embeddings c
+        WHERE q.vec_id <> c.vec_id
+      ) WHERE rn <= {TOP_K}
+    ), votes AS (
+      SELECT query_id, label, COUNT(*) AS n_votes,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY COUNT(*) DESC, label) AS vr
+      FROM topk GROUP BY query_id, label
+    )
+    SELECT v.query_id,
+           v.label AS predicted_label,
+           v.n_votes,
+           t.label AS true_label,
+           v.label = t.label AS correct
+    FROM votes v
+    JOIN embeddings t ON t.vec_id = v.query_id
+    WHERE v.vr = 1
+    """,
+)
+def x3_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification: predict each query vector's label by
+    majority vote over its cosine top-k neighbors (ties broken toward
+    the smaller label id — pinned identically in both engines), scored
+    against the stored label. Reuses the brute-force top-k shape: the
+    corpus is scanned once with labels riding along, never shuffled
+    until the |queries|-partition vote window; the vote argmax is a
+    ``max_by`` over (count, label) — one tiny aggregation. The ladder
+    note on x3_cosine_topk applies: past the gate this runs over the
+    IVF/PQ probe instead of the exact scan."""
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrows = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", F.col("embedding").cast("array<double>"), "label")
+        .collect()
+    )
+    q_ids = [r[0] for r in qrows]
+    q_mat = np.array([r[1] for r in qrows], dtype=np.float64)
+    q_norms = _seq_self_norms(q_mat)
+    true_label = {r[0]: r[2] for r in qrows}
+
+    def sims(batches):
+        for pdf in batches:
+            c_mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            c_norms = _seq_self_norms(c_mat)
+            out = []
+            for qi, qid in enumerate(q_ids):
+                s = _seq_dot(c_mat, q_mat[qi]) / (q_norms[qi] * c_norms)
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "vec_id": pdf["vec_id"].to_numpy(),
+                            "label": pdf["label"].to_numpy(),
+                            "sim": np.round(s, 6),
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    pairs = (
+        emb.select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+            "label",
+        )
+        .mapInPandas(sims, schema="query_id long, vec_id long, label int, sim double")
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    topk = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "label")
+    )
+    votes = topk.groupBy("query_id", "label").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    winner = votes.groupBy("query_id").agg(
+        F.max_by(
+            F.struct(F.col("label").alias("l"), F.col("n_votes").alias("n")),
+            F.struct(F.col("n_votes"), (-F.col("label")).alias("neg")),
+        ).alias("win")
+    )
+    truth = F.broadcast(
+        emb.sparkSession.createDataFrame(
+            [(q, lab) for q, lab in true_label.items()],
+            "query_id long, true_label int",
+        )
+    )
+    return winner.join(truth, "query_id").select(
+        "query_id",
+        F.col("win.l").alias("predicted_label"),
+        F.col("win.n").alias("n_votes"),
+        "true_label",
+        (F.col("win.l") == F.col("true_label")).alias("correct"),
+    )

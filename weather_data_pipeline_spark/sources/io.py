@@ -78,3 +78,38 @@ def bucketed_write(
     if sort:
         writer = writer.sortBy(bucket_by)
     writer.saveAsTable(table)
+
+
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-files compaction — the 100 TB hygiene op: a table written
+    by many tasks (or many incremental batches) accumulates files far
+    smaller than a scan-efficient unit, and every downstream job then
+    pays per-file open/footer costs. Sizes the output file count from
+    the CURRENT on-disk bytes (no data scan), rewrites via coalesce —
+    a narrow, shuffle-free repartitioning that only merges — and swaps
+    atomically (write-new-then-rename, the snapshot protocol from
+    streaming/jobs.py). Returns the new file count. Run per partition
+    directory in production so compaction parallelism is partition-
+    level and a failed rewrite never touches other partitions."""
+    import math
+    import os
+    import shutil
+    import uuid
+
+    total = sum(
+        os.path.getsize(os.path.join(path, f))
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    tmp = f"{path}.compact.{uuid.uuid4().hex[:8]}"
+    spark.read.parquet(path).coalesce(n_files).write.parquet(tmp)
+    old = f"{path}.old.{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return n_files
