@@ -68,6 +68,9 @@ HEADLINE = [
     "x8_zorder_layout",
     "x2_tfidf_cosine",
     "x6_mad_outliers",
+    "x6_funnel_stages",
+    "ext_cdc_merge",
+    "x3_knn_classify",
 ]
 
 

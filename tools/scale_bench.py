@@ -91,6 +91,11 @@ QUERIES = [
     "x2_tfidf_cosine",
     "x6_mad_outliers",
     "x4_token_normalize",
+    "x6_funnel_stages",
+    "x5_json_keys_profile",
+    "ext_cogroup_pandas",
+    "x3_knn_classify",
+    "ext_cdc_merge",
 ]
 
 #: Viral boilerplate for the skew replica: untagged (shared verbatim

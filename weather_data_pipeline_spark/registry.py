@@ -121,9 +121,11 @@ _PRIORITY: tuple[str, ...] = (
     # x2_ngram_jaccard_capped also rotates out (its round-6 delta was
     # only the gate-verdict cache — output-identical below the ceiling;
     # r5 row + local sweep stand) for x2_tfidf_cosine, the new
-    # decimal-sum weighted dedup rung. x6_mad_outliers and
-    # x4_token_normalize are registered outside the window and queue
-    # for the r7 rotation (local parity green).
+    # decimal-sum weighted dedup rung. Registered OUTSIDE the window,
+    # queueing for the r7 rotation (all local-parity green at sf0.01
+    # and sf0.1): x6_mad_outliers, x4_token_normalize,
+    # x6_funnel_stages, x5_json_keys_profile, w_csv_quarantine,
+    # ext_cogroup_pandas, x3_knn_classify, ext_cdc_merge.
     "ext_window_lag_lead",  # window-frame family rep stays
     "x3_label_centroids",  # stays: drives the round-6 floor-trunc change
     "x2_tfidf_cosine",
