@@ -71,6 +71,7 @@ HEADLINE = [
     "x6_funnel_stages",
     "ext_cdc_merge",
     "x3_knn_classify",
+    "x9_pagerank",
 ]
 
 

@@ -96,6 +96,7 @@ QUERIES = [
     "ext_cogroup_pandas",
     "x3_knn_classify",
     "ext_cdc_merge",
+    "x9_pagerank",
 ]
 
 #: Viral boilerplate for the skew replica: untagged (shared verbatim

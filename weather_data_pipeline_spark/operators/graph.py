@@ -1,0 +1,150 @@
+"""X9 — graph analytics: PageRank over the order graph.
+
+The dedup tier already ships one iterative graph algorithm (connected
+components, dedup.py); this module adds the other canonical one.
+Nodes are customers and suppliers, edges the distinct
+customer↔supplier trade relationships induced by orders⋈lineitem
+(symmetric — influence flows both ways). Fixed-iteration power method:
+at 100 TB each iteration is one edge-join + one partial-aggregated
+shuffle on the destination key, the textbook Pregel step expressed as
+plain DataFrame ops — no driver-side state beyond the loop counter.
+
+Determinism across engines: every per-edge contribution is cast to
+DECIMAL(28,12) BEFORE the destination sum (exact, order-independent),
+so each iteration's ranks are IEEE-identical doubles on both engines;
+the oracle unrolls the same ``N_ITER`` steps as nested CTEs generated
+from one Python template — the two engines cannot disagree on the
+recurrence.
+
+Reference parity: no graph ops in the reference (440-line pandas ETL);
+§2.10 extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.testdata import load_table
+
+#: power-method iterations (unrolled in the oracle; loop here)
+N_ITER = 3
+
+#: damping factor
+DAMPING = 0.85
+
+#: supplier node-id offset (disjoint from customer keys at any SF)
+SUPP_OFFSET = 100_000_000
+
+
+def _edges_sql() -> str:
+    """Symmetric distinct trade edges, customer keys as-is, supplier
+    keys offset. Shared shape with the Spark build below."""
+    return f"""
+      SELECT src, dst FROM (
+        SELECT DISTINCT o_custkey AS src, l_suppkey + {SUPP_OFFSET} AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      )
+      UNION ALL
+      SELECT dst AS src, src AS dst FROM (
+        SELECT DISTINCT o_custkey AS src, l_suppkey + {SUPP_OFFSET} AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      )
+    """
+
+
+def _pagerank_oracle() -> str:
+    """N_ITER unrolled power-method steps as nested CTEs."""
+    steps = []
+    steps.append(f"""
+    edges AS ({_edges_sql()}),
+    deg AS (SELECT src AS node, COUNT(*) AS outdeg FROM edges GROUP BY src),
+    nn AS (SELECT COUNT(*) AS n FROM deg),
+    pr0 AS (SELECT node, 1.0 / n AS rank FROM deg CROSS JOIN nn)
+    """)
+    for i in range(N_ITER):
+        steps.append(f"""
+    pr{i + 1} AS (
+      SELECT d.node,
+             (1.0 - {DAMPING}) / nn.n
+               + {DAMPING} * CAST(COALESCE(s.acc, 0) AS DOUBLE) AS rank
+      FROM deg d CROSS JOIN nn
+      LEFT JOIN (
+        SELECT e.dst AS node,
+               SUM(CAST(p.rank / g.outdeg AS DECIMAL(28,12))) AS acc
+        FROM edges e
+        JOIN pr{i} p ON p.node = e.src
+        JOIN deg g ON g.node = e.src
+        GROUP BY e.dst
+      ) s ON s.node = d.node
+    )
+    """)
+    return (
+        "WITH "
+        + ",".join(steps)
+        + f"""
+    SELECT node,
+           CASE WHEN node >= {SUPP_OFFSET} THEN 'supplier'
+                ELSE 'customer' END AS node_type,
+           FLOOR(rank * 1000000000) / 1000000000.0 AS rank
+    FROM pr{N_ITER}
+    """
+    )
+
+
+@query("x9_pagerank", oracle=_pagerank_oracle())
+def x9_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer↔supplier trade graph, ``N_ITER``
+    power-method steps. Per iteration: contributions = rank/outdeg per
+    edge source (one join on src), summed per destination (one
+    partial-aggregated shuffle on dst) — both keyed exchanges AQE-sized.
+    The edge list and degrees are built once and reused by every
+    iteration; only the rank vector (|nodes| rows) changes. Emitted
+    ranks floor-truncate at 1e-9 (ranks are O(1/N) — 6 decimals would
+    flatten them)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    base = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + SUPP_OFFSET).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = base.unionAll(
+        base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    n = deg.count()  # |nodes| — one bounded job; folds into the constants
+    pr = deg.select("node", (F.lit(1.0) / n).alias("rank"))
+    for _ in range(N_ITER):
+        contrib = (
+            edges.join(pr.withColumnRenamed("node", "src"), "src")
+            .join(deg.withColumnRenamed("node", "src"), "src")
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("outdeg"))
+                .cast("decimal(28,12)")
+                .alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("acc"))
+        )
+        pr = deg.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit((1.0 - DAMPING) / n)
+                + DAMPING * F.coalesce(F.col("acc").cast("double"), F.lit(0.0))
+            ).alias("rank"),
+        )
+    return pr.select(
+        "node",
+        F.when(F.col("node") >= SUPP_OFFSET, "supplier")
+        .otherwise("customer")
+        .alias("node_type"),
+        (F.floor(F.col("rank") * 1_000_000_000) / 1e9).alias("rank"),
+    )
