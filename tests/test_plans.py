@@ -661,3 +661,27 @@ def test_tfidf_cosine_never_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert has_partial_aggregation(df)
+
+
+def test_funnel_single_shuffle(spark):
+    """The staged funnel runs as stacked conditional windows + a
+    groupBy on the already-partitioned key: one events shuffle total,
+    no join (the per-stage join formulation re-exchanges events once
+    per stage — the oracle uses it, the engine must not)."""
+    df = _Q["x6_funnel_stages"](spark, SF)
+    assert num_shuffles(df) == 1
+    from weather_data_pipeline_spark.plans.inspect import executed_plan
+
+    assert "Join" not in executed_plan(df)
+
+
+def test_pagerank_caches_edges_no_cartesian(spark):
+    """Every power-method step must read the cached edge list (an
+    uncached loop re-runs the orders⋈lineitem build per iteration) and
+    nothing in the plan may fall back to a cartesian product."""
+    df = _Q["x9_pagerank"](spark, SF)
+    from weather_data_pipeline_spark.plans.inspect import executed_plan
+
+    plan = executed_plan(df)
+    assert "InMemoryTableScan" in plan
+    assert "CartesianProduct" not in plan

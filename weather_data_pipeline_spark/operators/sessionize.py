@@ -772,49 +772,51 @@ def x6_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel progression (signup → first view AFTER signup →
     first purchase AFTER that view) per user — the product-analytics
     staple whose ORDER constraint plain per-type mins can't express
-    (a view before the signup must not count). Each stage is one
-    min-aggregate over events joined to the previous stage's
-    timestamps; every join and aggregation keys on user_id, so the
-    whole funnel reuses ONE hash partitioning — at 100 TB the events
-    table shuffles once and the per-stage frontier tables (≤ |users|
-    rows) ride along. Deeper funnels add stages linearly, never
-    another events scan ordering."""
+    (a view before the signup must not count). Three STACKED
+    conditional-min windows over the same user_id partitioning (each
+    stage's predicate references the previous stage's timestamp), then
+    a groupBy on the already-partitioned key — the whole funnel is ONE
+    hash shuffle of events, verified by the plan gate; the join-per-
+    stage formulation the oracle uses would re-exchange events once per
+    stage. Deeper funnels add window passes (partition-local), never
+    another shuffle."""
     ev = load_table(spark, sf_dir, "events")
-    s1 = (
-        ev.filter(F.col("event_type") == "signup")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("signup_ts"))
-    )
-    s2 = (
-        ev.join(s1, "user_id")
-        .filter(
-            (F.col("event_type") == "view") & (F.col("ts") > F.col("signup_ts"))
+    w = Window.partitionBy("user_id")
+    t1 = F.min(
+        F.when(F.col("event_type") == "signup", F.col("ts"))
+    ).over(w)
+    df = ev.withColumn("t1", t1)
+    t2 = F.min(
+        F.when(
+            (F.col("event_type") == "view") & (F.col("ts") > F.col("t1")),
+            F.col("ts"),
         )
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("first_view_ts"))
-    )
-    s3 = (
-        ev.join(s2, "user_id")
-        .filter(
-            (F.col("event_type") == "purchase")
-            & (F.col("ts") > F.col("first_view_ts"))
+    ).over(w)
+    df = df.withColumn("t2", t2)
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")),
+            F.col("ts"),
         )
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("first_purchase_ts"))
-    )
-    stage = (
-        F.when(F.col("first_purchase_ts").isNotNull(), 3)
-        .when(F.col("first_view_ts").isNotNull(), 2)
-        .otherwise(1)
-    )
+    ).over(w)
+    df = df.withColumn("t3", t3)
     return (
-        s1.join(s2, "user_id", "left")
-        .join(s3, "user_id", "left")
+        df.filter(F.col("t1").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.min("t1").alias("signup_ts"),
+            F.min("t2").alias("first_view_ts"),
+            F.min("t3").alias("first_purchase_ts"),
+        )
         .select(
             "user_id",
             "signup_ts",
             "first_view_ts",
             "first_purchase_ts",
-            stage.cast("int").alias("stage_reached"),
+            F.when(F.col("first_purchase_ts").isNotNull(), 3)
+            .when(F.col("first_view_ts").isNotNull(), 2)
+            .otherwise(1)
+            .cast("int")
+            .alias("stage_reached"),
         )
     )
