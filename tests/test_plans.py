@@ -685,3 +685,33 @@ def test_pagerank_caches_edges_no_cartesian(spark):
     plan = executed_plan(df)
     assert "InMemoryTableScan" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_cdc_merge_nets_before_join(spark):
+    """Both sides reduce to one row per key (partial-aggregated max_by)
+    BEFORE the full-outer join — the plan must show partial aggregation
+    and no nested-loop fallback."""
+    df = _Q["ext_cdc_merge"](spark, SF)
+    assert has_partial_aggregation(df)
+    from weather_data_pipeline_spark.plans.inspect import executed_plan
+
+    plan = executed_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_json_keys_profile_partial_agg(spark):
+    df = _Q["x5_json_keys_profile"](spark, SF)
+    assert has_partial_aggregation(df)
+
+
+def test_knn_no_corpus_shuffle_before_topk(spark):
+    """Like the cosine-topk gate: the corpus never joins; the only
+    exchanges are the |queries|-partition window and the tiny vote
+    aggs; the truth side is a broadcast."""
+    df = _Q["x3_knn_classify"](spark, SF)
+    from weather_data_pipeline_spark.plans.inspect import executed_plan
+
+    plan = executed_plan(df)
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert has_broadcast_join(df)
