@@ -289,31 +289,53 @@ def s_user_stats_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
-# Cogrouped applyInPandas (two tables, one aligned kernel call per key)
+# Cogrouped applyInPandas (two tables, one aligned kernel call per shard)
 # ----------------------------------------------------------------------
-def _reconcile(events_pdf: pd.DataFrame, cust_pdf: pd.DataFrame) -> pd.DataFrame:
-    """Per-key reconciliation kernel. Sums use math.fsum (exactly
-    rounded → independent of the arbitrary row order a cogroup hands
-    the kernel — the centroid-kernel convention)."""
+#: shard count floor for the cogroup kernel — one kernel call per SHARD,
+#: not per key: grouped-map pays ~2 ms of Arrow frame overhead per group,
+#: so per-key cogrouping benched 40 s at sf0.1 (15k keys) vs ~1 s
+#: sharded. Same pattern (and same per-shard memory bound rationale) as
+#: the EMA kernel (sessionize.py EMA_SHARDS).
+COGROUP_SHARDS = 32
+
+#: fail-fast per-shard frame bound (either side), the EMA convention
+COGROUP_MAX_SHARD_ROWS = 5_000_000
+
+
+def _reconcile_shard(events_pdf: pd.DataFrame, cust_pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-shard reconciliation kernel: both frames hold MANY keys; the
+    per-key loop runs here, kernel-side, where it costs microseconds.
+    Sums use math.fsum (exactly rounded → independent of the arbitrary
+    row order a cogroup hands the kernel — the centroid-kernel
+    convention)."""
     import math
 
-    key = (
-        events_pdf["user_id"].iloc[0]
-        if len(events_pdf)
-        else cust_pdf["c_custkey"].iloc[0]
-    )
-    total = math.fsum(float(v) for v in events_pdf["value_d"]) if len(events_pdf) else 0.0
-    acctbal = (
-        math.fsum(float(v) for v in cust_pdf["acct_d"]) if len(cust_pdf) else None
-    )
+    for side, pdf in (("events", events_pdf), ("customer", cust_pdf)):
+        if len(pdf) > COGROUP_MAX_SHARD_ROWS:
+            raise ValueError(
+                f"cogroup {side} shard frame has {len(pdf)} rows > bound "
+                f"{COGROUP_MAX_SHARD_ROWS}: raise the shard count so each "
+                f"frame fits executor memory"
+            )
+    ev_g = {int(k): g for k, g in events_pdf.groupby("user_id", sort=False)}
+    cu_g = {int(k): g for k, g in cust_pdf.groupby("c_custkey", sort=False)}
+    rows = []
+    for k in sorted(set(ev_g) | set(cu_g)):
+        e, c = ev_g.get(k), cu_g.get(k)
+        total = math.fsum(float(v) for v in e["value_d"]) if e is not None else 0.0
+        acct = math.fsum(float(v) for v in c["acct_d"]) if c is not None else None
+        rows.append(
+            (
+                k,
+                0 if e is None else len(e),
+                round(total, 2),
+                0 if c is None else len(c),
+                None if acct is None else round(acct, 2),
+            )
+        )
     return pd.DataFrame(
-        {
-            "key_id": [int(key)],
-            "n_events": [len(events_pdf)],
-            "total_value": [round(total, 2)],
-            "n_customers": [len(cust_pdf)],
-            "acctbal": [None if acctbal is None else round(acctbal, 2)],
-        }
+        rows,
+        columns=["key_id", "n_events", "total_value", "n_customers", "acctbal"],
     )
 
 
@@ -341,26 +363,30 @@ def _reconcile(events_pdf: pd.DataFrame, cust_pdf: pd.DataFrame) -> pd.DataFrame
 )
 def ext_cogroup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``cogroup(...).applyInPandas`` — the two-table grouped-map
-    operator (FlatMapCoGroupsInPandas): both inputs hash-shuffle on the
-    key ONCE, then the kernel sees each key's rows from BOTH tables as
-    two aligned pandas frames — the escape hatch for per-key
-    reconciliation logic a SQL full-outer join can't express (here it
-    CAN, which is what makes it oracle-checkable: the kernel must
-    reproduce the full-outer aggregate exactly, fsum keeping Python's
-    double sums order-independent). Both decimal-quantized inputs are
-    prepared JVM-side; each kernel frame holds ONE key's rows, so
-    executor memory is bounded by the largest single key, not the
-    table."""
+    operator (FlatMapCoGroupsInPandas): both inputs hash-shuffle ONCE
+    on a deterministic shard key (``key % COGROUP_SHARDS`` — one Arrow
+    frame per SHARD, with the per-key loop inside the kernel; per-KEY
+    cogrouping paid frame overhead × 15k keys, benched 40x slower),
+    then the kernel sees each shard's rows from BOTH tables as two
+    aligned pandas frames — the escape hatch for per-key reconciliation
+    logic a SQL full-outer join can't express (here it CAN, which is
+    what makes it oracle-checkable: the kernel must reproduce the
+    full-outer aggregate exactly, fsum keeping Python's double sums
+    order-independent). Frames fail fast past the per-shard row bound
+    instead of OOMing (the EMA kernel convention); output values are
+    shard-invariant, so correctness never depends on the count."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
+        (F.col("user_id") % COGROUP_SHARDS).alias("shard"),
         F.col("value").cast("decimal(18,2)").cast("double").alias("value_d"),
     )
     cu = load_table(spark, sf_dir, "customer").select(
         "c_custkey",
+        (F.col("c_custkey") % COGROUP_SHARDS).alias("shard"),
         F.col("c_acctbal").cast("decimal(18,2)").cast("double").alias("acct_d"),
     )
-    out = ev.groupBy("user_id").cogroup(cu.groupBy("c_custkey")).applyInPandas(
-        _reconcile,
+    out = ev.groupBy("shard").cogroup(cu.groupBy("shard")).applyInPandas(
+        _reconcile_shard,
         schema=(
             "key_id long, n_events long, total_value double, "
             "n_customers long, acctbal double"
