@@ -225,3 +225,50 @@ def test_pii_redaction_seeded(spark):
         "FROM documents ORDER BY doc_id"
     ).fetchall()
     assert [tuple(r) for r in o] == expected
+
+
+def test_funnel_order_constraint(spark):
+    """The funnel's reason to exist: a view BEFORE the signup (user 2)
+    or a purchase BEFORE the first qualifying view (user 3) must not
+    advance the stage; per-type mins alone would."""
+    from datetime import datetime
+
+    from weather_data_pipeline_spark.operators.sessionize import (
+        x6_funnel_stages,
+    )
+
+    def ts(h):
+        return datetime(2024, 1, 1, h)
+
+    rows = [
+        # user 1: clean signup -> view -> purchase
+        (1, 1, ts(1), "signup", 1.0, "{}"),
+        (2, 1, ts(2), "view", 1.0, "{}"),
+        (3, 1, ts(3), "purchase", 1.0, "{}"),
+        # user 2: view BEFORE signup, none after -> stage 1
+        (4, 2, ts(1), "view", 1.0, "{}"),
+        (5, 2, ts(2), "signup", 1.0, "{}"),
+        # user 3: purchase between signup and first view -> stage 2
+        (6, 3, ts(1), "signup", 1.0, "{}"),
+        (7, 3, ts(2), "purchase", 1.0, "{}"),
+        (8, 3, ts(3), "view", 1.0, "{}"),
+        # user 4: never signs up -> absent from output
+        (9, 4, ts(1), "view", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp_ntz, "
+        "event_type string, value double, props string",
+    )
+    import weather_data_pipeline_spark.operators.sessionize as sess
+
+    orig = sess.load_table
+    sess.load_table = lambda s, d, t: df if t == "events" else orig(s, d, t)
+    try:
+        out = {
+            r["user_id"]: r["stage_reached"]
+            for r in x6_funnel_stages(spark, "unused").collect()
+        }
+    finally:
+        sess.load_table = orig
+    assert out == {1: 3, 2: 1, 3: 2}
