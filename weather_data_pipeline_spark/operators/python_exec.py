@@ -393,3 +393,129 @@ def ext_cogroup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return out
+
+
+# ----------------------------------------------------------------------
+# Stateful streaming funnel — a per-key state MACHINE, not a running sum
+# ----------------------------------------------------------------------
+#: unset-timestamp sentinel in the funnel state tuple (state structs
+#: can't carry NULLs portably; -1 is below any event-time)
+_UNSET = -1
+
+
+def _funnel_state(key, pdf_iter, state):
+    """Per-user funnel state machine over event-time-ordered input:
+    signup arms the funnel, the first later view advances it, the first
+    still-later purchase completes it. State survives across triggers;
+    within a trigger the batch is sorted by (ts, event_id) — the
+    availableNow replay therefore equals the batch funnel exactly.
+    (Out-of-order ARRIVAL across triggers would need watermark-bounded
+    buffering before this operator — the standard caveat for any
+    order-sensitive stateful op.)"""
+    t1, t2, t3 = state.get if state.exists else (_UNSET, _UNSET, _UNSET)
+    for pdf in pdf_iter:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for ts, et in zip(pdf["ts"], pdf["event_type"]):
+            ns = int(ts.value)
+            if et == "signup" and t1 == _UNSET:
+                t1 = ns
+            elif et == "view" and t1 != _UNSET and ns > t1 and t2 == _UNSET:
+                t2 = ns
+            elif et == "purchase" and t2 != _UNSET and ns > t2 and t3 == _UNSET:
+                t3 = ns
+    state.update((t1, t2, t3))
+    if t1 == _UNSET:
+        yield pd.DataFrame(
+            columns=["user_id", "signup_ts", "first_view_ts",
+                     "first_purchase_ts", "stage_reached"]
+        )
+        return
+    def ts_of(v):
+        return pd.NaT if v == _UNSET else pd.Timestamp(v)
+
+    stage = 3 if t3 != _UNSET else (2 if t2 != _UNSET else 1)
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "signup_ts": [ts_of(t1)],
+            "first_view_ts": [ts_of(t2)],
+            "first_purchase_ts": [ts_of(t3)],
+            "stage_reached": [stage],
+        }
+    )
+
+
+@query(
+    "s_funnel_stream",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS signup_ts
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS first_view_ts
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'view' AND e.ts > s1.signup_ts
+      GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS first_purchase_ts
+      FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s2.first_view_ts
+      GROUP BY e.user_id
+    )
+    SELECT s1.user_id, s1.signup_ts, s2.first_view_ts, s3.first_purchase_ts,
+           CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3
+                     WHEN s2.user_id IS NOT NULL THEN 2
+                     ELSE 1 END AS INTEGER) AS stage_reached
+    FROM s1
+    LEFT JOIN s2 ON s2.user_id = s1.user_id
+    LEFT JOIN s3 ON s3.user_id = s1.user_id
+    """,
+)
+def s_funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The funnel as a CUSTOM stateful streaming operator — a per-key
+    state MACHINE (armed → viewed → purchased), not a running
+    aggregate: ``applyInPandasWithState`` holds each user's three stage
+    timestamps in the state store and advances them as events replay.
+    After the availableNow drain the emitted stages equal the batch
+    funnel (x6_funnel_stages' oracle verbatim) — stream/batch parity
+    for an order-sensitive operator, the strongest form of the §2.8
+    contract."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    sink = f"s_funnel_{uuid.uuid4().hex[:8]}"
+    src = jobs.stream_events(spark, sf_dir)
+    out = src.groupBy("user_id").applyInPandasWithState(
+        _funnel_state,
+        outputStructType=(
+            "user_id long, signup_ts timestamp_ntz, "
+            "first_view_ts timestamp_ntz, first_purchase_ts timestamp_ntz, "
+            "stage_reached int"
+        ),
+        stateStructType="t1 long, t2 long, t3 long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    jobs.run_to_completion(
+        out.writeStream.format("memory").queryName(sink).outputMode("update"),
+        "stateful-funnel",
+    )
+    return (
+        spark.table(sink)
+        .groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct(
+                    "signup_ts", "first_view_ts", "first_purchase_ts",
+                    "stage_reached",
+                ),
+                "stage_reached",
+            ).alias("s")
+        )
+        .select(
+            "user_id",
+            "s.signup_ts",
+            "s.first_view_ts",
+            "s.first_purchase_ts",
+            "s.stage_reached",
+        )
+    )

@@ -125,7 +125,9 @@ _PRIORITY: tuple[str, ...] = (
     # queueing for the r7 rotation (all local-parity green at sf0.01
     # and sf0.1): x6_mad_outliers, x4_token_normalize,
     # x6_funnel_stages, x5_json_keys_profile, w_csv_quarantine,
-    # ext_cogroup_pandas, x3_knn_classify, ext_cdc_merge, x9_pagerank.
+    # ext_cogroup_pandas, x3_knn_classify, ext_cdc_merge, x9_pagerank,
+    # s_funnel_stream (stateful streaming funnel — order-sensitive state
+    # machine with stream/batch parity).
     "ext_window_lag_lead",  # window-frame family rep stays
     "x3_label_centroids",  # stays: drives the round-6 floor-trunc change
     "x2_tfidf_cosine",
