@@ -1111,7 +1111,10 @@ def x2_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.xxhash64("term").alias("h"),
         (F.col("tf") * F.log(F.lit(float(nd)) / F.col("df"))).alias("wt"),
-    )
+    ).cache()  # read 3x (norms + both pair-join sides); without it the
+    # explode→tf-groupBy→stats-join subtree re-runs per consumer
+    # (benched ~4.9 s → ~3 s warm at sf0.1). Session-scoped like the IVF
+    # corpus cache.
     norms = weighted.groupBy("doc_id").agg(
         F.sum((F.col("wt") * F.col("wt")).cast("decimal(28,12)")).alias(
             "norm_sq"
