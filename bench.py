@@ -72,6 +72,7 @@ HEADLINE = [
     "ext_cdc_merge",
     "x3_knn_classify",
     "x9_pagerank",
+    "x4_bigram_logprob",
 ]
 
 

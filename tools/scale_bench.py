@@ -97,6 +97,9 @@ QUERIES = [
     "x3_knn_classify",
     "ext_cdc_merge",
     "x9_pagerank",
+    "x2_dedup_keep_best",
+    "x4_corpus_profile",
+    "x4_bigram_logprob",
 ]
 
 #: Viral boilerplate for the skew replica: untagged (shared verbatim

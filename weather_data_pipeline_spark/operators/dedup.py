@@ -1151,3 +1151,64 @@ def x2_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cos >= TFIDF_MIN_COS)
         .select("doc_a", "doc_b", F.round(cos, 6).alias("cosine"))
     )
+
+
+@query(
+    "x2_dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE {_JACCARD_CTES},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM dup_pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM dup_pairs
+    ),
+    reach(node, lab) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (
+      SELECT node AS doc_id, MIN(lab) AS component FROM reach GROUP BY node
+    ),
+    best AS (
+      SELECT component, doc_id AS keeper FROM (
+        SELECT c.component, c.doc_id,
+               ROW_NUMBER() OVER (PARTITION BY c.component
+                                  ORDER BY d.n_chars DESC, c.doc_id) AS rn
+        FROM comp c JOIN documents d USING (doc_id)
+      ) WHERE rn = 1
+    )
+    SELECT c.doc_id, c.component, d.n_chars AS quality,
+           c.doc_id = b.keeper AS keep
+    FROM comp c
+    JOIN documents d USING (doc_id)
+    JOIN best b ON b.component = c.component
+    """,
+)
+def x2_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keeper POLICY rung of the dedup ladder: within each near-dup
+    component, keep the highest-quality copy (here n_chars as the
+    quality signal — in production the x4 quality score — ties toward
+    the smaller doc_id), not the arbitrary min-id canonical. One
+    ``max_by`` over (quality, -doc_id) per component on top of the
+    propagated labels — the decision a real pipeline makes when near
+    -dups differ in truncation or boilerplate, where keep-the-first
+    silently keeps the worst copy."""
+    doc = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    pairs = x2_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    labels = min_label_propagate(doc.select("doc_id"), pairs)
+    quality = labels.join(doc, "doc_id").select(
+        "doc_id", "component", F.col("n_chars").alias("quality")
+    )
+    best = quality.groupBy("component").agg(
+        F.max_by(
+            "doc_id",
+            F.struct(F.col("quality"), (-F.col("doc_id")).alias("neg")),
+        ).alias("keeper")
+    )
+    return quality.join(best, "component").select(
+        "doc_id",
+        "component",
+        "quality",
+        (F.col("doc_id") == F.col("keeper")).alias("keep"),
+    )

@@ -926,3 +926,128 @@ def x4_token_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_of("norm_text").cast("long").alias("n_kept"),
         (n_of("pre") - n_of("norm_text")).cast("long").alias("n_dropped"),
     )
+
+
+@query(
+    "x4_corpus_profile",
+    oracle="""
+    WITH t AS (
+      SELECT lang, source, len(string_split(text, ' ')) AS toks
+      FROM documents
+    ), tot AS (SELECT COUNT(*) AS n FROM t)
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / tot.n, 6) AS frac_docs,
+           CAST(SUM(toks) AS BIGINT) AS total_tokens,
+           ROUND(CAST(SUM(toks) AS DOUBLE) / COUNT(*), 6) AS avg_tokens,
+           quantile_cont(toks, 0.5) AS p50_tokens,
+           quantile_cont(toks, 0.95) AS p95_tokens,
+           COUNT(DISTINCT source) AS n_sources
+    FROM t CROSS JOIN tot
+    GROUP BY lang, tot.n
+    """,
+)
+def x4_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card profile: per-language document counts, corpus
+    fraction, token totals and quantiles, source diversity — the
+    one-aggregation summary a training-data pipeline publishes with
+    every corpus release. All partializable aggregates plus two exact
+    interpolated quantiles (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont``); the corpus total is a broadcast 1-row
+    aggregate. Output is |langs| rows — at 100 TB the whole card costs
+    one combined scan."""
+    doc = load_table(spark, sf_dir, "documents")
+    t = doc.select(
+        "lang", "source", F.size(F.split("text", " ")).alias("toks")
+    )
+    tot = F.broadcast(t.agg(F.count(F.lit(1)).alias("n")))
+    return (
+        t.crossJoin(tot)
+        .groupBy("lang", "n")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.count(F.lit(1)).cast("double") / F.first("n"), 6).alias(
+                "frac_docs"
+            ),
+            F.sum("toks").cast("long").alias("total_tokens"),
+            F.round(
+                F.sum("toks").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_tokens"),
+            F.percentile("toks", F.lit(0.5)).alias("p50_tokens"),
+            F.percentile("toks", F.lit(0.95)).alias("p95_tokens"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .drop("n")
+    )
+
+
+@query(
+    "x4_bigram_logprob",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ), uni AS (
+      SELECT term, COUNT(*) AS c1 FROM (
+        SELECT unnest(string_split(text, ' ')) AS term FROM documents
+      ) GROUP BY term
+    ), vocab AS (SELECT COUNT(*) AS v FROM uni),
+    bi AS (
+      SELECT doc_id, words[i] AS w1, words[i] || ' ' || words[i+1] AS bg
+      FROM w, UNNEST(generate_series(1, len(words) - 1)) AS t(i)
+    ), bic AS (
+      SELECT bg, COUNT(*) AS c2 FROM bi GROUP BY bg
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           ROUND(CAST(SUM(CAST(LN((bic.c2 + 1.0) / (uni.c1 + vocab.v))
+                 AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6)
+             AS avg_logprob
+    FROM bi
+    JOIN bic USING (bg)
+    JOIN uni ON uni.term = bi.w1
+    CROSS JOIN vocab
+    GROUP BY doc_id
+    """,
+)
+def x4_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM document scoring with add-one smoothing — the rung
+    above ``x4_unigram_logprob``: per-doc mean log P(wᵢ | wᵢ₋₁) where
+    P = (c(wᵢ₋₁wᵢ)+1)/(c(wᵢ₋₁)+V). Counts are corpus aggregations
+    (bigram table, unigram table, vocab size — the LM \"training\" is
+    two groupBys), scoring is a per-occurrence join; per-token logs
+    are DECIMAL-truncated before the sum so the per-doc aggregate is
+    order-independent (the unigram-LM convention). At 100 TB the count
+    tables are Zipf-skewed — AQE skew-join handles the hot prefixes,
+    or pre-filter to a top-V vocabulary exactly like the df ceiling."""
+    from pyspark.ml.feature import NGram
+
+    doc = load_table(spark, sf_dir, "documents")
+    uni = (
+        doc.select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    v = uni.count()  # vocab size — one bounded job, folds into the formula
+    words = doc.select("doc_id", F.split("text", " ").alias("words")).filter(
+        F.size("words") >= 2
+    )
+    grams = NGram(n=2, inputCol="words", outputCol="raw").transform(words)
+    bi = grams.select(
+        "doc_id", F.explode("raw").alias("bg")
+    ).withColumn("w1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1)))
+    bic = bi.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    logp = F.log(
+        (F.col("c2") + F.lit(1.0)) / (F.col("c1") + F.lit(float(v)))
+    ).cast("decimal(28,12)")
+    return (
+        bi.join(bic, "bg")
+        .join(uni.withColumnRenamed("term", "w1"), "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum(logp).cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_logprob"),
+        )
+    )

@@ -127,7 +127,8 @@ _PRIORITY: tuple[str, ...] = (
     # x6_funnel_stages, x5_json_keys_profile, w_csv_quarantine,
     # ext_cogroup_pandas, x3_knn_classify, ext_cdc_merge, x9_pagerank,
     # s_funnel_stream (stateful streaming funnel — order-sensitive state
-    # machine with stream/batch parity).
+    # machine with stream/batch parity), x2_dedup_keep_best,
+    # x4_corpus_profile, x4_bigram_logprob.
     "ext_window_lag_lead",  # window-frame family rep stays
     "x3_label_centroids",  # stays: drives the round-6 floor-trunc change
     "x2_tfidf_cosine",
