@@ -100,6 +100,9 @@ QUERIES = [
     "x2_dedup_keep_best",
     "x4_corpus_profile",
     "x4_bigram_logprob",
+    "ext_q4_order_priority",
+    "ext_q12_shipping_delay",
+    "ext_q14_promo_revenue",
 ]
 
 #: Viral boilerplate for the skew replica: untagged (shared verbatim

@@ -1011,3 +1011,145 @@ def ext_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "old_value",
         F.when(~tomb, F.col("b_value")).alias("new_value"),
     )
+
+
+# ----------------------------------------------------------------------
+# TPC-H Q4 shape: EXISTS-correlated semi join + priority count
+# ----------------------------------------------------------------------
+@query(
+    "ext_q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def ext_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape — order-priority checking: count orders per
+    priority that had at least one LATE shipment (shipped > 60 days
+    after ordering; the reference schema carries no commit/receipt
+    dates, so lateness is defined against the order date — the plan
+    shape, an EXISTS → LEFT SEMI join with a non-equi residual, is
+    Q4's). The quarter predicate pushes into the orders scan BEFORE
+    the semi join, the lineitem side carries only (orderkey,
+    shipdate), and the semi join stops probing an order at its first
+    late item — no count or distinct needed."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    late = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+# ----------------------------------------------------------------------
+# TPC-H Q12 shape: join + CASE-conditional aggregation
+# ----------------------------------------------------------------------
+@query(
+    "ext_q12_shipping_delay",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN l_shipdate <= o_orderdate + INTERVAL 30 DAY
+                    THEN 1 ELSE 0 END) AS BIGINT) AS on_time,
+           CAST(SUM(CASE WHEN l_shipdate >  o_orderdate + INTERVAL 30 DAY
+                     AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
+                    THEN 1 ELSE 0 END) AS BIGINT) AS late,
+           CAST(SUM(CASE WHEN l_shipdate >  o_orderdate + INTERVAL 90 DAY
+                    THEN 1 ELSE 0 END) AS BIGINT) AS very_late
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY o_orderpriority
+    """,
+)
+def ext_q12_shipping_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape — conditional aggregation after a fact-fact
+    join: one CASE bucket per shipping-delay class, summed per
+    priority (the schema carries no shipmode; delay classes play its
+    role — the shape, SUM(CASE...) over a join, is Q12's). The year
+    predicate pushes into the lineitem scan; all three buckets ride
+    ONE partial-aggregated shuffle — never three passes."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    j = orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+    d30 = F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    d90 = F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    flag = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    return j.groupBy("o_orderpriority").agg(
+        flag(F.col("l_shipdate") <= d30).alias("on_time"),
+        flag(
+            (F.col("l_shipdate") > d30) & (F.col("l_shipdate") <= d90)
+        ).alias("late"),
+        flag(F.col("l_shipdate") > d90).alias("very_late"),
+    )
+
+
+# ----------------------------------------------------------------------
+# TPC-H Q14 shape: conditional-revenue ratio with a broadcast dim
+# ----------------------------------------------------------------------
+@query(
+    "ext_q14_promo_revenue",
+    oracle="""
+    SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN
+             CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2))) END)
+             AS DOUBLE)
+           / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 6)
+             AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+    """,
+)
+def ext_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape — promotion-revenue share: the month's revenue
+    through PROMO parts over all revenue, as ONE conditional aggregate
+    after a broadcast part join (part is the small side; the month
+    predicate prunes lineitem at the scan). Both numerator and
+    denominator are exact decimal sums; one double division + round at
+    the emit boundary. Single-row output — the classic KPI query."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        1 - F.col("l_discount").cast("decimal(18,2)")
+    )
+    j = li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+    return j.agg(
+        F.round(
+            100.0
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev)).cast("double")
+            / F.sum(rev).cast("double"),
+            6,
+        ).alias("promo_revenue_pct")
+    )
