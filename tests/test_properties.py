@@ -272,3 +272,29 @@ def test_funnel_order_constraint(spark):
     finally:
         sess.load_table = orig
     assert out == {1: 3, 2: 1, 3: 2}
+
+
+def test_heavy_hitter_candidates_partition_independent(spark):
+    """The Misra-Gries candidate union must contain every true heavy
+    hitter under ANY partitioning (the no-false-negatives guarantee the
+    verify pass relies on) — exercised across three repartitionings of
+    a corpus with one planted heavy term."""
+    from pyspark.sql import functions as F
+
+    from weather_data_pipeline_spark.operators.text_analysis import _mg_sketch
+
+    # 300 docs of unique filler + 'hot' in every doc => 'hot' is ~3% of
+    # tokens (threshold 1%), filler words all unique (never heavy)
+    rows = [(i, f"w{i}a w{i}b hot w{i}c") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for parts in (1, 7, 32):
+        cand = set(
+            r["term"]
+            for r in df.repartition(parts)
+            .select("text")
+            .mapInPandas(_mg_sketch, schema="term string, lb long")
+            .select("term")
+            .distinct()
+            .collect()
+        )
+        assert "hot" in cand, parts

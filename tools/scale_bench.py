@@ -103,6 +103,8 @@ QUERIES = [
     "ext_q4_order_priority",
     "ext_q12_shipping_delay",
     "ext_q14_promo_revenue",
+    "x4_heavy_hitters",
+    "ext_incremental_agg",
 ]
 
 #: Viral boilerplate for the skew replica: untagged (shared verbatim

@@ -1051,3 +1051,87 @@ def x4_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# Heavy hitters — Misra-Gries candidate pass + exact verify pass
+# ----------------------------------------------------------------------
+#: heavy-hitter threshold as a corpus fraction (term is heavy iff
+#: freq ≥ HH_FRAC_PCT% of all tokens); integer-exact on both engines
+#: as ``100 * c >= N``
+HH_FRAC_PCT = 1
+
+#: Misra-Gries counter capacity per Arrow batch — 2/frac, so the
+#: per-batch undercount ≤ batch_tokens/capacity is half the threshold
+#: margin and no true heavy hitter can be evicted everywhere
+HH_CAPACITY = 200
+
+
+def _mg_sketch(batches):
+    """Per-batch Misra-Gries: at most HH_CAPACITY counters, classic
+    decrement-all eviction. Emits each surviving counter's lower bound.
+    Memory is O(capacity) per batch regardless of vocabulary — the
+    whole point at 100 TB, where a full term groupBy of a web corpus
+    shuffles billions of distinct grams."""
+    import pandas as pd
+
+    for pdf in batches:
+        counters: dict[str, int] = {}
+        for text in pdf["text"]:
+            for w in text.split(" "):
+                if w in counters:
+                    counters[w] += 1
+                elif len(counters) < HH_CAPACITY:
+                    counters[w] = 1
+                else:
+                    dead = [k for k in counters if counters[k] == 1]
+                    for k in counters:
+                        counters[k] -= 1
+                    for k in dead:
+                        del counters[k]
+        if counters:
+            yield pd.DataFrame(
+                {"term": list(counters), "lb": list(counters.values())}
+            )
+
+
+@query(
+    "x4_heavy_hitters",
+    oracle=f"""
+    WITH t AS (
+      SELECT unnest(string_split(text, ' ')) AS term FROM documents
+    ), tot AS (SELECT COUNT(*) AS n FROM t)
+    SELECT term, COUNT(*) AS freq
+    FROM t CROSS JOIN tot
+    GROUP BY term, tot.n
+    HAVING {100 // HH_FRAC_PCT} * COUNT(*) >= tot.n
+    """,
+)
+def x4_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy hitters (terms at or above HH_FRAC_PCT percent of
+    all tokens) via
+    the two-pass sketch-then-verify pattern: pass 1 is a Misra-Gries
+    sketch per Arrow batch (O(capacity) memory, never a full-vocabulary
+    shuffle) whose union provably contains every true heavy hitter
+    (capacity = 2/frac ⇒ per-batch undercount below the threshold
+    margin — no false negatives); pass 2 exactly counts ONLY the
+    candidates (a broadcast semi-join against a capacity-bounded set)
+    and applies the integer-exact threshold. Output is therefore
+    partition-independent and oracle-exact even though the sketch
+    itself isn't — at 100 TB the full-groupBy oracle formulation is
+    exactly the shuffle this op exists to avoid."""
+    doc = load_table(spark, sf_dir, "documents")
+    cand = (
+        doc.select("text")
+        .mapInPandas(_mg_sketch, schema="term string, lb long")
+        .select("term")
+        .distinct()
+    )
+    tok = doc.select(F.explode(F.split("text", " ")).alias("term"))
+    n = tok.count()  # token total — one bounded job, folds into the gate
+    return (
+        tok.join(F.broadcast(cand), "term", "left_semi")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter((100 // HH_FRAC_PCT) * F.col("freq") >= n)
+    )
