@@ -73,6 +73,7 @@ HEADLINE = [
     "x3_knn_classify",
     "x9_pagerank",
     "x4_bigram_logprob",
+    "x3_ivf_pq_topk",
 ]
 
 

@@ -715,3 +715,16 @@ def test_knn_no_corpus_shuffle_before_topk(spark):
     plan = executed_plan(df)
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     assert has_broadcast_join(df)
+
+
+def test_ivf_pq_scoring_is_broadcast_joins(spark):
+    """The composed IVF-PQ probe must score via broadcast equi-joins +
+    one partial-aggregated sum — no cartesian fallback, no shuffle of
+    the distance tables."""
+    df = _Q["x3_ivf_pq_topk"](spark, SF)
+    from weather_data_pipeline_spark.plans.inspect import executed_plan
+
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert has_broadcast_join(df)
+    assert has_partial_aggregation(df)

@@ -105,6 +105,7 @@ QUERIES = [
     "ext_q14_promo_revenue",
     "x4_heavy_hitters",
     "ext_incremental_agg",
+    "x3_ivf_pq_topk",
 ]
 
 #: Viral boilerplate for the skew replica: untagged (shared verbatim

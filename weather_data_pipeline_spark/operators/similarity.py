@@ -1226,3 +1226,150 @@ def x3_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         "true_label",
         (F.col("win.l") == F.col("true_label")).alias("correct"),
     )
+
+
+# ----------------------------------------------------------------------
+# IVF-PQ: the composed production ANN stack (coarse lists + ADC codes)
+# ----------------------------------------------------------------------
+def _duck_ivf_pq_sql() -> str:
+    """Composed oracle: IVF bucket CTEs (unsuffixed) + PQ code CTEs
+    (suffixed) coexist; queries probe their nearest list (nprobe=1) and
+    score ONLY same-list vectors by ADC distance to the coded
+    centroids, each subspace term decimal-quantized before the sum so
+    the 4-term addition is order-independent."""
+    joins = []
+    terms = []
+    for m in range(PQ_M):
+        lo, hi = m * PQ_SUB + 1, (m + 1) * PQ_SUB
+        qs = f"CAST(q.embedding[{lo}:{hi}] AS DOUBLE[])"
+        joins.append(f"JOIN cents{m} k{m} ON k{m}.label = x.c{m}")
+        terms.append(
+            f"CAST(ROUND(list_dot_product({qs}, {qs})"
+            f" - 2 * list_dot_product({qs}, k{m}.centroid)"
+            f" + list_dot_product(k{m}.centroid, k{m}.centroid), 6)"
+            f" AS DECIMAL(18,6))"
+        )
+    dsum = " + ".join(terms)
+    return f"""
+    WITH {_duck_pq_ctes()},
+    {_DUCK_CENTROIDS},
+    qprobe AS (
+      SELECT vec_id, embedding, label AS bucket FROM (
+        SELECT e.vec_id, e.embedding, c.label,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY ROUND({_DUCK_COS.format(a='e.embedding', b='c.centroid')}, 6) DESC,
+                          c.label) AS rn
+        FROM embeddings e CROSS JOIN cents c
+        WHERE e.vec_id < {N_QUERIES}
+      ) WHERE rn = 1
+    ),
+    codes AS (
+      SELECT a0.vec_id, a0.code AS c0, a1.code AS c1,
+             a2.code AS c2, a3.code AS c3
+      FROM assign0 a0
+      JOIN assign1 a1 USING (vec_id)
+      JOIN assign2 a2 USING (vec_id)
+      JOIN assign3 a3 USING (vec_id)
+    ), scored AS (
+      SELECT q.vec_id AS query_id, x.vec_id, {dsum} AS dist
+      FROM qprobe q
+      JOIN assigned c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+      JOIN codes x ON x.vec_id = c.vec_id
+      {" ".join(joins)}
+    )
+    SELECT query_id, vec_id, CAST(dist AS DOUBLE) AS ad2 FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY dist, vec_id) AS rn
+      FROM scored
+    ) WHERE rn <= {TOP_K}
+    """
+
+
+@query("x3_ivf_pq_topk", oracle=_duck_ivf_pq_sql())
+def x3_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the composed production ANN stack: the IVF coarse
+    quantizer restricts each query to one inverted list (probe cost
+    |corpus|/k), and within the list candidates are scored by ADC
+    against their PQ codes — the memory layout where only ~2-byte
+    codes live hot and raw vectors are never touched at query time.
+    Here the ADC lookup is expressed RELATIONALLY: codes unpivot to
+    (vec_id, m, code), the per-query distance tables land in a tiny
+    broadcast table (|queries|·PQ_M·k rows), and scoring is a
+    broadcast equi-join + one partial-aggregated sum of
+    decimal-quantized subspace terms (order-independent — a plain
+    4-double sum could flip a 6-decimal boundary under groupBy
+    ordering) — i.e. the whole probe is JVM joins, no Python in the
+    scoring path at all, and it inherits AQE sizing at 100 TB.
+    Composes x3_ivf_topk's quantizer with x3_pq_codes' codebook
+    verbatim; oracle replays both plus the table semantics."""
+    base, books = _pq_codebooks(spark, sf_dir)
+    n_corpus = base.count()
+    rows = build_centroids(base, "label", n_corpus).collect()
+    rows.sort(key=lambda r: r["label"])
+    c_labels = np.array([r["label"] for r in rows], dtype=np.int64)
+    c_mat = np.array([r["centroid"] for r in rows], dtype=np.float64)
+    c_norms = _seq_self_norms(c_mat)
+    bc = spark.sparkContext.broadcast((c_labels, c_mat, c_norms))
+    assigned = base.select("vec_id", "embedding").mapInPandas(
+        _assign_fn(bc), schema="vec_id long, embedding array<double>, bucket long"
+    ).select("vec_id", "bucket")
+
+    # corpus codes, unpivoted to one row per (vector, subspace)
+    codes = x3_pq_codes(spark, sf_dir).selectExpr(
+        "vec_id",
+        "stack(4, 0, code_0, 1, code_1, 2, code_2, 3, code_3) AS (m, code)",
+    )
+
+    # query side: coarse probe + ADC distance tables, driver-built and
+    # bounded (N_QUERIES × PQ_M × k rows)
+    qrows = (
+        base.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    q_mat = np.array([r[1] for r in qrows], dtype=np.float64)
+    q_norms = _seq_self_norms(q_mat)
+    acc = np.zeros((q_mat.shape[0], c_mat.shape[0]))
+    for k in range(q_mat.shape[1]):
+        acc += np.outer(q_mat[:, k], c_mat[:, k])
+    q_sims = np.round(acc / np.outer(q_norms, c_norms), 6)
+    qmeta, qdist = [], []
+    for qi, r in enumerate(qrows):
+        j = int(np.argsort(-q_sims[qi], kind="stable")[0])
+        qmeta.append((int(r[0]), int(c_labels[j])))
+        for m, (labels, cm, cc) in enumerate(books):
+            qs = q_mat[qi, m * PQ_SUB : (m + 1) * PQ_SUB]
+            a = np.zeros(cm.shape[0])
+            qq = 0.0
+            for k in range(PQ_SUB):  # sequential fold, matches the oracle
+                a += qs[k] * cm[:, k]
+                qq += qs[k] * qs[k]
+            d = np.round(qq - 2 * a + cc, 6)
+            for li, lab in enumerate(labels):
+                qdist.append((int(r[0]), m, int(lab), float(d[li])))
+    qm = F.broadcast(
+        spark.createDataFrame(qmeta, "query_id long, q_bucket long")
+    )
+    qd = F.broadcast(
+        spark.createDataFrame(qdist, "query_id long, m int, code long, d double")
+    )
+    cands = assigned.join(
+        qm,
+        (F.col("bucket") == F.col("q_bucket"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select("query_id", "vec_id")
+    scored = (
+        cands.join(codes, "vec_id")
+        .join(qd, ["query_id", "m", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum(F.col("d").cast("decimal(18,6)")).alias("dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy("dist", "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select(
+            "query_id", "vec_id", F.col("dist").cast("double").alias("ad2")
+        )
+    )
