@@ -73,3 +73,90 @@ def test_tws_capability_gate(spark):
         px.S_USER_STATS_TWS_ORACLE,
         SF_ORACLE,
     )
+
+
+def test_watermark_drops_late_rows_in_append_mode(spark, tmp_path):
+    """The watermark CONTRACT, demonstrated end-to-end: once the
+    watermark passes a window's end and its state is evicted, a
+    subsequently-ARRIVING row with an older timestamp is dropped
+    (surfacing in numRowsDroppedByWatermark) — the closed window is
+    emitted exactly once with the on-time count, never reopened or
+    duplicated. Three parquet FILES (the file source ignores
+    non-partition subdirs) + maxFilesPerTrigger=1 force the trigger
+    sequence; mtimes pin the order."""
+    import glob
+    import os
+    import shutil
+    import uuid
+    from datetime import datetime as t
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "stream_src")
+    os.makedirs(src)
+    sch = "event_id long, ts timestamp, value double"
+    seq = [0]
+
+    def write_file(name, rows):
+        tmp = os.path.join(src, "_tmp")
+        spark.createDataFrame(rows, sch).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dest = os.path.join(src, name)
+        shutil.move(part, dest)
+        shutil.rmtree(tmp)
+        seq[0] += 1
+        os.utime(dest, (1_700_000_000 + 100 * seq[0],) * 2)
+
+    # trigger 1: events to 12:00 => watermark (1h delay) becomes 11:00
+    write_file(
+        "b1.parquet",
+        [
+            (1, t(2024, 1, 1, 9, 30), 1.0),
+            (2, t(2024, 1, 1, 10, 30), 1.0),
+            (3, t(2024, 1, 1, 12, 0), 1.0),
+        ],
+    )
+    # trigger 2: in-watermark event; the 9:00/10:00 windows (ends <= 11)
+    # are emitted here and their state evicted
+    write_file("b2.parquet", [(5, t(2024, 1, 1, 11, 30), 1.0)])
+    # trigger 3: a 9:45 straggler BEHIND the evicted window -> must be
+    # dropped; 13:00 advances the watermark so 11:00's window flushes
+    write_file(
+        "b3.parquet",
+        [(4, t(2024, 1, 1, 9, 45), 1.0), (6, t(2024, 1, 1, 13, 0), 1.0)],
+    )
+
+    stream = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    sink = f"wm_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    dropped = sum(
+        p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        if p["stateOperators"]
+    )
+    assert dropped == 1  # exactly the 9:45 straggler
+
+    got = [
+        (r["window"]["start"].hour, r["n"]) for r in spark.table(sink).collect()
+    ]
+    assert sorted(got) == [(9, 1), (10, 1), (11, 1)], got
