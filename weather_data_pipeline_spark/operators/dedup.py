@@ -1085,11 +1085,11 @@ def x2_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     convention). df/tf are counted over RAW shingle strings; only the
     pair join keys on ``xxhash64`` (the collision caveat documented on
     x2_ngram_jaccard applies to the join only, never the weights)."""
-    doc = _gate_uncapped(
-        fan_out(load_table(spark, sf_dir, "documents")),
-        "x2_tfidf_cosine",
-        sf_dir,
-    )
+    # No uncapped-rung gate here: unlike x2_ngram_jaccard, the df
+    # ceiling below structurally bounds pair work at |docs|·cap, so the
+    # op stays linear in the corpus at any scale (the gate's error text
+    # would also misdirect to the Jaccard rungs).
+    doc = fan_out(load_table(spark, sf_dir, "documents"))
     words = doc.select("doc_id", F.split("text", " ").alias("words")).filter(
         F.size("words") >= 3
     )
