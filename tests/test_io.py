@@ -203,3 +203,27 @@ def test_compact_small_files(spark, tmp_path):
     assert spark.read.parquet(path).selectExpr("sum(v)").collect()[0][0] == before
     assert not glob.glob(str(tmp_path / "frag.old.*"))
     assert not glob.glob(str(tmp_path / "frag.compact.*"))
+
+
+def test_schema_evolution_merge(spark, tmp_path):
+    """Schema evolution across ingest days: a later file adds a column;
+    mergeSchema unions the schemas and back-fills nulls — and WITHOUT
+    an explicit schema or mergeSchema, the scan silently picks ONE
+    footer (the 100 TB trap this test documents: always pass the
+    explicit evolved schema in production, sources/testdata.py
+    convention)."""
+    import os
+
+    p1 = str(tmp_path / "day=1")
+    p2 = str(tmp_path / "day=2")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.parquet(p1)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, v string, score double"
+    ).write.parquet(p2)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        str(tmp_path)
+    )
+    assert set(merged.columns) == {"id", "v", "score", "day"}
+    rows = {r["id"]: r["score"] for r in merged.collect()}
+    assert rows == {1: None, 2: 9.5}

@@ -106,6 +106,7 @@ QUERIES = [
     "x4_heavy_hitters",
     "ext_incremental_agg",
     "x3_ivf_pq_topk",
+    "x6_holt_smoothing",
 ]
 
 #: Viral boilerplate for the skew replica: untagged (shared verbatim

@@ -820,3 +820,125 @@ def x6_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("stage_reached"),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# Holt double exponential smoothing — level + trend recurrences
+# ----------------------------------------------------------------------
+#: Holt smoothing factors (level, trend)
+HOLT_ALPHA = 0.3
+HOLT_BETA = 0.1
+
+
+def _holt_kernel(alpha: float, beta: float, max_shard_rows: int):
+    """Per-shard Holt recurrence (the EMA kernel generalized to TWO
+    mutually-dependent states): level_t = α·x_t + (1-α)(level+trend),
+    trend_t = β(level_t - level_{t-1}) + (1-β)·trend. Initialization:
+    level_1 = x_1, trend_1 = 0 (first observation carries no slope
+    information). Floor-truncated at 6 decimals per emitted value; the
+    RAW (untruncated) states carry the recurrence so truncation error
+    never compounds — the oracle does the same."""
+    import math
+
+    import pandas as pd
+
+    def run(pdf):
+        if len(pdf) > max_shard_rows:
+            raise ValueError(
+                f"Holt shard frame has {len(pdf)} rows > bound "
+                f"{max_shard_rows}: raise `shards` so each grouped-map "
+                f"frame fits executor memory"
+            )
+        pdf = pdf.sort_values(["user_id", "day"])
+        levels, trends = [], []
+        for _, g in pdf.groupby("user_id", sort=False):
+            level = trend = None
+            for x in g["close_value"]:
+                if level is None:
+                    level, trend = float(x), 0.0
+                else:
+                    prev = level
+                    level = alpha * x + (1.0 - alpha) * (level + trend)
+                    trend = beta * (level - prev) + (1.0 - beta) * trend
+                levels.append(math.floor(level * 1_000_000) / 1e6)
+                trends.append(math.floor(trend * 1_000_000) / 1e6)
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "day": pdf["day"],
+                "close_value": pdf["close_value"],
+                "level": levels,
+                "trend": trends,
+            }
+        )
+
+    return run
+
+
+@query(
+    "x6_holt_smoothing",
+    oracle=f"""
+    WITH RECURSIVE ranked AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             ROUND(CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE), 2)
+               AS close_value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, date_trunc('day', ts)
+               ORDER BY ts DESC, event_id DESC) AS pick
+      FROM events
+    ), daily AS (
+      SELECT user_id, day, close_value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS rn
+      FROM ranked WHERE pick = 1
+    ), rec(user_id, day, close_value, rn, level, trend) AS (
+      SELECT user_id, day, close_value, rn,
+             CAST(close_value AS DOUBLE), CAST(0.0 AS DOUBLE)
+      FROM daily WHERE rn = 1
+      UNION ALL
+      SELECT d.user_id, d.day, d.close_value, d.rn,
+             {HOLT_ALPHA} * d.close_value
+               + {1.0 - HOLT_ALPHA} * (r.level + r.trend),
+             {HOLT_BETA} * (({HOLT_ALPHA} * d.close_value
+               + {1.0 - HOLT_ALPHA} * (r.level + r.trend)) - r.level)
+               + {1.0 - HOLT_BETA} * r.trend
+      FROM rec r JOIN daily d ON d.user_id = r.user_id AND d.rn = r.rn + 1
+    )
+    SELECT user_id, day, close_value,
+           FLOOR(level * 1000000) / 1000000.0 AS level,
+           FLOOR(trend * 1000000) / 1000000.0 AS trend
+    FROM rec
+    """,
+)
+def x6_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing of each user's daily close —
+    level AND trend, the recurrence pair single-EMA can't express
+    (each state feeds the other's next step). Same scalable shape as
+    ``x6_ema_daily``: deterministic shards sized by ``ema_shards_for``,
+    one Arrow-batched grouped-map pass with the per-user walk inside,
+    fail-fast per-shard row bound. Oracle: the identical two-state
+    recurrence as a recursive CTE; both engines carry RAW states and
+    floor-truncate only the emitted values, so truncation never
+    compounds through the recursion."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.round(
+            F.max_by("value", F.struct("ts", "event_id"))
+            .cast("decimal(18,2)")
+            .cast("double"),
+            2,
+        ).alias("close_value")
+    )
+    shards = ema_shards_for()
+    return (
+        daily.withColumn("shard", F.col("user_id") % shards)
+        .groupBy("shard")
+        .applyInPandas(
+            _holt_kernel(HOLT_ALPHA, HOLT_BETA, EMA_MAX_SHARD_ROWS),
+            schema=(
+                "user_id long, day timestamp_ntz, close_value double, "
+                "level double, trend double"
+            ),
+        )
+    )
