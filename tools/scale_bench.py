@@ -107,6 +107,7 @@ QUERIES = [
     "ext_incremental_agg",
     "x3_ivf_pq_topk",
     "x6_holt_smoothing",
+    "x7_asof_join_tolerance",
 ]
 
 #: Viral boilerplate for the skew replica: untagged (shared verbatim

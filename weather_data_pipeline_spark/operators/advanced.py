@@ -368,3 +368,69 @@ def ext_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.filter(F.col("event_id") != F.col("iv_id")).select(
         "iv_id", "iv_user", "event_id", "event_type"
     )
+
+
+#: staleness tolerance for the bounded as-of variant
+ASOF_TOLERANCE_US = 2 * 60 * 60 * 1_000_000  # 2 hours
+
+
+@query(
+    "x7_asof_join_tolerance",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             CASE WHEN event_type = 'view' THEN ts END AS view_ts,
+             CASE WHEN event_type = 'view' THEN event_id END AS view_event_id
+      FROM events WHERE event_type IN ('view', 'purchase')
+    ), w AS (
+      SELECT *,
+             last_value(view_ts IGNORE NULLS) OVER pit AS raw_ts,
+             last_value(view_event_id IGNORE NULLS) OVER pit AS raw_id
+      FROM tagged
+      WINDOW pit AS (
+        PARTITION BY user_id
+        ORDER BY ts, CASE event_type WHEN 'view' THEN 0 ELSE 1 END, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, ts, value,
+           CASE WHEN epoch_us(ts) - epoch_us(raw_ts) <= {ASOF_TOLERANCE_US}
+                THEN raw_ts END AS asof_view_ts,
+           CASE WHEN epoch_us(ts) - epoch_us(raw_ts) <= {ASOF_TOLERANCE_US}
+                THEN raw_id END AS asof_view_event_id,
+           raw_ts IS NOT NULL
+             AND epoch_us(ts) - epoch_us(raw_ts) > {ASOF_TOLERANCE_US}
+             AS stale_dropped
+    FROM w WHERE event_type = 'purchase'
+    """,
+)
+def x7_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness bound — pandas' ``merge_asof(...,
+    tolerance=...)`` semantics: a match older than the tolerance is
+    DISCARDED (NULL enrichment + a stale flag) rather than silently
+    used, the difference between 'latest quote' and 'latest quote
+    that's still meaningful'. Same single-shuffle union+window sweep
+    as x7_asof_join; the tolerance is a post-sweep projection, so the
+    knob costs nothing at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    out = asof_join_latest(
+        ev,
+        key="user_id",
+        order="ts",
+        left_pred=F.col("event_type") == "purchase",
+        right_pred=F.col("event_type") == "view",
+        carry=[("ts", "raw_ts"), ("event_id", "raw_id")],
+        tiebreak="event_id",
+    )
+    age = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.col("raw_ts").cast("timestamp")
+    )
+    fresh = age <= ASOF_TOLERANCE_US
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.when(fresh, F.col("raw_ts")).alias("asof_view_ts"),
+        F.when(fresh, F.col("raw_id")).alias("asof_view_event_id"),
+        (F.col("raw_ts").isNotNull() & ~fresh).alias("stale_dropped"),
+    )

@@ -1373,3 +1373,75 @@ def x3_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", "vec_id", F.col("dist").cast("double").alias("ad2")
         )
     )
+
+
+# ----------------------------------------------------------------------
+# Recall@k evaluation as a first-class query (IVF vs exact)
+# ----------------------------------------------------------------------
+@query(
+    "x3_ivf_recall_eval",
+    oracle=f"""
+    WITH {_DUCK_CENTROIDS},
+    exact AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY ROUND({_DUCK_COS.format(a='q.embedding', b='c.embedding')}, 6) DESC,
+                          c.vec_id) AS rn
+        FROM (SELECT * FROM embeddings WHERE vec_id < {N_QUERIES}) q
+        CROSS JOIN embeddings c
+        WHERE q.vec_id <> c.vec_id
+      ) WHERE rn <= {TOP_K}
+    ),
+    approx AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY ROUND({_DUCK_COS.format(a='q.embedding', b='c.embedding')}, 6) DESC,
+                          c.vec_id) AS rn
+        FROM (SELECT * FROM assigned WHERE vec_id < {N_QUERIES}) q
+        JOIN assigned c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+      ) WHERE rn <= {TOP_K}
+    )
+    SELECT e.query_id,
+           CAST(COUNT(a.vec_id) AS BIGINT) AS n_hits,
+           CAST(COUNT(a.vec_id) AS DOUBLE) / {TOP_K} AS recall_at_k
+    FROM exact e
+    LEFT JOIN approx a
+      ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+    GROUP BY e.query_id
+    """,
+)
+def x3_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF probe against the exact scan, AS A QUERY —
+    the evaluation harness every ANN deployment runs on every index
+    rebuild, here a first-class driver-checked operator rather than
+    test-only tooling (tools/ivf_ab.py): per query, how many of the
+    true top-k the nprobe=1 probe recovered. Both rankings reuse the
+    existing deterministic pipelines; the comparison is one
+    (query_id, vec_id) equi-join of two k-row-per-query sets — the
+    evaluation costs less than either search at any scale. The recall
+    FLOOR is separately enforced by
+    tests/test_plans.py::test_ivf_recall_floor."""
+    exact = x3_cosine_topk(spark, sf_dir).select(
+        "query_id", F.col("vec_id").alias("e_vec")
+    )
+    approx = ivf_topk(spark, sf_dir, nprobe=1).select(
+        "query_id", F.col("vec_id").alias("a_vec")
+    )
+    return (
+        exact.join(
+            approx,
+            (exact.query_id == approx.query_id)
+            & (F.col("e_vec") == F.col("a_vec")),
+            "left",
+        )
+        .drop(approx.query_id)
+        .groupBy("query_id")
+        .agg(
+            F.count("a_vec").cast("long").alias("n_hits"),
+            (F.count("a_vec").cast("double") / TOP_K).alias("recall_at_k"),
+        )
+    )
