@@ -108,6 +108,8 @@ QUERIES = [
     "x3_ivf_pq_topk",
     "x6_holt_smoothing",
     "x7_asof_join_tolerance",
+    "x6_retention_cohorts",
+    "x6_rfm_scores",
 ]
 
 #: Viral boilerplate for the skew replica: untagged (shared verbatim

@@ -942,3 +942,120 @@ def x6_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# Retention cohorts — first-seen week × activity-week offsets
+# ----------------------------------------------------------------------
+@query(
+    "x6_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP)
+               AS cohort_week
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST(date_diff('week', f.cohort_week,
+                            date_trunc('week', e.ts)) AS BIGINT) AS week_offset
+      FROM events e JOIN firsts f USING (user_id)
+    )
+    SELECT cohort_week, week_offset,
+           COUNT(*) AS active_users
+    FROM activity
+    GROUP BY cohort_week, week_offset
+    """,
+)
+def x6_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort table — the product-analytics staple: users
+    bucketed by first-seen week, then counted once per (cohort,
+    weeks-since-cohort) cell they were active in. Three keyed steps —
+    first-seen agg, activity join, distinct+count — ALL on user_id
+    until the final tiny cell aggregation, so the events table crosses
+    one hash partitioning; the distinct dedups (user, cell) BEFORE the
+    cell count, exactly the pre-aggregation that keeps the final
+    exchange at cohort·offset cardinality. Week arithmetic is
+    calendar-truncated on both engines (Spark date_trunc('week') and
+    DuckDB agree on ISO Monday starts)."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(
+                    F.date_trunc("week", F.col("ts")), F.col("cohort_week")
+                )
+                / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("active_users")
+    )
+
+
+# ----------------------------------------------------------------------
+# RFM scoring — recency/frequency/monetary quintiles per user
+# ----------------------------------------------------------------------
+@query(
+    "x6_rfm_scores",
+    oracle="""
+    WITH agg AS (
+      SELECT user_id,
+             MAX(ts) AS last_purchase,
+             COUNT(*) AS frequency,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS monetary
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT user_id, last_purchase, frequency, monetary,
+           CAST(NTILE(5) OVER (ORDER BY last_purchase, user_id) AS INTEGER)
+             AS r_score,
+           CAST(NTILE(5) OVER (ORDER BY frequency, user_id) AS INTEGER)
+             AS f_score,
+           CAST(NTILE(5) OVER (ORDER BY monetary, user_id) AS INTEGER)
+             AS m_score
+    FROM agg
+    """,
+)
+def x6_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-user recency/frequency/monetary from the
+    purchase stream, each scored into quintiles. The aggregation is one
+    partial-agg shuffle on user_id; the NTILE windows are GLOBAL
+    (unpartitioned ORDER BY) — correct here because the windowed input
+    is already one row per user (∼10⁶-10⁹ rows of 4 columns at 100 TB,
+    a single-digit-GB sort, NOT the events table) — and every ORDER BY
+    carries the user_id tiebreak so quintile boundaries are
+    deterministic on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_purchase"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("monetary"),
+        )
+    )
+    def nt(order):
+        return F.ntile(5).over(Window.orderBy(*order)).cast("int")
+
+    return agg.select(
+        "user_id",
+        "last_purchase",
+        "frequency",
+        "monetary",
+        nt([F.col("last_purchase"), F.col("user_id")]).alias("r_score"),
+        nt([F.col("frequency"), F.col("user_id")]).alias("f_score"),
+        nt([F.col("monetary"), F.col("user_id")]).alias("m_score"),
+    )
