@@ -227,3 +227,16 @@ def test_schema_evolution_merge(spark, tmp_path):
     assert set(merged.columns) == {"id", "v", "score", "day"}
     rows = {r["id"]: r["score"] for r in merged.collect()}
     assert rows == {1: None, 2: 9.5}
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    """ORC sink/source parity with parquet — the engine's second
+    columnar format; schema and values must survive the roundtrip."""
+    src = load_table(spark, SF, "nation")
+    path = str(tmp_path / "nation_orc")
+    src.write.orc(path)
+    back = spark.read.orc(path)
+    assert back.schema == src.schema
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, src.collect())
+    )

@@ -298,3 +298,27 @@ def test_heavy_hitter_candidates_partition_independent(spark):
             .collect()
         )
         assert "hot" in cand, parts
+
+
+@given(
+    st.integers(min_value=0, max_value=1 << 20),
+    st.integers(min_value=0, max_value=1 << 20),
+)
+@settings(max_examples=60, deadline=None)
+def test_morton_code_is_invertible(x, y):
+    """The z-order interleave must be a bijection on 16-bit pairs: the
+    de-interleaved halves recover (x & 0xFFFF, y & 0xFFFF) exactly —
+    the property file-skipping correctness rests on (two distinct key
+    pairs can never share a z-value)."""
+    import duckdb
+
+    from weather_data_pipeline_spark.operators.layout import zorder_expr
+
+    z = duckdb.connect().execute(
+        f"SELECT {zorder_expr('x', 'y')} FROM (SELECT {x} AS x, {y} AS y)"
+    ).fetchone()[0]
+    dx = dy = 0
+    for i in range(16):
+        dx |= ((z >> (2 * i)) & 1) << i
+        dy |= ((z >> (2 * i + 1)) & 1) << i
+    assert (dx, dy) == (x & 0xFFFF, y & 0xFFFF)
