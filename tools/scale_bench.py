@@ -110,6 +110,7 @@ QUERIES = [
     "x7_asof_join_tolerance",
     "x6_retention_cohorts",
     "x6_rfm_scores",
+    "x2_semantic_dedup",
 ]
 
 #: Viral boilerplate for the skew replica: untagged (shared verbatim

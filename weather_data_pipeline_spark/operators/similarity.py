@@ -1445,3 +1445,55 @@ def x3_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("a_vec").cast("double") / TOP_K).alias("recall_at_k"),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# Semantic dedup — embedding-cluster components with canonical keepers
+# ----------------------------------------------------------------------
+@query(
+    "x2_semantic_dedup",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE ROUND({_DUCK_COS.format(a='a.embedding', b='b.embedding')}, 6)
+            >= 0.3
+    ), edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ), reach(node, lab) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS vec_id, MIN(lab) AS cluster,
+           CAST(node = MIN(lab) AS BOOLEAN) AS is_canonical
+    FROM reach GROUP BY node
+    """,
+)
+def x2_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication: embedding-cosine near-dup
+    PAIRS (the gated exact rung here; LSH buckets past the ceiling)
+    feed the same min-label component propagation as the text dedup
+    ladder, yielding one canonical keeper per semantic CLUSTER —
+    paraphrases and re-encodings that share no n-grams but sit together
+    in embedding space. The cross-family composition is the point: the
+    pair source swaps (jaccard grams ↔ cosine sims ↔ LSH candidates)
+    while the component/keeper machinery is reused verbatim — at
+    100 TB the propagation cost depends on the near-dup GRAPH (tiny),
+    not the corpus."""
+    from .dedup import min_label_propagate
+
+    pairs = x3_embedding_near_dup(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    nodes = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id")
+    )
+    labels = min_label_propagate(nodes, pairs)
+    return labels.select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("component").alias("cluster"),
+        (F.col("doc_id") == F.col("component")).alias("is_canonical"),
+    )

@@ -132,7 +132,7 @@ _PRIORITY: tuple[str, ...] = (
     # ext_q12_shipping_delay, ext_q14_promo_revenue, x4_heavy_hitters,
     # ext_incremental_agg, x3_ivf_pq_topk, x6_holt_smoothing,
     # x7_asof_join_tolerance, x3_ivf_recall_eval, x6_retention_cohorts,
-    # x6_rfm_scores.
+    # x6_rfm_scores, x2_semantic_dedup.
     "ext_window_lag_lead",  # window-frame family rep stays
     "x3_label_centroids",  # stays: drives the round-6 floor-trunc change
     "x2_tfidf_cosine",
