@@ -728,3 +728,70 @@ def test_ivf_pq_scoring_is_broadcast_joins(spark):
     assert "CartesianProduct" not in plan
     assert has_broadcast_join(df)
     assert has_partial_aggregation(df)
+
+
+def test_q6_is_scan_only_aggregate(spark):
+    """Q6 shape: EVERY predicate (date range, discount band, quantity cap)
+    reaches PushedFilters, the scan reads exactly the four referenced
+    columns, and the only exchange is the single-partition agg merge —
+    at 100 TB this query is row-group statistics, not rows."""
+    df = _Q["ext_q6_revenue_delta"](spark, SF)
+    pushed = pushed_filters(df)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert any(col[: len(col) - 2] in p for p in pushed), (col, pushed)
+    cols = scan_columns(df)
+    assert cols and sorted(cols[0]) == [
+        "l_discount",
+        "l_extendedprice",
+        "l_quantity",
+        "l_shipdate",
+    ]
+    assert num_shuffles(df) == 1
+
+
+def test_q7_nation_roles_both_broadcast(spark):
+    """Q7's nation dimension joins twice (supplier role, customer role);
+    both copies and the supplier dim itself must broadcast — only the
+    fact⋈fact joins and the final agg may exchange."""
+    from weather_data_pipeline_spark.plans.inspect import executed_plan
+
+    df = _Q["ext_q7_volume_shipping"](spark, SF)
+    plan = executed_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3, plan.count("BroadcastHashJoin")
+    assert "CartesianProduct" not in plan
+    assert has_partial_aggregation(df)
+
+
+def test_q13_outer_join_residual_keeps_zero_order_customers(spark):
+    """The ON-clause residual must NOT degrade to a post-join filter:
+    every customer appears in exactly one distribution bucket, so the
+    bucket counts sum to |customer| (zero-order customers included)."""
+    df = _Q["ext_q13_cust_distribution"](spark, SF)
+    total = df.agg(F.sum("custdist").alias("t")).collect()[0]["t"]
+    n_cust = load_table(spark, SF, "customer").count()
+    assert total == n_cust, (total, n_cust)
+
+
+def test_q17_correlated_avg_is_decorrelated_broadcast(spark):
+    """The per-part AVG threshold must be a broadcast-joined aggregate,
+    never a per-row subquery: no cartesian/nested-loop against the
+    lineitem side, and the brand filter must reach the part scan."""
+    from weather_data_pipeline_spark.plans.inspect import executed_plan
+
+    df = _Q["ext_q17_small_qty_revenue"](spark, SF)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert has_broadcast_join(df)
+    assert any("p_brand" in p for p in pushed_filters(df))
+
+
+def test_q22_anti_join_prunes_orders_scan(spark):
+    """Q22's NOT EXISTS: the recent-orders side is date-pruned AT THE
+    SCAN (the anti join probes only recent orders), and the one-row
+    scalar average joins as a broadcast, never a shuffle."""
+    from weather_data_pipeline_spark.plans.inspect import executed_plan
+
+    df = _Q["ext_q22_dormant_customers"](spark, SF)
+    plan = executed_plan(df)
+    assert any("o_orderdate" in p for p in pushed_filters(df))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan

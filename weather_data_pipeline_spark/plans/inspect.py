@@ -25,11 +25,19 @@ def optimized_plan(df: DataFrame) -> str:
 
 
 def pushed_filters(df: DataFrame) -> list[str]:
-    """Data-source filters that reached the scan (empty = nothing pushed)."""
+    """Data-source filters that reached the scan (empty = nothing pushed).
+
+    Spark's plan renderer ELIDES long filter lists ("GreaterThan(l_shipda...,"
+    with the closing bracket truncated away), so the list is matched up to
+    the bracket OR the rendered field that follows it — a bracket-only
+    regex silently reported zero pushed filters on exactly the scans with
+    the most pushdown."""
     out: list[str] = []
-    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", executed_plan(df)):
-        if m.group(1).strip():
-            out.extend(p.strip() for p in m.group(1).split(","))
+    pat = r"PushedFilters: \[([^\]\n]*)(?:\]|$)"
+    for m in re.finditer(pat, executed_plan(df), re.MULTILINE):
+        body = m.group(1).split(", ReadSchema:")[0].strip()
+        if body:
+            out.extend(p.strip() for p in body.split(",") if p.strip())
     return out
 
 

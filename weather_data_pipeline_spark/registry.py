@@ -223,6 +223,7 @@ def _load_all() -> None:
         similarity,
         streaming_queries,
         text_analysis,
+        tpch_extra,
         weather_queries,
         windows,
     )
