@@ -1212,3 +1212,91 @@ def x2_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quality",
         (F.col("doc_id") == F.col("keeper")).alias("keep"),
     )
+
+
+# ----------------------------------------------------------------------
+# Cross-document line-level dedup (C4 / RefinedWeb style)
+# ----------------------------------------------------------------------
+#: words per "line" — the corpus has no newlines, so fixed 10-word
+#: spans play the role of C4's newline-delimited lines
+LINE_WORDS = 10
+
+
+@query(
+    "x1_line_dedup",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ), l AS (
+      SELECT doc_id,
+             CAST((start - 1) / {LINE_WORDS} AS BIGINT) AS line_idx,
+             array_to_string(words[start:start + {LINE_WORDS - 1}], ' ')
+               AS line
+      FROM (SELECT doc_id, words,
+                   UNNEST(generate_series(1, len(words), {LINE_WORDS}))
+                     AS start
+            FROM w)
+    ), k AS (
+      SELECT doc_id, line_idx, line,
+             ROW_NUMBER() OVER (
+               PARTITION BY line ORDER BY doc_id, line_idx) AS rn
+      FROM l
+    )
+    SELECT doc_id, COUNT(*) AS n_kept,
+           string_agg(line, ' ' ORDER BY line_idx) AS clean_text
+    FROM k WHERE rn = 1 GROUP BY doc_id
+    """,
+)
+def x1_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-document LINE dedup: split every document into
+    lines (fixed ``LINE_WORDS``-word spans here — the corpus has no
+    newlines), drop every line whose exact text appears earlier in the
+    corpus (first occurrence by (doc_id, line_idx) wins, all later
+    copies are removed CORPUS-WIDE, not just within a document), then
+    reassemble each document from its surviving lines in order. This is
+    the boilerplate-removal rung below document-level dedup: nav bars,
+    licence headers, and templated spans vanish while the documents
+    carrying them survive.
+
+    Scale shape: one shuffle keyed on the line text for the
+    first-occurrence window (line texts are near-uniform hash keys; the
+    skew case — a line repeated millions of times — is exactly the case
+    the operator exists to delete, and each such group costs one
+    row_number pass, no pair joins), then one shuffle back on doc_id to
+    reassemble. Docs whose every line is a duplicate drop out of the
+    output on both engines (C4 drops empty docs too)."""
+    from pyspark.sql.window import Window
+
+    doc = load_table(spark, sf_dir, "documents")
+    words = doc.select("doc_id", F.split("text", " ").alias("words"))
+    lines = words.select(
+        "doc_id",
+        "words",
+        F.explode(
+            F.sequence(F.lit(1), F.size("words"), F.lit(LINE_WORDS))
+        ).alias("start"),
+    ).select(
+        "doc_id",
+        F.expr(f"CAST((start - 1) DIV {LINE_WORDS} AS BIGINT)").alias(
+            "line_idx"
+        ),
+        F.concat_ws(
+            " ", F.slice("words", F.col("start"), LINE_WORDS)
+        ).alias("line"),
+    )
+    first = Window.partitionBy("line").orderBy("doc_id", "line_idx")
+    kept = (
+        lines.withColumn("rn", F.row_number().over(first))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("line_idx", "line"))),
+                lambda x: x["line"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )

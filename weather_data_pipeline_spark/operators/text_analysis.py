@@ -1135,3 +1135,166 @@ def x4_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("freq"))
         .filter((100 // HH_FRAC_PCT) * F.col("freq") >= n)
     )
+
+
+# ----------------------------------------------------------------------
+# Gopher-style composite quality filter (integer-exact rule algebra)
+# ----------------------------------------------------------------------
+@query(
+    "x4_gopher_filter",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+            FROM documents)
+      GROUP BY doc_id, term
+    ), s AS (
+      SELECT doc_id,
+             CAST(SUM(tf) AS BIGINT)            AS wc,
+             CAST(COUNT(*) AS BIGINT)           AS distinct_wc,
+             CAST(MAX(tf) AS BIGINT)            AS max_tf,
+             CAST(SUM(len(term) * tf) AS BIGINT) AS n_chars
+      FROM tf GROUP BY doc_id
+    )
+    SELECT doc_id, wc AS n_words,
+           CASE
+             WHEN wc < 5 OR wc > 500            THEN 'word_count'
+             WHEN n_chars < 2 * wc
+               OR n_chars > 10 * wc             THEN 'mean_word_length'
+             WHEN 10 * distinct_wc < 3 * wc     THEN 'distinct_fraction'
+             WHEN 5 * max_tf > wc               THEN 'repetition'
+           END AS reject_reason,
+           (wc >= 5 AND wc <= 500
+            AND n_chars >= 2 * wc AND n_chars <= 10 * wc
+            AND 10 * distinct_wc >= 3 * wc
+            AND 5 * max_tf <= wc) AS keep
+    FROM s
+    """,
+)
+def x4_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style composite quality filter (Rae et al. 2021, §A1.1
+    adapted to this corpus): a document survives only if its word
+    count, mean word length, distinct-word fraction, and top-word
+    repetition all sit inside fixed bands; rejected docs carry the
+    FIRST failing rule as the reject reason (the ordering is the
+    filter's triage priority, matching the paper's cascade).
+
+    Every rule is evaluated in INTEGER cross-multiplied form
+    (``10*distinct >= 3*wc`` instead of ``distinct/wc >= 0.3``) so the
+    keep decision is bit-identical on any engine — a float ratio at a
+    band edge is exactly the cross-engine divergence the repo's
+    determinism policy exists to prevent. One explode + two partial-agg
+    shuffles: the per-(doc, term) histogram feeds ALL four statistics
+    (wc = Σtf, distinct = count, max_tf, chars = Σ len·tf) in a single
+    pass — never one scan per rule."""
+    doc = load_table(spark, sf_dir, "documents")
+    tf = (
+        doc.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    s = tf.groupBy("doc_id").agg(
+        F.sum("tf").alias("wc"),
+        F.count(F.lit(1)).alias("distinct_wc"),
+        F.max("tf").alias("max_tf"),
+        F.sum(F.length("term") * F.col("tf")).alias("n_chars"),
+    )
+    wc, dwc = F.col("wc"), F.col("distinct_wc")
+    mx, ch = F.col("max_tf"), F.col("n_chars")
+    keep = (
+        (wc >= 5) & (wc <= 500)
+        & (ch >= 2 * wc) & (ch <= 10 * wc)
+        & (10 * dwc >= 3 * wc)
+        & (5 * mx <= wc)
+    )
+    reason = (
+        F.when((wc < 5) | (wc > 500), "word_count")
+        .when((ch < 2 * wc) | (ch > 10 * wc), "mean_word_length")
+        .when(10 * dwc < 3 * wc, "distinct_fraction")
+        .when(5 * mx > wc, "repetition")
+    )
+    return s.select(
+        "doc_id",
+        wc.alias("n_words"),
+        reason.alias("reject_reason"),
+        keep.alias("keep"),
+    )
+
+
+# ----------------------------------------------------------------------
+# Token-length bucketed batching (padding-waste minimization)
+# ----------------------------------------------------------------------
+#: tokens per length bucket (fixed-width bins — integer-exact on any
+#: engine, unlike float log2 binning at power-of-two edges)
+BUCKET_WIDTH = 16
+#: documents per training batch within a bucket
+BATCH_DOCS = 8
+
+
+@query(
+    "x8_length_buckets",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ), b AS (
+      SELECT doc_id, n_tokens,
+             CAST(n_tokens // {BUCKET_WIDTH} AS BIGINT) AS bucket,
+             CAST((ROW_NUMBER() OVER (
+                 PARTITION BY CAST(n_tokens // {BUCKET_WIDTH} AS BIGINT)
+                 ORDER BY doc_id) - 1) // {BATCH_DOCS} AS BIGINT)
+               AS batch_id
+      FROM d
+    )
+    SELECT bucket, batch_id,
+           COUNT(*) AS n_docs,
+           CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(COUNT(*) * MAX(n_tokens) - SUM(n_tokens) AS BIGINT)
+             AS pad_waste
+    FROM b GROUP BY bucket, batch_id
+    """,
+)
+def x8_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch assembly: group documents into fixed-width
+    token-length buckets, then assign deterministic training batches of
+    ``BATCH_DOCS`` docs within each bucket (ordered by doc_id), reporting
+    per-batch padding waste (docs·max − Σ tokens — the cost the bucketing
+    exists to minimize: batching unsorted docs pads every row to the
+    global max; bucketing caps the spread at ``BUCKET_WIDTH``).
+
+    Scale shape: the within-bucket ROW_NUMBER is a per-bucket total
+    order — fine while each bucket's rows fit one task (buckets here are
+    narrow slices of the corpus). At 100 TB the same contract holds by
+    range-partitioning on (bucket, doc_id) and offsetting each
+    partition's local row numbers by the exclusive prefix-sum of
+    partition counts (the zipWithIndex construction) — the batch ids
+    come out identical, so the demo form IS the semantic spec."""
+    from pyspark.sql.window import Window as W
+
+    doc = load_table(spark, sf_dir, "documents")
+    d = doc.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    b = d.withColumn(
+        "bucket", F.expr(f"CAST(n_tokens DIV {BUCKET_WIDTH} AS BIGINT)")
+    ).withColumn(
+        "batch_id",
+        F.expr(
+            f"CAST((ROW_NUMBER() OVER (PARTITION BY CAST(n_tokens DIV "
+            f"{BUCKET_WIDTH} AS BIGINT) ORDER BY doc_id) - 1) DIV "
+            f"{BATCH_DOCS} AS BIGINT)"
+        ),
+    )
+    return b.groupBy("bucket", "batch_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_tokens").cast("bigint").alias("min_tokens"),
+        F.max("n_tokens").cast("bigint").alias("max_tokens"),
+        F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+        (
+            F.count(F.lit(1)) * F.max("n_tokens") - F.sum("n_tokens")
+        ).cast("bigint").alias("pad_waste"),
+    )

@@ -132,7 +132,11 @@ _PRIORITY: tuple[str, ...] = (
     # ext_q12_shipping_delay, ext_q14_promo_revenue, x4_heavy_hitters,
     # ext_incremental_agg, x3_ivf_pq_topk, x6_holt_smoothing,
     # x7_asof_join_tolerance, x3_ivf_recall_eval, x6_retention_cohorts,
-    # x6_rfm_scores, x2_semantic_dedup.
+    # x6_rfm_scores, x2_semantic_dedup, the second TPC-H batch
+    # (ext_q6_revenue_delta, ext_q7_volume_shipping, ext_q8_market_share,
+    # ext_q13_cust_distribution, ext_q17_small_qty_revenue,
+    # ext_q22_dormant_customers), x1_line_dedup, x4_gopher_filter,
+    # x8_length_buckets, x9_triangle_count.
     "ext_window_lag_lead",  # window-frame family rep stays
     "x3_label_centroids",  # stays: drives the round-6 floor-trunc change
     "x2_tfidf_cosine",
