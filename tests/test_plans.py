@@ -795,3 +795,24 @@ def test_q22_anti_join_prunes_orders_scan(spark):
     plan = executed_plan(df)
     assert any("o_orderdate" in p for p in pushed_filters(df))
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_q15_single_lineitem_scan(spark):
+    """Q15's max-revenue selection must not recompute the revenue view:
+    exactly ONE lineitem scan in the plan (the window form; a
+    scalar-agg join-back silently doubles the fact scan)."""
+    from weather_data_pipeline_spark.plans.inspect import executed_plan
+
+    df = _Q["ext_q15_top_supplier"](spark, SF)
+    plan = executed_plan(df)
+    assert plan.count("lineitem.parquet") == 1, plan.count("lineitem.parquet")
+
+
+def test_q19_disjunction_factored_to_both_scans(spark):
+    """Catalyst must factor the OR-of-ANDs: the lineitem scan gets the
+    quantity range union, the part scan gets the brand/size OR-tree —
+    neither side may be left to a post-join residual alone."""
+    df = _Q["ext_q19_disjunctive_revenue"](spark, SF)
+    pushed = pushed_filters(df)
+    assert any("l_quantity" in p for p in pushed), pushed
+    assert any("p_brand" in p or "p_size" in p for p in pushed), pushed

@@ -111,6 +111,20 @@ QUERIES = [
     "x6_retention_cohorts",
     "x6_rfm_scores",
     "x2_semantic_dedup",
+    # round-6 third batch: the second TPC-H tranche + new LLM-data ops
+    "ext_q6_revenue_delta",
+    "ext_q7_volume_shipping",
+    "ext_q8_market_share",
+    "ext_q13_cust_distribution",
+    "ext_q17_small_qty_revenue",
+    "ext_q22_dormant_customers",
+    "x1_line_dedup",
+    "x4_gopher_filter",
+    "x8_length_buckets",
+    "x9_triangle_count",
+    "ext_q15_top_supplier",
+    "ext_q19_disjunctive_revenue",
+    "x8_epoch_shuffle",
 ]
 
 #: Viral boilerplate for the skew replica: untagged (shared verbatim

@@ -1298,3 +1298,78 @@ def x8_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)) * F.max("n_tokens") - F.sum("n_tokens")
         ).cast("bigint").alias("pad_waste"),
     )
+
+
+# ----------------------------------------------------------------------
+# Deterministic per-epoch corpus shuffle (training-order generation)
+# ----------------------------------------------------------------------
+#: training epochs to generate orderings for
+N_EPOCHS = 2
+
+
+@query(
+    "x8_epoch_shuffle",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT e.epoch, d.doc_id,
+             md5(CAST(e.epoch AS VARCHAR) || ':'
+                 || CAST(d.doc_id AS VARCHAR)) AS sortkey
+      FROM documents d
+      CROSS JOIN (SELECT UNNEST(range({N_EPOCHS})) AS epoch) e
+    )
+    SELECT CAST(epoch AS BIGINT) AS epoch,
+           substr(sortkey, 1, 1) AS shard,
+           COUNT(*) AS n_docs,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ','
+                          ORDER BY sortkey, doc_id)) AS order_fp
+    FROM keyed GROUP BY epoch, substr(sortkey, 1, 1)
+    """,
+)
+def x8_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-epoch deterministic corpus shuffle: every epoch orders the
+    corpus by ``md5(epoch:doc_id)`` — a different, reproducible
+    permutation per epoch with no RNG state to checkpoint (re-running
+    epoch 3 after a crash yields byte-identical order; the same
+    portable-hash-rank trick as x8_stratified_sample). Docs are
+    distributed into 16 shards by the key's first hex digit, and each
+    shard's ORDER is pinned cross-engine by an md5 fingerprint of its
+    doc_id sequence — the oracle checks the actual training order, not
+    just shard membership.
+
+    Scale shape: shard assignment and sort keys are scan-side
+    projections; the only shuffle is the (epoch, shard) groupBy. No
+    epoch ever needs a GLOBAL sort — training readers consume shards
+    independently, each shard sorting locally (here inside the agg's
+    collect_list; at 100 TB via repartition(epoch, shard) +
+    sortWithinPartitions on the same key, same resulting order)."""
+    doc = load_table(spark, sf_dir, "documents").select("doc_id")
+    epochs = spark.range(N_EPOCHS).select(F.col("id").alias("epoch"))
+    keyed = doc.crossJoin(F.broadcast(epochs)).select(
+        "epoch",
+        "doc_id",
+        F.md5(
+            F.concat_ws(
+                ":",
+                F.col("epoch").cast("string"),
+                F.col("doc_id").cast("string"),
+            )
+        ).alias("sortkey"),
+    )
+    return keyed.groupBy(
+        "epoch", F.substring("sortkey", 1, 1).alias("shard")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("sortkey", "doc_id")
+                        )
+                    ),
+                    lambda x: x["doc_id"].cast("string"),
+                ),
+            )
+        ).alias("order_fp"),
+    )

@@ -412,3 +412,133 @@ def ext_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "totacctbal"
         ),
     )
+
+
+# ----------------------------------------------------------------------
+# TPC-H Q15 shape: aggregate view + scalar max + equality join-back
+# ----------------------------------------------------------------------
+@query(
+    "ext_q15_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2))))
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name,
+           ROUND(CAST(total_revenue AS DOUBLE), 2) AS total_revenue
+    FROM supplier JOIN rev ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    """,
+)
+def ext_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape — top supplier: the quarter's revenue-per-supplier
+    aggregate plays the stock query's CREATE VIEW role, its scalar MAX
+    is folded in as an empty-frame window over the AGGREGATED view, and
+    the view filters on revenue EQUALITY. The tie comparison happens on
+    the EXACT decimal sum — rounding to double first could crown two
+    suppliers whose true revenues differ beyond the 2-dp boundary, and
+    which one wins would then be engine-dependent; ties on the exact
+    value legitimately return multiple rows on both engines.
+
+    Plan choice: a separate ``rev.agg(max)`` branch joined back reads
+    lineitem TWICE (the two view subtrees prune differently, so neither
+    static planning nor AQE deduplicates them into a ReusedExchange —
+    verified). The window form scans lineitem once; its cost is one
+    single-partition pass over the aggregated per-supplier rows
+    (|suppliers| narrow rows — bounded and small relative to the fact
+    table at every TPC-H scale; at 100 TB that's ~GBs against two 100 TB
+    scans saved)."""
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1996-04-01"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_rev()).alias("total_revenue")
+    )
+    top = rev.withColumn(
+        "max_rev",
+        F.max("total_revenue").over(
+            Window.partitionBy()
+        ),
+    ).filter(F.col("total_revenue") == F.col("max_rev"))
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    return top.join(
+        supp, F.col("supplier_no") == F.col("s_suppkey")
+    ).select(
+        "s_suppkey",
+        "s_name",
+        F.round(F.col("total_revenue").cast("double"), 2).alias(
+            "total_revenue"
+        ),
+    )
+
+
+# ----------------------------------------------------------------------
+# TPC-H Q19 shape: disjunction of conjunctive predicates (OR-of-ANDs)
+# ----------------------------------------------------------------------
+@query(
+    "ext_q19_disjunctive_revenue",
+    oracle="""
+    SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2)
+             AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity >= 1  AND l_quantity <= 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 20 AND l_quantity <= 30)
+    """,
+)
+def ext_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape — discounted revenue under an OR of three
+    conjunctive (brand, size, quantity) clauses. The optimizer test:
+    the disjunction mixes part-side and lineitem-side columns, and
+    Catalyst must FACTOR per-side implications out of the OR — the
+    part scan gets the brand/size OR-tree, the lineitem scan gets
+    l_quantity BETWEEN 1 AND 30 (the union of the three ranges) —
+    instead of evaluating the whole residual post-join. Written as one
+    declarative filter; the plan gate asserts the factored pushdown
+    actually happened (a hand-scheduled version of this query is
+    exactly what the 'let Catalyst optimize' rule exists to avoid)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part").select(
+            "p_partkey", "p_brand", "p_size"
+        )
+    )
+    j = li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+    q = F.col("l_quantity")
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & (q >= 1) & (q <= 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & (q >= 10) & (q <= 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & (q >= 20) & (q <= 30)
+        )
+    )
+    return j.filter(clause).agg(
+        dec_out(F.sum(_rev()), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )

@@ -136,7 +136,8 @@ _PRIORITY: tuple[str, ...] = (
     # (ext_q6_revenue_delta, ext_q7_volume_shipping, ext_q8_market_share,
     # ext_q13_cust_distribution, ext_q17_small_qty_revenue,
     # ext_q22_dormant_customers), x1_line_dedup, x4_gopher_filter,
-    # x8_length_buckets, x9_triangle_count.
+    # x8_length_buckets, x9_triangle_count, ext_q15_top_supplier,
+    # ext_q19_disjunctive_revenue, x8_epoch_shuffle.
     "ext_window_lag_lead",  # window-frame family rep stays
     "x3_label_centroids",  # stays: drives the round-6 floor-trunc change
     "x2_tfidf_cosine",
