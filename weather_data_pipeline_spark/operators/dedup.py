@@ -1300,3 +1300,88 @@ def x1_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("clean_text"),
     )
+
+
+@query(
+    "x1_intradoc_line_dedup",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ), l AS (
+      SELECT doc_id,
+             CAST((start - 1) / {LINE_WORDS} AS BIGINT) AS line_idx,
+             array_to_string(words[start:start + {LINE_WORDS - 1}], ' ')
+               AS line
+      FROM (SELECT doc_id, words,
+                   UNNEST(generate_series(1, len(words), {LINE_WORDS}))
+                     AS start
+            FROM w)
+    ), k AS (
+      SELECT doc_id, line_idx, line,
+             ROW_NUMBER() OVER (
+               PARTITION BY doc_id, line ORDER BY line_idx) AS rn
+      FROM l
+    )
+    SELECT doc_id,
+           COUNT(*) FILTER (WHERE rn = 1) AS n_kept,
+           COUNT(*) FILTER (WHERE rn > 1) AS n_dropped,
+           string_agg(line, ' ' ORDER BY line_idx)
+             FILTER (WHERE rn = 1) AS clean_text
+    FROM k GROUP BY doc_id
+    """,
+)
+def x1_intradoc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-document repeated-line removal (Dolma/Gopher's
+    paragraph-dedup rule): a line that already appeared earlier in the
+    SAME document is dropped, first occurrence kept — the
+    self-plagiarism / template-loop cleaner, complementary to
+    ``x1_line_dedup`` (which dedups lines across the corpus). Every
+    document also reports how many lines it lost, the signal the
+    repetition-quality rules threshold on.
+
+    Scale shape: the first-occurrence window partitions by
+    (doc_id, line) and the reassembly groups by doc_id — both shuffles
+    are keyed by doc_id-prefixed keys, so with one repartition by
+    doc_id the whole op is a single exchange followed by two local
+    window/agg passes; no corpus-wide key ever forms (unlike the
+    cross-doc variant, whose window keys on the line text itself)."""
+    from pyspark.sql.window import Window
+
+    doc = load_table(spark, sf_dir, "documents")
+    words = doc.select("doc_id", F.split("text", " ").alias("words"))
+    lines = words.select(
+        "doc_id",
+        "words",
+        F.explode(
+            F.sequence(F.lit(1), F.size("words"), F.lit(LINE_WORDS))
+        ).alias("start"),
+    ).select(
+        "doc_id",
+        F.expr(f"CAST((start - 1) DIV {LINE_WORDS} AS BIGINT)").alias(
+            "line_idx"
+        ),
+        F.concat_ws(
+            " ", F.slice("words", F.col("start"), LINE_WORDS)
+        ).alias("line"),
+    )
+    first = Window.partitionBy("doc_id", "line").orderBy("line_idx")
+    tagged = lines.withColumn("rn", F.row_number().over(first))
+    kept_line = F.when(F.col("rn") == 1, F.col("line"))
+    return tagged.groupBy("doc_id").agg(
+        F.count(kept_line).alias("n_kept"),
+        F.count(F.when(F.col("rn") > 1, 1)).alias("n_dropped"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("rn") == 1,
+                            F.struct("line_idx", "line"),
+                        )
+                    )
+                ),
+                lambda x: x["line"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )

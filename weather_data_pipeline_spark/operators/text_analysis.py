@@ -981,9 +981,9 @@ def x4_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "x4_bigram_logprob",
-    oracle="""
+#: bigram-LM per-doc scoring oracle — shared by x4_bigram_logprob and
+#: the perplexity-decile bucketing built on top of it
+_BIGRAM_LP_ORACLE = """
     WITH w AS (
       SELECT doc_id, string_split(text, ' ') AS words FROM documents
       WHERE len(string_split(text, ' ')) >= 2
@@ -1008,8 +1008,10 @@ def x4_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN uni ON uni.term = bi.w1
     CROSS JOIN vocab
     GROUP BY doc_id
-    """,
-)
+"""
+
+
+@query("x4_bigram_logprob", oracle=_BIGRAM_LP_ORACLE)
 def x4_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM document scoring with add-one smoothing — the rung
     above ``x4_unigram_logprob``: per-doc mean log P(wᵢ | wᵢ₋₁) where
@@ -1372,4 +1374,53 @@ def x8_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         ).alias("order_fp"),
+    )
+
+
+# ----------------------------------------------------------------------
+# CCNet-style perplexity bucketing over the bigram-LM scores
+# ----------------------------------------------------------------------
+@query(
+    "x4_perplexity_buckets",
+    oracle=f"""
+    WITH lp AS ({_BIGRAM_LP_ORACLE}),
+    ranked AS (
+      SELECT doc_id, avg_logprob,
+             NTILE(10) OVER (ORDER BY avg_logprob DESC, doc_id) AS decile
+      FROM lp
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           COUNT(*) AS n_docs,
+           ROUND(MIN(avg_logprob), 6) AS min_logprob,
+           ROUND(MAX(avg_logprob), 6) AS max_logprob
+    FROM ranked GROUP BY decile
+    """,
+)
+def x4_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing: score every document with the
+    corpus bigram LM (higher mean logprob = more 'in-distribution' =
+    lower perplexity), then cut the corpus into NTILE(10) quality
+    deciles — decile 1 is the head CCNet keeps, 10 the tail it drops or
+    down-weights. Ties at decile boundaries break on doc_id so the cut
+    is engine-exact (the LM scores themselves are oracle-matched
+    IEEE-identical doubles via x4_bigram_logprob).
+
+    Scale shape: the scoring is the LM pipeline (corpus-aggregated
+    count tables + per-occurrence join); the decile cut is a global
+    NTILE — a single-partition window over (doc_id, score) pairs ONLY
+    (two narrow columns, never the documents). At 100 TB the same cut
+    comes from approx_percentile decile edges + a scan-side bucket
+    lookup (the sketch is mergeable, no global window at all); NTILE
+    here keeps the boundary semantics exact for the oracle."""
+    from pyspark.sql.window import Window
+
+    lp = x4_bigram_logprob(spark, sf_dir).select("doc_id", "avg_logprob")
+    w = Window.orderBy(F.col("avg_logprob").desc(), F.col("doc_id"))
+    ranked = lp.withColumn("decile", F.ntile(10).over(w))
+    return ranked.groupBy(
+        F.col("decile").cast("long").alias("decile")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.min("avg_logprob"), 6).alias("min_logprob"),
+        F.round(F.max("avg_logprob"), 6).alias("max_logprob"),
     )

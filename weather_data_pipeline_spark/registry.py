@@ -137,7 +137,8 @@ _PRIORITY: tuple[str, ...] = (
     # ext_q13_cust_distribution, ext_q17_small_qty_revenue,
     # ext_q22_dormant_customers), x1_line_dedup, x4_gopher_filter,
     # x8_length_buckets, x9_triangle_count, ext_q15_top_supplier,
-    # ext_q19_disjunctive_revenue, x8_epoch_shuffle.
+    # ext_q19_disjunctive_revenue, x8_epoch_shuffle,
+    # x1_intradoc_line_dedup, x4_perplexity_buckets.
     "ext_window_lag_lead",  # window-frame family rep stays
     "x3_label_centroids",  # stays: drives the round-6 floor-trunc change
     "x2_tfidf_cosine",
