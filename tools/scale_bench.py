@@ -133,6 +133,10 @@ QUERIES = [
     "x8_epoch_shuffle",
     "x1_intradoc_line_dedup",
     "x4_perplexity_buckets",
+    "mm_audio_energy",
+    "ext_q21_waiting_supplier",
+    "x6_interval_merge",
+    "x8_oversample_minority",
 ]
 
 #: Viral boilerplate for the skew replica: untagged (shared verbatim

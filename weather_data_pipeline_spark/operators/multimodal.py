@@ -523,3 +523,88 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame_idx",
         ((F.col("frame_idx") - 1) * 64).alias("byte_offset"),
     )
+
+
+# ----------------------------------------------------------------------
+# Audio energy profiling — frame-windowed feature extraction
+# ----------------------------------------------------------------------
+#: samples (bytes) per audio analysis frame
+AUDIO_FRAME = 16
+
+_AUDIO_SCHEMA = (
+    "doc_id long, n_frames long, peak_frame long, peak_energy long"
+)
+
+
+def _audio_energy_batches(batches):
+    """mapInPandas worker: payload bytes after the 4-byte RIFF magic are
+    the sample stream; per-frame energy = Σ byte² over AUDIO_FRAME-wide
+    windows (integer-exact — the oracle recomputes the identical sums
+    from the source text, so no float tolerance is needed), peak frame
+    = argmax with first-wins tie-break."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        out = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            samples = np.frombuffer(payload, dtype=np.uint8)[4:].astype(
+                np.int64
+            )
+            if samples.size == 0:
+                out.append((doc_id, 0, None, None))
+                continue
+            starts = np.arange(0, samples.size, AUDIO_FRAME)
+            energy = np.add.reduceat(samples * samples, starts)
+            peak = int(np.argmax(energy))
+            out.append(
+                (doc_id, len(starts), peak, int(energy[peak]))
+            )
+        yield pd.DataFrame(
+            out, columns=["doc_id", "n_frames", "peak_frame", "peak_energy"]
+        )
+
+
+@query(
+    "mm_audio_energy",
+    oracle=f"""
+    WITH a AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1
+    ), b AS (
+      SELECT doc_id,
+             CAST((i - 1) // {AUDIO_FRAME} AS BIGINT) AS frame,
+             ascii(substr(text, i, 1)) AS byte
+      FROM a, UNNEST(generate_series(1, octet_length(encode(text)))) t(i)
+    ), fe AS (
+      SELECT doc_id, frame, SUM(byte * byte) AS energy
+      FROM b GROUP BY doc_id, frame
+    ), ranked AS (
+      SELECT doc_id, frame, energy,
+             ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY energy DESC, frame) AS rn,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n_frames
+      FROM fe
+    )
+    SELECT doc_id, CAST(n_frames AS BIGINT) AS n_frames,
+           frame AS peak_frame, CAST(energy AS BIGINT) AS peak_energy
+    FROM ranked WHERE rn = 1
+    """,
+)
+def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction over the opaque payload: window the
+    sample stream into fixed ``AUDIO_FRAME``-byte frames, compute
+    per-frame energy (Σ sample² — the RMS numerator, kept integer so
+    both engines agree exactly), and report each clip's frame count and
+    loudest frame — the silence-trim / highlight-detection primitive.
+    The corpus has no true PCM, so the byte stream after the RIFF magic
+    plays the sample role (the documents' ASCII text, which is what
+    lets the oracle recompute the identical bytes with ``ascii``);
+    a real pipeline swaps ONLY the kernel's ``frombuffer`` line for a
+    wav decode — schema, batching, and plan shape are the production
+    ones. Zero shuffles: one Arrow-batched ``mapInPandas`` pass,
+    one row out per clip (the per-frame explode the oracle needs is
+    avoided entirely by ``np.add.reduceat`` inside the kernel)."""
+    m = media_table(spark, sf_dir)
+    return m.filter(F.col("media_type") == "audio/wav").mapInPandas(
+        _audio_energy_batches, schema=_AUDIO_SCHEMA
+    )

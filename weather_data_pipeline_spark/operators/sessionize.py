@@ -1059,3 +1059,101 @@ def x6_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         nt([F.col("frequency"), F.col("user_id")]).alias("f_score"),
         nt([F.col("monetary"), F.col("user_id")]).alias("m_score"),
     )
+
+
+# ----------------------------------------------------------------------
+# Interval merge — gaps-and-islands coverage (overlap coalescing)
+# ----------------------------------------------------------------------
+#: each event opens a 30-minute activity interval
+INTERVAL_MIN = 30
+
+
+@query(
+    "x6_interval_merge",
+    oracle=f"""
+    WITH iv AS (
+      SELECT user_id, ts, event_id,
+             ts + INTERVAL {INTERVAL_MIN} MINUTE AS iv_end
+      FROM events
+    ), marked AS (
+      SELECT user_id, ts, event_id, iv_end,
+             CASE WHEN ts > MAX(iv_end) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               OR MAX(iv_end) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+             THEN 1 ELSE 0 END AS is_new
+      FROM iv
+    ), islands AS (
+      SELECT user_id, ts, iv_end,
+             SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM marked
+    ), merged AS (
+      SELECT user_id, island,
+             MIN(ts) AS start_ts, MAX(iv_end) AS end_ts
+      FROM islands GROUP BY user_id, island
+    )
+    SELECT user_id,
+           COUNT(*) AS n_islands,
+           CAST(SUM(date_diff('microsecond', start_ts, end_ts))
+             // 1000000 AS BIGINT) AS covered_seconds
+    FROM merged GROUP BY user_id
+    """,
+)
+def x6_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-interval coalescing (gaps-and-islands): every event
+    opens a 30-minute activity interval; per user, merge all
+    overlapping or nested intervals into islands and report the island
+    count and TOTAL covered wall-clock — the double-counting-free
+    "time active" metric (a naive SUM of interval lengths counts
+    overlap regions twice; sessionization with a fixed gap is the
+    special case where intervals chain off the previous EVENT, while
+    this merges against the running MAX of all previous ENDS, which
+    handles nested intervals sessionize_gap misses).
+
+    Shape: an island starts where the event time clears the running max
+    of every earlier interval end (cumulative-max window, 1-row-lagged
+    frame); island ids are the running sum of those starts; both
+    windows plus the two aggregations share ONE user_id exchange.
+    Durations subtract in integer microseconds — no float time math."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.col("ts") + F.expr(f"INTERVAL {INTERVAL_MIN} MINUTES")).alias(
+            "iv_end"
+        ),
+    )
+    prev = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = iv.withColumn(
+        "is_new",
+        F.when(
+            F.col("ts") > F.max("iv_end").over(prev), 1
+        ).when(F.max("iv_end").over(prev).isNull(), 1).otherwise(0),
+    )
+    cum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    islands = marked.withColumn("island", F.sum("is_new").over(cum))
+    merged = islands.groupBy("user_id", "island").agg(
+        F.min("ts").alias("start_ts"), F.max("iv_end").alias("end_ts")
+    )
+    return merged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.expr(
+            "CAST(sum(timestampdiff(MICROSECOND, start_ts, end_ts)) "
+            "DIV 1000000 AS BIGINT)"
+        ).alias("covered_seconds"),
+    )

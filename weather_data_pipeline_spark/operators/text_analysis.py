@@ -1424,3 +1424,69 @@ def x4_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("avg_logprob"), 6).alias("min_logprob"),
         F.round(F.max("avg_logprob"), 6).alias("max_logprob"),
     )
+
+
+# ----------------------------------------------------------------------
+# Minority-class oversampling (deterministic replication to balance)
+# ----------------------------------------------------------------------
+@query(
+    "x8_oversample_minority",
+    oracle="""
+    WITH cnt AS (
+      SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+    ), mx AS (SELECT MAX(n) AS mxn FROM cnt),
+    factor AS (
+      SELECT lang, n, CAST((mxn + n - 1) // n AS BIGINT) AS factor
+      FROM cnt CROSS JOIN mx
+    )
+    SELECT d.doc_id, d.lang, CAST(c.copy_id AS BIGINT) AS copy_id,
+           c.copy_id = 0 AS is_original
+    FROM documents d
+    JOIN factor f USING (lang)
+    CROSS JOIN LATERAL (
+      SELECT UNNEST(range(f.factor)) AS copy_id
+    ) c
+    """,
+)
+def x8_oversample_minority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-rebalancing oversampling: every language's documents are
+    replicated ``ceil(max_class / class)`` times (integer ceiling —
+    engine-exact, no float ratios), so after expansion every class
+    sits within one replication step of the majority — the
+    deterministic twin of random oversampling (each copy is traceable
+    to its source row by (doc_id, copy_id), which is what lets a
+    training run dedup or re-weight copies later; RNG oversampling
+    loses that provenance).
+
+    Scale shape: class counts are one partial-agg shuffle (|classes|
+    rows), the factor table broadcasts, and the expansion itself is a
+    scan-side ``explode(sequence(...))`` — NO shuffle touches the
+    replicated rows. The inflation is bounded by construction:
+    output ≤ 2 · max_class · |classes| rows regardless of skew
+    (a 1-row class replicates max_class times, never more)."""
+    doc = load_table(spark, sf_dir, "documents")
+    cnt = doc.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    mx = cnt.agg(F.max("n").alias("mxn"))
+    factor = F.broadcast(
+        cnt.join(mx).select(
+            "lang",
+            F.expr("CAST((mxn + n - 1) DIV n AS BIGINT)").alias("factor"),
+        )
+    )
+    return (
+        doc.select("doc_id", "lang")
+        .join(factor, "lang")
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.col("factor") - 1)
+            ).alias("copy_id"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "copy_id",
+            (F.col("copy_id") == 0).alias("is_original"),
+        )
+    )

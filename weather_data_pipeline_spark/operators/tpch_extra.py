@@ -542,3 +542,74 @@ def ext_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec_out(F.sum(_rev()), 2).alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+# ----------------------------------------------------------------------
+# TPC-H Q21 shape: suppliers who kept orders waiting (decorrelated)
+# ----------------------------------------------------------------------
+@query(
+    "ext_q21_waiting_supplier",
+    oracle="""
+    WITH per_supp AS (
+      SELECT l_orderkey, l_suppkey,
+             MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                 THEN 1 ELSE 0 END) AS late
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      GROUP BY l_orderkey, l_suppkey
+    ), per_order AS (
+      SELECT l_orderkey,
+             COUNT(*) AS n_supp,
+             SUM(late) AS n_late,
+             MAX(CASE WHEN late = 1 THEN l_suppkey END) AS sole_late
+      FROM per_supp GROUP BY l_orderkey
+    )
+    SELECT sole_late AS s_suppkey, COUNT(*) AS numwait
+    FROM per_order
+    WHERE n_supp >= 2 AND n_late = 1
+    GROUP BY sole_late
+    """,
+)
+def ext_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape — suppliers who kept orders waiting: for each
+    supplier, the number of multi-supplier orders where THEY were the
+    only late shipper (lateness adapted to ship > order + 60 days; the
+    stock schema's receipt/commit dates don't exist here). The stock
+    query is a triple-correlated EXISTS / NOT EXISTS; the scalable
+    formulation DECORRELATES it into two stacked aggregations — per
+    (order, supplier) lateness flags, then per-order counts — so the
+    whole query is two partial-agg shuffles on order-prefixed keys and
+    ZERO repeated probes of lineitem (the correlated form re-scans
+    lineitem per outer row; Catalyst can decorrelate simple EXISTS but
+    not this double-correlated pattern, so the rewrite is the
+    operator). ``sole_late`` rides the same per-order aggregate as the
+    counts — a third join back would be wasted."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    late = F.max(
+        F.when(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+            1,
+        ).otherwise(0)
+    )
+    per_supp = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(late.alias("late"))
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("late").alias("n_late"),
+        F.max(F.when(F.col("late") == 1, F.col("l_suppkey"))).alias(
+            "sole_late"
+        ),
+    )
+    return (
+        per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .groupBy(F.col("sole_late").alias("s_suppkey"))
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
