@@ -322,3 +322,89 @@ def test_morton_code_is_invertible(x, y):
         dx |= ((z >> (2 * i)) & 1) << i
         dy |= ((z >> (2 * i + 1)) & 1) << i
     assert (dx, dy) == (x & 0xFFFF, y & 0xFFFF)
+
+
+def test_triangle_count_known_graphs(spark):
+    """Degree-oriented wedge counting must agree with ground truth on
+    graphs whose triangle count is known by hand: K4 (4 triangles), a
+    square + one diagonal (2), a path (0). Exercises the orientation
+    machinery directly — the corpus query's oracle checks only the
+    co-occurrence graph, which never hits the hand-countable shapes."""
+    from pyspark.sql import functions as F
+
+    from weather_data_pipeline_spark.operators import graph as g
+
+    cases = [
+        # K4: every pair — C(4,3)=4 triangles
+        ([(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)], 4),
+        # square 1-2-3-4 + diagonal 1-3: triangles (1,2,3), (1,3,4)
+        ([(1, 2), (2, 3), (3, 4), (1, 4), (1, 3)], 2),
+        # path: no triangles
+        ([(1, 2), (2, 3), (3, 4)], 0),
+    ]
+    for edges_py, want in cases:
+        edges = spark.createDataFrame(edges_py, "s1 bigint, s2 bigint")
+        deg = (
+            edges.select(F.col("s1").alias("node"))
+            .unionAll(edges.select(F.col("s2").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        got = g._count_triangles(edges, deg).collect()[0]["n_triangles"]
+        assert got == want, (edges_py, got, want)
+
+
+def test_line_dedup_conservation(spark):
+    """Cross-corpus line dedup keeps each DISTINCT line exactly once:
+    Σ n_kept over the output equals the number of distinct lines in the
+    corpus, and re-splitting every clean_text yields no duplicate line
+    anywhere."""
+    from pyspark.sql import functions as F
+
+    from weather_data_pipeline_spark import registry
+
+    out = registry.queries()["x1_line_dedup"](
+        spark, "/root/testdata/sf0.001"
+    )
+    kept_total = out.agg(F.sum("n_kept").alias("s")).collect()[0]["s"]
+    # distinct lines, rebuilt the same way the operator splits them
+    from weather_data_pipeline_spark.operators.dedup import LINE_WORDS
+
+    doc = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    words = doc.select("doc_id", F.split("text", " ").alias("words"))
+    lines = words.select(
+        F.explode(
+            F.sequence(F.lit(1), F.size("words"), F.lit(LINE_WORDS))
+        ).alias("start"),
+        "words",
+    ).select(
+        F.concat_ws(" ", F.slice("words", F.col("start"), LINE_WORDS)).alias(
+            "line"
+        )
+    )
+    n_distinct = lines.distinct().count()
+    assert kept_total == n_distinct, (kept_total, n_distinct)
+
+
+def test_interval_merge_invariants(spark):
+    """Coalesced coverage is bounded by both the naive sum of interval
+    lengths (no overlap counted twice) and below by one interval's
+    length; island count never exceeds the event count."""
+    from pyspark.sql import functions as F
+
+    from weather_data_pipeline_spark import registry
+    from weather_data_pipeline_spark.operators.sessionize import INTERVAL_MIN
+
+    sf = "/root/testdata/sf0.001"
+    out = registry.queries()["x6_interval_merge"](spark, sf)
+    ev_counts = {
+        r["user_id"]: r["n"]
+        for r in spark.read.parquet(f"{sf}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for r in out.collect():
+        n_ev = ev_counts[r["user_id"]]
+        assert 1 <= r["n_islands"] <= n_ev
+        assert INTERVAL_MIN * 60 <= r["covered_seconds"] <= n_ev * INTERVAL_MIN * 60

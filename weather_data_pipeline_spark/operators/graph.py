@@ -267,6 +267,14 @@ def x9_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return n_edges.join(_count_triangles(edges, deg))
+
+
+def _count_triangles(edges: DataFrame, deg: DataFrame) -> DataFrame:
+    """Degree-oriented wedge count over canonical (s1 < s2) edges —
+    the algorithm core, factored out so the hand-countable-graph
+    property test (tests/test_properties.py) can drive it directly."""
     d1 = deg.select(F.col("node").alias("s1"), F.col("deg").alias("deg1"))
     d2 = deg.select(F.col("node").alias("s2"), F.col("deg").alias("deg2"))
     ranked = edges.join(d1, "s1").join(d2, "s2")
@@ -296,6 +304,4 @@ def x9_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("u").alias("v1"), F.col("v").alias("v2")
     )
     tri = wedges.join(closer, ["v1", "v2"], "left_semi")
-    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
-    n_tri = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
-    return n_edges.join(n_tri)
+    return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
