@@ -12,6 +12,12 @@ $SPARK_GRAFT_SCALE_DIR (default /tmp/spark_graft_scale10) and reused.
 Run:  python tools/scale_bench.py
 Emits one JSON line {query: {t_1x, t_10x, ratio}} and writes
 BENCH_SCALE.json at the repo root.
+
+Run on an OTHERWISE IDLE box: a concurrent Spark session competing for
+the 32 cores inflates exactly the compute-bound 10x legs and fabricates
+superlinear ratios (a contended round-6 run showed x2_tfidf_cosine at
+12.3x; the clean rerun measured 2.8x on identical code). If a ratio
+looks superlinear, rerun it quiet before believing it.
 """
 
 from __future__ import annotations
