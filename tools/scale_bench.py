@@ -143,6 +143,7 @@ QUERIES = [
     "ext_q21_waiting_supplier",
     "x6_interval_merge",
     "x8_oversample_minority",
+    "x3_mips_topk",
 ]
 
 #: Viral boilerplate for the skew replica: untagged (shared verbatim

@@ -1497,3 +1497,83 @@ def x2_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").alias("cluster"),
         (F.col("doc_id") == F.col("component")).alias("is_canonical"),
     )
+
+
+# ----------------------------------------------------------------------
+# Maximum-inner-product search (MIPS) — the recommendation-scoring twin
+# ----------------------------------------------------------------------
+@query(
+    "x3_mips_topk",
+    oracle=f"""
+    SELECT query_id, vec_id, score FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+             ROUND(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                    CAST(c.embedding AS DOUBLE[])), 6)
+               AS score,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY ROUND(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                               CAST(c.embedding AS DOUBLE[])), 6) DESC,
+                        c.vec_id) AS rn
+      FROM (SELECT * FROM embeddings WHERE vec_id < {N_QUERIES}) q
+      CROSS JOIN embeddings c
+      WHERE q.vec_id <> c.vec_id
+    ) WHERE rn <= {TOP_K}
+    """,
+)
+def x3_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-inner-product top-k — the recommendation/retrieval
+    scoring objective (user·item affinity), DISTINCT from cosine: MIPS
+    rewards magnitude, so a long vector can out-score a better-aligned
+    short one, and the two rankings genuinely differ on unnormalized
+    embeddings. Same execution shape as ``x3_cosine_topk`` (bounded
+    query collect, one corpus scan through an Arrow kernel, per-query
+    window — corpus never shuffles, plan-gate-identical); at index
+    scale MIPS reduces to cosine via the standard norm-augmentation
+    (append sqrt(maxnorm² − ‖x‖²) to each corpus vector, 0 to queries)
+    and then rides the SAME LSH/IVF rungs this module already ships —
+    which is why the exact rung here shares their gate ancestry rather
+    than growing its own index."""
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrows = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", F.col("embedding").cast("array<double>"))
+        .collect()
+    )
+    q_ids = [r[0] for r in qrows]
+    q_mat = np.array([r[1] for r in qrows], dtype=np.float64)
+
+    def dots(batches):
+        for pdf in batches:
+            c_mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            out = []
+            for qi, qid in enumerate(q_ids):
+                s = _seq_dot(c_mat, q_mat[qi])
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "vec_id": pdf["vec_id"].to_numpy(),
+                            "score": np.round(s, 6),
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    pairs = (
+        emb.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        .mapInPandas(dots, schema="query_id long, vec_id long, score double")
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id")
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "vec_id", "score")
+    )

@@ -234,3 +234,48 @@ def s_sliding_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("total_value").cast("double"), 2).alias("total_value"),
     )
+
+
+@query(
+    "s_topk_stream",
+    oracle="""
+    SELECT user_id, event_id,
+           ROUND(CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE), 2) AS value
+    FROM (
+      SELECT e.*, ROW_NUMBER() OVER
+        (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+      FROM events e
+    ) WHERE rn <= 3
+    """,
+)
+def s_topk_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user top-3 event values maintained incrementally — the
+    mergeable-summary streaming state pattern: top-k is associative
+    (topk(state ∪ batch) = topk(history)), so each micro-batch merges
+    the ≤ k-rows-per-key snapshot with the batch and state stays
+    bounded at k rows per key regardless of stream length — the
+    leaderboard / best-offers primitive. Oracle = the batch window
+    top-k over the full table: stream and batch must agree exactly
+    (value ties break on event_id on both engines)."""
+    state = os.path.join(
+        jobs.SCRATCH, f"s_topk_state_{uuid.uuid4().hex[:8]}"
+    )
+    src = jobs.stream_events(spark, sf_dir).select(
+        "user_id", "event_id", "value"
+    )
+    jobs.incremental_topk_per_key(
+        spark,
+        src,
+        key="user_id",
+        score="value",
+        tiebreak="event_id",
+        k=3,
+        state_path=state,
+    )
+    return jobs.read_state(spark, state).select(
+        "user_id",
+        "event_id",
+        F.round(
+            F.col("value").cast("decimal(18,2)").cast("double"), 2
+        ).alias("value"),
+    )

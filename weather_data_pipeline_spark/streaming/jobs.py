@@ -277,3 +277,57 @@ def sliding_counts(
         agg.writeStream.format("memory").queryName(sink_table).outputMode("complete"),
         f"sliding-{sink_table}",
     )
+
+
+def incremental_topk_per_key(
+    spark: SparkSession,
+    source: DataFrame,
+    key: str,
+    score: str,
+    tiebreak: str,
+    k: int,
+    state_path: str,
+    checkpoint: str | None = None,
+) -> None:
+    """Per-key top-k maintained incrementally — the mergeable-summary
+    state pattern: topk(state ∪ batch) == topk(full history) because
+    per-key top-k is an associative, idempotent summary (any row outside
+    a key's current top-k can never re-enter). Each micro-batch merges
+    the previous ≤ k-rows-per-key snapshot with the batch and re-takes
+    the top-k; state stays bounded at k rows per key FOREVER, so the
+    merge cost tracks the ACTIVE keys per trigger, not history. Same
+    write-new-then-swap snapshot versioning as
+    ``incremental_latest_per_key``."""
+    from pyspark.sql.window import Window as W
+
+    def topk(df: DataFrame) -> DataFrame:
+        w = W.partitionBy(key).orderBy(
+            F.col(score).desc(), F.col(tiebreak)
+        )
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .drop("_rn")
+        )
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        s = batch.sparkSession
+        version = _state_version(state_path)
+        if version is not None:
+            prev = s.read.parquet(os.path.join(state_path, version))
+            merged = prev.unionByName(batch)
+        else:
+            merged = batch
+        out = topk(merged)
+        new_version = f"v{batch_id}-{uuid.uuid4().hex[:8]}"
+        out.write.parquet(os.path.join(state_path, new_version))
+        tmp = os.path.join(state_path, f"_VERSION.{new_version}")
+        with open(tmp, "w") as f:
+            f.write(new_version)
+        os.replace(tmp, os.path.join(state_path, "_VERSION"))
+
+    run_to_completion(
+        source.writeStream.foreachBatch(merge).outputMode("update"),
+        "topk-state",
+        checkpoint,
+    )
