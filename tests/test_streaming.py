@@ -160,3 +160,54 @@ def test_watermark_drops_late_rows_in_append_mode(spark, tmp_path):
         (r["window"]["start"].hour, r["n"]) for r in spark.table(sink).collect()
     ]
     assert sorted(got) == [(9, 1), (10, 1), (11, 1)], got
+
+
+def test_incremental_topk_matches_batch(spark, tmp_path):
+    """Event files arrive in waves; after each drain the per-key top-3
+    state equals the batch window top-3 over everything seen so far —
+    the mergeability property (topk(state ∪ batch) = topk(history))
+    across real multi-run checkpointed triggers, including evictions
+    (later waves push earlier rows OUT of a key's top-3)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    root = str(tmp_path)
+    src_dir, state, ckpt = f"{root}/in", f"{root}/_state", f"{root}/_ckpt"
+    waves = [
+        [(1, 10, 5.0), (1, 11, 7.0), (2, 12, 1.0)],
+        [(1, 20, 9.0), (1, 21, 6.0), (2, 22, 3.0), (2, 23, 2.0)],
+        [(1, 30, 8.0), (2, 31, 0.5), (2, 32, 4.0)],
+    ]
+    seen = []
+    for i, wave in enumerate(waves):
+        seen.extend(wave)
+        spark.createDataFrame(
+            wave, "user_id long, event_id long, value double"
+        ).coalesce(1).write.mode("append").parquet(src_dir)
+        src = (
+            spark.readStream.schema("user_id long, event_id long, value double")
+            .parquet(src_dir)
+        )
+        jobs.incremental_topk_per_key(
+            spark, src, key="user_id", score="value", tiebreak="event_id",
+            k=3, state_path=state, checkpoint=ckpt,
+        )
+        got = {
+            (r.user_id, r.event_id)
+            for r in jobs.read_state(spark, state).collect()
+        }
+        full = spark.createDataFrame(
+            seen, "user_id long, event_id long, value double"
+        )
+        w = W.partitionBy("user_id").orderBy(
+            F.col("value").desc(), F.col("event_id")
+        )
+        want = {
+            (r.user_id, r.event_id)
+            for r in full.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .collect()
+        }
+        assert got == want, f"divergence after wave {i}: {got} != {want}"
+    # eviction actually happened: event 10 (value 5.0) left user 1's top-3
+    assert (1, 10) not in got
