@@ -854,3 +854,43 @@ def test_runtime_bloom_filter_injects_on_selective_fact_join(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_mips_corpus_never_shuffles(spark):
+    """MIPS shares cosine-topk's execution contract: no join at all, one
+    corpus scan through the Arrow kernel, the only exchange the tiny
+    per-query top-k window."""
+    from weather_data_pipeline_spark.plans.inspect import executed_plan
+
+    df = _Q["x3_mips_topk"](spark, SF)
+    plan = executed_plan(df)
+    assert "Join" not in plan
+    assert num_shuffles(df) == 1
+
+
+def test_triangle_support_build_is_takeordered(spark):
+    """The triangle op's edge cap must plan as TakeOrderedAndProject
+    (per-partition top-K merged on the driver) — a global sort of the
+    pair table would defeat the cap's purpose — and the wedge machinery
+    must never degrade to a cartesian product."""
+    from weather_data_pipeline_spark.operators.graph import EDGE_K
+    from weather_data_pipeline_spark.plans.inspect import executed_plan
+    from weather_data_pipeline_spark.sources.testdata import load_table as lt
+
+    sl = lt(spark, SF, "lineitem").select("l_orderkey", "l_suppkey").distinct()
+    a, b = sl.alias("a"), sl.alias("b")
+    top = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(F.col("a.l_suppkey").alias("s1"), F.col("b.l_suppkey").alias("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .orderBy(F.desc("support"), "s1", "s2")
+        .limit(EDGE_K)
+    )
+    assert "TakeOrderedAndProject" in executed_plan(top)
+    full = _Q["x9_triangle_count"](spark, SF)
+    assert "CartesianProduct" not in executed_plan(full)
