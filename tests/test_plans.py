@@ -873,24 +873,15 @@ def test_triangle_support_build_is_takeordered(spark):
     (per-partition top-K merged on the driver) — a global sort of the
     pair table would defeat the cap's purpose — and the wedge machinery
     must never degrade to a cartesian product."""
-    from weather_data_pipeline_spark.operators.graph import EDGE_K
+    from weather_data_pipeline_spark.operators.graph import (
+        EDGE_K,
+        _top_support_edges,
+    )
     from weather_data_pipeline_spark.plans.inspect import executed_plan
     from weather_data_pipeline_spark.sources.testdata import load_table as lt
 
     sl = lt(spark, SF, "lineitem").select("l_orderkey", "l_suppkey").distinct()
-    a, b = sl.alias("a"), sl.alias("b")
-    top = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
-        )
-        .select(F.col("a.l_suppkey").alias("s1"), F.col("b.l_suppkey").alias("s2"))
-        .groupBy("s1", "s2")
-        .agg(F.count(F.lit(1)).alias("support"))
-        .orderBy(F.desc("support"), "s1", "s2")
-        .limit(EDGE_K)
-    )
+    top = _top_support_edges(sl, EDGE_K)
     assert "TakeOrderedAndProject" in executed_plan(top)
     full = _Q["x9_triangle_count"](spark, SF)
     assert "CartesianProduct" not in executed_plan(full)

@@ -211,3 +211,26 @@ def test_incremental_topk_matches_batch(spark, tmp_path):
         assert got == want, f"divergence after wave {i}: {got} != {want}"
     # eviction actually happened: event 10 (value 5.0) left user 1's top-3
     assert (1, 10) not in got
+    # AT-LEAST-ONCE replay: redeliver wave 2's rows as a new file (same
+    # (user_id, event_id) identities — what a post-flip crash replays).
+    # Without the merge-side dropDuplicates, each replayed row would
+    # occupy a second top-k slot and evict a legitimate one; state must
+    # be byte-identical to the pre-replay answer.
+    spark.createDataFrame(
+        waves[1], "user_id long, event_id long, value double"
+    ).coalesce(1).write.mode("append").parquet(src_dir)
+    src = (
+        spark.readStream.schema("user_id long, event_id long, value double")
+        .parquet(src_dir)
+    )
+    jobs.incremental_topk_per_key(
+        spark, src, key="user_id", score="value", tiebreak="event_id",
+        k=3, state_path=state, checkpoint=ckpt,
+    )
+    replayed = {
+        (r.user_id, r.event_id)
+        for r in jobs.read_state(spark, state).collect()
+    }
+    assert replayed == want, (replayed, want)
+    rows = jobs.read_state(spark, state).collect()
+    assert len(rows) == len(replayed)  # no duplicate identities in state

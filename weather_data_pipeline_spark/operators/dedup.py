@@ -1221,11 +1221,11 @@ def x2_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: spans play the role of C4's newline-delimited lines
 LINE_WORDS = 10
 
-
-@query(
-    "x1_line_dedup",
-    oracle=f"""
-    WITH w AS (
+#: shared oracle CTE: documents -> one row per (doc_id, line_idx, line)
+#: — the single source for BOTH line-dedup oracles, so the span rule
+#: can never desynchronize between them (mirror of _BIGRAM_LP_ORACLE)
+_LINE_CTE = f"""
+    w AS (
       SELECT doc_id, string_split(text, ' ') AS words FROM documents
     ), l AS (
       SELECT doc_id,
@@ -1236,7 +1236,34 @@ LINE_WORDS = 10
                    UNNEST(generate_series(1, len(words), {LINE_WORDS}))
                      AS start
             FROM w)
-    ), k AS (
+    )"""
+
+
+def doc_lines(doc: DataFrame) -> DataFrame:
+    """documents -> (doc_id, line_idx, line): the Spark twin of
+    ``_LINE_CTE``, shared by both line-dedup operators."""
+    words = doc.select("doc_id", F.split("text", " ").alias("words"))
+    return words.select(
+        "doc_id",
+        "words",
+        F.explode(
+            F.sequence(F.lit(1), F.size("words"), F.lit(LINE_WORDS))
+        ).alias("start"),
+    ).select(
+        "doc_id",
+        F.expr(f"CAST((start - 1) DIV {LINE_WORDS} AS BIGINT)").alias(
+            "line_idx"
+        ),
+        F.concat_ws(
+            " ", F.slice("words", F.col("start"), LINE_WORDS)
+        ).alias("line"),
+    )
+
+
+@query(
+    "x1_line_dedup",
+    oracle=f"""
+    WITH {_LINE_CTE}, k AS (
       SELECT doc_id, line_idx, line,
              ROW_NUMBER() OVER (
                PARTITION BY line ORDER BY doc_id, line_idx) AS rn
@@ -1267,23 +1294,7 @@ def x1_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     output on both engines (C4 drops empty docs too)."""
     from pyspark.sql.window import Window
 
-    doc = load_table(spark, sf_dir, "documents")
-    words = doc.select("doc_id", F.split("text", " ").alias("words"))
-    lines = words.select(
-        "doc_id",
-        "words",
-        F.explode(
-            F.sequence(F.lit(1), F.size("words"), F.lit(LINE_WORDS))
-        ).alias("start"),
-    ).select(
-        "doc_id",
-        F.expr(f"CAST((start - 1) DIV {LINE_WORDS} AS BIGINT)").alias(
-            "line_idx"
-        ),
-        F.concat_ws(
-            " ", F.slice("words", F.col("start"), LINE_WORDS)
-        ).alias("line"),
-    )
+    lines = doc_lines(load_table(spark, sf_dir, "documents"))
     first = Window.partitionBy("line").orderBy("doc_id", "line_idx")
     kept = (
         lines.withColumn("rn", F.row_number().over(first))
@@ -1305,18 +1316,7 @@ def x1_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "x1_intradoc_line_dedup",
     oracle=f"""
-    WITH w AS (
-      SELECT doc_id, string_split(text, ' ') AS words FROM documents
-    ), l AS (
-      SELECT doc_id,
-             CAST((start - 1) / {LINE_WORDS} AS BIGINT) AS line_idx,
-             array_to_string(words[start:start + {LINE_WORDS - 1}], ' ')
-               AS line
-      FROM (SELECT doc_id, words,
-                   UNNEST(generate_series(1, len(words), {LINE_WORDS}))
-                     AS start
-            FROM w)
-    ), k AS (
+    WITH {_LINE_CTE}, k AS (
       SELECT doc_id, line_idx, line,
              ROW_NUMBER() OVER (
                PARTITION BY doc_id, line ORDER BY line_idx) AS rn
@@ -1347,23 +1347,7 @@ def x1_intradoc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-doc variant, whose window keys on the line text itself)."""
     from pyspark.sql.window import Window
 
-    doc = load_table(spark, sf_dir, "documents")
-    words = doc.select("doc_id", F.split("text", " ").alias("words"))
-    lines = words.select(
-        "doc_id",
-        "words",
-        F.explode(
-            F.sequence(F.lit(1), F.size("words"), F.lit(LINE_WORDS))
-        ).alias("start"),
-    ).select(
-        "doc_id",
-        F.expr(f"CAST((start - 1) DIV {LINE_WORDS} AS BIGINT)").alias(
-            "line_idx"
-        ),
-        F.concat_ws(
-            " ", F.slice("words", F.col("start"), LINE_WORDS)
-        ).alias("line"),
-    )
+    lines = doc_lines(load_table(spark, sf_dir, "documents"))
     first = Window.partitionBy("doc_id", "line").orderBy("line_idx")
     tagged = lines.withColumn("rn", F.row_number().over(first))
     kept_line = F.when(F.col("rn") == 1, F.col("line"))

@@ -223,32 +223,12 @@ def x9_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of the max raw degree — the celebrity-node blowup that
     kills id-ordered wedge builds — while counting each triangle
     exactly once (its minimum-order vertex builds it)."""
-    # dedup (order, supplier) BEFORE the self-join: a supplier with
-    # several lineitems in one order would otherwise multiply pair rows
-    # and force a count_distinct (two-phase) instead of a plain count
     sl = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_suppkey")
         .distinct()
     )
-    a = sl.alias("a")
-    b = sl.alias("b")
-    top = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
-        )
-        .select(
-            F.col("a.l_suppkey").alias("s1"),
-            F.col("b.l_suppkey").alias("s2"),
-        )
-        .groupBy("s1", "s2")
-        .agg(F.count(F.lit(1)).alias("support"))
-        .orderBy(F.desc("support"), "s1", "s2")
-        .limit(EDGE_K)
-        .select("s1", "s2")
-    )
+    top = _top_support_edges(sl, EDGE_K)
     # materialize the capped list ONCE: the driver collect is bounded at
     # EDGE_K rows by construction (the same bounded-collect pattern as
     # the IVF centroid build), and every downstream consumer (degrees,
@@ -269,6 +249,33 @@ def x9_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
     return n_edges.join(_count_triangles(edges, deg))
+
+
+def _top_support_edges(sl: DataFrame, k: int) -> DataFrame:
+    """Top-k co-occurrence edges by support from a DISTINCT
+    (l_orderkey, l_suppkey) frame — the dedup happens BEFORE the
+    self-join (a supplier with several lineitems in one order would
+    otherwise multiply pair rows and force a two-phase count_distinct
+    instead of a plain count). Factored so the plan gate asserts the
+    TakeOrderedAndProject shape on the SAME code the operator runs."""
+    a = sl.alias("a")
+    b = sl.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(
+            F.col("a.l_suppkey").alias("s1"),
+            F.col("b.l_suppkey").alias("s2"),
+        )
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .orderBy(F.desc("support"), "s1", "s2")
+        .limit(k)
+        .select("s1", "s2")
+    )
 
 
 def _count_triangles(edges: DataFrame, deg: DataFrame) -> DataFrame:

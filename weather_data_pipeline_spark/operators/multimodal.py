@@ -552,7 +552,9 @@ def _audio_energy_batches(batches):
                 np.int64
             )
             if samples.size == 0:
-                out.append((doc_id, 0, None, None))
+                # no samples -> no frames -> no row: matches the
+                # oracle's generate_series(1, 0) producing zero rows
+                # (the empty-doc convention line dedup also uses)
                 continue
             starts = np.arange(0, samples.size, AUDIO_FRAME)
             energy = np.add.reduceat(samples * samples, starts)

@@ -318,7 +318,13 @@ def incremental_topk_per_key(
             merged = prev.unionByName(batch)
         else:
             merged = batch
-        out = topk(merged)
+        # foreachBatch is AT-LEAST-ONCE: a crash between the state flip
+        # and the streaming commit replays the batch, and without this
+        # dedup each replayed row would occupy a second top-k slot and
+        # evict a legitimate one (latest_per_key survives replay because
+        # rn=1 collapses duplicates; top-k does not). (key, tiebreak) is
+        # the event identity, so idempotency is exact.
+        out = topk(merged.dropDuplicates([key, tiebreak]))
         new_version = f"v{batch_id}-{uuid.uuid4().hex[:8]}"
         out.write.parquet(os.path.join(state_path, new_version))
         tmp = os.path.join(state_path, f"_VERSION.{new_version}")
