@@ -288,6 +288,15 @@ def build_skew(spark: SparkSession) -> None:
 
 
 def _time(qs, name: str, spark: SparkSession, sf_dir: str) -> float:
+    # isolate each measurement: several operators cache session-scoped
+    # tables (TF-IDF weighted terms, IVF corpus, PageRank edges), and 70+
+    # queries x 2 scale dirs accumulate enough MEMORY_AND_DISK entries
+    # that LRU churn inflates the later compute-bound legs (measured:
+    # x2_tfidf_cosine 10x leg 18.9 s in-suite vs 6.9 s isolated, same
+    # code — the ratio read 7.1x when the isolated truth is ~2.5x).
+    # bench.py deliberately KEEPS caches (it measures steady-state
+    # reuse); the scale ratio must not.
+    spark.catalog.clearCache()
     # one untimed warmup pays whole-stage-codegen JIT so the measured
     # ratio compares steady states (bench.py's convention)
     qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
