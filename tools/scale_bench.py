@@ -144,6 +144,7 @@ QUERIES = [
     "x6_interval_merge",
     "x8_oversample_minority",
     "x3_mips_topk",
+    "x4_vocab_coverage",
 ]
 
 #: Viral boilerplate for the skew replica: untagged (shared verbatim

@@ -1490,3 +1490,84 @@ def x8_oversample_minority(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("copy_id") == 0).alias("is_original"),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# Vocabulary coverage curve (tokenizer-budget sizing)
+# ----------------------------------------------------------------------
+#: vocabulary-size cutoffs for the coverage curve
+VOCAB_CUTS = (10, 50, 100, 500)
+
+
+@query(
+    "x4_vocab_coverage",
+    oracle=f"""
+    WITH tf AS (
+      SELECT term, COUNT(*) AS c
+      FROM (SELECT UNNEST(string_split(text, ' ')) AS term FROM documents)
+      GROUP BY term
+    ), ranked AS (
+      SELECT term, c,
+             ROW_NUMBER() OVER (ORDER BY c DESC, term) AS rnk,
+             SUM(c) OVER (ORDER BY c DESC, term
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             SUM(c) OVER () AS total
+      FROM tf
+    )
+    SELECT CAST(cut.n AS BIGINT) AS vocab_size,
+           CAST(MAX(CASE WHEN rnk <= cut.n THEN cum END) AS BIGINT)
+             AS covered_tokens,
+           CAST(MAX(total) AS BIGINT) AS total_tokens
+    FROM ranked
+    CROSS JOIN (SELECT UNNEST({list(VOCAB_CUTS)}) AS n) cut
+    GROUP BY cut.n
+    """,
+)
+def x4_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve — the tokenizer-budget question: how
+    many corpus token OCCURRENCES do the top-N most frequent terms
+    cover, for each candidate vocab size N? (The Zipf head covers most
+    of the mass; the curve's knee is where adding vocab stops paying.)
+    Counts stay integers end-to-end — the coverage FRACTION is left to
+    the consumer so no float ever crosses the engine boundary.
+
+    Scale shape: one explode + partial-agg term count (the only shuffle
+    that sees token volume), then ranking/cumulating over the VOCAB
+    table only (|vocab| rows — at 100 TB still single-machine-sized;
+    the window runs single-partition over term stats, never tokens).
+    Tie order at a cutoff boundary is pinned by (count DESC, term)."""
+    from pyspark.sql.window import Window as W
+
+    doc = load_table(spark, sf_dir, "documents")
+    tf = (
+        doc.select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    order = W.orderBy(F.col("c").desc(), "term")
+    ranked = tf.select(
+        "c",
+        F.row_number().over(order).alias("rnk"),
+        F.sum("c").over(
+            order.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ).alias("cum"),
+        F.sum("c").over(
+            W.partitionBy().orderBy(F.lit(1)).rowsBetween(
+                W.unboundedPreceding, W.unboundedFollowing
+            )
+        ).alias("total"),
+    )
+    cuts = F.array(*[F.lit(n) for n in VOCAB_CUTS])
+    return (
+        ranked.select(
+            "rnk", "cum", "total", F.explode(cuts).alias("vocab_size")
+        )
+        .groupBy(F.col("vocab_size").cast("long").alias("vocab_size"))
+        .agg(
+            F.max(
+                F.when(F.col("rnk") <= F.col("vocab_size"), F.col("cum"))
+            ).cast("long").alias("covered_tokens"),
+            F.max("total").cast("long").alias("total_tokens"),
+        )
+    )
