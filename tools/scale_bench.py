@@ -310,6 +310,11 @@ def _time(qs, name: str, spark: SparkSession, sf_dir: str) -> float:
 
 
 def main() -> None:
+    # optional argv name filters: measure only matching queries and MERGE
+    # their rows into the existing BENCH_SCALE.json (full runs overwrite)
+    # — lets a newly added operator get its measured ratio without a
+    # 25-minute full replay.
+    filters = sys.argv[1:]
     spark = (
         SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
         .appName("scale-bench")
@@ -321,22 +326,29 @@ def main() -> None:
     tune(spark)
     build(spark)
     qs = registry.queries()
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    names = [n for n in QUERIES if not filters or any(f in n for f in filters)]
     out = {}
-    for name in QUERIES:
+    for name in names:
         t1 = _time(qs, name, spark, BASE)
         t10 = _time(qs, name, spark, SCALE_DIR)
         out[name] = {"t_1x": t1, "t_10x": t10, "ratio": round(t10 / t1, 2)}
-    # A/B on the skew-injected replica: the capped variant's 1x→10x ratio
-    # must beat the uncapped one's — df² growth vs the |docs|·cap bound.
-    build_skew(spark)
-    skew = {}
-    for name in ("x2_ngram_jaccard", "x2_ngram_jaccard_capped"):
-        t1 = _time(qs, name, spark, SKEW1_DIR)
-        t10 = _time(qs, name, spark, SKEW10_DIR)
-        skew[name] = {"t_1x": t1, "t_10x": t10, "ratio": round(t10 / t1, 2)}
-    payload = {"copies": COPIES, "base": BASE, "queries": out, "skew": skew}
+    if filters:
+        with open(os.path.join(root, "BENCH_SCALE.json")) as f:
+            payload = json.load(f)
+        payload["queries"].update(out)
+    else:
+        # A/B on the skew-injected replica: the capped variant's 1x→10x
+        # ratio must beat the uncapped one's — df² growth vs the
+        # |docs|·cap bound.
+        build_skew(spark)
+        skew = {}
+        for name in ("x2_ngram_jaccard", "x2_ngram_jaccard_capped"):
+            t1 = _time(qs, name, spark, SKEW1_DIR)
+            t10 = _time(qs, name, spark, SKEW10_DIR)
+            skew[name] = {"t_1x": t1, "t_10x": t10, "ratio": round(t10 / t1, 2)}
+        payload = {"copies": COPIES, "base": BASE, "queries": out, "skew": skew}
     print(json.dumps(payload))
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "BENCH_SCALE.json"), "w") as f:
         json.dump(payload, f, indent=1)
 

@@ -1559,8 +1559,13 @@ def x4_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("total"),
     )
     cuts = F.array(*[F.lit(n) for n in VOCAB_CUTS])
+    # rows past the largest cutoff can never contribute to any
+    # covered_tokens (and total already rides on every row), so the
+    # explode+groupBy volume is bounded at 4*max(cuts) rows instead of
+    # 4*|vocab| — the curve costs the same at any vocabulary size
     return (
-        ranked.select(
+        ranked.filter(F.col("rnk") <= max(VOCAB_CUTS))
+        .select(
             "rnk", "cum", "total", F.explode(cuts).alias("vocab_size")
         )
         .groupBy(F.col("vocab_size").cast("long").alias("vocab_size"))
