@@ -145,6 +145,7 @@ QUERIES = [
     "x8_oversample_minority",
     "x3_mips_topk",
     "x4_vocab_coverage",
+    "x8_budget_select",
 ]
 
 #: Viral boilerplate for the skew replica: untagged (shared verbatim

@@ -1576,3 +1576,72 @@ def x4_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("total").cast("long").alias("total_tokens"),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# Token-budget data selection (best docs under a global budget)
+# ----------------------------------------------------------------------
+#: total token budget for the selection
+SELECT_BUDGET = 10_000
+
+
+@query(
+    "x8_budget_select",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS wc,
+             len(list_distinct(string_split(text, ' '))) AS dwc
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, CAST(wc AS BIGINT) AS wc,
+             CAST(dwc * 1000000 // wc AS BIGINT) AS score
+      FROM s
+    ), ranked AS (
+      SELECT doc_id, wc, score,
+             SUM(wc) OVER (ORDER BY score DESC, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cum_tokens
+      FROM scored
+    )
+    SELECT doc_id, wc, score, CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM ranked WHERE cum_tokens <= {SELECT_BUDGET}
+    """,
+)
+def x8_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data selection under a token budget — 'give me the best
+    ~10k tokens': rank documents by quality and take the greedy prefix
+    whose cumulative token count fits the budget. The quality key is
+    INTEGER lexical diversity (distinct-words-per-million-tokens via
+    floor division — engine-exact, no float ratio at any rank
+    boundary), ties pinned by doc_id, so the selected SET is identical
+    on any engine and any partitioning — the property a reproducible
+    training-data release needs.
+
+    Scale shape: per-doc stats are scan-side projections; the ranking
+    walks (doc_id, wc, score) triples only — never documents — in one
+    single-partition cumulative window (same contract as
+    x4_perplexity_buckets: at 100 TB the exact prefix sum swaps to
+    range-partitioned partial sums + an exclusive prefix-sum offset
+    pass, with identical output)."""
+    from pyspark.sql.window import Window as W
+
+    doc = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    scored = doc.select(
+        "doc_id",
+        F.size(words).cast("long").alias("wc"),
+        F.expr(
+            "CAST(size(array_distinct(split(text, ' '))) * 1000000"
+            " DIV size(split(text, ' ')) AS BIGINT)"
+        ).alias("score"),
+    )
+    cum = W.orderBy(F.col("score").desc(), "doc_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return (
+        scored.withColumn(
+            "cum_tokens", F.sum("wc").over(cum).cast("long")
+        )
+        .filter(F.col("cum_tokens") <= SELECT_BUDGET)
+    )
