@@ -885,3 +885,19 @@ def test_triangle_support_build_is_takeordered(spark):
     assert "TakeOrderedAndProject" in executed_plan(top)
     full = _Q["x9_triangle_count"](spark, SF)
     assert "CartesianProduct" not in executed_plan(full)
+
+
+def test_temporal_join_is_equi_on_user_not_nested_loop(spark):
+    """The fact-vs-SCD2 temporal join must ride the user_id equi key
+    with the interval predicate as a residual — never a nested-loop
+    over intervals (quadratic per user at scale)."""
+    from weather_data_pipeline_spark.plans.inspect import executed_plan
+
+    df = _Q["x7_temporal_join"](spark, SF)
+    plan = executed_plan(df)
+    assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )

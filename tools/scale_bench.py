@@ -146,6 +146,7 @@ QUERIES = [
     "x3_mips_topk",
     "x4_vocab_coverage",
     "x8_budget_select",
+    "x7_temporal_join",
 ]
 
 #: Viral boilerplate for the skew replica: untagged (shared verbatim

@@ -1157,3 +1157,88 @@ def x6_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "DIV 1000000 AS BIGINT)"
         ).alias("covered_seconds"),
     )
+
+
+# ----------------------------------------------------------------------
+# Temporal join — facts against SCD2 dimension history at event time
+# ----------------------------------------------------------------------
+@query(
+    "x7_temporal_join",
+    oracle="""
+    WITH obs AS (
+      SELECT user_id, ts, event_id,
+             ROUND(CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE), 2) AS value
+      FROM events WHERE event_type = 'signup'
+    ), changes AS (
+      SELECT * FROM (
+        SELECT user_id, ts, event_id, value,
+               LAG(value) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS prev_value
+        FROM obs
+      ) WHERE prev_value IS NULL OR value <> prev_value
+    ), dim AS (
+      SELECT user_id, value AS dim_value,
+             ts AS valid_from,
+             LEAD(ts) OVER w AS valid_to,
+             CAST(ROW_NUMBER() OVER w AS BIGINT) AS version
+      FROM changes
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT f.event_id, f.user_id, f.ts,
+           d.version AS dim_version, d.dim_value
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase') f
+    LEFT JOIN dim d
+      ON d.user_id = f.user_id
+     AND d.valid_from <= f.ts
+     AND (d.valid_to > f.ts OR d.valid_to IS NULL)
+    """,
+)
+def x7_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal (point-in-time) join: stamp every purchase with the
+    signup-dimension VERSION that was valid at the purchase's event
+    time — the fact-vs-SCD2 lookup every warehouse does to avoid
+    leaking future dimension values into historical facts. The SCD2
+    side is the x6_validity_intervals build restricted to one
+    attribute; because [valid_from, valid_to) intervals PARTITION each
+    user's timeline, every fact matches at most one version (left join
+    keeps pre-history facts with NULLs).
+
+    Plan shape: this is NOT a range join — the equi key (user_id)
+    carries the join and the interval predicate is a residual on the
+    matched pairs, so it plans as a plain hash/sort-merge join on
+    user_id (plan-gated: no nested loop). Contrast with x7_asof_join's
+    union+window form, which wins when the 'dimension' is derived from
+    the same stream; the JOIN form wins when the SCD2 table is built
+    once and reused across many fact tables — at 100 TB you pay the
+    dimension build once, then every fact join is one co-partitioned
+    shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    r2 = F.round(
+        F.col("value").cast("decimal(18,2)").cast("double"), 2
+    ).alias("value")
+    obs = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", "event_id", r2
+    )
+    key = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = obs.withColumn("prev_value", F.lag("value").over(key)).filter(
+        F.col("prev_value").isNull()
+        | (F.col("value") != F.col("prev_value"))
+    )
+    dim = changes.select(
+        F.col("user_id").alias("d_user"),
+        F.col("value").alias("dim_value"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(key).alias("valid_to"),
+        F.row_number().over(key).cast("long").alias("dim_version"),
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return facts.join(
+        dim,
+        (F.col("user_id") == F.col("d_user"))
+        & (F.col("valid_from") <= F.col("ts"))
+        & ((F.col("valid_to") > F.col("ts")) | F.col("valid_to").isNull()),
+        "left",
+    ).select("event_id", "user_id", "ts", "dim_version", "dim_value")

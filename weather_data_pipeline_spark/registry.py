@@ -140,7 +140,8 @@ _PRIORITY: tuple[str, ...] = (
     # ext_q19_disjunctive_revenue, x8_epoch_shuffle,
     # x1_intradoc_line_dedup, x4_perplexity_buckets, mm_audio_energy,
     # ext_q21_waiting_supplier, x6_interval_merge, x8_oversample_minority,
-    # x3_mips_topk, s_topk_stream, x4_vocab_coverage, x8_budget_select.
+    # x3_mips_topk, s_topk_stream, x4_vocab_coverage, x8_budget_select,
+    # x7_temporal_join.
     "ext_window_lag_lead",  # window-frame family rep stays
     "x3_label_centroids",  # stays: drives the round-6 floor-trunc change
     "x2_tfidf_cosine",
