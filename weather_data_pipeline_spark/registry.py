@@ -47,10 +47,23 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # The driver verifies correctness for the first 50 registered queries only,
-# in registration order. Round-4 rotation (VERDICT r3 ask #1): pin the
-# flagship plus one driver-green representative per operator family
-# (24 slots, including both round-2 hash-fail regressions), then rotate
-# the remaining 26 slots so the r1–rN union covers every registered query.
+# in registration order. Round-7 restructure (VERDICT r6 ask #1): the
+# 24-slot pinned set shrank to THREE non-rotating slots — the flagship and
+# the two round-2 hash-fail regression pins — freeing 47 slots to clear the
+# 49-query rotation backlog (every round-6 addition that had never held a
+# driver CORRECTNESS row) in a single round. Family representation is
+# preserved because the backlog itself spans every family (asserted by
+# tests/test_entry.py::test_first_50_slots_cover_survey_operators with the
+# full family-prefix list, now including x9/ext_cdc/ext_cogroup).
+#
+# Two backlog members do NOT fit (49 backlog + 3 pins = 52 > 50):
+# x7_asof_join_tolerance and x3_ivf_recall_eval — chosen because each is a
+# parameter/band variant of a family member that IS driver-green in r6
+# (x7_asof_join, x3_ivf_kmeans_topk + x2_minhash_lsh_recall for the
+# recall-band shape) and both are local-parity green at sf0.01 and sf0.1.
+# They head the r8 rotation queue together with the round-7 additions
+# (tests/test_entry.py::test_driver_union_vs_registry pins the queue to
+# exactly that set — the union gap cannot silently grow again).
 #
 # Rows-only queries (VERDICT r5 ask #6 resolution): exactly six queries
 # carry no oracle, each for a stated reason AND each now paired with an
@@ -76,107 +89,93 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #                           at_date stamp + plausibility band)
 # All 50 driver slots are oracle-bearing (enforced by tests/test_entry.py).
 _PRIORITY: tuple[str, ...] = (
-    # pinned family representatives (all driver-green in r1–r3)
-    "o15_latest_per_key",  # flagship
-    "w_flagship_latest",  # weather O3-scan → flatten chain
+    # --- pinned (3): flagship + the two hash-fail regression pins ---
+    "o15_latest_per_key",  # flagship (also entry())
     "w_corrupt_quarantine",  # r2 hash-fail regression pin
-    "w_api_source",  # O1 Python DataSource
-    "o7_sql_table_scan",  # relational tier rep
-    "o27_hash_split",  # ML split
-    "o28_linreg_baseline",  # ML fit/score (O28/O30/O23)
-    "x1_exact_dedup",
-    "x2_ngram_jaccard",
-    "x2_dup_components",
-    "x3_cosine_topk",
-    "x3_ivf_kmeans_topk",  # perf-weak family keeps a driver row
-    "x4_quality_score",
-    "x5_json_extract_agg",
     "x6_session_windows",  # r2 hash-fail regression pin
-    "x7_asof_join",
-    "x8_stratified_sample",
-    "mm_metadata_extract",
-    "ext_q1_pricing_summary",
-    "ext_q3_shipping_priority",
-    "ext_salted_agg",  # skew handling rep
-    "ext_pandas_udf_scalar",  # python-exec rep
-    "s_latest_per_key_stream",
-    "s_stateful_running_totals",
-    # rotating set (26). Round-6 rotation: swaps seven r5-green entries
-    # (x3_lsh_buckets, x3_ivf_topk_nprobe2, x2_simhash_portable,
-    # x2_minhash_portable, x2_minhash_lsh_portable, x3_quantize_int8,
-    # x4_repetition_score — their rows stand in the r1–r5 union) for the
-    # six new band twins (so every engine-specific op gets a driver-
-    # checked contract row immediately) plus the bucketed-layout join
-    # (VERDICT r5 ask #8 — the zero-exchange co-located join path gets a
-    # driver row again). x6_ema_daily stays in-window to drive the
-    # round-6 parameterized shard kernel under the real driver;
-    # x3_label_centroids stays to drive the floor-trunc centroid change.
-    # Second round-6 rotation (this session): seven newer operators
-    # (TPC-H Q10, hopping windows batch+stream, SCD2 intervals, z-score
-    # anomaly, PII scrub, z-order layout key) take the slots of seven
-    # r5-green queries whose code is untouched this round
-    # (x8_sequence_packing, x6_tumbling_hourly, x6_session_stats_per_user,
-    # mm_decode_features, s_tumbling_hourly_stream, s_session_window_stream,
-    # s_weather_latest_stream — their rows stand in the r1–r6 union).
-    # x2_ngram_jaccard_capped also rotates out (its round-6 delta was
-    # only the gate-verdict cache — output-identical below the ceiling;
-    # r5 row + local sweep stand) for x2_tfidf_cosine, the new
-    # decimal-sum weighted dedup rung. Registered OUTSIDE the window,
-    # queueing for the r7 rotation (all local-parity green at sf0.01
-    # and sf0.1): x6_mad_outliers, x4_token_normalize,
-    # x6_funnel_stages, x5_json_keys_profile, w_csv_quarantine,
-    # ext_cogroup_pandas, x3_knn_classify, ext_cdc_merge, x9_pagerank,
-    # s_funnel_stream (stateful streaming funnel — order-sensitive state
-    # machine with stream/batch parity), x2_dedup_keep_best,
-    # x4_corpus_profile, x4_bigram_logprob, ext_q4_order_priority,
-    # ext_q12_shipping_delay, ext_q14_promo_revenue, x4_heavy_hitters,
-    # ext_incremental_agg, x3_ivf_pq_topk, x6_holt_smoothing,
-    # x7_asof_join_tolerance, x3_ivf_recall_eval, x6_retention_cohorts,
-    # x6_rfm_scores, x2_semantic_dedup, the second TPC-H batch
-    # (ext_q6_revenue_delta, ext_q7_volume_shipping, ext_q8_market_share,
-    # ext_q13_cust_distribution, ext_q17_small_qty_revenue,
-    # ext_q22_dormant_customers), x1_line_dedup, x4_gopher_filter,
-    # x8_length_buckets, x9_triangle_count, ext_q15_top_supplier,
-    # ext_q19_disjunctive_revenue, x8_epoch_shuffle,
-    # x1_intradoc_line_dedup, x4_perplexity_buckets, mm_audio_energy,
-    # ext_q21_waiting_supplier, x6_interval_merge, x8_oversample_minority,
-    # x3_mips_topk, s_topk_stream, x4_vocab_coverage, x8_budget_select,
-    # x7_temporal_join.
-    "ext_window_lag_lead",  # window-frame family rep stays
-    "x3_label_centroids",  # stays: drives the round-6 floor-trunc change
-    "x2_tfidf_cosine",
-    "x6_ema_daily",  # stays: drives the round-6 parameterized shard kernel
-    "ext_q10_returned_items",
-    "x6_sliding_windows",
-    "x6_validity_intervals",
-    "x6_zscore_anomaly",
-    "x4_pii_redact",
-    "x8_zorder_layout",
-    "s_sliding_hourly_stream",
-    # round-6 additions: the six band twins + bucketed-layout join
-    # (VERDICT asks #6/#8) and the eight brand-new round-6 operators
-    # (BM25, chunking, approx-percentile band, OHLC, weighted sample,
-    # unigram LM, PQ codes, PQ-ADC search). Swapped out for them:
-    # w_flatten_stage, mm_resize_thumbnail, mm_frame_sample,
-    # ext_python_udtf, ext_pandas_udaf_grouped, x2_dup_components_star,
-    # x2_decontaminate, x8_mixture_sample (all r5-green with no round-6
-    # code changes; their rows stand in the r1–r5 union).
-    "ext_bucketed_join_agg",
-    "ext_acd_error_band",
-    "o27_random_split_invariants",
-    "o28_gbt_holdout_band",
-    "o29_forecast_band",
-    "x2_minhash_lsh_recall",
-    "x2_simhash_invariants",
-    "x4_bm25_score",
-    "x8_doc_chunking",
-    "ext_approx_percentile_band",
-    "x6_ohlc_daily",
-    "x8_weighted_sample",
-    "x4_unigram_logprob",
-    "x3_pq_codes",
-    "x3_pq_adc_topk",
+    # --- round-7 rotation (47): the full round-6 backlog, TPC-H shapes /
+    # graph / CDC / stateful streams / newest four first (VERDICT r6 ask
+    # #1 ordering). Rotated OUT (all driver-green in r6 with no behavior
+    # change this round; their rows stand in the r1–r6 union):
+    # w_flagship_latest, w_api_source, o7_sql_table_scan, o27_hash_split,
+    # o28_linreg_baseline, x1_exact_dedup, x2_ngram_jaccard,
+    # x2_dup_components, x3_cosine_topk, x3_ivf_kmeans_topk,
+    # x4_quality_score, x5_json_extract_agg, x7_asof_join,
+    # x8_stratified_sample, mm_metadata_extract, ext_q1_pricing_summary,
+    # ext_q3_shipping_priority, ext_salted_agg, ext_pandas_udf_scalar,
+    # s_latest_per_key_stream, s_stateful_running_totals,
+    # ext_window_lag_lead, x3_label_centroids, x2_tfidf_cosine,
+    # x6_ema_daily, ext_q10_returned_items, x6_sliding_windows,
+    # x6_validity_intervals, x6_zscore_anomaly, x4_pii_redact,
+    # x8_zorder_layout, s_sliding_hourly_stream, ext_bucketed_join_agg,
+    # ext_acd_error_band, o27_random_split_invariants,
+    # o28_gbt_holdout_band, o29_forecast_band, x2_minhash_lsh_recall,
+    # x2_simhash_invariants, x4_bm25_score, x8_doc_chunking,
+    # ext_approx_percentile_band, x6_ohlc_daily, x8_weighted_sample,
+    # x4_unigram_logprob, x3_pq_codes, x3_pq_adc_topk.
+    # TPC-H plan shapes (never driver-checked before r7):
+    "ext_q4_order_priority",
+    "ext_q6_revenue_delta",
+    "ext_q7_volume_shipping",
+    "ext_q8_market_share",
+    "ext_q12_shipping_delay",
+    "ext_q13_cust_distribution",
+    "ext_q14_promo_revenue",
+    "ext_q15_top_supplier",
+    "ext_q17_small_qty_revenue",
+    "ext_q19_disjunctive_revenue",
+    "ext_q21_waiting_supplier",
+    "ext_q22_dormant_customers",
+    # graph / CDC / stateful streaming:
+    "x9_pagerank",
+    "x9_triangle_count",
+    "ext_cdc_merge",
+    "s_funnel_stream",
+    "s_topk_stream",
+    # newest four of round 6:
+    "x3_mips_topk",
+    "x4_vocab_coverage",
+    "x8_budget_select",
+    "x7_temporal_join",
+    # remaining backlog:
+    "x6_mad_outliers",
+    "x4_token_normalize",
+    "x6_funnel_stages",
+    "x5_json_keys_profile",
+    "w_csv_quarantine",
+    "ext_cogroup_pandas",
+    "x3_knn_classify",
+    "x2_dedup_keep_best",
+    "x4_corpus_profile",
+    "x4_bigram_logprob",
+    "x4_heavy_hitters",
+    "ext_incremental_agg",
+    "x3_ivf_pq_topk",
+    "x6_holt_smoothing",
+    "x6_retention_cohorts",
+    "x6_rfm_scores",
+    "x2_semantic_dedup",
+    "x1_line_dedup",
+    "x4_gopher_filter",
+    "x8_length_buckets",
+    "x8_epoch_shuffle",
+    "x1_intradoc_line_dedup",
+    "x4_perplexity_buckets",
+    "mm_audio_energy",
+    "x6_interval_merge",
+    "x8_oversample_minority",
 )
+
+#: Round-8 rotation queue — every registered query not yet covered by the
+#: union of driver CORRECTNESS rows (r1–r6 files) plus the r7 window above.
+#: tests/test_entry.py::test_driver_union_vs_registry computes the gap from
+#: the CORRECTNESS_r0*.json files and asserts it equals EXACTLY this set,
+#: so the backlog can never silently grow past one round's rotation
+#: capacity again. Round-7 additions append here as they are registered.
+_R8_QUEUE: set[str] = {
+    "x7_asof_join_tolerance",  # param variant of r6-green x7_asof_join
+    "x3_ivf_recall_eval",  # band variant; x3 family holds 5 r6-green rows
+}
 
 
 def _prioritized(d: dict[str, object]) -> dict[str, object]:
