@@ -676,14 +676,19 @@ def test_funnel_single_shuffle(spark):
 
 
 def test_pagerank_caches_edges_no_cartesian(spark):
-    """Every power-method step must read the cached edge list (an
-    uncached loop re-runs the orders⋈lineitem build per iteration) and
-    nothing in the plan may fall back to a cartesian product."""
+    """Every power-method step must read the materialized edge list (an
+    un-reused loop re-runs the orders⋈lineitem build per iteration) and
+    nothing in the plan may fall back to a cartesian product. Round 7:
+    the edge list moved from cache() to localCheckpoint() (self-freeing
+    storage), so the reuse shows as ExistingRDD scans and the parquet
+    scans of orders/lineitem must NOT appear in the iteration plan at
+    all — a stronger form of the old InMemoryTableScan assertion."""
     df = _Q["x9_pagerank"](spark, SF)
     from weather_data_pipeline_spark.plans.inspect import executed_plan
 
     plan = executed_plan(df)
-    assert "InMemoryTableScan" in plan
+    assert "ExistingRDD" in plan
+    assert "lineitem" not in plan  # edge build never re-runs
     assert "CartesianProduct" not in plan
 
 

@@ -1111,10 +1111,15 @@ def x2_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.xxhash64("term").alias("h"),
         (F.col("tf") * F.log(F.lit(float(nd)) / F.col("df"))).alias("wt"),
-    ).cache()  # read 3x (norms + both pair-join sides); without it the
+    ).localCheckpoint(eager=True)
+    # read 3x (norms + both pair-join sides); without reuse the
     # explode→tf-groupBy→stats-join subtree re-runs per consumer
-    # (benched ~4.9 s → ~3 s warm at sf0.1). Session-scoped like the IVF
-    # corpus cache.
+    # (benched ~4.9 s → ~3 s warm at sf0.1). localCheckpoint instead of
+    # cache() (ADVICE/VERDICT r6 #4): the materialized table is freed by
+    # ContextCleaner when the caller drops the result DataFrame, instead
+    # of pinning one MEMORY_AND_DISK entry per sf_dir for the session.
+    # Cluster caveat: executor loss loses checkpoint partitions; a
+    # long-lived job swaps in checkpoint() with a reliable dir.
     norms = weighted.groupBy("doc_id").agg(
         F.sum((F.col("wt") * F.col("wt")).cast("decimal(28,12)")).alias(
             "norm_sq"

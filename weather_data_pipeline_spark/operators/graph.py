@@ -115,15 +115,21 @@ def x9_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = base.unionAll(
         base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).cache()  # iteration-invariant: built once, read by every step —
-    # without it each step re-runs the orders⋈lineitem edge build
-    # (measured: 53 exchanges → 13 at N_ITER=3). MEMORY_AND_DISK, scoped
-    # to the session like the IVF corpus cache (similarity.py).
+    ).localCheckpoint(eager=True)
+    # iteration-invariant: materialized once (eager), read by every step —
+    # without reuse each step re-runs the orders⋈lineitem edge build
+    # (measured: 53 exchanges → 13 at N_ITER=3). localCheckpoint instead
+    # of cache() (ADVICE/VERDICT r6 #4): storage follows the RDD's
+    # driver-side lifetime, so ContextCleaner frees it once the caller
+    # drops the result — no per-sf_dir MEMORY_AND_DISK entries pinned for
+    # the session (the cache-churn failure mode of the first scale-bench
+    # run). It also truncates the iteration lineage. Cluster caveat: a
+    # lost executor loses checkpoint partitions; a long-lived production
+    # job would set a reliable checkpoint dir and use checkpoint() here.
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("outdeg")
-    ).cache()
-    n = deg.count()  # |nodes| — one bounded job; also materializes both
-    # caches before the iteration loop
+    ).localCheckpoint(eager=True)
+    n = deg.count()  # |nodes| — one bounded job over the materialized deg
     # outdeg rides INSIDE the rank vector, so each step is ONE edge join
     # + one partial-aggregated shuffle + the frontier re-join — not a
     # separate degree join per step

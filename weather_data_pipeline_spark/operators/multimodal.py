@@ -571,12 +571,18 @@ def _audio_energy_batches(batches):
     "mm_audio_energy",
     oracle=f"""
     WITH a AS (
-      SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1
+      -- hex(encode(..)) = the raw UTF-8 byte stream, 2 hex digits per
+      -- byte: indexing BYTES (like the Spark kernel), not codepoints.
+      -- The previous ascii(substr(text,i,1)) form was character-indexed
+      -- under a byte-count bound and only coincided on ASCII (ADVICE r6).
+      SELECT doc_id, hex(encode(text)) AS hx
+      FROM documents WHERE doc_id % 3 = 1
     ), b AS (
       SELECT doc_id,
              CAST((i - 1) // {AUDIO_FRAME} AS BIGINT) AS frame,
-             ascii(substr(text, i, 1)) AS byte
-      FROM a, UNNEST(generate_series(1, octet_length(encode(text)))) t(i)
+             (strpos('0123456789ABCDEF', substr(hx, 2 * i - 1, 1)) - 1) * 16
+             + (strpos('0123456789ABCDEF', substr(hx, 2 * i, 1)) - 1) AS byte
+      FROM a, UNNEST(generate_series(1, length(hx) // 2)) t(i)
     ), fe AS (
       SELECT doc_id, frame, SUM(byte * byte) AS energy
       FROM b GROUP BY doc_id, frame

@@ -312,9 +312,12 @@ def ext_q13_cust_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_small
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE p_brand = 'Brand#23' AND p_size < 10
-      AND l_quantity < (
-        SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
-        WHERE l2.l_partkey = p_partkey)
+      -- l_quantity < 0.2*AVG(..) via decimal cross-multiplication
+      -- (5*q*cnt < sum): order-independent, no double summation
+      AND CAST(l_quantity AS DECIMAL(18,2)) * 5 * (
+        SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+      < (SELECT SUM(CAST(l_quantity AS DECIMAL(18,2))) FROM lineitem l2
+         WHERE l2.l_partkey = p_partkey)
     """,
 )
 def ext_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -337,15 +340,24 @@ def ext_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_partkey", "l_quantity", "l_extendedprice")
         .join(part, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
     )
+    # q < 0.2*AVG(q) rewritten as 5*q*cnt < sum over DECIMAL(18,2) —
+    # order-independent on both engines (double AVG summation is
+    # partition-order-dependent and can flip a boundary row at scale).
     thresholds = F.broadcast(
         li.groupBy("l_partkey").agg(
-            (F.avg("l_quantity") * 0.2).alias("qty_cap")
-        ).select(F.col("l_partkey").alias("t_partkey"), "qty_cap")
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty_sum"),
+            F.count(F.lit(1)).alias("qty_cnt"),
+        ).select(F.col("l_partkey").alias("t_partkey"), "qty_sum", "qty_cnt")
     )
     small = li.join(
         thresholds,
         (F.col("l_partkey") == F.col("t_partkey"))
-        & (F.col("l_quantity") < F.col("qty_cap")),
+        & (
+            F.col("l_quantity").cast("decimal(18,2)")
+            * F.lit(5)
+            * F.col("qty_cnt")
+            < F.col("qty_sum")
+        ),
     )
     return small.agg(
         F.round(
@@ -370,8 +382,12 @@ def ext_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2)
              AS totacctbal
     FROM customer c
-    WHERE c_acctbal > (
-        SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+    -- c_acctbal > AVG(..) via decimal cross-multiplication (bal*cnt >
+    -- sum): order-independent, no double summation (ADVICE r6)
+    WHERE CAST(c_acctbal AS DECIMAL(18,2)) * (
+        SELECT COUNT(*) FROM customer WHERE c_acctbal > 0)
+      > (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer
+         WHERE c_acctbal > 0)
       AND NOT EXISTS (
         SELECT 1 FROM orders o
         WHERE o.o_custkey = c.c_custkey
@@ -392,14 +408,20 @@ def ext_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     country code. Output: per-country dormant count + locked-up
     balance."""
     cust = load_table(spark, sf_dir, "customer")
-    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
-        F.avg("c_acctbal").alias("avg_bal")
+    # balance > AVG rewritten as bal*cnt > sum over DECIMAL(18,2):
+    # double AVG is partition-order-dependent and a balance landing
+    # between Spark's and DuckDB's low bits would flip parity at scale
+    # (ADVICE r6). The one-row stats aggregate still broadcasts.
+    bal_stats = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).alias("bal_sum"),
+        F.count(F.lit(1)).alias("bal_cnt"),
     )
     recent = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= _ts("2000-01-01")
     ).select("o_custkey")
-    rich = cust.join(F.broadcast(avg_bal)).filter(
-        F.col("c_acctbal") > F.col("avg_bal")
+    rich = cust.join(F.broadcast(bal_stats)).filter(
+        F.col("c_acctbal").cast("decimal(18,2)") * F.col("bal_cnt")
+        > F.col("bal_sum")
     )
     dormant = rich.join(
         recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
