@@ -906,3 +906,33 @@ def test_temporal_join_is_equi_on_user_not_nested_loop(spark):
         or "ShuffledHashJoin" in plan
         or "BroadcastHashJoin" in plan
     )
+
+
+def test_budget_select_scalable_no_single_partition(spark):
+    """The distributed-prefix-sum rung must have NO single-partition
+    exchange anywhere — the defining property vs the exact rung, whose
+    global cumulative window funnels every (doc_id, wc, score) triple
+    through one task (that rung's plan is asserted to SHOW the funnel,
+    so this pair of assertions can't both pass vacuously)."""
+    from weather_data_pipeline_spark.plans.inspect import executed_plan
+
+    exact = executed_plan(_Q["x8_budget_select"](spark, SF))
+    assert "SinglePartition" in exact  # the funnel the twin removes
+    twin = executed_plan(_Q["x8_budget_select_scalable"](spark, SF))
+    assert "SinglePartition" not in twin
+    # the window runs per range-partition (pid), checkpoint-backed
+    assert "ExistingRDD" in twin
+    assert "Window" in twin and "hashpartitioning(pid" in twin
+
+
+def test_perplexity_approx_no_window(spark):
+    """The sketch decile cut must contain no window operator at all —
+    the cut is one mergeable percentile_approx (partial-aggregated)
+    plus a scan-side bucket lookup. The exact NTILE rung keeps the
+    window; the twin may not."""
+    from weather_data_pipeline_spark.plans.inspect import executed_plan
+
+    df = _Q["x4_perplexity_buckets_approx"](spark, SF)
+    plan = executed_plan(df)
+    assert "Window" not in plan
+    assert has_partial_aggregation(df)

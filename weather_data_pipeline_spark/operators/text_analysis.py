@@ -1408,10 +1408,11 @@ def x4_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the scoring is the LM pipeline (corpus-aggregated
     count tables + per-occurrence join); the decile cut is a global
     NTILE — a single-partition window over (doc_id, score) pairs ONLY
-    (two narrow columns, never the documents). At 100 TB the same cut
-    comes from approx_percentile decile edges + a scan-side bucket
-    lookup (the sketch is mergeable, no global window at all); NTILE
-    here keeps the boundary semantics exact for the oracle."""
+    (two narrow columns, never the documents). This is the ORACLE-EXACT
+    rung; ``x4_perplexity_buckets_approx`` below is the 100-TB rung —
+    mergeable ``percentile_approx`` decile edges + a scan-side bucket
+    lookup, no global window at all, band-checked against the exact
+    per-decile mass in the same plan."""
     from pyspark.sql.window import Window
 
     lp = x4_bigram_logprob(spark, sf_dir).select("doc_id", "avg_logprob")
@@ -1423,6 +1424,70 @@ def x4_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.min("avg_logprob"), 6).alias("min_logprob"),
         F.round(F.max("avg_logprob"), 6).alias("max_logprob"),
+    )
+
+
+#: percentile_approx accuracy for the sketch decile cut — rank error
+#: is bounded by 1/accuracy of the total mass
+PPL_SKETCH_ACCURACY = 10_000
+
+
+@query(
+    "x4_perplexity_buckets_approx",
+    oracle=f"""
+    WITH lp AS ({_BIGRAM_LP_ORACLE})
+    SELECT COUNT(*) AS n_docs, TRUE AS deciles_cover,
+           TRUE AS counts_in_band
+    FROM lp
+    """,
+)
+def x4_perplexity_buckets_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100-TB rung of ``x4_perplexity_buckets`` (band-twin
+    contract, same pattern as ``ext_approx_percentile_band``): decile
+    edges come from ONE mergeable ``percentile_approx`` sketch over the
+    LM scores — partial-aggregated on every partition, merged once —
+    and each document is bucketed scan-side by counting edges below its
+    score. No window operator anywhere (the plan gate asserts it): the
+    only global step is a 9-value sketch merge, which is what replaces
+    the exact rung's single-partition NTILE at scale.
+
+    Output contract: exact total doc count (oracle-matched) plus two
+    band booleans computed in-plan — all ten deciles non-empty, and
+    every decile's mass within ``N/10 ± (2 + 2·N/accuracy)`` (the
+    sketch's rank-error bound with slack for boundary ties)."""
+    lp = x4_bigram_logprob(spark, sf_dir).select("doc_id", "avg_logprob")
+    edges = lp.agg(
+        F.percentile_approx(
+            "avg_logprob",
+            F.array(*[F.lit(i / 10.0) for i in range(1, 10)]),
+            F.lit(PPL_SKETCH_ACCURACY),
+        ).alias("edges")
+    )
+    # decile 1 = highest scores (matches the exact rung's DESC NTILE):
+    # count ascending edges strictly below the score, subtract from 10
+    bucketed = lp.join(F.broadcast(edges)).select(
+        (
+            F.lit(10)
+            - F.size(F.filter("edges", lambda e: e < F.col("avg_logprob")))
+        ).alias("decile")
+    )
+    counts = bucketed.groupBy("decile").agg(F.count(F.lit(1)).alias("n"))
+    tol = F.lit(2.0) + F.col("n_docs") * (2.0 / PPL_SKETCH_ACCURACY)
+    return (
+        counts.agg(
+            F.sum("n").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_deciles"),
+            F.max("n").alias("mx"),
+            F.min("n").alias("mn"),
+        )
+        .select(
+            F.col("n_docs").cast("long").alias("n_docs"),
+            (F.col("n_deciles") == 10).alias("deciles_cover"),
+            (
+                (F.col("mx") <= F.col("n_docs") / 10.0 + tol)
+                & (F.col("mn") >= F.col("n_docs") / 10.0 - tol)
+            ).alias("counts_in_band"),
+        )
     )
 
 
@@ -1585,9 +1650,7 @@ def x4_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT_BUDGET = 10_000
 
 
-@query(
-    "x8_budget_select",
-    oracle=f"""
+_BUDGET_SELECT_ORACLE = f"""
     WITH s AS (
       SELECT doc_id,
              len(string_split(text, ' ')) AS wc,
@@ -1606,8 +1669,10 @@ SELECT_BUDGET = 10_000
     )
     SELECT doc_id, wc, score, CAST(cum_tokens AS BIGINT) AS cum_tokens
     FROM ranked WHERE cum_tokens <= {SELECT_BUDGET}
-    """,
-)
+    """
+
+
+@query("x8_budget_select", oracle=_BUDGET_SELECT_ORACLE)
 def x8_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data selection under a token budget — 'give me the best
     ~10k tokens': rank documents by quality and take the greedy prefix
@@ -1620,28 +1685,101 @@ def x8_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: per-doc stats are scan-side projections; the ranking
     walks (doc_id, wc, score) triples only — never documents — in one
-    single-partition cumulative window (same contract as
-    x4_perplexity_buckets: at 100 TB the exact prefix sum swaps to
-    range-partitioned partial sums + an exclusive prefix-sum offset
-    pass, with identical output)."""
+    single-partition cumulative window. This is the ORACLE-EXACT rung;
+    ``x8_budget_select_scalable`` below computes the identical output
+    with range-partitioned partial sums + exclusive prefix-sum offsets
+    (no single-partition exchange anywhere) and shares this oracle."""
     from pyspark.sql.window import Window as W
 
-    doc = load_table(spark, sf_dir, "documents")
-    words = F.split("text", " ")
-    scored = doc.select(
-        "doc_id",
-        F.size(words).cast("long").alias("wc"),
-        F.expr(
-            "CAST(size(array_distinct(split(text, ' '))) * 1000000"
-            " DIV size(split(text, ' ')) AS BIGINT)"
-        ).alias("score"),
-    )
+    scored = _budget_scored(spark, sf_dir)
     cum = W.orderBy(F.col("score").desc(), "doc_id").rowsBetween(
         W.unboundedPreceding, W.currentRow
     )
     return (
         scored.withColumn(
             "cum_tokens", F.sum("wc").over(cum).cast("long")
+        )
+        .filter(F.col("cum_tokens") <= SELECT_BUDGET)
+    )
+
+
+def _budget_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, wc, score) triples for the budget selection. The score
+    multiplication is forced to BIGINT BEFORE the *1e6 scale-up:
+    ``size()`` returns INT and with ANSI off ``size(..)*1000000``
+    silently wraps past 2147 distinct words (ADVICE r6 #2) — the DuckDB
+    oracle computes the same product in BIGINT (``len`` is BIGINT)."""
+    doc = load_table(spark, sf_dir, "documents")
+    return doc.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("wc"),
+        F.expr(
+            "CAST(size(array_distinct(split(text, ' '))) AS BIGINT)"
+            " * 1000000 DIV size(split(text, ' '))"
+        ).alias("score"),
+    )
+
+
+@query("x8_budget_select_scalable", oracle=_BUDGET_SELECT_ORACLE)
+def x8_budget_select_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100-TB rung of ``x8_budget_select`` — IDENTICAL output (it
+    shares the oracle), with the global cumulative window replaced by
+    the classic distributed prefix sum, so no operator anywhere sees
+    more than one range-partition of (doc_id, wc, score) triples:
+
+    1. ``repartitionByRange(score DESC, doc_id)`` — the range
+       partitioner guarantees every key in partition *i* sorts before
+       every key in partition *i+1* (doc_id makes the order total, so
+       boundary placement is deterministic). Materialized once with
+       ``localCheckpoint`` so the offsets job and the final job read
+       the same partition assignment — and the storage self-frees with
+       the result (same lifetime pattern as x9_pagerank).
+    2. per-partition token totals: ONE row per partition (bounded by
+       shuffle-partition config, not data) → collected to the driver
+       and turned into exclusive prefix-sum offsets.
+    3. local cumulative sums (window partitioned by partition id —
+       every window group is one range-partition, never the world) +
+       broadcast-joined offset = the exact global prefix sum.
+
+    The plan gate (tests/test_plans.py) asserts RangePartitioning and
+    the ABSENCE of any single-partition exchange — the property the
+    exact rung cannot have."""
+    from pyspark.sql.window import Window as W
+
+    scored = _budget_scored(spark, sf_dir)
+    parts = (
+        scored.repartitionByRange(F.col("score").desc(), F.col("doc_id"))
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    # |partitions| rows — bounded by spark.sql.shuffle.partitions, not
+    # by data — so the driver-side exclusive prefix sum is O(config)
+    psums = {
+        r["pid"]: r["psum"]
+        for r in parts.groupBy("pid")
+        .agg(F.sum("wc").alias("psum"))
+        .collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(psums):
+        offsets.append((pid, acc))
+        acc += psums[pid]
+    off = F.broadcast(
+        spark.createDataFrame(offsets, schema="pid int, offset long")
+    )
+    wloc = (
+        W.partitionBy("pid")
+        .orderBy(F.col("score").desc(), "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        parts.withColumn("lcum", F.sum("wc").over(wloc))
+        .join(off, "pid")
+        .select(
+            "doc_id",
+            "wc",
+            "score",
+            (F.col("lcum") + F.col("offset")).cast("long").alias("cum_tokens"),
         )
         .filter(F.col("cum_tokens") <= SELECT_BUDGET)
     )

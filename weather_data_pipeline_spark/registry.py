@@ -175,6 +175,9 @@ _PRIORITY: tuple[str, ...] = (
 _R8_QUEUE: set[str] = {
     "x7_asof_join_tolerance",  # param variant of r6-green x7_asof_join
     "x3_ivf_recall_eval",  # band variant; x3 family holds 5 r6-green rows
+    # round-7 additions (all local-parity green at sf0.01 + sf0.1):
+    "x8_budget_select_scalable",  # shares x8_budget_select's oracle
+    "x4_perplexity_buckets_approx",  # band twin of the exact NTILE rung
 }
 
 
