@@ -240,3 +240,24 @@ def test_orc_roundtrip(spark, tmp_path):
     assert sorted(map(tuple, back.collect())) == sorted(
         map(tuple, src.collect())
     )
+
+
+def test_partsupp_derivation_matches_oracle_cte(spark):
+    """The derived partsupp (sources/testdata.py::load_partsupp) and its
+    DuckDB CTE twin (operators/tpch_partsupp.py::_PARTSUPP_CTE) must
+    produce IDENTICAL rows — the five Q2/Q9/Q11/Q16/Q20 oracles all
+    stand on this equivalence, so it gets its own direct value check
+    (row-for-row, not through any downstream query)."""
+    from tests.oracle_harness import compare
+    from weather_data_pipeline_spark.operators.tpch_partsupp import (
+        _PARTSUPP_CTE,
+    )
+    from weather_data_pipeline_spark.sources.testdata import load_partsupp
+
+    compare(
+        spark,
+        "partsupp_derivation",
+        lambda s, sf: load_partsupp(s, sf),
+        f"WITH {_PARTSUPP_CTE} SELECT * FROM partsupp",
+        "/root/testdata/sf0.01",
+    )

@@ -1,0 +1,452 @@
+"""[ext] Third TPC-H batch — Q2, Q9, Q11, Q16, Q20 shapes over a
+DERIVED partsupp (VERDICT r6 ask #5).
+
+The testdata ships no ``partsupp`` table, which kept these five shapes
+out of scope through round 6 (SURVEY.md §8). They are unlocked with a
+deterministic DERIVED partsupp: the distinct ``(l_partkey, l_suppkey)``
+pairs actually traded, plus availqty/supplycost synthesized by pure
+integer modular arithmetic over the keys — identical on any engine with
+no hash functions, no RNG, no floats (``sources/testdata.py::
+load_partsupp`` is the Spark side; ``_PARTSUPP_CTE`` below is the
+DuckDB side, inlined per-oracle because the driver's DuckDB connection
+registers only the ten shipped views).
+
+Each query keeps the DISTINCT physical pattern its TPC-H original
+exists to exercise:
+
+- Q2  — per-group minimum as a join-back (correlated MIN subquery,
+        decorrelated): min-cost supplier per part in a region.
+- Q9  — profit rollup across SIX relations with an arithmetic mix of
+        fact columns (revenue − supplycost·qty) grouped by a
+        dimension attribute and a derived year.
+- Q11 — two-pass aggregate over the same relation: per-key value vs
+        a global-total threshold (scalar subquery, broadcast), with
+        the comparison kept in BIGINT cross-multiplication.
+- Q16 — COUNT(DISTINCT) per descriptor triple with a NOT-IN anti
+        join on the supplier blacklist.
+- Q20 — nested semi-join reduction: suppliers whose stock of a part
+        family exceeds half of what they actually shipped in a year
+        (correlated >-subquery decorrelated into a grouped left join).
+
+Reference parity note: the reference engine (weather_etl.py) has no
+relational tier at all — this batch, like the first two, exists for the
+north star's full-plan-shape coverage, not for reference parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.scalars import dec_out
+from ..registry import query
+from ..sources.testdata import load_partsupp, load_table
+
+
+def _ts(s: str) -> F.Column:
+    return F.lit(s).cast("timestamp_ntz")
+
+
+def _rev() -> F.Column:
+    return F.col("l_extendedprice").cast("decimal(18,2)") * (
+        1 - F.col("l_discount").cast("decimal(18,2)")
+    )
+
+
+#: DuckDB twin of sources/testdata.py::load_partsupp — keep the two
+#: formulas in lockstep (tests/test_io.py::test_partsupp_derivation
+#: value-checks Spark against this SQL directly).
+_PARTSUPP_CTE = """
+    partsupp AS (
+      SELECT ps_partkey, ps_suppkey,
+             (ps_partkey * 31 + ps_suppkey * 17) % 9999 + 1
+               AS ps_availqty,
+             (ps_partkey * 7 + ps_suppkey * 11) % 100000 + 1
+               AS ps_supplycost_cents
+      FROM (SELECT DISTINCT l_partkey AS ps_partkey,
+                            l_suppkey AS ps_suppkey
+            FROM lineitem)
+    )
+"""
+
+
+# ----------------------------------------------------------------------
+# TPC-H Q2 shape: decorrelated per-group MIN + join-back
+# ----------------------------------------------------------------------
+@query(
+    "ext_q2_min_cost_supplier",
+    oracle=f"""
+    WITH {_PARTSUPP_CTE},
+    cand AS (
+      SELECT p_partkey, p_type, s_suppkey, s_name, s_acctbal, n_name,
+             ps_supplycost_cents
+      FROM partsupp
+      JOIN part     ON p_partkey = ps_partkey AND p_size = 15
+      JOIN supplier ON s_suppkey = ps_suppkey
+      JOIN nation   ON n_nationkey = s_nationkey
+      JOIN region   ON r_regionkey = n_regionkey AND r_name = 'EUROPE'
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_type,
+           ROUND(ps_supplycost_cents / 100.0, 2) AS supplycost
+    FROM cand c
+    WHERE ps_supplycost_cents = (
+        SELECT MIN(ps_supplycost_cents) FROM cand c2
+        WHERE c2.p_partkey = c.p_partkey)
+    """,
+)
+def ext_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape — minimum-cost supplier: for every size-15 part,
+    the European supplier(s) offering it cheapest (ties all kept, like
+    the original's set semantics). The correlated MIN subquery is
+    DECORRELATED: one partial-aggregated groupBy(p_partkey).min over
+    the already region+size-pruned candidates, broadcast-joined back on
+    (partkey, cost) — candidates are |pruned parts|·|suppliers-per-
+    part| rows, so both the MIN build and the join-back stay tiny while
+    the only big input (the pair derivation) is one distinct shuffle.
+    Supplier/nation/region dims broadcast (100/25/5 rows; at 100 TB
+    supplier is still ≪ the 10 MB broadcast bar per 1M suppliers of a
+    few dozen bytes). Cost compares in integer CENTS — exact — and
+    renders /100 only at the output boundary."""
+    ps = load_partsupp(spark, sf_dir)
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_size") == 15)
+        .select("p_partkey", "p_type")
+    )
+    nat = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(
+            load_table(spark, sf_dir, "region").filter(
+                F.col("r_name") == "EUROPE"
+            )
+        ),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    )
+    supp = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cand = (
+        ps.join(part, F.col("ps_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("ps_suppkey") == F.col("s_suppkey"))
+        .select(
+            "p_partkey", "p_type", "s_name", "s_acctbal", "n_name",
+            "ps_supplycost_cents",
+        )
+    )
+    min_cost = F.broadcast(
+        cand.groupBy(F.col("p_partkey").alias("m_partkey")).agg(
+            F.min("ps_supplycost_cents").alias("m_cents")
+        )
+    )
+    return (
+        cand.join(
+            min_cost,
+            (F.col("p_partkey") == F.col("m_partkey"))
+            & (F.col("ps_supplycost_cents") == F.col("m_cents")),
+        )
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_type",
+            F.round(F.col("ps_supplycost_cents") / 100.0, 2).alias(
+                "supplycost"
+            ),
+        )
+    )
+
+
+# ----------------------------------------------------------------------
+# TPC-H Q9 shape: six-relation profit rollup by nation × year
+# ----------------------------------------------------------------------
+@query(
+    "ext_q9_product_profit",
+    oracle=f"""
+    WITH {_PARTSUPP_CTE}
+    SELECT n_name AS nation,
+           CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                      AS DOUBLE)
+                 - CAST(SUM(ps_supplycost_cents
+                            * CAST(l_quantity AS DECIMAL(18,2)))
+                        AS DOUBLE) / 100.0,
+                 2) AS sum_profit,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey AND p_name LIKE '%red%'
+    JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    GROUP BY n_name, year(o_orderdate)
+    """,
+)
+def ext_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape — product-line profit by supplier nation and
+    order year: revenue minus supply cost for every 'red' part
+    movement. Join strategy at scale: part (filtered) and
+    supplier⋈nation broadcast; partsupp is derived FROM lineitem so
+    the pair join is a self-co-partitioned shuffle on (partkey,
+    suppkey); orders joins on the orderkey shuffle — the two big
+    exchanges a 100 TB fact-to-fact plan genuinely needs, both
+    AQE-sized. Money stays exact: revenue in DECIMAL(18,2) products,
+    cost in integer cents × DECIMAL quantity, the subtraction and
+    /100 happen once per GROUP at the output boundary."""
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey")
+    )
+    supp = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "n_name")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").cast("long").alias("o_year")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            load_partsupp(spark, sf_dir),
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    return (
+        li.groupBy(F.col("n_name").alias("nation"), "o_year")
+        .agg(
+            F.sum(_rev()).alias("srev"),
+            F.sum(
+                F.col("ps_supplycost_cents")
+                * F.col("l_quantity").cast("decimal(18,2)")
+            ).alias("scost_cents"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            "nation",
+            "o_year",
+            F.round(
+                F.col("srev").cast("double")
+                - F.col("scost_cents").cast("double") / 100.0,
+                2,
+            ).alias("sum_profit"),
+            "n_items",
+        )
+    )
+
+
+# ----------------------------------------------------------------------
+# TPC-H Q11 shape: per-key value vs global-total threshold
+# ----------------------------------------------------------------------
+@query(
+    "ext_q11_important_stock",
+    oracle=f"""
+    WITH {_PARTSUPP_CTE},
+    nat_ps AS (
+      SELECT ps_partkey,
+             ps_supplycost_cents * ps_availqty AS value_cents
+      FROM partsupp
+      JOIN supplier ON s_suppkey = ps_suppkey
+      JOIN nation   ON n_nationkey = s_nationkey AND n_name = 'NATION_7'
+    ),
+    per_part AS (
+      SELECT ps_partkey, SUM(value_cents) AS v FROM nat_ps
+      GROUP BY ps_partkey
+    )
+    SELECT ps_partkey, ROUND(v / 100.0, 2) AS part_value
+    FROM per_part
+    WHERE v * 10000 > (SELECT SUM(v) FROM per_part)
+    """,
+)
+def ext_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape — important stock: parts whose inventory value
+    at one nation's suppliers exceeds 1/10000 of that nation's total.
+    Two-pass aggregate over the same derived relation: per-part values
+    are one partial-aggregated shuffle; the global total is a ONE-ROW
+    aggregate broadcast into the filter (the Q22 scalar-subquery
+    pattern). The threshold compares in BIGINT cross-multiplication
+    (v·10000 > total) — no float fraction, no order dependence; cents
+    ≤1e5 × qty ≤1e4 keeps v·10⁴ under 2⁶³ through ~10⁶ suppliers per
+    part, and the same headroom math is why value_cents never leaves
+    integer space before the output /100."""
+    ps = load_partsupp(spark, sf_dir)
+    supp = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").filter(
+                    F.col("n_name") == "NATION_7"
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    per_part = (
+        ps.join(supp, F.col("ps_suppkey") == F.col("s_suppkey"))
+        .groupBy("ps_partkey")
+        .agg(
+            F.sum(
+                F.col("ps_supplycost_cents") * F.col("ps_availqty")
+            ).alias("v")
+        )
+    )
+    total = per_part.agg(F.sum("v").alias("total"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("v") * 10000 > F.col("total"))
+        .select(
+            "ps_partkey", F.round(F.col("v") / 100.0, 2).alias("part_value")
+        )
+    )
+
+
+# ----------------------------------------------------------------------
+# TPC-H Q16 shape: COUNT(DISTINCT) per descriptor + NOT-IN anti join
+# ----------------------------------------------------------------------
+@query(
+    "ext_q16_supplier_counts",
+    oracle=f"""
+    WITH {_PARTSUPP_CTE}
+    SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+           COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+    FROM partsupp
+    JOIN part ON p_partkey = ps_partkey
+    WHERE p_brand <> 'Brand#23'
+      AND p_type <> 'MEDIUM'
+      AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      AND ps_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def ext_q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape — parts/supplier relationship: how many
+    distinct suppliers can furnish each (brand, type, size) descriptor,
+    excluding one brand, one type, and the 'complaint' suppliers (the
+    original greps s_comment; this schema's stand-in is negative
+    account balance — same anti-join shape). The blacklist is a
+    broadcast LEFT ANTI join (NOT IN with non-nullable keys ≡ anti
+    join); COUNT(DISTINCT ps_suppkey) expands to the standard two-level
+    partial aggregate — both exchanges carry descriptor-grouped rows,
+    never raw pairs."""
+    ps = load_partsupp(spark, sf_dir)
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#23")
+            & (F.col("p_type") != "MEDIUM")
+            & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    blacklist = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        ps.join(part, F.col("ps_partkey") == F.col("p_partkey"))
+        .join(
+            blacklist, F.col("ps_suppkey") == F.col("s_suppkey"), "left_anti"
+        )
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.count_distinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+# ----------------------------------------------------------------------
+# TPC-H Q20 shape: nested semi-join reduction with a grouped threshold
+# ----------------------------------------------------------------------
+@query(
+    "ext_q20_promotion_suppliers",
+    oracle=f"""
+    WITH {_PARTSUPP_CTE},
+    shipped AS (
+      SELECT l_partkey, l_suppkey,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l_partkey, l_suppkey
+    ),
+    eligible AS (
+      SELECT DISTINCT ps_suppkey
+      FROM partsupp
+      JOIN part ON p_partkey = ps_partkey AND p_name LIKE 'small%'
+      LEFT JOIN shipped ON l_partkey = ps_partkey
+                       AND l_suppkey = ps_suppkey
+      WHERE CAST(ps_availqty AS DECIMAL(18,2)) * 2
+            > COALESCE(qty, CAST(0 AS DECIMAL(18,2)))
+    )
+    SELECT s_suppkey, s_name
+    FROM supplier
+    JOIN nation ON n_nationkey = s_nationkey AND n_name = 'NATION_3'
+    WHERE s_suppkey IN (SELECT ps_suppkey FROM eligible)
+    """,
+)
+def ext_q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape — who can promote 'small' parts: suppliers in
+    one nation whose stock of a small-part exceeds HALF of what they
+    shipped of it in 1997 (overstocked → promotion candidates). The
+    original's doubly-nested correlated subquery decorrelates into:
+    (1) shipped quantity per (part, supplier) — one date-pruned
+    partial-agg shuffle; (2) a grouped LEFT join of the part-pruned
+    partsupp against it (absent shipment = 0, kept by COALESCE, the
+    outer-join trap Q13 also pins); (3) a distinct supplier set,
+    LEFT SEMI-joined from the nation-filtered supplier dim. The
+    threshold compares DECIMAL(18,2) quantities — exact, no float
+    ratio. availqty·2 stays integer until the decimal compare."""
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    shipped = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= _ts("1997-01-01"))
+            & (F.col("l_shipdate") < _ts("1998-01-01"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"))
+    )
+    eligible = (
+        load_partsupp(spark, sf_dir)
+        .join(part, F.col("ps_partkey") == F.col("p_partkey"))
+        .join(
+            shipped,
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+            "left",
+        )
+        .filter(
+            F.col("ps_availqty").cast("decimal(18,2)") * 2
+            > F.coalesce(F.col("qty"), F.lit(0).cast("decimal(18,2)"))
+        )
+        .select("ps_suppkey")
+        .distinct()
+    )
+    return (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").filter(
+                    F.col("n_name") == "NATION_3"
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            eligible, F.col("s_suppkey") == F.col("ps_suppkey"), "left_semi"
+        )
+        .select("s_suppkey", "s_name")
+    )

@@ -178,6 +178,12 @@ _R8_QUEUE: set[str] = {
     # round-7 additions (all local-parity green at sf0.01 + sf0.1):
     "x8_budget_select_scalable",  # shares x8_budget_select's oracle
     "x4_perplexity_buckets_approx",  # band twin of the exact NTILE rung
+    # the derived-partsupp TPC-H batch (VERDICT r6 ask #5):
+    "ext_q2_min_cost_supplier",
+    "ext_q9_product_profit",
+    "ext_q11_important_stock",
+    "ext_q16_supplier_counts",
+    "ext_q20_promotion_suppliers",
 }
 
 
@@ -235,6 +241,7 @@ def _load_all() -> None:
         streaming_queries,
         text_analysis,
         tpch_extra,
+        tpch_partsupp,
         weather_queries,
         windows,
     )

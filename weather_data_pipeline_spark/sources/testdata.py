@@ -104,3 +104,38 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+def load_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DERIVED partsupp — the testdata ships none (SURVEY.md §8), so the
+    TPC-H Q2/Q9/Q11/Q16/Q20 shapes synthesize it deterministically: the
+    distinct (l_partkey, l_suppkey) pairs actually traded, with
+    availqty and supplycost from pure integer modular arithmetic over
+    the keys (no hash functions, no RNG, no floats — bit-identical on
+    any engine; operators/tpch_partsupp.py::_PARTSUPP_CTE is the DuckDB
+    twin and tests/test_io.py value-checks the two against each other).
+    Supplycost is kept in integer CENTS so downstream money math stays
+    exact until the output boundary.
+
+    Scale shape: one partial-aggregated distinct shuffle over two
+    BIGINT columns — at 100 TB this is the |pairs| keyspace, not the
+    fact table, and queries joining it back to lineitem reuse the same
+    (partkey, suppkey) partitioning."""
+    pairs = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .distinct()
+    )
+    return pairs.select(
+        "ps_partkey",
+        "ps_suppkey",
+        (
+            (F.col("ps_partkey") * 31 + F.col("ps_suppkey") * 17) % 9999 + 1
+        ).alias("ps_availqty"),
+        (
+            (F.col("ps_partkey") * 7 + F.col("ps_suppkey") * 11) % 100000 + 1
+        ).alias("ps_supplycost_cents"),
+    )
