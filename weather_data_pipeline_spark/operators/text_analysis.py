@@ -1598,9 +1598,17 @@ def x4_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     the consumer so no float ever crosses the engine boundary.
 
     Scale shape: one explode + partial-agg term count (the only shuffle
-    that sees token volume), then ranking/cumulating over the VOCAB
-    table only (|vocab| rows — at 100 TB still single-machine-sized;
-    the window runs single-partition over term stats, never tokens).
+    that sees token volume); the grand total is its own one-row partial
+    aggregate (broadcast); and the ranking window's INPUT is pre-pruned
+    to exactly the top ``max(VOCAB_CUTS)`` terms via ORDER BY + LIMIT —
+    Spark plans that as TakeOrderedAndProject (per-partition top-K,
+    K-way merged on the driver; the plan gate asserts it), so the
+    row_number/cumsum window sees O(max cuts) rows REGARDLESS of
+    vocabulary size — the 'curve costs the same at any |vocab|' claim
+    made literal (VERDICT r6 ask #8; previously the window ranked the
+    full |vocab| before the rnk filter). The prune is EXACT, not a
+    sketch: limit's (count DESC, term) order is the window's order, so
+    the kept set is precisely the terms with global rnk ≤ max(cuts).
     Tie order at a cutoff boundary is pinned by (count DESC, term)."""
     from pyspark.sql.window import Window as W
 
@@ -1610,27 +1618,19 @@ def x4_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    total = tf.agg(F.sum("c").alias("total"))
+    topk = tf.orderBy(F.col("c").desc(), "term").limit(max(VOCAB_CUTS))
     order = W.orderBy(F.col("c").desc(), "term")
-    ranked = tf.select(
+    ranked = topk.select(
         "c",
         F.row_number().over(order).alias("rnk"),
         F.sum("c").over(
             order.rowsBetween(W.unboundedPreceding, W.currentRow)
         ).alias("cum"),
-        F.sum("c").over(
-            W.partitionBy().orderBy(F.lit(1)).rowsBetween(
-                W.unboundedPreceding, W.unboundedFollowing
-            )
-        ).alias("total"),
-    )
+    ).join(F.broadcast(total))
     cuts = F.array(*[F.lit(n) for n in VOCAB_CUTS])
-    # rows past the largest cutoff can never contribute to any
-    # covered_tokens (and total already rides on every row), so the
-    # explode+groupBy volume is bounded at 4*max(cuts) rows instead of
-    # 4*|vocab| — the curve costs the same at any vocabulary size
     return (
-        ranked.filter(F.col("rnk") <= max(VOCAB_CUTS))
-        .select(
+        ranked.select(
             "rnk", "cum", "total", F.explode(cuts).alias("vocab_size")
         )
         .groupBy(F.col("vocab_size").cast("long").alias("vocab_size"))
