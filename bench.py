@@ -85,6 +85,15 @@ HEADLINE = [
     # x9_triangle_count is scale-suite-only: ~4-5 s/run is support-build
     # stages, too heavy for the 5-pass interleaved bench loop
     "x8_epoch_shuffle",
+    # round-7 additions: the derived-partsupp TPC-H batch + the two
+    # scale-rung twins (their exact-rung partners already headline)
+    "ext_q2_min_cost_supplier",
+    "ext_q9_product_profit",
+    "ext_q11_important_stock",
+    "ext_q16_supplier_counts",
+    "ext_q20_promotion_suppliers",
+    "x8_budget_select_scalable",
+    "x4_perplexity_buckets_approx",
 ]
 
 
