@@ -23,6 +23,11 @@ from weather_data_pipeline_spark.session import get_spark  # noqa: E402
 MULTI_JOB = {
     "x3_ivf_topk": "quantizer build + query probe run as prior bounded jobs",
     "x3_ivf_kmeans_topk": "init + 2 Lloyd iterations run as prior bounded jobs",
+    "x9_pagerank": "edge list + degrees localCheckpoint as prior jobs; the "
+    "plan shows ExistingRDD scans of the materialized graph",
+    "x2_tfidf_cosine": "weighted term table localCheckpoints as a prior job",
+    "x8_budget_select_scalable": "range-partition checkpoint + per-partition "
+    "totals collect (O(config) rows) run as prior bounded jobs",
 }
 
 

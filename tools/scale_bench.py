@@ -147,6 +147,15 @@ QUERIES = [
     "x4_vocab_coverage",
     "x8_budget_select",
     "x7_temporal_join",
+    # round-7 additions: derived-partsupp TPC-H batch + the two
+    # scale-rung twins (the twins' WHOLE claim is their 10x behavior)
+    "ext_q2_min_cost_supplier",
+    "ext_q9_product_profit",
+    "ext_q11_important_stock",
+    "ext_q16_supplier_counts",
+    "ext_q20_promotion_suppliers",
+    "x8_budget_select_scalable",
+    "x4_perplexity_buckets_approx",
 ]
 
 #: Viral boilerplate for the skew replica: untagged (shared verbatim
