@@ -66,7 +66,7 @@ def test_driver_union_vs_registry():
     from weather_data_pipeline_spark import registry
 
     union: set[str] = set(registry._PRIORITY)
-    for path in glob.glob("/root/repo/CORRECTNESS_r0*.json"):
+    for path in glob.glob("/root/repo/CORRECTNESS_r*.json"):
         with open(path) as f:
             union |= set(json.load(f))
     gap = set(registry.queries()) - union

@@ -952,3 +952,22 @@ def test_vocab_coverage_window_input_is_topk_pruned(spark):
     # the window must sit ABOVE the top-K prune in the plan tree:
     # the (bottom-up printed) plan shows the prune before the Window
     assert plan.index("TakeOrderedAndProject") > plan.index("Window")
+
+
+def test_partsupp_queries_prune_below_distinct(spark):
+    """The derived-partsupp queries must push their dim filter BELOW the
+    pair distinct (broadcast LeftSemi on the keys — filtering distinct
+    keys commutes with distinct), and the doubly-consumed intermediates
+    (Q2's candidates, Q11's per-part values) must be checkpoint-
+    materialized so the pair subtree never executes twice (the round-7
+    plan audit caught the doubled subtree)."""
+    from weather_data_pipeline_spark.plans.inspect import executed_plan
+
+    for name in ("ext_q16_supplier_counts", "ext_q20_promotion_suppliers"):
+        plan = executed_plan(_Q[name](spark, SF))
+        assert "LeftSemi" in plan, name
+        assert "CartesianProduct" not in plan, name
+    for name in ("ext_q2_min_cost_supplier", "ext_q11_important_stock"):
+        plan = executed_plan(_Q[name](spark, SF))
+        assert "ExistingRDD" in plan, name  # single materialized pass
+        assert "CartesianProduct" not in plan, name

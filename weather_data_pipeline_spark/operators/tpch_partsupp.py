@@ -107,11 +107,16 @@ def ext_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier is still ≪ the 10 MB broadcast bar per 1M suppliers of a
     few dozen bytes). Cost compares in integer CENTS — exact — and
     renders /100 only at the output boundary."""
-    ps = load_partsupp(spark, sf_dir)
     part = F.broadcast(
         load_table(spark, sf_dir, "part")
         .filter(F.col("p_size") == 15)
         .select("p_partkey", "p_type")
+    )
+    # part filter pushed BELOW the pair distinct (filter-then-distinct
+    # commutes on keys): the pair shuffle carries 1/|sizes| of the
+    # keyspace instead of all of it
+    ps = load_partsupp(
+        spark, sf_dir, partkeys=part.select("p_partkey")
     )
     nat = load_table(spark, sf_dir, "nation").join(
         F.broadcast(
@@ -135,7 +140,12 @@ def ext_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_partkey", "p_type", "s_name", "s_acctbal", "n_name",
             "ps_supplycost_cents",
         )
+        .localCheckpoint(eager=True)
     )
+    # cand feeds BOTH the min-cost build and the join-back probe; without
+    # materialization the pruned pair-distinct subtree executes twice
+    # (the round-7 plan audit showed the doubled subtree). Self-freeing
+    # checkpoint, same lifetime pattern as x9_pagerank.
     min_cost = F.broadcast(
         cand.groupBy(F.col("p_partkey").alias("m_partkey")).agg(
             F.min("ps_supplycost_cents").alias("m_cents")
@@ -277,7 +287,6 @@ def ext_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≤1e5 × qty ≤1e4 keeps v·10⁴ under 2⁶³ through ~10⁶ suppliers per
     part, and the same headroom math is why value_cents never leaves
     integer space before the output /100."""
-    ps = load_partsupp(spark, sf_dir)
     supp = F.broadcast(
         load_table(spark, sf_dir, "supplier")
         .join(
@@ -290,15 +299,20 @@ def ext_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_suppkey")
     )
+    # nation filter pushed BELOW the pair distinct: the pair shuffle
+    # carries one nation's suppliers (~1/|nations| of the keyspace)
+    ps = load_partsupp(spark, sf_dir, suppkeys=supp)
     per_part = (
-        ps.join(supp, F.col("ps_suppkey") == F.col("s_suppkey"))
-        .groupBy("ps_partkey")
+        ps.groupBy("ps_partkey")
         .agg(
             F.sum(
                 F.col("ps_supplycost_cents") * F.col("ps_availqty")
             ).alias("v")
         )
+        .localCheckpoint(eager=True)
     )
+    # per_part feeds BOTH the global total and the threshold filter;
+    # materialized once (|parts| narrow rows), self-freeing checkpoint
     total = per_part.agg(F.sum("v").alias("total"))
     return (
         per_part.join(F.broadcast(total))
@@ -338,7 +352,6 @@ def ext_q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     join); COUNT(DISTINCT ps_suppkey) expands to the standard two-level
     partial aggregate — both exchanges carry descriptor-grouped rows,
     never raw pairs."""
-    ps = load_partsupp(spark, sf_dir)
     part = F.broadcast(
         load_table(spark, sf_dir, "part")
         .filter(
@@ -347,6 +360,10 @@ def ext_q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
         )
         .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    # descriptor filter pushed BELOW the pair distinct via the key prune
+    ps = load_partsupp(
+        spark, sf_dir, partkeys=part.select("p_partkey")
     )
     blacklist = F.broadcast(
         load_table(spark, sf_dir, "supplier")
@@ -420,8 +437,9 @@ def ext_q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"))
     )
     eligible = (
-        load_partsupp(spark, sf_dir)
-        .join(part, F.col("ps_partkey") == F.col("p_partkey"))
+        # p_name prefix filter pushed BELOW the pair distinct (the semi
+        # prune IS the part join here — no output column needed from it)
+        load_partsupp(spark, sf_dir, partkeys=part)
         .join(
             shipped,
             (F.col("ps_partkey") == F.col("l_partkey"))

@@ -106,7 +106,12 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return out
 
 
-def load_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+def load_partsupp(
+    spark: SparkSession,
+    sf_dir: str,
+    partkeys: DataFrame | None = None,
+    suppkeys: DataFrame | None = None,
+) -> DataFrame:
     """DERIVED partsupp — the testdata ships none (SURVEY.md §8), so the
     TPC-H Q2/Q9/Q11/Q16/Q20 shapes synthesize it deterministically: the
     distinct (l_partkey, l_suppkey) pairs actually traded, with
@@ -120,15 +125,32 @@ def load_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one partial-aggregated distinct shuffle over two
     BIGINT columns — at 100 TB this is the |pairs| keyspace, not the
     fact table, and queries joining it back to lineitem reuse the same
-    (partkey, suppkey) partitioning."""
-    pairs = (
-        load_table(spark, sf_dir, "lineitem")
-        .select(
-            F.col("l_partkey").alias("ps_partkey"),
-            F.col("l_suppkey").alias("ps_suppkey"),
-        )
-        .distinct()
+    (partkey, suppkey) partitioning.
+
+    ``partkeys`` / ``suppkeys`` (optional single-column DataFrames)
+    prune the pair stream BELOW the distinct with broadcast LEFT SEMI
+    joins — valid because filtering on the distinct keys commutes with
+    distinct — so a query that only needs one part/supplier slice never
+    pays the full-keyspace shuffle (Catalyst cannot push a post-distinct
+    join below the aggregation itself; callers pass their dim filter
+    here instead)."""
+    pairs = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
     )
+    if partkeys is not None:
+        pairs = pairs.join(
+            F.broadcast(partkeys),
+            F.col("ps_partkey") == F.col(partkeys.columns[0]),
+            "left_semi",
+        )
+    if suppkeys is not None:
+        pairs = pairs.join(
+            F.broadcast(suppkeys),
+            F.col("ps_suppkey") == F.col(suppkeys.columns[0]),
+            "left_semi",
+        )
+    pairs = pairs.distinct()
     return pairs.select(
         "ps_partkey",
         "ps_suppkey",
