@@ -94,6 +94,7 @@ HEADLINE = [
     "ext_q20_promotion_suppliers",
     "x8_budget_select_scalable",
     "x4_perplexity_buckets_approx",
+    "x8_length_buckets_scalable",
 ]
 
 

@@ -971,3 +971,16 @@ def test_partsupp_queries_prune_below_distinct(spark):
         plan = executed_plan(_Q[name](spark, SF))
         assert "ExistingRDD" in plan, name  # single materialized pass
         assert "CartesianProduct" not in plan, name
+
+
+def test_length_buckets_scalable_no_whole_bucket_task(spark):
+    """The grouped prefix-sum rung must contain no single-partition
+    exchange and its window must group by (pid, bucket) — never by
+    bucket alone (a whole bucket through one task is the exact rung's
+    funnel, a corpus-sized fraction at 100 TB)."""
+    from weather_data_pipeline_spark.plans.inspect import executed_plan
+
+    plan = executed_plan(_Q["x8_length_buckets_scalable"](spark, SF))
+    assert "SinglePartition" not in plan
+    assert "ExistingRDD" in plan
+    assert "hashpartitioning(pid" in plan

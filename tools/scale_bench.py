@@ -156,6 +156,7 @@ QUERIES = [
     "ext_q20_promotion_suppliers",
     "x8_budget_select_scalable",
     "x4_perplexity_buckets_approx",
+    "x8_length_buckets_scalable",
 ]
 
 #: Viral boilerplate for the skew replica: untagged (shared verbatim

@@ -1235,9 +1235,7 @@ BUCKET_WIDTH = 16
 BATCH_DOCS = 8
 
 
-@query(
-    "x8_length_buckets",
-    oracle=f"""
+_LENGTH_BUCKETS_ORACLE = f"""
     WITH d AS (
       SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
       FROM documents
@@ -1258,8 +1256,10 @@ BATCH_DOCS = 8
            CAST(COUNT(*) * MAX(n_tokens) - SUM(n_tokens) AS BIGINT)
              AS pad_waste
     FROM b GROUP BY bucket, batch_id
-    """,
-)
+    """
+
+
+@query("x8_length_buckets", oracle=_LENGTH_BUCKETS_ORACLE)
 def x8_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-bucketed batch assembly: group documents into fixed-width
     token-length buckets, then assign deterministic training batches of
@@ -1270,11 +1270,10 @@ def x8_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the within-bucket ROW_NUMBER is a per-bucket total
     order — fine while each bucket's rows fit one task (buckets here are
-    narrow slices of the corpus). At 100 TB the same contract holds by
-    range-partitioning on (bucket, doc_id) and offsetting each
-    partition's local row numbers by the exclusive prefix-sum of
-    partition counts (the zipWithIndex construction) — the batch ids
-    come out identical, so the demo form IS the semantic spec."""
+    narrow slices of the corpus). This is the ORACLE-EXACT demo rung;
+    ``x8_length_buckets_scalable`` below IS the 100-TB construction
+    (range-partition + per-(partition, bucket) prefix-sum offsets,
+    identical batch ids on the same oracle)."""
     from pyspark.sql.window import Window as W
 
     doc = load_table(spark, sf_dir, "documents")
@@ -1291,6 +1290,10 @@ def x8_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{BATCH_DOCS} AS BIGINT)"
         ),
     )
+    return _length_buckets_agg(b)
+
+
+def _length_buckets_agg(b: DataFrame) -> DataFrame:
     return b.groupBy("bucket", "batch_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.min("n_tokens").cast("bigint").alias("min_tokens"),
@@ -1300,6 +1303,68 @@ def x8_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)) * F.max("n_tokens") - F.sum("n_tokens")
         ).cast("bigint").alias("pad_waste"),
     )
+
+
+@query("x8_length_buckets_scalable", oracle=_LENGTH_BUCKETS_ORACLE)
+def x8_length_buckets_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100-TB rung of ``x8_length_buckets`` — IDENTICAL output
+    (shared oracle) with the per-bucket ROW_NUMBER replaced by the
+    grouped distributed prefix sum, so no task ever holds a whole
+    bucket (a bucket is a corpus-sized fraction at scale; the exact
+    rung funnels each one through a single window group):
+
+    1. range-partition on (bucket, doc_id) — every partition holds a
+       contiguous slice, so a bucket spans consecutive partitions and
+       each partition touches a CONTIGUOUS run of buckets.
+    2. count rows per (partition, bucket): ≤ P + B rows total (each of
+       P partitions adds its interior buckets once, and boundary
+       buckets once per partition that touches them) — bounded by
+       config + bucket-count, not data — collected and turned into
+       exclusive per-bucket prefix offsets on the driver.
+    3. local ROW_NUMBER per (partition, bucket) + broadcast offset =
+       the exact global within-bucket rank → identical batch ids.
+
+    Same construction as ``x8_budget_select_scalable`` generalized to
+    a grouping key (the offsets are per (pid, bucket), cumulating over
+    pids WITHIN each bucket)."""
+    from pyspark.sql.window import Window as W
+
+    doc = load_table(spark, sf_dir, "documents")
+    d = doc.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    ).withColumn(
+        "bucket", F.expr(f"CAST(n_tokens DIV {BUCKET_WIDTH} AS BIGINT)")
+    )
+    parts = (
+        d.repartitionByRange(F.col("bucket"), F.col("doc_id"))
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = (
+        parts.groupBy("pid", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    acc: dict = {}
+    offsets = []
+    for r in sorted(counts, key=lambda r: (r["bucket"], r["pid"])):
+        offsets.append((r["pid"], r["bucket"], acc.get(r["bucket"], 0)))
+        acc[r["bucket"]] = acc.get(r["bucket"], 0) + r["n"]
+    off = F.broadcast(
+        spark.createDataFrame(
+            offsets, schema="pid int, bucket long, offset long"
+        )
+    )
+    wloc = W.partitionBy("pid", "bucket").orderBy("doc_id")
+    b = (
+        parts.withColumn("lrn", F.row_number().over(wloc))
+        .join(off, ["pid", "bucket"])
+        .withColumn(
+            "batch_id",
+            F.expr(f"CAST((lrn + offset - 1) DIV {BATCH_DOCS} AS BIGINT)"),
+        )
+    )
+    return _length_buckets_agg(b)
 
 
 # ----------------------------------------------------------------------
