@@ -95,6 +95,7 @@ HEADLINE = [
     "x8_budget_select_scalable",
     "x4_perplexity_buckets_approx",
     "x8_length_buckets_scalable",
+    "x4_perplexity_buckets_scalable",
 ]
 
 

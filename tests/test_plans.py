@@ -984,3 +984,15 @@ def test_length_buckets_scalable_no_whole_bucket_task(spark):
     assert "SinglePartition" not in plan
     assert "ExistingRDD" in plan
     assert "hashpartitioning(pid" in plan
+
+
+def test_perplexity_scalable_no_single_partition(spark):
+    """The exact distributed-NTILE rung must contain no single-partition
+    exchange: ranks come from per-range-partition windows + broadcast
+    offsets, deciles from arithmetic on the global rank."""
+    from weather_data_pipeline_spark.plans.inspect import executed_plan
+
+    plan = executed_plan(_Q["x4_perplexity_buckets_scalable"](spark, SF))
+    assert "SinglePartition" not in plan
+    assert "ExistingRDD" in plan
+    assert "hashpartitioning(pid" in plan

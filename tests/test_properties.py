@@ -408,3 +408,33 @@ def test_interval_merge_invariants(spark):
         n_ev = ev_counts[r["user_id"]]
         assert 1 <= r["n_islands"] <= n_ev
         assert INTERVAL_MIN * 60 <= r["covered_seconds"] <= n_ev * INTERVAL_MIN * 60
+
+
+def test_prefix_sum_twins_partitioning_invariant(spark):
+    """The three distributed-prefix-sum rungs must produce EXACTLY their
+    exact-rung's rows under adversarial partition counts — 1 (degenerate
+    single range), 3 (bucket/score ranges straddle partition borders),
+    and 97 (more partitions than some buckets have rows, so many empty
+    or single-row window groups). This is the property the construction
+    claims: output identical on ANY partitioning."""
+    from weather_data_pipeline_spark import registry
+
+    sf = "/root/testdata/sf0.001"
+    qs = registry.queries()
+    pairs = [
+        ("x8_budget_select", "x8_budget_select_scalable"),
+        ("x8_length_buckets", "x8_length_buckets_scalable"),
+        ("x4_perplexity_buckets", "x4_perplexity_buckets_scalable"),
+    ]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for exact_name, twin_name in pairs:
+            expected = sorted(
+                map(tuple, qs[exact_name](spark, sf).collect())
+            )
+            for n in (1, 3, 97):
+                spark.conf.set("spark.sql.shuffle.partitions", str(n))
+                got = sorted(map(tuple, qs[twin_name](spark, sf).collect()))
+                assert got == expected, (twin_name, n)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)

@@ -157,6 +157,7 @@ QUERIES = [
     "x8_budget_select_scalable",
     "x4_perplexity_buckets_approx",
     "x8_length_buckets_scalable",
+    "x4_perplexity_buckets_scalable",
 ]
 
 #: Viral boilerplate for the skew replica: untagged (shared verbatim

@@ -1445,9 +1445,7 @@ def x8_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------------------------------------------------
 # CCNet-style perplexity bucketing over the bigram-LM scores
 # ----------------------------------------------------------------------
-@query(
-    "x4_perplexity_buckets",
-    oracle=f"""
+_PPL_BUCKETS_ORACLE = f"""
     WITH lp AS ({_BIGRAM_LP_ORACLE}),
     ranked AS (
       SELECT doc_id, avg_logprob,
@@ -1459,8 +1457,10 @@ def x8_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(MIN(avg_logprob), 6) AS min_logprob,
            ROUND(MAX(avg_logprob), 6) AS max_logprob
     FROM ranked GROUP BY decile
-    """,
-)
+    """
+
+
+@query("x4_perplexity_buckets", oracle=_PPL_BUCKETS_ORACLE)
 def x4_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style perplexity bucketing: score every document with the
     corpus bigram LM (higher mean logprob = more 'in-distribution' =
@@ -1483,6 +1483,77 @@ def x4_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     lp = x4_bigram_logprob(spark, sf_dir).select("doc_id", "avg_logprob")
     w = Window.orderBy(F.col("avg_logprob").desc(), F.col("doc_id"))
     ranked = lp.withColumn("decile", F.ntile(10).over(w))
+    return ranked.groupBy(
+        F.col("decile").cast("long").alias("decile")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.min("avg_logprob"), 6).alias("min_logprob"),
+        F.round(F.max("avg_logprob"), 6).alias("max_logprob"),
+    )
+
+
+@query("x4_perplexity_buckets_scalable", oracle=_PPL_BUCKETS_ORACLE)
+def x4_perplexity_buckets_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The oracle-EXACT 100-TB rung of ``x4_perplexity_buckets`` —
+    identical output (shared oracle) with the global NTILE replaced by
+    exact distributed ranks + NTILE arithmetic:
+
+    1. range-partition the (doc_id, avg_logprob) pairs on
+       (avg_logprob DESC, doc_id); per-partition counts → exclusive
+       prefix-sum offsets on the driver (O(config) rows) — the same
+       construction as ``x8_budget_select_scalable``.
+    2. global rank k = local row_number + partition offset; n = Σ
+       counts (a driver scalar).
+    3. NTILE(10) is then pure arithmetic on (k, n): with q = n div 10
+       and r = n mod 10, the first r tiles take q+1 rows —
+       decile(k) = ceil(k / (q+1)) while k ≤ r·(q+1), else
+       r + ceil((k − r·(q+1)) / q).
+
+    So the exact boundary semantics survive without any task seeing
+    more than one range-partition; ``x4_perplexity_buckets_approx``
+    remains the sketch rung for when even exact ranks aren't worth a
+    range exchange."""
+    from pyspark.sql.window import Window as W
+
+    lp = x4_bigram_logprob(spark, sf_dir).select("doc_id", "avg_logprob")
+    parts = (
+        lp.repartitionByRange(F.col("avg_logprob").desc(), F.col("doc_id"))
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    psums = {
+        r["pid"]: r["n"]
+        for r in parts.groupBy("pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(psums):
+        offsets.append((pid, acc))
+        acc += psums[pid]
+    n = acc
+    q, r = divmod(n, 10)
+    off = F.broadcast(
+        spark.createDataFrame(offsets, schema="pid int, offset long")
+    )
+    wloc = W.partitionBy("pid").orderBy(
+        F.col("avg_logprob").desc(), "doc_id"
+    )
+    ranked = (
+        parts.withColumn("lrn", F.row_number().over(wloc))
+        .join(off, "pid")
+        .withColumn("k", F.col("lrn") + F.col("offset"))
+        .withColumn(
+            "decile",
+            F.when(
+                F.lit(r) > 0,
+                F.when(
+                    F.col("k") <= r * (q + 1),
+                    F.ceil(F.col("k") / (q + 1)),
+                ).otherwise(
+                    r + F.ceil((F.col("k") - r * (q + 1)) / F.lit(q))
+                ),
+            ).otherwise(F.ceil(F.col("k") / F.lit(max(q, 1)))),
+        )
+    )
     return ranked.groupBy(
         F.col("decile").cast("long").alias("decile")
     ).agg(
