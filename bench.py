@@ -96,6 +96,7 @@ HEADLINE = [
     "x4_perplexity_buckets_approx",
     "x8_length_buckets_scalable",
     "x4_perplexity_buckets_scalable",
+    "x6_rfm_scores_scalable",
 ]
 
 

@@ -995,4 +995,16 @@ def test_perplexity_scalable_no_single_partition(spark):
     plan = executed_plan(_Q["x4_perplexity_buckets_scalable"](spark, SF))
     assert "SinglePartition" not in plan
     assert "ExistingRDD" in plan
-    assert "hashpartitioning(pid" in plan
+    assert "hashpartitioning(_pid" in plan
+
+
+def test_rfm_scalable_no_single_partition(spark):
+    """All three quintile dimensions must rank via per-range-partition
+    windows + broadcast offsets — no single-partition exchange (the
+    exact rung funnels the whole user table through one task per
+    dimension)."""
+    from weather_data_pipeline_spark.plans.inspect import executed_plan
+
+    plan = executed_plan(_Q["x6_rfm_scores_scalable"](spark, SF))
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(_pid" in plan

@@ -425,6 +425,7 @@ def test_prefix_sum_twins_partitioning_invariant(spark):
         ("x8_budget_select", "x8_budget_select_scalable"),
         ("x8_length_buckets", "x8_length_buckets_scalable"),
         ("x4_perplexity_buckets", "x4_perplexity_buckets_scalable"),
+        ("x6_rfm_scores", "x6_rfm_scores_scalable"),
     ]
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     try:

@@ -158,6 +158,7 @@ QUERIES = [
     "x4_perplexity_buckets_approx",
     "x8_length_buckets_scalable",
     "x4_perplexity_buckets_scalable",
+    "x6_rfm_scores_scalable",
 ]
 
 #: Viral boilerplate for the skew replica: untagged (shared verbatim

@@ -1005,9 +1005,7 @@ def x6_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------------------------------------------------
 # RFM scoring — recency/frequency/monetary quintiles per user
 # ----------------------------------------------------------------------
-@query(
-    "x6_rfm_scores",
-    oracle="""
+_RFM_ORACLE = """
     WITH agg AS (
       SELECT user_id,
              MAX(ts) AS last_purchase,
@@ -1024,8 +1022,10 @@ def x6_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(NTILE(5) OVER (ORDER BY monetary, user_id) AS INTEGER)
              AS m_score
     FROM agg
-    """,
-)
+    """
+
+
+@query("x6_rfm_scores", oracle=_RFM_ORACLE)
 def x6_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: per-user recency/frequency/monetary from the
     purchase stream, each scored into quintiles. The aggregation is one
@@ -1058,6 +1058,58 @@ def x6_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         nt([F.col("last_purchase"), F.col("user_id")]).alias("r_score"),
         nt([F.col("frequency"), F.col("user_id")]).alias("f_score"),
         nt([F.col("monetary"), F.col("user_id")]).alias("m_score"),
+    )
+
+
+@query("x6_rfm_scores_scalable", oracle=_RFM_ORACLE)
+def x6_rfm_scores_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The no-global-window rung of ``x6_rfm_scores`` — IDENTICAL
+    output (shared oracle). Each of the three quintile dimensions gets
+    exact global ranks from ``functions.distributed.global_ranks``
+    (range-partition + prefix-sum offsets) and NTILE(5) as arithmetic
+    on (rank, n); the three score columns join back on user_id. Cost:
+    three narrow range exchanges + three user_id joins over per-user
+    rows — heavier than the exact rung at small scale, but no task
+    ever holds the whole user table (the exact rung funnels it through
+    ONE task per dimension). The per-user aggregate is materialized
+    once (localCheckpoint) so the three rank passes don't re-run the
+    events groupBy."""
+    from ..functions.distributed import global_ranks, ntile_of_rank
+
+    ev = load_table(spark, sf_dir, "events")
+    agg = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_purchase"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("monetary"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    out = agg
+    for dim, score in (
+        ("last_purchase", "r_score"),
+        ("frequency", "f_score"),
+        ("monetary", "m_score"),
+    ):
+        ranked, n = global_ranks(
+            spark,
+            agg.select("user_id", dim),
+            [F.col(dim), F.col("user_id")],
+        )
+        scores = ranked.select(
+            F.col("user_id").alias("_uid"),
+            ntile_of_rank(F.col("k"), n, 5).cast("int").alias(score),
+        )
+        out = out.join(
+            scores, out.user_id == scores._uid
+        ).drop("_uid")
+    return out.select(
+        "user_id", "last_purchase", "frequency", "monetary",
+        "r_score", "f_score", "m_score",
     )
 
 

@@ -1512,48 +1512,15 @@ def x4_perplexity_buckets_scalable(spark: SparkSession, sf_dir: str) -> DataFram
     So the exact boundary semantics survive without any task seeing
     more than one range-partition; ``x4_perplexity_buckets_approx``
     remains the sketch rung for when even exact ranks aren't worth a
-    range exchange."""
-    from pyspark.sql.window import Window as W
+    range exchange. The rank construction is the shared
+    ``functions.distributed.global_ranks`` primitive."""
+    from ..functions.distributed import global_ranks, ntile_of_rank
 
     lp = x4_bigram_logprob(spark, sf_dir).select("doc_id", "avg_logprob")
-    parts = (
-        lp.repartitionByRange(F.col("avg_logprob").desc(), F.col("doc_id"))
-        .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+    ranked, n = global_ranks(
+        spark, lp, [F.col("avg_logprob").desc(), F.col("doc_id")]
     )
-    psums = {
-        r["pid"]: r["n"]
-        for r in parts.groupBy("pid").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    offsets, acc = [], 0
-    for pid in sorted(psums):
-        offsets.append((pid, acc))
-        acc += psums[pid]
-    n = acc
-    q, r = divmod(n, 10)
-    off = F.broadcast(
-        spark.createDataFrame(offsets, schema="pid int, offset long")
-    )
-    wloc = W.partitionBy("pid").orderBy(
-        F.col("avg_logprob").desc(), "doc_id"
-    )
-    ranked = (
-        parts.withColumn("lrn", F.row_number().over(wloc))
-        .join(off, "pid")
-        .withColumn("k", F.col("lrn") + F.col("offset"))
-        .withColumn(
-            "decile",
-            F.when(
-                F.lit(r) > 0,
-                F.when(
-                    F.col("k") <= r * (q + 1),
-                    F.ceil(F.col("k") / (q + 1)),
-                ).otherwise(
-                    r + F.ceil((F.col("k") - r * (q + 1)) / F.lit(q))
-                ),
-            ).otherwise(F.ceil(F.col("k") / F.lit(max(q, 1)))),
-        )
-    )
+    ranked = ranked.withColumn("decile", ntile_of_rank(F.col("k"), n, 10))
     return ranked.groupBy(
         F.col("decile").cast("long").alias("decile")
     ).agg(

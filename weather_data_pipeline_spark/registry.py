@@ -180,6 +180,7 @@ _R8_QUEUE: set[str] = {
     "x4_perplexity_buckets_approx",  # band twin of the exact NTILE rung
     "x8_length_buckets_scalable",  # shares x8_length_buckets's oracle
     "x4_perplexity_buckets_scalable",  # oracle-EXACT distributed NTILE
+    "x6_rfm_scores_scalable",  # three-dim quintiles, no global window
     # the derived-partsupp TPC-H batch (VERDICT r6 ask #5):
     "ext_q2_min_cost_supplier",
     "ext_q9_product_profit",
