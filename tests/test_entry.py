@@ -56,7 +56,7 @@ def test_first_50_slots_cover_survey_operators():
 
 def test_driver_union_vs_registry():
     """The r1–r7 driver-CORRECTNESS union must cover every registered
-    query except the declared r8 rotation queue (registry._R8_QUEUE) —
+    query except the declared next-round rotation queue (registry._R9_QUEUE) —
     computed from the actual CORRECTNESS_r0*.json files plus the r7
     window, so a growing backlog fails loudly instead of accumulating
     (the round-6 failure mode: 49 queries with no driver row)."""
@@ -70,8 +70,8 @@ def test_driver_union_vs_registry():
         with open(path) as f:
             union |= set(json.load(f))
     gap = set(registry.queries()) - union
-    assert gap == registry._R8_QUEUE, (
-        f"undeclared rotation backlog: {sorted(gap ^ registry._R8_QUEUE)}"
+    assert gap == registry._R9_QUEUE, (
+        f"undeclared rotation backlog: {sorted(gap ^ registry._R9_QUEUE)}"
     )
     # the queue must clear in one round's rotation capacity (47 slots)
-    assert len(registry._R8_QUEUE) <= 47
+    assert len(registry._R9_QUEUE) <= 47

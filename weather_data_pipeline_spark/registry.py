@@ -93,32 +93,29 @@ _PRIORITY: tuple[str, ...] = (
     "o15_latest_per_key",  # flagship (also entry())
     "w_corrupt_quarantine",  # r2 hash-fail regression pin
     "x6_session_windows",  # r2 hash-fail regression pin
-    # --- round-7 rotation (47): the full round-6 backlog, TPC-H shapes /
-    # graph / CDC / stateful streams / newest four first (VERDICT r6 ask
-    # #1 ordering). Rotated OUT (all driver-green in r6 with no behavior
-    # change this round; their rows stand in the r1–r6 union):
-    # w_flagship_latest, w_api_source, o7_sql_table_scan, o27_hash_split,
-    # o28_linreg_baseline, x1_exact_dedup, x2_ngram_jaccard,
-    # x2_dup_components, x3_cosine_topk, x3_ivf_kmeans_topk,
-    # x4_quality_score, x5_json_extract_agg, x7_asof_join,
-    # x8_stratified_sample, mm_metadata_extract, ext_q1_pricing_summary,
-    # ext_q3_shipping_priority, ext_salted_agg, ext_pandas_udf_scalar,
-    # s_latest_per_key_stream, s_stateful_running_totals,
-    # ext_window_lag_lead, x3_label_centroids, x2_tfidf_cosine,
-    # x6_ema_daily, ext_q10_returned_items, x6_sliding_windows,
-    # x6_validity_intervals, x6_zscore_anomaly, x4_pii_redact,
-    # x8_zorder_layout, s_sliding_hourly_stream, ext_bucketed_join_agg,
-    # ext_acd_error_band, o27_random_split_invariants,
-    # o28_gbt_holdout_band, o29_forecast_band, x2_minhash_lsh_recall,
-    # x2_simhash_invariants, x4_bm25_score, x8_doc_chunking,
-    # ext_approx_percentile_band, x6_ohlc_daily, x8_weighted_sample,
-    # x4_unigram_logprob, x3_pq_codes, x3_pq_adc_topk.
-    # TPC-H plan shapes (never driver-checked before r7):
-    "ext_q4_order_priority",
-    "ext_q6_revenue_delta",
-    "ext_q7_volume_shipping",
-    "ext_q8_market_share",
-    "ext_q12_shipping_delay",
+    # --- round-8 rotation (47): the declared 12-query r8 queue rotates IN
+    # (VERDICT r7 ask #1); 12 r7-green slots rotate OUT (their rows stand
+    # in the r1–r7 union; family representation preserved — asserted by
+    # test_first_50_slots_cover_survey_operators). Rotated OUT this round:
+    # ext_q4_order_priority, ext_q6_revenue_delta, ext_q7_volume_shipping,
+    # ext_q8_market_share, ext_q12_shipping_delay, x4_token_normalize,
+    # x4_corpus_profile, x6_mad_outliers, x6_funnel_stages,
+    # x8_epoch_shuffle, x8_oversample_minority, x3_knn_classify.
+    # (Round-7 rotated-out list preserved in git history at this file.)
+    # --- the r8 queue (12): derived-partsupp TPC-H batch first ---
+    "ext_q2_min_cost_supplier",
+    "ext_q9_product_profit",
+    "ext_q11_important_stock",
+    "ext_q16_supplier_counts",
+    "ext_q20_promotion_suppliers",
+    "x8_budget_select_scalable",
+    "x8_length_buckets_scalable",
+    "x4_perplexity_buckets_scalable",
+    "x4_perplexity_buckets_approx",
+    "x6_rfm_scores_scalable",
+    "x7_asof_join_tolerance",
+    "x3_ivf_recall_eval",
+    # --- r7-green carryovers (35) ---
     "ext_q13_cust_distribution",
     "ext_q14_promo_revenue",
     "ext_q15_top_supplier",
@@ -132,21 +129,14 @@ _PRIORITY: tuple[str, ...] = (
     "ext_cdc_merge",
     "s_funnel_stream",
     "s_topk_stream",
-    # newest four of round 6:
     "x3_mips_topk",
     "x4_vocab_coverage",
     "x8_budget_select",
     "x7_temporal_join",
-    # remaining backlog:
-    "x6_mad_outliers",
-    "x4_token_normalize",
-    "x6_funnel_stages",
     "x5_json_keys_profile",
     "w_csv_quarantine",
     "ext_cogroup_pandas",
-    "x3_knn_classify",
     "x2_dedup_keep_best",
-    "x4_corpus_profile",
     "x4_bigram_logprob",
     "x4_heavy_hitters",
     "ext_incremental_agg",
@@ -158,36 +148,21 @@ _PRIORITY: tuple[str, ...] = (
     "x1_line_dedup",
     "x4_gopher_filter",
     "x8_length_buckets",
-    "x8_epoch_shuffle",
     "x1_intradoc_line_dedup",
     "x4_perplexity_buckets",
     "mm_audio_energy",
     "x6_interval_merge",
-    "x8_oversample_minority",
 )
 
-#: Round-8 rotation queue — every registered query not yet covered by the
-#: union of driver CORRECTNESS rows (r1–r6 files) plus the r7 window above.
+#: Round-9 rotation queue — every registered query not yet covered by the
+#: union of driver CORRECTNESS rows (r1–r7 files) plus the r8 window above.
 #: tests/test_entry.py::test_driver_union_vs_registry computes the gap from
 #: the CORRECTNESS_r0*.json files and asserts it equals EXACTLY this set,
 #: so the backlog can never silently grow past one round's rotation
-#: capacity again. Round-7 additions append here as they are registered.
-_R8_QUEUE: set[str] = {
-    "x7_asof_join_tolerance",  # param variant of r6-green x7_asof_join
-    "x3_ivf_recall_eval",  # band variant; x3 family holds 5 r6-green rows
-    # round-7 additions (all local-parity green at sf0.01 + sf0.1):
-    "x8_budget_select_scalable",  # shares x8_budget_select's oracle
-    "x4_perplexity_buckets_approx",  # band twin of the exact NTILE rung
-    "x8_length_buckets_scalable",  # shares x8_length_buckets's oracle
-    "x4_perplexity_buckets_scalable",  # oracle-EXACT distributed NTILE
-    "x6_rfm_scores_scalable",  # three-dim quintiles, no global window
-    # the derived-partsupp TPC-H batch (VERDICT r6 ask #5):
-    "ext_q2_min_cost_supplier",
-    "ext_q9_product_profit",
-    "ext_q11_important_stock",
-    "ext_q16_supplier_counts",
-    "ext_q20_promotion_suppliers",
-}
+#: capacity again. The full 12-query r8 queue rotated INTO the r8 window
+#: (VERDICT r7 ask #1), so this starts empty; round-8 additions that do
+#: not fit the window append here as they are registered.
+_R9_QUEUE: set[str] = set()
 
 
 def _prioritized(d: dict[str, object]) -> dict[str, object]:
