@@ -1326,8 +1326,10 @@ def x8_length_buckets_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Same construction as ``x8_budget_select_scalable`` generalized to
     a grouping key (the offsets are per (pid, bucket), cumulating over
-    pids WITHIN each bucket)."""
-    from pyspark.sql.window import Window as W
+    pids WITHIN each bucket) — both now the shared
+    ``functions.distributed.global_prefix_sums`` primitive (VERDICT r7
+    ask #3)."""
+    from ..functions.distributed import global_prefix_sums
 
     doc = load_table(spark, sf_dir, "documents")
     d = doc.select(
@@ -1335,34 +1337,17 @@ def x8_length_buckets_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "bucket", F.expr(f"CAST(n_tokens DIV {BUCKET_WIDTH} AS BIGINT)")
     )
-    parts = (
-        d.repartitionByRange(F.col("bucket"), F.col("doc_id"))
-        .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+    ranked, _totals = global_prefix_sums(
+        spark,
+        d,
+        [F.col("doc_id")],
+        val_col=None,
+        group_cols=["bucket"],
+        out_col="grank",
     )
-    counts = (
-        parts.groupBy("pid", "bucket")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    )
-    acc: dict = {}
-    offsets = []
-    for r in sorted(counts, key=lambda r: (r["bucket"], r["pid"])):
-        offsets.append((r["pid"], r["bucket"], acc.get(r["bucket"], 0)))
-        acc[r["bucket"]] = acc.get(r["bucket"], 0) + r["n"]
-    off = F.broadcast(
-        spark.createDataFrame(
-            offsets, schema="pid int, bucket long, offset long"
-        )
-    )
-    wloc = W.partitionBy("pid", "bucket").orderBy("doc_id")
-    b = (
-        parts.withColumn("lrn", F.row_number().over(wloc))
-        .join(off, ["pid", "bucket"])
-        .withColumn(
-            "batch_id",
-            F.expr(f"CAST((lrn + offset - 1) DIV {BATCH_DOCS} AS BIGINT)"),
-        )
+    b = ranked.withColumn(
+        "batch_id",
+        F.expr(f"CAST((grank - 1) DIV {BATCH_DOCS} AS BIGINT)"),
     )
     return _length_buckets_agg(b)
 
@@ -1537,11 +1522,29 @@ PPL_SKETCH_ACCURACY = 10_000
 
 @query(
     "x4_perplexity_buckets_approx",
+    # The oracle RECOMPUTES the band contract from the exact NTILE
+    # deciles (VERDICT r7 ask #6) instead of asserting TRUE literals:
+    # exact decile masses are n/10 ± 1, strictly inside the sketch's
+    # tolerance band (±(2 + 2n/accuracy)), so a correct sketch and the
+    # exact cut agree on both booleans — and a sketch whose masses
+    # drift out of band hash-mismatches against the oracle's derived
+    # TRUE rather than being self-reported.
     oracle=f"""
-    WITH lp AS ({_BIGRAM_LP_ORACLE})
-    SELECT COUNT(*) AS n_docs, TRUE AS deciles_cover,
-           TRUE AS counts_in_band
-    FROM lp
+    WITH lp AS ({_BIGRAM_LP_ORACLE}),
+    deciles AS (
+      SELECT NTILE(10) OVER (ORDER BY avg_logprob DESC, doc_id)
+               AS decile
+      FROM lp
+    ),
+    masses AS (SELECT decile, COUNT(*) AS n FROM deciles GROUP BY decile)
+    SELECT CAST(SUM(n) AS BIGINT) AS n_docs,
+           COUNT(*) = 10 AS deciles_cover,
+           MAX(n) <= SUM(n) / 10.0
+                     + (2.0 + SUM(n) * (2.0 / {PPL_SKETCH_ACCURACY}))
+           AND MIN(n) >= SUM(n) / 10.0
+                     - (2.0 + SUM(n) * (2.0 / {PPL_SKETCH_ACCURACY}))
+             AS counts_in_band
+    FROM masses
     """,
 )
 def x4_perplexity_buckets_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1558,7 +1561,16 @@ def x4_perplexity_buckets_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     band booleans computed in-plan — all ten deciles non-empty, and
     every decile's mass within ``N/10 ± (2 + 2·N/accuracy)`` (the
     sketch's rank-error bound with slack for boundary ties)."""
-    lp = x4_bigram_logprob(spark, sf_dir).select("doc_id", "avg_logprob")
+    # Doubly-consumed intermediate (edge sketch + bucket join): the
+    # bigram-LM scoring is this query's dominant cost, so materialize
+    # the (doc_id, avg_logprob) pairs ONCE — without this the full LM
+    # subtree executed twice (round-7 plan audit, VERDICT r7 #2; same
+    # localCheckpoint pattern as ext_q2/ext_q11/x6_rfm_scores_scalable).
+    lp = (
+        x4_bigram_logprob(spark, sf_dir)
+        .select("doc_id", "avg_logprob")
+        .localCheckpoint(eager=True)
+    )
     edges = lp.agg(
         F.percentile_approx(
             "avg_logprob",
@@ -1716,10 +1728,15 @@ def x4_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     doc = load_table(spark, sf_dir, "documents")
+    # Doubly-consumed intermediate (`total` agg + top-K prune below):
+    # materialize the |vocab|-row term-frequency aggregate once so the
+    # explode→groupBy token scan never executes twice (ADVICE r7 #2 —
+    # same localCheckpoint pattern as ext_q2/ext_q11/rfm_scalable).
     tf = (
         doc.select(F.explode(F.split("text", " ")).alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
     )
     total = tf.agg(F.sum("c").alias("total"))
     topk = tf.orderBy(F.col("c").desc(), "term").limit(max(VOCAB_CUTS))
@@ -1846,43 +1863,19 @@ def x8_budget_select_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The plan gate (tests/test_plans.py) asserts RangePartitioning and
     the ABSENCE of any single-partition exchange — the property the
-    exact rung cannot have."""
-    from pyspark.sql.window import Window as W
+    exact rung cannot have. The partition/count/offset bookkeeping is
+    the shared ``functions.distributed.global_prefix_sums`` primitive
+    (VERDICT r7 ask #3)."""
+    from ..functions.distributed import global_prefix_sums
 
     scored = _budget_scored(spark, sf_dir)
-    parts = (
-        scored.repartitionByRange(F.col("score").desc(), F.col("doc_id"))
-        .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+    cum, _total = global_prefix_sums(
+        spark,
+        scored,
+        [F.col("score").desc(), F.col("doc_id")],
+        val_col="wc",
+        out_col="cum_tokens",
     )
-    # |partitions| rows — bounded by spark.sql.shuffle.partitions, not
-    # by data — so the driver-side exclusive prefix sum is O(config)
-    psums = {
-        r["pid"]: r["psum"]
-        for r in parts.groupBy("pid")
-        .agg(F.sum("wc").alias("psum"))
-        .collect()
-    }
-    offsets, acc = [], 0
-    for pid in sorted(psums):
-        offsets.append((pid, acc))
-        acc += psums[pid]
-    off = F.broadcast(
-        spark.createDataFrame(offsets, schema="pid int, offset long")
-    )
-    wloc = (
-        W.partitionBy("pid")
-        .orderBy(F.col("score").desc(), "doc_id")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    return (
-        parts.withColumn("lcum", F.sum("wc").over(wloc))
-        .join(off, "pid")
-        .select(
-            "doc_id",
-            "wc",
-            "score",
-            (F.col("lcum") + F.col("offset")).cast("long").alias("cum_tokens"),
-        )
-        .filter(F.col("cum_tokens") <= SELECT_BUDGET)
+    return cum.select("doc_id", "wc", "score", "cum_tokens").filter(
+        F.col("cum_tokens") <= SELECT_BUDGET
     )

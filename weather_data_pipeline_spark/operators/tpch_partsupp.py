@@ -273,7 +273,8 @@ def ext_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT ps_partkey, ROUND(v / 100.0, 2) AS part_value
     FROM per_part
-    WHERE v * 10000 > (SELECT SUM(v) FROM per_part)
+    WHERE CAST(v AS DECIMAL(38, 0)) * 10000
+          > (SELECT CAST(SUM(v) AS DECIMAL(38, 0)) FROM per_part)
     """,
 )
 def ext_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -282,11 +283,14 @@ def ext_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     Two-pass aggregate over the same derived relation: per-part values
     are one partial-aggregated shuffle; the global total is a ONE-ROW
     aggregate broadcast into the filter (the Q22 scalar-subquery
-    pattern). The threshold compares in BIGINT cross-multiplication
-    (v·10000 > total) — no float fraction, no order dependence; cents
-    ≤1e5 × qty ≤1e4 keeps v·10⁴ under 2⁶³ through ~10⁶ suppliers per
-    part, and the same headroom math is why value_cents never leaves
-    integer space before the output /100."""
+    pattern). The threshold compares by cross-multiplication with both
+    sides widened to DECIMAL(38,0) BEFORE the ×10⁴ (ADVICE r7 #1) — no
+    float fraction, no order dependence, and no silent BIGINT wrap at
+    extreme scale: cents ≤1e5 × qty ≤1e4 gives ≤1e9 per pair, so
+    v·10⁴ crosses 2⁶³ at ~9.2e5 pairs per part — reachable, hence the
+    decimal widening (Spark with ANSI off would wrap silently where
+    DuckDB errors; decimal keeps the engines agreeing everywhere).
+    value_cents itself stays integer until the output /100."""
     supp = F.broadcast(
         load_table(spark, sf_dir, "supplier")
         .join(
@@ -313,10 +317,10 @@ def ext_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # per_part feeds BOTH the global total and the threshold filter;
     # materialized once (|parts| narrow rows), self-freeing checkpoint
-    total = per_part.agg(F.sum("v").alias("total"))
+    total = per_part.agg(F.sum("v").cast("decimal(38,0)").alias("total"))
     return (
         per_part.join(F.broadcast(total))
-        .filter(F.col("v") * 10000 > F.col("total"))
+        .filter(F.col("v").cast("decimal(38,0)") * 10000 > F.col("total"))
         .select(
             "ps_partkey", F.round(F.col("v") / 100.0, 2).alias("part_value")
         )
