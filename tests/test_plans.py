@@ -1023,3 +1023,66 @@ def test_rfm_scalable_no_single_partition(spark):
     plan = executed_plan(_Q["x6_rfm_scores_scalable"](spark, SF))
     assert "SinglePartition" not in plan
     assert "hashpartitioning(_pid" in plan
+
+
+def test_sequence_pack_no_single_partition(spark):
+    """The packing layout's only global step is the distributed prefix
+    sum (global_prefix_sums): no single-partition exchange anywhere,
+    checkpoint-backed range partitions, per-partition windows."""
+    from weather_data_pipeline_spark.plans.inspect import executed_plan
+
+    plan = executed_plan(_Q["x8_sequence_pack"](spark, SF))
+    assert "SinglePartition" not in plan
+    assert "ExistingRDD" in plan
+    assert "hashpartitioning(_pid" in plan
+
+
+def test_bpe_pairs_count_dict_not_corpus(spark):
+    """BPE pair counting must run over the word-frequency DICTIONARY:
+    the plan shows the pair explode ABOVE the word-count aggregate
+    (root-first printing puts Generate before the HashAggregate it
+    consumes), the top-K is a TakeOrderedAndProject (per-partition
+    top-K, no global sort), and every aggregate partial-aggregates."""
+    from weather_data_pipeline_spark.plans.inspect import executed_plan
+
+    df = _Q["x4_bpe_pair_stats"](spark, SF)
+    plan = executed_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert has_partial_aggregation(df)
+    # pair Generate sits above (prints before) the word-count exchange
+    assert plan.index("Generate") < plan.rindex("Exchange")
+
+
+def test_c4_pipeline_no_null_hot_key(spark):
+    """The composed funnel's dedup window must see ONLY gate survivors
+    (rejected rows are unioned back after the window — a CASE-keyed
+    window would funnel every rejected doc through one NULL-key task):
+    the Window's input carries the q_ok AND l_ok filter, there is no
+    cartesian product, and the final rollup partial-aggregates."""
+    from weather_data_pipeline_spark.plans.inspect import executed_plan
+
+    df = _Q["x8_c4_pipeline"](spark, SF)
+    plan = executed_plan(df)
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+    assert has_partial_aggregation(df)
+    assert "Union" in plan  # rejected rows bypass the window
+
+
+def test_degree_hist_partial_aggregates(spark):
+    """Degree count and bucket rollup both partial-aggregate; the only
+    data-sized work is the distinct edge build."""
+    df = _Q["x9_degree_hist"](spark, SF)
+    assert has_partial_aggregation(df)
+
+
+def test_pagerank_broadcasts_rank_vector(spark):
+    """Round 8 (VERDICT r7 ask #7): under PR_BROADCAST_NODES the rank
+    vector broadcasts into the edge join each power step — the edge
+    list is never re-shuffled and no sort-merge join appears; the only
+    per-step exchange is the partial-aggregated contribution sum."""
+    from weather_data_pipeline_spark.plans.inspect import executed_plan
+
+    plan = executed_plan(_Q["x9_pagerank"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -1374,3 +1374,50 @@ def x1_intradoc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("clean_text"),
     )
+
+
+# ----------------------------------------------------------------------
+# Normalization-keyed dedup (round 8): the rung between exact and fuzzy
+# ----------------------------------------------------------------------
+@query(
+    "x1_normalized_dedup",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id,
+             trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+               ' +', ' ', 'g')) AS norm_text
+      FROM documents
+    )
+    SELECT md5(norm_text) AS norm_hash,
+           MIN(doc_id) AS keeper_doc_id,
+           COUNT(*) AS n_copies
+    FROM norm GROUP BY md5(norm_text)
+    """,
+)
+def x1_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-keyed dedup — the cheap rung between byte-exact
+    and fuzzy: documents equal after lowercasing, punctuation strip
+    and whitespace collapse are duplicates (catches case/formatting
+    re-posts that byte-hash misses, at hash-groupBy cost — the
+    standard first pass of web-corpus cleaning before any MinHash).
+
+    Scale shape identical to ``x1_exact_dedup_hash``: the regex
+    normalization is a scan-side codegen projection; the shuffle
+    carries 16-byte digests of the NORMALIZED text, never documents.
+    Both engines lower/strip with the same character class and
+    collapse runs of spaces, so the digest groups are engine-exact
+    (DuckDB needs the 'g' flag — its regexp_replace is first-match by
+    default where Spark's is global)."""
+    doc = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    return doc.groupBy(F.md5(norm).alias("norm_hash")).agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )

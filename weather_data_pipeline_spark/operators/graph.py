@@ -37,6 +37,14 @@ DAMPING = 0.85
 #: supplier node-id offset (disjoint from customer keys at any SF)
 SUPP_OFFSET = 100_000_000
 
+#: broadcast the rank vector per power-method step while |nodes| stays
+#: under this; above it, fall back to keyed shuffle joins. The rank
+#: vector is 3 narrow columns (~24 B/row) so 5M nodes ≈ 120 MB — the
+#: upper edge of a sane executor broadcast. Entity-keyed trade graphs
+#: sit far below this at any tested SF; a web-scale graph (|V| ≫ 10⁷)
+#: takes the shuffle path automatically.
+PR_BROADCAST_NODES = 5_000_000
+
 
 def _edges_sql() -> str:
     """Symmetric distinct trade edges, customer keys as-is, supplier
@@ -134,9 +142,23 @@ def x9_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # + one partial-aggregated shuffle + the frontier re-join — not a
     # separate degree join per step
     pr = deg.select("node", "outdeg", (F.lit(1.0) / n).alias("rank"))
+    # rank-vector join strategy (VERDICT r7 ask #7): |nodes| is a
+    # driver scalar, so pick per-job. Under PR_BROADCAST_NODES the
+    # rank vector broadcasts into the edge join (NO edge shuffle, no
+    # SMJ sort — the per-step cost collapses to one partial-aggregated
+    # exchange of ≤|nodes| combiner rows) and the |nodes|-row
+    # contribution table broadcasts back into the degree join. Past
+    # the threshold both joins fall back to keyed shuffles — the only
+    # shape that works when the rank vector itself is too big for one
+    # executor (web-scale |V|). localCheckpoint does NOT preserve
+    # output partitioning (LogicalRDD loses it — verified), so
+    # pre-partitioning edges by src cannot elide the shuffle; the
+    # broadcast path is what removes it.
+    small = n <= PR_BROADCAST_NODES
     for _ in range(N_ITER):
+        pv = pr.withColumnRenamed("node", "src")
         contrib = (
-            edges.join(pr.withColumnRenamed("node", "src"), "src")
+            edges.join(F.broadcast(pv) if small else pv, "src")
             .select(
                 F.col("dst").alias("node"),
                 (F.col("rank") / F.col("outdeg"))
@@ -146,7 +168,9 @@ def x9_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("node")
             .agg(F.sum("c").alias("acc"))
         )
-        pr = deg.join(contrib, "node", "left").select(
+        pr = deg.join(
+            F.broadcast(contrib) if small else contrib, "node", "left"
+        ).select(
             "node",
             "outdeg",
             (
@@ -318,3 +342,61 @@ def _count_triangles(edges: DataFrame, deg: DataFrame) -> DataFrame:
     )
     tri = wedges.join(closer, ["v1", "v2"], "left_semi")
     return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+# ----------------------------------------------------------------------
+# Degree distribution (round 8): the graph-shape audit histogram
+# ----------------------------------------------------------------------
+@query(
+    "x9_degree_hist",
+    oracle=f"""
+    WITH edges AS ({_edges_sql()}),
+    deg AS (SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY src)
+    SELECT CASE WHEN node >= {SUPP_OFFSET} THEN 'supplier'
+                ELSE 'customer' END AS node_type,
+           CAST(len(bin(d)) - 1 AS BIGINT) AS log2_bucket,
+           COUNT(*) AS n_nodes,
+           CAST(MIN(d) AS BIGINT) AS min_deg,
+           CAST(MAX(d) AS BIGINT) AS max_deg
+    FROM deg
+    GROUP BY 1, 2
+    """,
+)
+def x9_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-distribution histogram of the trade graph, log2-bucketed
+    per node type — the first thing to audit before running anything
+    iterative on a graph (a power-law tail means skewed joins; a
+    near-complete projection means quadratic wedge volume — see the
+    EDGE_K rationale on x9_triangle_count).
+
+    Buckets are INTEGER log2 via binary-string length (``len(bin(d))
+    - 1``) on both engines — no libm ``log2`` whose last-ulp behavior
+    at exact powers of two could disagree across engines. One
+    partial-aggregated degree count + one tiny bucket rollup; nothing
+    data-sized beyond the edge build."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    base = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + SUPP_OFFSET).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = base.unionAll(
+        base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    return deg.groupBy(
+        F.when(F.col("node") >= SUPP_OFFSET, "supplier")
+        .otherwise("customer")
+        .alias("node_type"),
+        (F.length(F.bin("d")) - 1).cast("long").alias("log2_bucket"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.min("d").cast("long").alias("min_deg"),
+        F.max("d").cast("long").alias("max_deg"),
+    )

@@ -1879,3 +1879,307 @@ def x8_budget_select_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cum.select("doc_id", "wc", "score", "cum_tokens").filter(
         F.col("cum_tokens") <= SELECT_BUDGET
     )
+
+
+# ----------------------------------------------------------------------
+# Training-sequence packing (round 8): concat-and-split offsets
+# ----------------------------------------------------------------------
+#: fixed training-sequence length (tokens) for the packing layout
+SEQ_LEN = 512
+
+
+@query(
+    "x8_sequence_pack",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS wc
+      FROM documents
+    ), cum AS (
+      SELECT doc_id, wc,
+             SUM(wc) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cum_tokens
+      FROM s
+    )
+    SELECT doc_id, wc,
+           CAST(cum_tokens - wc AS BIGINT) AS start_offset,
+           CAST((cum_tokens - wc) // {SEQ_LEN} AS BIGINT) AS first_seq,
+           CAST((cum_tokens - 1) // {SEQ_LEN} AS BIGINT) AS last_seq,
+           (cum_tokens - 1) // {SEQ_LEN} > (cum_tokens - wc) // {SEQ_LEN}
+             AS crosses_boundary
+    FROM cum
+    """,
+)
+def x8_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing layout — the concat-and-split step of
+    an LLM data pipeline: documents are concatenated in doc_id order
+    into one token stream and cut into fixed ``SEQ_LEN`` sequences;
+    each document gets its byte-exact placement (global start offset,
+    first/last sequence id, whether it straddles a cut). Downstream
+    this IS the shuffle-free map from documents to training examples —
+    a worker holding sequence ids [a, b) knows exactly which documents
+    to fetch.
+
+    Scale shape: the only global step is the exact distributed prefix
+    sum over (doc_id, wc) pairs — ``functions.distributed.
+    global_prefix_sums`` (range exchange + per-partition window +
+    broadcast offsets; NO single-partition funnel, plan-gated) — so no
+    task ever holds more than one range-partition of the corpus, while
+    the oracle's global cumulative window checks the exact same
+    offsets. Everything after the prefix sum is per-row arithmetic
+    (integer floor-div — engine-exact at any offset)."""
+    from ..functions.distributed import global_prefix_sums
+
+    doc = load_table(spark, sf_dir, "documents")
+    d = doc.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("wc"),
+    )
+    cum, _total = global_prefix_sums(
+        spark, d, [F.col("doc_id")], val_col="wc", out_col="cum_tokens"
+    )
+    start = F.col("cum_tokens") - F.col("wc")
+    first = F.expr(f"(cum_tokens - wc) DIV {SEQ_LEN}")
+    last = F.expr(f"(cum_tokens - 1) DIV {SEQ_LEN}")
+    return cum.select(
+        "doc_id",
+        "wc",
+        start.cast("long").alias("start_offset"),
+        first.cast("long").alias("first_seq"),
+        last.cast("long").alias("last_seq"),
+        (last > first).alias("crosses_boundary"),
+    )
+
+
+# ----------------------------------------------------------------------
+# BPE pair statistics (round 8): the merge-candidate count of one
+# byte-pair-encoding training step
+# ----------------------------------------------------------------------
+#: top adjacent-character pairs emitted
+BPE_TOP_PAIRS = 20
+
+
+@query(
+    "x4_bpe_pair_stats",
+    oracle=f"""
+    WITH wc AS (
+      SELECT w, COUNT(*) AS n
+      FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
+      WHERE len(w) >= 2
+      GROUP BY w
+    ), pairs AS (
+      SELECT substr(w, CAST(i AS INTEGER), 2) AS pair, n
+      FROM wc, UNNEST(range(1, len(w))) AS t(i)
+    )
+    SELECT pair, CAST(SUM(n) AS BIGINT) AS cnt
+    FROM pairs GROUP BY pair
+    ORDER BY cnt DESC, pair LIMIT {BPE_TOP_PAIRS}
+    """,
+)
+def x4_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE-training step's merge-candidate statistics: the most
+    frequent ADJACENT symbol pairs across the corpus, weighted by word
+    frequency. This is the inner loop of byte-pair-encoding tokenizer
+    training (count pairs → merge the argmax → repeat); here symbols
+    are characters, pairs are 2-char substrings.
+
+    Scale shape — the classic BPE trick made distributed: pairs are
+    counted over the WORD-FREQUENCY DICTIONARY, not the corpus. The
+    only token-volume pass is the explode→groupBy word count (one
+    partial-aggregated shuffle); the pair explode then runs over
+    |vocab| dictionary rows (heavy-tailed but corpus-size-independent)
+    weighted by the counts, and the final top-K is a
+    TakeOrderedAndProject (per-partition top-K, no global sort). Both
+    engines floor the same integer weights, ties pinned by pair."""
+    doc = load_table(spark, sf_dir, "documents")
+    words = (
+        doc.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1),"
+                   " i -> substring(w, i, 2))")
+        ).alias("pair"),
+        "n",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("n").cast("long").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "pair")
+        .limit(BPE_TOP_PAIRS)
+    )
+
+
+# ----------------------------------------------------------------------
+# Temperature-scaled mixture weights (round 8): multilingual sampling
+# ----------------------------------------------------------------------
+#: documents drawn per training epoch by the mixture
+MIXTURE_EPOCH_BUDGET = 1_000_000
+
+
+@query(
+    "x8_temperature_mixture",
+    oracle=f"""
+    WITH cnt AS (
+      SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+    ), w AS (
+      SELECT lang, n,
+             CAST(FLOOR(SQRT(CAST(n AS DOUBLE)) * 1000000) AS BIGINT)
+               AS wgt
+      FROM cnt
+    ), tot AS (SELECT SUM(wgt) AS total FROM w)
+    SELECT lang, CAST(n AS BIGINT) AS n_docs,
+           CAST(wgt * 1000000 // total AS BIGINT) AS p_micro,
+           CAST(wgt * {MIXTURE_EPOCH_BUDGET} // total AS BIGINT)
+             AS epoch_docs
+    FROM w CROSS JOIN tot
+    """,
+)
+def x8_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled sampling weights for a multilingual mixture
+    (the multilingual-pretraining upsampling rule, T = 2 i.e.
+    p_i ∝ n_i^(1/2)): low-resource languages are upsampled relative to
+    their raw share so the head language cannot drown the tail.
+
+    Engine-exact by construction: the ONLY floating-point op is
+    ``sqrt`` (IEEE-754 correctly rounded — bit-identical on any
+    engine), immediately floored into integer micro-weights; shares
+    and per-epoch document budgets are integer cross-multiplication +
+    floor-division from there, so no libm ``pow`` and no float sum
+    ever crosses the engine boundary (the reason T is 2 and not an
+    arbitrary temperature: x^(1/2) is exact where x^0.3 is
+    libm-dependent). One tiny groupBy(lang) aggregate + a broadcast
+    1-row total — nothing data-sized moves."""
+    doc = load_table(spark, sf_dir, "documents")
+    cnt = doc.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    w = cnt.withColumn(
+        "wgt",
+        F.floor(F.sqrt(F.col("n").cast("double")) * 1_000_000).cast("long"),
+    )
+    tot = w.agg(F.sum("wgt").alias("total"))
+    return w.join(F.broadcast(tot)).select(
+        "lang",
+        F.col("n").cast("long").alias("n_docs"),
+        F.expr("wgt * 1000000 DIV total").cast("long").alias("p_micro"),
+        F.expr(f"wgt * {MIXTURE_EPOCH_BUDGET} DIV total")
+        .cast("long")
+        .alias("epoch_docs"),
+    )
+
+
+# ----------------------------------------------------------------------
+# Composed cleaning pipeline (round 8): quality → lang → dedup funnel
+# ----------------------------------------------------------------------
+#: C4-style quality gates for the composed pipeline
+C4_MIN_WORDS = 5
+C4_MAX_WORDS = 100_000
+C4_KEEP_LANG = "en"
+
+
+@query(
+    "x8_c4_pipeline",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, source, lang, text,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS wc
+      FROM documents
+    ), staged AS (
+      SELECT *,
+             wc >= {C4_MIN_WORDS} AND wc <= {C4_MAX_WORDS} AS q_ok,
+             lang = '{C4_KEEP_LANG}' AS l_ok
+      FROM s
+    ), dedup AS (
+      SELECT *,
+             CASE WHEN q_ok AND l_ok THEN
+               ROW_NUMBER() OVER (PARTITION BY CASE WHEN q_ok AND l_ok
+                                    THEN md5(text) END
+                                  ORDER BY doc_id)
+             END AS rn
+      FROM staged
+    )
+    SELECT source,
+           COUNT(*) AS n_input,
+           CAST(SUM(CASE WHEN NOT q_ok THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_quality_fail,
+           CAST(SUM(CASE WHEN q_ok AND NOT l_ok THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_lang_fail,
+           CAST(SUM(CASE WHEN q_ok AND l_ok AND rn > 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup,
+           CAST(SUM(CASE WHEN q_ok AND l_ok AND rn = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN q_ok AND l_ok AND rn = 1 THEN wc
+                    ELSE 0 END) AS BIGINT) AS tokens_kept
+    FROM dedup GROUP BY source
+    """,
+)
+def x8_c4_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed C4-style cleaning funnel in ONE DataFrame DAG —
+    quality gate (word-count band) → language keep → exact dedup
+    (first doc_id wins per text digest) — with per-source stage
+    attribution: how many documents each stage removed and what
+    survived. This is the audit table a data release ships next to the
+    corpus.
+
+    Scale shape: stage predicates are scan-side projections (no
+    shuffle); the ONLY data-sized exchange is the dedup window keyed
+    on md5(text), and only rows that passed both cheap gates enter it
+    — failed rows are split off BEFORE the window and unioned back
+    for the rollup, so there is no single NULL hot key carrying every
+    rejected document through one task (the skew trap of keying the
+    window on a CASE expression). Final per-source rollup is a tiny
+    partial-aggregated exchange."""
+    from pyspark.sql.window import Window as W
+
+    doc = load_table(spark, sf_dir, "documents")
+    s = doc.select(
+        "doc_id",
+        "source",
+        "lang",
+        "text",
+        F.size(F.split("text", " ")).cast("long").alias("wc"),
+    ).withColumn(
+        "q_ok",
+        (F.col("wc") >= C4_MIN_WORDS) & (F.col("wc") <= C4_MAX_WORDS),
+    ).withColumn("l_ok", F.col("lang") == C4_KEEP_LANG)
+    # dedup rank ONLY over survivors — the failed rows never enter the
+    # digest window (no NULL hot key); their counts come from the
+    # stage booleans in the same rollup
+    surv = s.filter(F.col("q_ok") & F.col("l_ok")).withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy(F.md5("text")).orderBy("doc_id")
+        ),
+    )
+    failed = s.filter(~(F.col("q_ok") & F.col("l_ok"))).withColumn(
+        "rn", F.lit(None).cast("int")
+    )
+    staged = surv.unionByName(failed)
+    return staged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_input"),
+        F.sum(F.when(~F.col("q_ok"), 1).otherwise(0)).alias(
+            "n_quality_fail"
+        ),
+        F.sum(
+            F.when(F.col("q_ok") & ~F.col("l_ok"), 1).otherwise(0)
+        ).alias("n_lang_fail"),
+        F.sum(
+            F.when(
+                F.col("q_ok") & F.col("l_ok") & (F.col("rn") > 1), 1
+            ).otherwise(0)
+        ).alias("n_dup"),
+        F.sum(
+            F.when(
+                F.col("q_ok") & F.col("l_ok") & (F.col("rn") == 1), 1
+            ).otherwise(0)
+        ).alias("n_kept"),
+        F.sum(
+            F.when(
+                F.col("q_ok") & F.col("l_ok") & (F.col("rn") == 1),
+                F.col("wc"),
+            ).otherwise(F.lit(0))
+        ).cast("long").alias("tokens_kept"),
+    )

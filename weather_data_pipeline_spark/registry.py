@@ -100,7 +100,11 @@ _PRIORITY: tuple[str, ...] = (
     # ext_q4_order_priority, ext_q6_revenue_delta, ext_q7_volume_shipping,
     # ext_q8_market_share, ext_q12_shipping_delay, x4_token_normalize,
     # x4_corpus_profile, x6_mad_outliers, x6_funnel_stages,
-    # x8_epoch_shuffle, x8_oversample_minority, x3_knn_classify.
+    # x8_epoch_shuffle, x8_oversample_minority, x3_knn_classify —
+    # plus six more displaced by the round-8 ADDITIONS (all r7-green):
+    # ext_q13_cust_distribution, ext_q14_promo_revenue,
+    # x6_holt_smoothing, x6_retention_cohorts, s_topk_stream,
+    # x4_gopher_filter.
     # (Round-7 rotated-out list preserved in git history at this file.)
     # --- the r8 queue (12): derived-partsupp TPC-H batch first ---
     "ext_q2_min_cost_supplier",
@@ -115,9 +119,14 @@ _PRIORITY: tuple[str, ...] = (
     "x6_rfm_scores_scalable",
     "x7_asof_join_tolerance",
     "x3_ivf_recall_eval",
-    # --- r7-green carryovers (35) ---
-    "ext_q13_cust_distribution",
-    "ext_q14_promo_revenue",
+    # --- round-8 additions (6): driver-checked the round they land ---
+    "x8_sequence_pack",
+    "x4_bpe_pair_stats",
+    "x8_temperature_mixture",
+    "x8_c4_pipeline",
+    "x1_normalized_dedup",
+    "x9_degree_hist",
+    # --- r7-green carryovers (29) ---
     "ext_q15_top_supplier",
     "ext_q17_small_qty_revenue",
     "ext_q19_disjunctive_revenue",
@@ -128,7 +137,6 @@ _PRIORITY: tuple[str, ...] = (
     "x9_triangle_count",
     "ext_cdc_merge",
     "s_funnel_stream",
-    "s_topk_stream",
     "x3_mips_topk",
     "x4_vocab_coverage",
     "x8_budget_select",
@@ -141,12 +149,9 @@ _PRIORITY: tuple[str, ...] = (
     "x4_heavy_hitters",
     "ext_incremental_agg",
     "x3_ivf_pq_topk",
-    "x6_holt_smoothing",
-    "x6_retention_cohorts",
     "x6_rfm_scores",
     "x2_semantic_dedup",
     "x1_line_dedup",
-    "x4_gopher_filter",
     "x8_length_buckets",
     "x1_intradoc_line_dedup",
     "x4_perplexity_buckets",
