@@ -97,6 +97,16 @@ HEADLINE = [
     "x8_length_buckets_scalable",
     "x4_perplexity_buckets_scalable",
     "x6_rfm_scores_scalable",
+    # round-8 additions
+    "x8_sequence_pack",
+    "x4_bpe_pair_stats",
+    "x8_temperature_mixture",
+    "x8_c4_pipeline",
+    "x1_normalized_dedup",
+    "x9_degree_hist",
+    "x2_containment_pairs",
+    "x3_range_search",
+    "x3_prefix_dim_recall",
 ]
 
 

@@ -1086,3 +1086,41 @@ def test_pagerank_broadcasts_rank_vector(spark):
     plan = executed_plan(_Q["x9_pagerank"](spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_containment_pairs_joins_on_grams_not_pairs(spark):
+    """The containment self-join must be a gram-keyed equi-join (hash
+    or broadcast — at sf0.01 AQE broadcasts the gram side; at scale the
+    two sides are the same plan and share the shuffle), never a
+    cartesian/nested-loop pair enumeration, with the pair count
+    partial-aggregated before its exchange."""
+    from weather_data_pipeline_spark.plans.inspect import executed_plan
+
+    df = _Q["x2_containment_pairs"](spark, SF)
+    plan = executed_plan(df)
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert has_partial_aggregation(df)
+
+
+def test_range_search_no_join_single_shuffle(spark):
+    """Range search is one corpus scan through the Arrow kernel plus a
+    |queries|-group rollup: no join operator, exactly one exchange."""
+    df = _Q["x3_range_search"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert num_shuffles(df) == 1
+
+
+def test_prefix_dim_recall_single_kernel_pass(spark):
+    """Both rankings (full-dim and prefix-dim) must read the ONE
+    checkpointed kernel output — the corpus is scanned once, the final
+    plan contains no parquet scan, and the two top-k windows join on
+    k-row-per-query tables (no cartesian)."""
+    from weather_data_pipeline_spark.plans.inspect import executed_plan
+
+    plan = executed_plan(_Q["x3_prefix_dim_recall"](spark, SF))
+    assert "ExistingRDD" in plan
+    assert "parquet" not in plan.lower()
+    assert "CartesianProduct" not in plan

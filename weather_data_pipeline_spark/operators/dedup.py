@@ -1384,9 +1384,10 @@ def x1_intradoc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH norm AS (
       SELECT doc_id,
-             trim(regexp_replace(
-               regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
-               ' +', ' ', 'g')) AS norm_text
+             array_to_string(
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> ''),
+               ' ') AS norm_text
       FROM documents
     )
     SELECT md5(norm_text) AS norm_hash,
@@ -1402,22 +1403,104 @@ def x1_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-posts that byte-hash misses, at hash-groupBy cost — the
     standard first pass of web-corpus cleaning before any MinHash).
 
-    Scale shape identical to ``x1_exact_dedup_hash``: the regex
-    normalization is a scan-side codegen projection; the shuffle
-    carries 16-byte digests of the NORMALIZED text, never documents.
-    Both engines lower/strip with the same character class and
-    collapse runs of spaces, so the digest groups are engine-exact
-    (DuckDB needs the 'g' flag — its regexp_replace is first-match by
-    default where Spark's is global)."""
+    Scale shape identical to ``x1_exact_dedup_hash``: normalization
+    is a scan-side projection and the shuffle carries 16-byte digests
+    of the NORMALIZED text, never documents. The normalizer is ONE
+    regex pass — lower, split on non-alphanumeric runs, drop empties,
+    rejoin single-spaced — on both engines; the first cut (three
+    stacked regexp_replace passes) measured a 9.3x 10x-ratio because
+    per-byte regex CPU dominated the scan, vs 1.4x for the plain
+    digest rung. Normalization is inherently a per-byte pass, so the
+    residual growth is embarrassingly parallel scan work (scales out
+    with executors), but one pass instead of three keeps the constant
+    honest."""
     doc = load_table(spark, sf_dir, "documents")
-    norm = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
-            " +",
-            " ",
-        )
+    norm = F.array_join(
+        F.filter(
+            F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+            lambda x: x != "",
+        ),
+        " ",
     )
     return doc.groupBy(F.md5(norm).alias("norm_hash")).agg(
         F.min("doc_id").alias("keeper_doc_id"),
         F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+# ----------------------------------------------------------------------
+# Containment pairs (round 8): one-sided near-dup (subset duplication)
+# ----------------------------------------------------------------------
+#: containment threshold — inter/|smaller| ≥ 8/10, compared in integer
+#: cross-multiplied form so the keep decision is engine-exact
+CONTAIN_NUM, CONTAIN_DEN = 8, 10
+
+
+@query(
+    "x2_containment_pairs",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+      FROM w, UNNEST(generate_series(1, len(words) - 2)) AS t(i)
+    ), counts AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, inter,
+           ROUND(inter / LEAST(ca.n, cb.n), 6) AS containment
+    FROM pairs
+    JOIN counts ca ON ca.doc_id = doc_a
+    JOIN counts cb ON cb.doc_id = doc_b
+    WHERE inter * {CONTAIN_DEN} >= {CONTAIN_NUM} * LEAST(ca.n, cb.n)
+    """,
+)
+def x2_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-SIDED near-dup detection by n-gram containment — the case
+    Jaccard misses: a short document wholly embedded in a much longer
+    one scores tiny Jaccard (union is dominated by the long doc) but
+    containment inter/|smaller| ≈ 1. This is the quote/excerpt/
+    boilerplate-wrapper duplication rung of the dedup ladder (the
+    metric of Lee et al.'s substring dedup, at shingle granularity).
+
+    Same execution shape as ``x2_ngram_jaccard`` (gram-keyed
+    self-equi-join, xxhash64 8-byte keys, per-doc gram counts riding
+    the join, ReusedExchange on the shared shuffle) and the same
+    uncapped-rung gate; the threshold compares in INTEGER
+    cross-multiplication (inter·10 ≥ 8·min(n_a, n_b)) so the pair set
+    is engine-exact at any boundary."""
+    doc = _gate_uncapped(
+        fan_out(load_table(spark, sf_dir, "documents")),
+        "x2_containment_pairs",
+        sf_dir,
+    )
+    sh = shingle_arrays(doc, 3).select(
+        "doc_id",
+        F.size("grams").alias("n"),
+        F.explode("grams").alias("shingle"),
+    )
+    s = sh.select("doc_id", "n", F.xxhash64("shingle").alias("h"))
+    a = s.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"), "h")
+    b = s.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"), "h")
+    pairs = (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    mn = F.least(F.col("n_a"), F.col("n_b"))
+    return (
+        pairs.filter(F.col("inter") * CONTAIN_DEN >= CONTAIN_NUM * mn)
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter",
+            F.round(F.col("inter") / mn, 6).alias("containment"),
+        )
     )

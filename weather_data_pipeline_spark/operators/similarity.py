@@ -1577,3 +1577,231 @@ def x3_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("query_id", "vec_id", "score")
     )
+
+
+# ----------------------------------------------------------------------
+# Range search (round 8): cosine-threshold neighborhoods per query
+# ----------------------------------------------------------------------
+#: cosine radius for the range search
+RANGE_TAU = 0.25
+
+
+@query(
+    "x3_range_search",
+    oracle=f"""
+    WITH sims AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+             ROUND({_DUCK_COS.format(a='q.embedding', b='c.embedding')}, 6)
+               AS sim
+      FROM (SELECT * FROM embeddings WHERE vec_id < {N_QUERIES}) q
+      CROSS JOIN embeddings c
+      WHERE q.vec_id <> c.vec_id
+    ), hits AS (SELECT * FROM sims WHERE sim >= {RANGE_TAU})
+    SELECT query_id,
+           COUNT(*) AS n_within,
+           CAST(FIRST(vec_id ORDER BY sim DESC, vec_id) AS BIGINT)
+             AS best_vec_id,
+           MAX(sim) AS best_sim
+    FROM hits GROUP BY query_id
+    """,
+)
+def x3_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine RANGE search — 'everything within radius τ', the other
+    retrieval primitive next to top-k (radius queries power dedup
+    clustering, recommendation diversity floors and RAG retrieval with
+    a similarity cutoff rather than a fixed k). Per query vector:
+    neighborhood size, the best match id and its similarity.
+
+    Execution: the same single-corpus-scan Arrow kernel as
+    ``x3_cosine_topk`` (query matrix closed over, ``mapInPandas``,
+    sequential dimension fold bit-identical to the oracle) with the
+    threshold applied INSIDE the kernel, so only surviving hits leave
+    the batch; the per-query rollup is a tiny |queries|-group
+    aggregate. Cost is one corpus pass regardless of τ — never a pair
+    materialization. Ties for the best match pin on (sim DESC,
+    vec_id) via min_by over a struct on both engines."""
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrows = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", F.col("embedding").cast("array<double>"))
+        .collect()
+    )
+    q_ids = [r[0] for r in qrows]
+    q_mat = np.array([r[1] for r in qrows], dtype=np.float64)
+    q_norms = _seq_self_norms(q_mat)
+
+    def hits(batches):
+        for pdf in batches:
+            c_mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            c_norms = _seq_self_norms(c_mat)
+            c_ids = pdf["vec_id"].to_numpy()
+            out = []
+            for qi, qid in enumerate(q_ids):
+                s = np.round(
+                    _seq_dot(c_mat, q_mat[qi]) / (q_norms[qi] * c_norms), 6
+                )
+                keep = (s >= RANGE_TAU) & (c_ids != qid)
+                if keep.any():
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": qid,
+                                "vec_id": c_ids[keep],
+                                "sim": s[keep],
+                            }
+                        )
+                    )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    pairs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).mapInPandas(hits, schema="query_id long, vec_id long, sim double")
+    return pairs.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_within"),
+        F.max_by(
+            "vec_id", F.struct(F.col("sim"), (-F.col("vec_id")).alias("nid"))
+        ).alias("best_vec_id"),
+        F.max("sim").alias("best_sim"),
+    )
+
+
+# ----------------------------------------------------------------------
+# Prefix-dimension recall (round 8): matryoshka-style truncation eval
+# ----------------------------------------------------------------------
+#: truncated prefix length evaluated against the full dimensionality
+PREFIX_DIMS = 16
+
+
+@query(
+    "x3_prefix_dim_recall",
+    oracle=f"""
+    WITH fulltop AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY ROUND({_DUCK_COS.format(a='q.embedding', b='c.embedding')}, 6) DESC,
+                          c.vec_id) AS rn
+        FROM (SELECT * FROM embeddings WHERE vec_id < {N_QUERIES}) q
+        CROSS JOIN embeddings c
+        WHERE q.vec_id <> c.vec_id
+      ) WHERE rn <= {TOP_K}
+    ), pretop AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY ROUND({_DUCK_COS.format(a='q.emb16', b='c.emb16')}, 6) DESC,
+                          c.vec_id) AS rn
+        FROM (SELECT vec_id, embedding[1:{PREFIX_DIMS}] AS emb16
+              FROM embeddings WHERE vec_id < {N_QUERIES}) q
+        CROSS JOIN (SELECT vec_id, embedding[1:{PREFIX_DIMS}] AS emb16
+                    FROM embeddings) c
+        WHERE q.vec_id <> c.vec_id
+      ) WHERE rn <= {TOP_K}
+    )
+    SELECT f.query_id,
+           CAST({TOP_K} AS BIGINT) AS k,
+           CAST(COUNT(p.vec_id) AS BIGINT) AS n_overlap
+    FROM fulltop f
+    LEFT JOIN pretop p
+      ON p.query_id = f.query_id AND p.vec_id = f.vec_id
+    GROUP BY f.query_id
+    """,
+)
+def x3_prefix_dim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation evaluation: recall@k of top-k
+    retrieval using only the first ``PREFIX_DIMS`` dimensions against
+    the full-dimensional top-k — the measurement behind 'can we serve
+    the cheap truncated index and rerank with full vectors?' (MRL
+    embeddings are trained so prefixes stay usable; this query is the
+    per-corpus check). Output: per query, the overlap count out of k
+    (the recall numerator — integers only, no float ratio crosses the
+    engine boundary).
+
+    Execution: ONE corpus scan computes BOTH similarity sets (the
+    Arrow kernel slices the prefix from the same batch — no second
+    scan, no pair join); each top-k is the |queries|-partition window;
+    recall is a k-row-per-query self-join of the two tiny top-k
+    tables."""
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrows = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", F.col("embedding").cast("array<double>"))
+        .collect()
+    )
+    q_ids = [r[0] for r in qrows]
+    q_mat = np.array([r[1] for r in qrows], dtype=np.float64)
+    q_norms = _seq_self_norms(q_mat)
+    qp_mat = q_mat[:, :PREFIX_DIMS]
+    qp_norms = _seq_self_norms(qp_mat)
+
+    def sims2(batches):
+        for pdf in batches:
+            c_mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            c_norms = _seq_self_norms(c_mat)
+            cp_mat = c_mat[:, :PREFIX_DIMS]
+            cp_norms = _seq_self_norms(cp_mat)
+            c_ids = pdf["vec_id"].to_numpy()
+            out = []
+            for qi, qid in enumerate(q_ids):
+                s_full = _seq_dot(c_mat, q_mat[qi]) / (q_norms[qi] * c_norms)
+                s_pre = _seq_dot(cp_mat, qp_mat[qi]) / (
+                    qp_norms[qi] * cp_norms
+                )
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "vec_id": c_ids,
+                            "sim_full": np.round(s_full, 6),
+                            "sim_pre": np.round(s_pre, 6),
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    pairs = (
+        emb.select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+        .mapInPandas(
+            sims2,
+            schema="query_id long, vec_id long, sim_full double, sim_pre double",
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .localCheckpoint(eager=True)
+    )
+    # doubly-consumed kernel output (|queries|·|corpus| narrow rows at
+    # the tested SFs; at index scale route each ranking through the
+    # IVF/LSH rungs instead) — materialized once for the two windows
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("sim_full").desc(), F.col("vec_id")
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("sim_pre").desc(), F.col("vec_id")
+    )
+    fulltop = (
+        pairs.withColumn("rn", F.row_number().over(wf))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "vec_id")
+    )
+    pretop = (
+        pairs.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "vec_id", F.lit(1).alias("hit"))
+    )
+    return (
+        fulltop.join(pretop, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.lit(TOP_K).cast("long").alias("k"),
+            F.count("hit").alias("n_overlap"),
+        )
+    )

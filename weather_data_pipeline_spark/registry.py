@@ -101,10 +101,11 @@ _PRIORITY: tuple[str, ...] = (
     # ext_q8_market_share, ext_q12_shipping_delay, x4_token_normalize,
     # x4_corpus_profile, x6_mad_outliers, x6_funnel_stages,
     # x8_epoch_shuffle, x8_oversample_minority, x3_knn_classify —
-    # plus six more displaced by the round-8 ADDITIONS (all r7-green):
+    # plus nine more displaced by the round-8 ADDITIONS (all r7-green):
     # ext_q13_cust_distribution, ext_q14_promo_revenue,
     # x6_holt_smoothing, x6_retention_cohorts, s_topk_stream,
-    # x4_gopher_filter.
+    # x4_gopher_filter, ext_q15_top_supplier, x6_interval_merge,
+    # x4_bigram_logprob.
     # (Round-7 rotated-out list preserved in git history at this file.)
     # --- the r8 queue (12): derived-partsupp TPC-H batch first ---
     "ext_q2_min_cost_supplier",
@@ -126,8 +127,10 @@ _PRIORITY: tuple[str, ...] = (
     "x8_c4_pipeline",
     "x1_normalized_dedup",
     "x9_degree_hist",
-    # --- r7-green carryovers (29) ---
-    "ext_q15_top_supplier",
+    "x2_containment_pairs",
+    "x3_range_search",
+    "x3_prefix_dim_recall",
+    # --- r7-green carryovers (26) ---
     "ext_q17_small_qty_revenue",
     "ext_q19_disjunctive_revenue",
     "ext_q21_waiting_supplier",
@@ -145,7 +148,6 @@ _PRIORITY: tuple[str, ...] = (
     "w_csv_quarantine",
     "ext_cogroup_pandas",
     "x2_dedup_keep_best",
-    "x4_bigram_logprob",
     "x4_heavy_hitters",
     "ext_incremental_agg",
     "x3_ivf_pq_topk",
@@ -156,7 +158,6 @@ _PRIORITY: tuple[str, ...] = (
     "x1_intradoc_line_dedup",
     "x4_perplexity_buckets",
     "mm_audio_energy",
-    "x6_interval_merge",
 )
 
 #: Round-9 rotation queue — every registered query not yet covered by the
