@@ -107,6 +107,7 @@ HEADLINE = [
     "x2_containment_pairs",
     "x3_range_search",
     "x3_prefix_dim_recall",
+    "x7_asof_nearest",
 ]
 
 

@@ -1069,11 +1069,35 @@ def test_c4_pipeline_no_null_hot_key(spark):
     assert "Union" in plan  # rejected rows bypass the window
 
 
-def test_degree_hist_partial_aggregates(spark):
-    """Degree count and bucket rollup both partial-aggregate; the only
-    data-sized work is the distinct edge build."""
+def test_degree_hist_single_edge_build(spark):
+    """The symmetric degree comes from ONE pass — each distinct pair
+    explodes into its two endpoints — so the plan contains exactly one
+    edge-build subtree (no union of two scan+join+distinct copies: the
+    doubled-subtree shape; no checkpoint either — same-session A/B:
+    explode 1.44 s vs checkpointed union 1.58 s). Exactly one
+    Generate, one lineitem scan, partial aggregation throughout."""
+    from weather_data_pipeline_spark.plans.inspect import executed_plan
+
     df = _Q["x9_degree_hist"](spark, SF)
     assert has_partial_aggregation(df)
+    plan = executed_plan(df)
+    assert plan.count("Generate") == 1
+    assert plan.lower().count("lineitem") <= 1
+    assert "Union" not in plan
+
+
+def test_temperature_mixture_broadcast_total(spark):
+    """The 1-row weight total broadcasts into the per-lang projection;
+    both count aggregates partial-aggregate map-side. (The doubly-
+    consumed |langs|-row count aggregate is deliberately lazy — the
+    checkpointed form measured slower, 0.47 s vs 0.35 s same-session;
+    see the docstring.)"""
+    from weather_data_pipeline_spark.plans.inspect import executed_plan
+
+    df = _Q["x8_temperature_mixture"](spark, SF)
+    assert has_partial_aggregation(df)
+    assert has_broadcast_join(df)
+    assert "CartesianProduct" not in executed_plan(df)
 
 
 def test_pagerank_broadcasts_rank_vector(spark):
@@ -1124,3 +1148,13 @@ def test_prefix_dim_recall_single_kernel_pass(spark):
     assert "ExistingRDD" in plan
     assert "parquet" not in plan.lower()
     assert "CartesianProduct" not in plan
+
+
+def test_asof_nearest_single_shuffle_no_join(spark):
+    """Both directional sweeps share ONE user_id exchange (two window
+    sorts over the same partitioning); there is no join operator and
+    no range-join pair blowup anywhere."""
+    df = _Q["x7_asof_nearest"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert num_shuffles(df) == 1

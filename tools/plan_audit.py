@@ -28,6 +28,15 @@ MULTI_JOB = {
     "x2_tfidf_cosine": "weighted term table localCheckpoints as a prior job",
     "x8_budget_select_scalable": "range-partition checkpoint + per-partition "
     "totals collect (O(config) rows) run as prior bounded jobs",
+    "x8_sequence_pack": "range-partition checkpoint + per-partition totals "
+    "collect (O(config) rows) run as prior bounded jobs",
+    "x4_perplexity_buckets_approx": "bigram-LM score triples localCheckpoint "
+    "as a prior job; the plan shows ExistingRDD scans of the one "
+    "materialization",
+    "x4_vocab_coverage": "term-frequency aggregate localCheckpoints as a "
+    "prior job; total and top-K prune both read the ExistingRDD",
+    "x3_prefix_dim_recall": "query collect + kernel-output localCheckpoint "
+    "run as prior jobs; both rankings read the one ExistingRDD",
 }
 
 

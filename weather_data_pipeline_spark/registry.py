@@ -105,7 +105,7 @@ _PRIORITY: tuple[str, ...] = (
     # ext_q13_cust_distribution, ext_q14_promo_revenue,
     # x6_holt_smoothing, x6_retention_cohorts, s_topk_stream,
     # x4_gopher_filter, ext_q15_top_supplier, x6_interval_merge,
-    # x4_bigram_logprob.
+    # x4_bigram_logprob, s_funnel_stream, x7_temporal_join.
     # (Round-7 rotated-out list preserved in git history at this file.)
     # --- the r8 queue (12): derived-partsupp TPC-H batch first ---
     "ext_q2_min_cost_supplier",
@@ -130,7 +130,9 @@ _PRIORITY: tuple[str, ...] = (
     "x2_containment_pairs",
     "x3_range_search",
     "x3_prefix_dim_recall",
-    # --- r7-green carryovers (26) ---
+    "x7_asof_nearest",
+    "s_c4_gate_stream",
+    # --- r7-green carryovers (24) ---
     "ext_q17_small_qty_revenue",
     "ext_q19_disjunctive_revenue",
     "ext_q21_waiting_supplier",
@@ -139,11 +141,9 @@ _PRIORITY: tuple[str, ...] = (
     "x9_pagerank",
     "x9_triangle_count",
     "ext_cdc_merge",
-    "s_funnel_stream",
     "x3_mips_topk",
     "x4_vocab_coverage",
     "x8_budget_select",
-    "x7_temporal_join",
     "x5_json_keys_profile",
     "w_csv_quarantine",
     "ext_cogroup_pandas",

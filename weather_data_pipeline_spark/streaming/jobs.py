@@ -337,3 +337,40 @@ def incremental_topk_per_key(
         "topk-state",
         checkpoint,
     )
+
+
+def streaming_c4_gate(source: DataFrame, sink_table: str) -> None:
+    """The C4-style cleaning funnel at INGEST time: quality gate
+    (word-count band) → language keep → first-seen exact dedup, as one
+    streaming pipeline — the stream twin of the x8_c4_pipeline batch
+    funnel's keep path. The cheap scan-side predicates run BEFORE the
+    stateful dedup, so rejected documents never enter (or grow) the
+    digest state store — at ingest scale the state carries only
+    accepted-corpus digests. Output columns are digest-determined
+    (hash, word count), so the drained sink is deterministic under any
+    arrival order."""
+    from ..operators.text_analysis import (
+        C4_KEEP_LANG,
+        C4_MAX_WORDS,
+        C4_MIN_WORDS,
+    )
+
+    wc = F.size(F.split("text", " "))
+    gated = (
+        source.filter(
+            (wc >= C4_MIN_WORDS)
+            & (wc <= C4_MAX_WORDS)
+            & (F.col("lang") == C4_KEEP_LANG)
+        )
+        .select(
+            F.md5("text").alias("content_hash"),
+            wc.cast("long").alias("wc"),
+        )
+        .dropDuplicates(["content_hash"])
+    )
+    run_to_completion(
+        gated.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("append"),
+        f"c4gate-{sink_table}",
+    )
