@@ -108,6 +108,7 @@ HEADLINE = [
     "x3_range_search",
     "x3_prefix_dim_recall",
     "x7_asof_nearest",
+    "x4_entropy_score",
 ]
 
 

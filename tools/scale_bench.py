@@ -170,6 +170,7 @@ QUERIES = [
     "x3_range_search",
     "x3_prefix_dim_recall",
     "x7_asof_nearest",
+    "x4_entropy_score",
 ]
 
 #: Viral boilerplate for the skew replica: untagged (shared verbatim

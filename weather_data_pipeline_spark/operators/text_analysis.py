@@ -2191,3 +2191,54 @@ def x8_c4_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit(0))
         ).cast("long").alias("tokens_kept"),
     )
+
+
+# ----------------------------------------------------------------------
+# Word-entropy quality score (round 8)
+# ----------------------------------------------------------------------
+@query(
+    "x4_entropy_score",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents
+    ), wc AS (
+      SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY doc_id, w
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           COUNT(*) AS distinct_words,
+           ROUND(ln(CAST(SUM(c) AS DOUBLE))
+                 - CAST(SUM(CAST(c * ln(CAST(c AS DOUBLE))
+                                 AS DECIMAL(28,12))) AS DOUBLE)
+                   / SUM(c), 6) AS entropy_nats
+    FROM wc GROUP BY doc_id
+    """,
+)
+def x4_entropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document word-distribution Shannon entropy (nats) — the
+    information-density quality signal: keyboard-mash and template
+    boilerplate score low (few distinct words dominating), natural
+    prose scores near ln(distinct). Complements the Gopher repetition
+    rules with a single scalar that pretraining filters can band.
+
+    Computed as H = ln(n) − (Σ c·ln c)/n over per-doc word counts, so
+    the only shuffle keys on (doc_id, word) and partial-aggregates;
+    the per-doc combine is exact: each word's c·ln(c) term is
+    truncated to DECIMAL(28,12) BEFORE the sum (the repo's decimal-sum
+    convention — order-independent across partitions and engines),
+    with one double ln + division at the emit boundary."""
+    doc = load_table(spark, sf_dir, "documents")
+    tok = doc.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    wc = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    term = (F.col("c") * F.log(F.col("c").cast("double"))).cast(
+        "decimal(28,12)"
+    )
+    return wc.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).alias("distinct_words"),
+        F.round(
+            F.log(F.sum("c").cast("double"))
+            - F.sum(term).cast("double") / F.sum("c"),
+            6,
+        ).alias("entropy_nats"),
+    )

@@ -105,7 +105,8 @@ _PRIORITY: tuple[str, ...] = (
     # ext_q13_cust_distribution, ext_q14_promo_revenue,
     # x6_holt_smoothing, x6_retention_cohorts, s_topk_stream,
     # x4_gopher_filter, ext_q15_top_supplier, x6_interval_merge,
-    # x4_bigram_logprob, s_funnel_stream, x7_temporal_join.
+    # x4_bigram_logprob, s_funnel_stream, x7_temporal_join,
+    # x2_dedup_keep_best.
     # (Round-7 rotated-out list preserved in git history at this file.)
     # --- the r8 queue (12): derived-partsupp TPC-H batch first ---
     "ext_q2_min_cost_supplier",
@@ -132,7 +133,8 @@ _PRIORITY: tuple[str, ...] = (
     "x3_prefix_dim_recall",
     "x7_asof_nearest",
     "s_c4_gate_stream",
-    # --- r7-green carryovers (24) ---
+    "x4_entropy_score",
+    # --- r7-green carryovers (23) ---
     "ext_q17_small_qty_revenue",
     "ext_q19_disjunctive_revenue",
     "ext_q21_waiting_supplier",
@@ -147,7 +149,6 @@ _PRIORITY: tuple[str, ...] = (
     "x5_json_keys_profile",
     "w_csv_quarantine",
     "ext_cogroup_pandas",
-    "x2_dedup_keep_best",
     "x4_heavy_hitters",
     "ext_incremental_agg",
     "x3_ivf_pq_topk",
