@@ -109,6 +109,7 @@ HEADLINE = [
     "x3_prefix_dim_recall",
     "x7_asof_nearest",
     "x4_entropy_score",
+    "x2_containment_capped",
 ]
 
 

@@ -171,6 +171,7 @@ QUERIES = [
     "x3_prefix_dim_recall",
     "x7_asof_nearest",
     "x4_entropy_score",
+    "x2_containment_capped",
 ]
 
 #: Viral boilerplate for the skew replica: untagged (shared verbatim

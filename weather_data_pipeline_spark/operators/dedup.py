@@ -124,11 +124,19 @@ def _gate_key(sf_dir: str | None):
     return (path, st.st_mtime_ns, st.st_size, MAX_UNCAPPED_DOCS)
 
 
-def _gate_uncapped(doc: DataFrame, op: str, sf_dir: str | None = None) -> DataFrame:
+def _gate_uncapped(
+    doc: DataFrame,
+    op: str,
+    sf_dir: str | None = None,
+    alt: str = "x2_ngram_jaccard_capped (df-capped, pair work ≤ "
+    "|docs|·DF_CAP) or x2_minhash_lsh_portable (banded buckets, "
+    "sub-quadratic)",
+) -> DataFrame:
     """Fail fast if ``doc`` exceeds the uncapped-rung ceiling. The guard
     job is bounded regardless of corpus size: the scan stops after
     MAX+1 rows instead of counting everything — and runs once per
-    documents-file version (verdict cached)."""
+    documents-file version (verdict cached). ``alt`` names the next
+    ladder rung(s) for this op's semantics."""
     key = _gate_key(sf_dir)
     over = _GATE_CACHE.get(key) if key is not None else None
     if over is None:
@@ -139,10 +147,7 @@ def _gate_uncapped(doc: DataFrame, op: str, sf_dir: str | None = None) -> DataFr
         raise ValueError(
             f"{op} is the exact UNCAPPED near-dup rung; past "
             f"{MAX_UNCAPPED_DOCS} docs a single viral shingle makes its "
-            f"pair join quadratic (Σ df²). Use x2_ngram_jaccard_capped "
-            f"(df-capped, pair work ≤ |docs|·DF_CAP) or "
-            f"x2_minhash_lsh_portable (banded buckets, sub-quadratic) "
-            f"at this scale"
+            f"pair join quadratic (Σ df²). Use {alt} at this scale"
         )
     return doc
 
@@ -1479,6 +1484,8 @@ def x2_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         fan_out(load_table(spark, sf_dir, "documents")),
         "x2_containment_pairs",
         sf_dir,
+        alt="x2_containment_capped (df-capped containment, pair work "
+        "≤ |docs|·DF_CAP)",
     )
     sh = shingle_arrays(doc, 3).select(
         "doc_id",
@@ -1497,6 +1504,81 @@ def x2_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     mn = F.least(F.col("n_a"), F.col("n_b"))
     return (
         pairs.filter(F.col("inter") * CONTAIN_DEN >= CONTAIN_NUM * mn)
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter",
+            F.round(F.col("inter") / mn, 6).alias("containment"),
+        )
+    )
+
+
+@query(
+    "x2_containment_capped",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+      FROM w, UNNEST(generate_series(1, len(words) - 2)) AS t(i)
+    ), hot AS (
+      SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > {DF_CAP}
+    ), sh2 AS (
+      SELECT * FROM sh ANTI JOIN hot USING (shingle)
+    ), n2 AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh2 GROUP BY doc_id
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, inter,
+           ROUND(inter / LEAST(x.n, y.n), 6) AS containment
+    FROM pairs
+    JOIN n2 x ON x.doc_id = doc_a
+    JOIN n2 y ON y.doc_id = doc_b
+    WHERE inter * {CONTAIN_DEN} >= {CONTAIN_NUM} * LEAST(x.n, y.n)
+    """,
+)
+def x2_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe containment pairs — the 100-TB rung of
+    ``x2_containment_pairs``: shingles with document frequency above
+    ``DF_CAP`` are dropped BEFORE the pair join (the
+    x2_ngram_jaccard_capped mitigation; the viral-shingle posting-list
+    blowup is identical regardless of which similarity the pair feeds)
+    and containment is computed consistently over the CAPPED gram sets
+    on both engines. Same integer cross-multiplied threshold; the hot
+    list is broadcast-anti-joined; worst-case pair work is
+    |docs|·DF_CAP instead of Σ df²."""
+    doc = fan_out(load_table(spark, sf_dir, "documents"))
+    sh = shingle_arrays(doc, 3).select(
+        "doc_id", F.explode("grams").alias("shingle")
+    ).select("doc_id", F.xxhash64("shingle").alias("h"))
+    hot = (
+        sh.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > DF_CAP)
+        .select("h")
+    )
+    sh2 = sh.join(F.broadcast(hot), "h", "left_anti")
+    n2 = sh2.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh2.select(F.col("doc_id").alias("doc_a"), "h")
+    b = sh2.select(F.col("doc_id").alias("doc_b"), "h")
+    pairs = (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = n2.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    nb = n2.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    mn = F.least(F.col("n_a"), F.col("n_b"))
+    return (
+        pairs.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(F.col("inter") * CONTAIN_DEN >= CONTAIN_NUM * mn)
         .select(
             "doc_a",
             "doc_b",

@@ -106,7 +106,7 @@ _PRIORITY: tuple[str, ...] = (
     # x6_holt_smoothing, x6_retention_cohorts, s_topk_stream,
     # x4_gopher_filter, ext_q15_top_supplier, x6_interval_merge,
     # x4_bigram_logprob, s_funnel_stream, x7_temporal_join,
-    # x2_dedup_keep_best.
+    # x2_dedup_keep_best, x2_semantic_dedup.
     # (Round-7 rotated-out list preserved in git history at this file.)
     # --- the r8 queue (12): derived-partsupp TPC-H batch first ---
     "ext_q2_min_cost_supplier",
@@ -134,7 +134,8 @@ _PRIORITY: tuple[str, ...] = (
     "x7_asof_nearest",
     "s_c4_gate_stream",
     "x4_entropy_score",
-    # --- r7-green carryovers (23) ---
+    "x2_containment_capped",
+    # --- r7-green carryovers (22) ---
     "ext_q17_small_qty_revenue",
     "ext_q19_disjunctive_revenue",
     "ext_q21_waiting_supplier",
@@ -153,7 +154,6 @@ _PRIORITY: tuple[str, ...] = (
     "ext_incremental_agg",
     "x3_ivf_pq_topk",
     "x6_rfm_scores",
-    "x2_semantic_dedup",
     "x1_line_dedup",
     "x8_length_buckets",
     "x1_intradoc_line_dedup",
