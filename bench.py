@@ -110,6 +110,7 @@ HEADLINE = [
     "x7_asof_nearest",
     "x4_entropy_score",
     "x2_containment_capped",
+    "ext_bloom_join_prune",
 ]
 
 

@@ -1158,3 +1158,30 @@ def test_asof_nearest_single_shuffle_no_join(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert num_shuffles(df) == 1
+
+
+def test_bloom_filter_prunes_probe_scan(spark):
+    """With the runtime-filter confs set, the probe (lineitem) scan
+    must carry might_contain over a bloom_filter_agg subquery built
+    from the filtered orders side — rows die at the scan, not in the
+    join. (The registered query sets the same confs scoped around an
+    eager materialization.)"""
+    from weather_data_pipeline_spark.operators.joins_aggs import (
+        _BLOOM_CONFS,
+        _bloom_join,
+    )
+    from weather_data_pipeline_spark.plans.inspect import executed_plan
+
+    old = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    for k, v in _BLOOM_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        plan = executed_plan(_bloom_join(spark, SF))
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert "bloom_filter_agg" in plan
+    assert "might_contain" in plan

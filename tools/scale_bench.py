@@ -172,6 +172,7 @@ QUERIES = [
     "x7_asof_nearest",
     "x4_entropy_score",
     "x2_containment_capped",
+    "ext_bloom_join_prune",
 ]
 
 #: Viral boilerplate for the skew replica: untagged (shared verbatim

@@ -1201,3 +1201,83 @@ def ext_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("s").cast("double"), 2).alias("total_value"),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# Runtime Bloom-filter join pruning (round 8)
+# ----------------------------------------------------------------------
+#: conf knobs that make Spark inject a runtime bloom filter on the
+#: application side of a selective shuffle join at the tested SFs (the
+#: defaults target multi-GB scans; semantics are unchanged either way)
+_BLOOM_CONFS = {
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.optimizer.runtime.bloomFilter."
+    "applicationSideScanSizeThreshold": "0",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+def _bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lazy plan: selective dim-filtered orders ⋈ lineitem as a
+    SHUFFLE join (broadcast disabled so the runtime-filter path is the
+    one under test) rolled up to one row."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)")
+        - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(rev).cast("double"), 2).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "ext_bloom_join_prune",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_items,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (CAST(1 AS DECIMAL(18,2))
+                    - CAST(l_discount AS DECIMAL(18,2))))
+                 AS DOUBLE), 2) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY o_orderpriority
+    """,
+)
+def ext_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter join pruning — the 100-TB shuffle-join
+    technique the broadcast path can't reach: when the filtered build
+    side is too big to broadcast but still selective, Spark aggregates
+    a bloom filter over its join keys (partial-aggregated, mergeable)
+    and injects ``might_contain(xxhash64(key))`` into the probe side's
+    SCAN, so most fact rows die before the exchange instead of
+    shuffling to die in the join. The plan gate asserts
+    ``bloom_filter_agg`` + ``might_contain`` are present
+    (tests/test_plans.py); results are value-identical with the
+    filter on or off — the oracle checks the money math (DECIMAL(18,2)
+    revenue, exact until the emit rounding).
+
+    The enabling confs are scoped set/restore around an EAGER
+    materialization (the defaults aim the feature at multi-GB scans;
+    forcing it at sf0.1 demonstrates the plan shape without leaving
+    broadcast disabled for the rest of the session)."""
+    old = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    for k, v in _BLOOM_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        return _bloom_join(spark, sf_dir).localCheckpoint(eager=True)
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
