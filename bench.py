@@ -111,6 +111,7 @@ HEADLINE = [
     "x4_entropy_score",
     "x2_containment_capped",
     "ext_bloom_join_prune",
+    "x3_ivf_rerank_topk",
 ]
 
 

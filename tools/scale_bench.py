@@ -173,6 +173,7 @@ QUERIES = [
     "x4_entropy_score",
     "x2_containment_capped",
     "ext_bloom_join_prune",
+    "x3_ivf_rerank_topk",
 ]
 
 #: Viral boilerplate for the skew replica: untagged (shared verbatim

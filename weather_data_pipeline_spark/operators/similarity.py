@@ -1805,3 +1805,138 @@ def x3_prefix_dim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("hit").alias("n_overlap"),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# Two-stage retrieval (round 8): cheap candidate gen → exact re-rank
+# ----------------------------------------------------------------------
+#: stage-1 candidates per query (re-ranked exactly down to TOP_K)
+RERANK_CAND_K = 20
+
+
+@query(
+    "x3_ivf_rerank_topk",
+    oracle=f"""
+    WITH {_DUCK_CENTROIDS},
+    cand AS (
+      SELECT query_id, vec_id, q_emb FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+               q.embedding AS q_emb,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY ROUND({_DUCK_COS.format(
+                     a='q.embedding[1:16]', b='c.embedding[1:16]')}, 6) DESC,
+                          c.vec_id) AS rn
+        FROM (SELECT * FROM assigned WHERE vec_id < {N_QUERIES}) q
+        JOIN assigned c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+      ) WHERE rn <= {RERANK_CAND_K}
+    )
+    SELECT query_id, vec_id, sim FROM (
+      SELECT cand.query_id, cand.vec_id,
+             ROUND({_DUCK_COS.format(a='cand.q_emb', b='e.embedding')}, 6)
+               AS sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY cand.query_id
+               ORDER BY ROUND({_DUCK_COS.format(
+                   a='cand.q_emb', b='e.embedding')}, 6) DESC,
+                        cand.vec_id) AS rn
+      FROM cand JOIN embeddings e ON e.vec_id = cand.vec_id
+    ) WHERE rn <= {TOP_K}
+    """,
+)
+def x3_ivf_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production two-stage retrieval stack: IVF list probe ranked
+    by a CHEAP similarity (first-16-dim prefix cosine — the same
+    truncation x3_prefix_dim_recall evaluates; a PQ/ADC table plays
+    this role in x3_ivf_pq_topk) produces ``RERANK_CAND_K`` candidate
+    ids per query, then ONLY those candidates are gathered by vec_id
+    and re-ranked with the exact full-dimensional cosine down to
+    ``TOP_K``. At index scale stage 1 touches |list|·16 dims and stage
+    2 touches CAND_K·64 — the refine step costs O(candidates), not
+    O(list), which is why every FAISS-style deployment ends with it.
+
+    Execution: corpus assigned once (broadcast-argmax mapInPandas, no
+    shuffle); stage 1 is the bucket equi-join + a |queries|-partition
+    window; stage 2 BROADCASTS the candidate ids (|queries|·CAND_K
+    rows) back onto the embeddings table — the full corpus is never
+    rescanned into Python. Deterministic end-to-end (truncated
+    centroids, fold-order-stable cosines, vec_id tiebreaks), so the
+    whole two-stage pipeline is value-checked by the oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+        "label",
+    ).cache()
+    n_corpus = base.count()
+    rows = build_centroids(base, "label", n_corpus).collect()
+    rows.sort(key=lambda r: r["label"])
+    c_labels = np.array([r["label"] for r in rows], dtype=np.int64)
+    c_mat = np.array([r["centroid"] for r in rows], dtype=np.float64)
+    bc = spark.sparkContext.broadcast(
+        (c_labels, c_mat, _seq_self_norms(c_mat))
+    )
+    assigned = base.select("vec_id", "embedding").mapInPandas(
+        _assign_fn(bc),
+        schema="vec_id long, embedding array<double>, bucket long",
+    )
+    qrows = (
+        base.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    base.unpersist()
+    q_mat = np.array([r[1] for r in qrows], dtype=np.float64)
+    q_norms = _seq_self_norms(q_mat)
+    acc = np.zeros((q_mat.shape[0], c_mat.shape[0]))
+    for k in range(q_mat.shape[1]):
+        acc += np.outer(q_mat[:, k], c_mat[:, k])
+    q_sims = np.round(
+        acc / np.outer(q_norms, _seq_self_norms(c_mat)), 6
+    )
+    probe_rows = [
+        (
+            int(r[0]),
+            list(r[1]),
+            int(c_labels[np.argsort(-q_sims[i], kind="stable")[0]]),
+        )
+        for i, r in enumerate(qrows)
+    ]
+    q = F.broadcast(
+        spark.createDataFrame(
+            probe_rows,
+            schema="query_id long, q_emb array<double>, q_bucket long",
+        )
+    )
+    # stage 1: prefix-dim cosine within the probed list → CAND_K ids
+    sim16 = F.round(
+        cosine(F.slice("q_emb", 1, 16), F.slice("embedding", 1, 16)), 6
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("sim16").desc(), F.col("vec_id")
+    )
+    cand = (
+        assigned.join(
+            q,
+            (F.col("bucket") == F.col("q_bucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", "vec_id", "q_emb", sim16.alias("sim16"))
+        .withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= RERANK_CAND_K)
+        .select("query_id", "vec_id", "q_emb")
+    )
+    # stage 2: gather candidate vectors by id, exact full-dim re-rank
+    gathered = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).join(F.broadcast(cand), "vec_id")
+    sim = F.round(cosine(F.col("q_emb"), F.col("embedding")), 6)
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id")
+    )
+    return (
+        gathered.select("query_id", "vec_id", sim.alias("sim"))
+        .withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "vec_id", "sim")
+    )

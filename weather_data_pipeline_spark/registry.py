@@ -106,7 +106,8 @@ _PRIORITY: tuple[str, ...] = (
     # x6_holt_smoothing, x6_retention_cohorts, s_topk_stream,
     # x4_gopher_filter, ext_q15_top_supplier, x6_interval_merge,
     # x4_bigram_logprob, s_funnel_stream, x7_temporal_join,
-    # x2_dedup_keep_best, x2_semantic_dedup, ext_incremental_agg.
+    # x2_dedup_keep_best, x2_semantic_dedup, ext_incremental_agg,
+    # x3_ivf_pq_topk.
     # (Round-7 rotated-out list preserved in git history at this file.)
     # --- the r8 queue (12): derived-partsupp TPC-H batch first ---
     "ext_q2_min_cost_supplier",
@@ -136,7 +137,8 @@ _PRIORITY: tuple[str, ...] = (
     "x4_entropy_score",
     "x2_containment_capped",
     "ext_bloom_join_prune",
-    # --- r7-green carryovers (21) ---
+    "x3_ivf_rerank_topk",
+    # --- r7-green carryovers (20) ---
     "ext_q17_small_qty_revenue",
     "ext_q19_disjunctive_revenue",
     "ext_q21_waiting_supplier",
@@ -152,7 +154,6 @@ _PRIORITY: tuple[str, ...] = (
     "w_csv_quarantine",
     "ext_cogroup_pandas",
     "x4_heavy_hitters",
-    "x3_ivf_pq_topk",
     "x6_rfm_scores",
     "x1_line_dedup",
     "x8_length_buckets",
