@@ -112,6 +112,7 @@ HEADLINE = [
     "x2_containment_capped",
     "ext_bloom_join_prune",
     "x3_ivf_rerank_topk",
+    "mm_image_phash_dedup",
 ]
 
 

@@ -174,6 +174,7 @@ QUERIES = [
     "x2_containment_capped",
     "ext_bloom_join_prune",
     "x3_ivf_rerank_topk",
+    "mm_image_phash_dedup",
 ]
 
 #: Viral boilerplate for the skew replica: untagged (shared verbatim

@@ -616,3 +616,108 @@ def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.filter(F.col("media_type") == "audio/wav").mapInPandas(
         _audio_energy_batches, schema=_AUDIO_SCHEMA
     )
+
+
+# ----------------------------------------------------------------------
+# Perceptual-hash image dedup (round 8): the multimodal dedup bridge
+# ----------------------------------------------------------------------
+def _phash_batches(it: Iterator) -> Iterator:
+    import numpy as np
+    import pandas as pd
+
+    for pdf in it:
+        out = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            img = _try_decode(bytes(payload))
+            if img is None:
+                continue
+            thumb = resize_image(img, 4, 4).astype(np.int64)
+            gray = (thumb[:, :, 0] + thumb[:, :, 1] + thumb[:, :, 2]) // 3
+            flat = gray.reshape(-1)  # row-major = (row, col) scan order
+            mu = int(flat.sum()) // 16
+            bits = 0
+            for k in range(16):
+                if int(flat[k]) >= mu:
+                    bits |= 1 << k
+            out.append((int(doc_id), bits))
+        yield pd.DataFrame(out, columns=["doc_id", "phash"])
+
+
+@query(
+    "mm_image_phash_dedup",
+    oracle=f"""
+    WITH {_MM_PAYLOAD_CTES},
+    img AS (
+      SELECT p.doc_id, p.w, p.h, substr(p.phex, 23) AS pixhex
+      FROM payload p WHERE p.m = 0
+    ),
+    thumb AS (
+      SELECT i.doc_id,
+             string_agg(
+               substr(i.pixhex,
+                      CAST(6 * ((r.r * i.h // 4) * i.w + (c.c * i.w // 4)) + 1
+                           AS INTEGER), 6),
+               '' ORDER BY r.r, c.c) AS thex
+      FROM img i,
+           UNNEST(generate_series(0, 3)) AS r(r),
+           UNNEST(generate_series(0, 3)) AS c(c)
+      GROUP BY i.doc_id
+    ),
+    bytes AS (
+      SELECT t.doc_id, k.k,
+             16 * (strpos('0123456789ABCDEF',
+                          substr(t.thex, CAST(6 * k.k + 2 * b.b + 1
+                                              AS INTEGER), 1)) - 1)
+             + (strpos('0123456789ABCDEF',
+                       substr(t.thex, CAST(6 * k.k + 2 * b.b + 2
+                                           AS INTEGER), 1)) - 1) AS byte
+      FROM thumb t,
+           UNNEST(generate_series(0, 15)) AS k(k),
+           UNNEST(generate_series(0, 2)) AS b(b)
+    ),
+    cells AS (
+      SELECT doc_id, k, CAST(SUM(byte) // 3 AS BIGINT) AS gray
+      FROM bytes GROUP BY doc_id, k
+    ),
+    mu AS (
+      SELECT doc_id, CAST(SUM(gray) // 16 AS BIGINT) AS mu
+      FROM cells GROUP BY doc_id
+    ),
+    hashes AS (
+      SELECT c.doc_id,
+             CAST(SUM(CASE WHEN c.gray >= m.mu
+                           THEN CAST(1 AS BIGINT) << c.k
+                           ELSE 0 END) AS BIGINT) AS phash
+      FROM cells c JOIN mu m USING (doc_id)
+      GROUP BY c.doc_id
+    )
+    SELECT phash, COUNT(*) AS n_images, MIN(doc_id) AS keeper_doc_id
+    FROM hashes GROUP BY phash
+    """,
+)
+def mm_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup — the multimodal rung of the dedup
+    ladder: each image is decoded (real pure-numpy PPM), average-pooled
+    to a 4×4 grayscale thumbnail via the shared nearest-neighbor
+    resize, and hashed by the aHash rule (bit k set iff cell k's
+    integer gray ≥ the thumbnail's integer mean gray) into a 16-bit
+    perceptual fingerprint; images grouped by fingerprint are
+    near-duplicate candidates (re-encodes/resizes of one image land in
+    one bucket — byte-hash dedup can't see them). Keeper = lowest
+    doc_id per bucket, same policy as x1_exact_dedup.
+
+    Scale shape identical to x1_exact_dedup_hash with the digest
+    computed by an Arrow kernel instead of md5: one corpus scan
+    through mapInPandas (no shuffle touches pixels), then a 2-byte-key
+    hash-groupBy. All arithmetic is INTEGER (floor-div gray, floor-div
+    mean, ≥ threshold) so the 16 bits are engine-exact; the oracle
+    replays decode → NN-resize → pool → threshold in SQL over the hex
+    payload (same replay machinery as mm_resize_thumbnail)."""
+    m = media_table(spark, sf_dir)
+    hashed = m.filter(F.col("media_type") == "image/ppm").mapInPandas(
+        _phash_batches, schema="doc_id long, phash long"
+    )
+    return hashed.groupBy("phash").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.min("doc_id").alias("keeper_doc_id"),
+    )

@@ -107,7 +107,7 @@ _PRIORITY: tuple[str, ...] = (
     # x4_gopher_filter, ext_q15_top_supplier, x6_interval_merge,
     # x4_bigram_logprob, s_funnel_stream, x7_temporal_join,
     # x2_dedup_keep_best, x2_semantic_dedup, ext_incremental_agg,
-    # x3_ivf_pq_topk.
+    # x3_ivf_pq_topk, mm_audio_energy.
     # (Round-7 rotated-out list preserved in git history at this file.)
     # --- the r8 queue (12): derived-partsupp TPC-H batch first ---
     "ext_q2_min_cost_supplier",
@@ -138,7 +138,8 @@ _PRIORITY: tuple[str, ...] = (
     "x2_containment_capped",
     "ext_bloom_join_prune",
     "x3_ivf_rerank_topk",
-    # --- r7-green carryovers (20) ---
+    "mm_image_phash_dedup",
+    # --- r7-green carryovers (19) ---
     "ext_q17_small_qty_revenue",
     "ext_q19_disjunctive_revenue",
     "ext_q21_waiting_supplier",
@@ -159,7 +160,6 @@ _PRIORITY: tuple[str, ...] = (
     "x8_length_buckets",
     "x1_intradoc_line_dedup",
     "x4_perplexity_buckets",
-    "mm_audio_energy",
 )
 
 #: Round-9 rotation queue — every registered query not yet covered by the
