@@ -113,6 +113,8 @@ HEADLINE = [
     "ext_bloom_join_prune",
     "x3_ivf_rerank_topk",
     "mm_image_phash_dedup",
+    "x6_seasonal_baseline",
+    "x3_binary_hamming_topk",
 ]
 
 

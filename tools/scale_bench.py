@@ -175,6 +175,8 @@ QUERIES = [
     "ext_bloom_join_prune",
     "x3_ivf_rerank_topk",
     "mm_image_phash_dedup",
+    "x6_seasonal_baseline",
+    "x3_binary_hamming_topk",
 ]
 
 #: Viral boilerplate for the skew replica: untagged (shared verbatim

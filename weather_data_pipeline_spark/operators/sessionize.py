@@ -1294,3 +1294,55 @@ def x7_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & ((F.col("valid_to") > F.col("ts")) | F.col("valid_to").isNull()),
         "left",
     ).select("event_id", "user_id", "ts", "dim_version", "dim_value")
+
+
+# ----------------------------------------------------------------------
+# Day-of-week seasonal baseline + residual anomalies (round 8)
+# ----------------------------------------------------------------------
+@query(
+    "x6_seasonal_baseline",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type, dayofweek(ts) + 1 AS dow,
+             CAST(value AS DECIMAL(18,2)) AS v
+      FROM events
+    ), base AS (
+      SELECT event_type, dow,
+             COUNT(*) AS n,
+             SUM(v) AS s,
+             SUM(v * v) AS s2
+      FROM ev GROUP BY event_type, dow
+    )
+    SELECT event_type, CAST(dow AS BIGINT) AS dow,
+           CAST(n AS BIGINT) AS n_events,
+           ROUND(CAST(s AS DOUBLE) / n, 6) AS mean_value,
+           ROUND(CAST(s2 AS DOUBLE) / n
+                 - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n), 6)
+             AS var_value
+    FROM base
+    """,
+)
+def x6_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal baseline per event type — the profile a
+    seasonality-aware anomaly detector subtracts before flagging (a
+    Monday spike is only anomalous relative to Mondays). Mean and
+    population variance per (event_type, dow) cell from EXACT decimal
+    sums (v and v² summed as DECIMAL — order-independent across
+    partitions and engines; the only doubles are the two divisions at
+    the emit boundary, identical IEEE ops both sides). DuckDB's dow is
+    0-based Sunday, Spark's 1-based — the oracle shifts by one. One
+    partial-aggregated shuffle carrying ≤ |types|·7 combiner rows per
+    task; Sunday=1 dayofweek convention matches on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(18,2)")
+    n = F.count(F.lit(1))
+    s = F.sum(v)
+    s2 = F.sum(v * v)
+    mean = s.cast("double") / n
+    return ev.groupBy(
+        "event_type", F.dayofweek("ts").cast("long").alias("dow")
+    ).agg(
+        n.alias("n_events"),
+        F.round(mean, 6).alias("mean_value"),
+        F.round(s2.cast("double") / n - mean * mean, 6).alias("var_value"),
+    )

@@ -1940,3 +1940,88 @@ def x3_ivf_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("query_id", "vec_id", "sim")
     )
+
+
+# ----------------------------------------------------------------------
+# Binary (sign) quantization + Hamming top-k (round 8)
+# ----------------------------------------------------------------------
+_BQ_SPARK = (
+    "aggregate(sequence({lo}, {hi}), 0L, (acc, i) -> "
+    "acc | IF(element_at(embedding, i + 1) > 0, shiftleft(1L, i - {lo}), 0L))"
+)
+_BQ_DUCK = """
+    codes AS (
+      SELECT vec_id,
+             bit_or(CASE WHEN CAST(embedding[i] AS DOUBLE) > 0
+                         AND i <= 32
+                    THEN CAST(1 AS BIGINT) << (i - 1) ELSE 0 END) AS c_lo,
+             bit_or(CASE WHEN CAST(embedding[i] AS DOUBLE) > 0
+                         AND i > 32
+                    THEN CAST(1 AS BIGINT) << (i - 33) ELSE 0 END) AS c_hi
+      FROM embeddings, UNNEST(generate_series(1, 64)) AS t(i)
+      GROUP BY vec_id
+    )
+"""
+
+
+@query(
+    "x3_binary_hamming_topk",
+    oracle=f"""
+    WITH {_BQ_DUCK}
+    SELECT query_id, vec_id, hamming FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+             CAST(bit_count(xor(q.c_lo, c.c_lo))
+                  + bit_count(xor(q.c_hi, c.c_hi)) AS BIGINT) AS hamming,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY bit_count(xor(q.c_lo, c.c_lo))
+                        + bit_count(xor(q.c_hi, c.c_hi)), c.vec_id) AS rn
+      FROM (SELECT * FROM codes WHERE vec_id < {N_QUERIES}) q
+      CROSS JOIN codes c
+      WHERE q.vec_id <> c.vec_id
+    ) WHERE rn <= {TOP_K}
+    """,
+)
+def x3_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary (sign) quantization retrieval — 64-d float vectors
+    compressed 32× into two 32-bit sign words, ranked by Hamming
+    distance (popcount of XOR): the cheapest rung of the quantization
+    ladder (int8 → PQ → binary) and the modern first-pass filter for
+    binary-embedding indexes. Codes build in ONE corpus scan with a
+    JVM-side bitwise fold (no Python); distance is two xor+bit_count
+    ops per comparison — what makes binary indexes memory-bandwidth
+    bound rather than FLOP bound.
+
+    The two-word layout (dims 1-32 → c_lo, 33-64 → c_hi) keeps every
+    shift strictly below 2⁶³ on both engines (DuckDB raises on
+    1 << 63 where Spark wraps — the exact engine-divergence class this
+    repo's integer conventions exist to avoid). Ranking is exactly
+    reproducible: integer distances, vec_id tiebreaks. At index scale
+    the same codes bucket by prefix word for sub-linear candidate
+    generation; here the gated-exact-rung convention applies (query
+    side bounded at N_QUERIES, one |queries|-partition window)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes = emb.select(
+        "vec_id",
+        F.expr(_BQ_SPARK.format(lo=0, hi=31)).alias("c_lo"),
+        F.expr(_BQ_SPARK.format(lo=32, hi=63)).alias("c_hi"),
+    )
+    q = F.broadcast(
+        codes.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("c_lo").alias("q_lo"),
+            F.col("c_hi").alias("q_hi"),
+        )
+    )
+    ham = (
+        F.bit_count(F.col("q_lo").bitwiseXOR(F.col("c_lo")))
+        + F.bit_count(F.col("q_hi").bitwiseXOR(F.col("c_hi")))
+    ).cast("long")
+    w = Window.partitionBy("query_id").orderBy("hamming", "vec_id")
+    return (
+        codes.join(q, F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", ham.alias("hamming"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "vec_id", "hamming")
+    )

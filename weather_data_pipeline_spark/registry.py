@@ -107,7 +107,7 @@ _PRIORITY: tuple[str, ...] = (
     # x4_gopher_filter, ext_q15_top_supplier, x6_interval_merge,
     # x4_bigram_logprob, s_funnel_stream, x7_temporal_join,
     # x2_dedup_keep_best, x2_semantic_dedup, ext_incremental_agg,
-    # x3_ivf_pq_topk, mm_audio_energy.
+    # x3_ivf_pq_topk, mm_audio_energy, x3_mips_topk, x6_rfm_scores.
     # (Round-7 rotated-out list preserved in git history at this file.)
     # --- the r8 queue (12): derived-partsupp TPC-H batch first ---
     "ext_q2_min_cost_supplier",
@@ -139,7 +139,9 @@ _PRIORITY: tuple[str, ...] = (
     "ext_bloom_join_prune",
     "x3_ivf_rerank_topk",
     "mm_image_phash_dedup",
-    # --- r7-green carryovers (19) ---
+    "x6_seasonal_baseline",
+    "x3_binary_hamming_topk",
+    # --- r7-green carryovers (17) ---
     "ext_q17_small_qty_revenue",
     "ext_q19_disjunctive_revenue",
     "ext_q21_waiting_supplier",
@@ -148,14 +150,12 @@ _PRIORITY: tuple[str, ...] = (
     "x9_pagerank",
     "x9_triangle_count",
     "ext_cdc_merge",
-    "x3_mips_topk",
     "x4_vocab_coverage",
     "x8_budget_select",
     "x5_json_keys_profile",
     "w_csv_quarantine",
     "ext_cogroup_pandas",
     "x4_heavy_hitters",
-    "x6_rfm_scores",
     "x1_line_dedup",
     "x8_length_buckets",
     "x1_intradoc_line_dedup",
