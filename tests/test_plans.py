@@ -1185,3 +1185,46 @@ def test_bloom_filter_prunes_probe_scan(spark):
                 spark.conf.set(k, v)
     assert "bloom_filter_agg" in plan
     assert "might_contain" in plan
+
+
+def test_ivf_rerank_gathers_candidates_by_id(spark):
+    """Stage 2 must re-rank only GATHERED candidates: the candidate id
+    set broadcasts back onto the embeddings table (broadcast join on
+    vec_id) — the corpus is never rescanned into Python for the
+    refine, and no cartesian product appears anywhere."""
+    from weather_data_pipeline_spark.plans.inspect import executed_plan
+
+    plan = executed_plan(_Q["x3_ivf_rerank_topk"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_phash_dedup_no_pixel_shuffle(spark):
+    """The perceptual-hash groupBy must key on the 2-byte fingerprint:
+    pixels stay inside the Arrow kernel (one scan, no shuffle carries
+    payload bytes) and the count partial-aggregates."""
+    df = _Q["mm_image_phash_dedup"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert has_partial_aggregation(df)
+    assert num_shuffles(df) == 1
+    assert "payload" not in plan.split("Exchange")[0]  # agg side is hash-only
+
+
+def test_seasonal_baseline_single_partial_agg(spark):
+    """One partial-aggregated exchange carrying (type, dow) cells."""
+    df = _Q["x6_seasonal_baseline"](spark, SF)
+    assert has_partial_aggregation(df)
+    assert num_shuffles(df) == 1
+
+
+def test_binary_hamming_codes_build_jvm_side(spark):
+    """The sign-code build is a JVM bitwise fold (no Python stage
+    anywhere in the plan); query codes broadcast; the only exchange is
+    the |queries|-partition top-k window."""
+    df = _Q["x3_binary_hamming_topk"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+    # one BroadcastExchange (query codes) + one hash exchange (top-k
+    # window) — num_shuffles counts both kinds
+    assert plan.count("Exchange hashpartitioning") == 1
