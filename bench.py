@@ -115,6 +115,7 @@ HEADLINE = [
     "mm_image_phash_dedup",
     "x6_seasonal_baseline",
     "x3_binary_hamming_topk",
+    "ext_dq_audit",
 ]
 
 

@@ -177,6 +177,7 @@ QUERIES = [
     "mm_image_phash_dedup",
     "x6_seasonal_baseline",
     "x3_binary_hamming_topk",
+    "ext_dq_audit",
 ]
 
 #: Viral boilerplate for the skew replica: untagged (shared verbatim

@@ -1281,3 +1281,134 @@ def ext_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+# ----------------------------------------------------------------------
+# Declarative data-quality audit (round 8): Deequ-style constraint pass
+# ----------------------------------------------------------------------
+@query(
+    "ext_dq_audit",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'orders_pk_unique' AS constraint_name, 'orders' AS tbl,
+             COUNT(*) AS n_checked,
+             CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+               AS n_violations
+      FROM orders
+      UNION ALL
+      SELECT 'orders_custkey_not_null', 'orders', COUNT(*),
+             CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'orders_custkey_ri', 'orders', COUNT(*),
+             CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT)
+      FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      UNION ALL
+      SELECT 'events_value_in_range', 'events', COUNT(*),
+             CAST(SUM(CASE WHEN value < 0 OR value >= 1000000
+                      THEN 1 ELSE 0 END) AS BIGINT)
+      FROM events
+      UNION ALL
+      SELECT 'events_props_k_is_int', 'events', COUNT(*),
+             CAST(SUM(CASE WHEN TRY_CAST(
+                        json_extract_string(props, '$.k') AS INTEGER)
+                      IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      FROM events
+      UNION ALL
+      SELECT 'lineitem_quantity_positive', 'lineitem', COUNT(*),
+             CAST(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END)
+                  AS BIGINT)
+      FROM lineitem
+    )
+    """,
+)
+def ext_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit (the Deequ/Great-Expectations
+    operator class): a constraint suite — primary-key uniqueness,
+    non-null, referential integrity, value range, JSON type coercion —
+    evaluated in ONE aggregation pass PER TABLE (all of a table's
+    within-table constraints share a single scan and a single 1-row
+    partial aggregate; only the RI check adds a broadcast-dim left
+    join), unioned into the tiny (constraint, table, checked,
+    violations) report a pipeline gates a release on.
+
+    Scale shape: violations counts are conditional partial aggregates
+    (map-side combined to one row per task); nothing data-sized
+    survives past the scans. The same suite at 100 TB is the same
+    plan — constraint evaluation is embarrassingly aggregable. All
+    counts integer-exact on both engines (TRY_CAST/try_cast agree on
+    the decimal-string grammar for INT)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    events = load_table(spark, sf_dir, "events")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def row(name, tbl, checked, violations):
+        return (
+            F.lit(name).alias("constraint_name"),
+            F.lit(tbl).alias("tbl"),
+            checked.alias("n_checked"),
+            violations.cast("long").alias("n_violations"),
+        )
+
+    cnt = F.count(F.lit(1))
+    o_suite = orders.agg(
+        cnt.alias("n"),
+        (cnt - F.countDistinct("o_orderkey")).alias("dup_pk"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias(
+            "null_ck"
+        ),
+    )
+    pk = o_suite.select(
+        *row("orders_pk_unique", "orders", F.col("n"), F.col("dup_pk"))
+    )
+    nn = o_suite.select(
+        *row("orders_custkey_not_null", "orders", F.col("n"), F.col("null_ck"))
+    )
+    ri = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey")),
+            orders.o_custkey == F.col("c_custkey"),
+            "left",
+        )
+        .agg(
+            cnt.alias("n"),
+            F.sum(
+                F.when(F.col("c_custkey").isNull(), 1).otherwise(0)
+            ).alias("v"),
+        )
+        .select(*row("orders_custkey_ri", "orders", F.col("n"), F.col("v")))
+    )
+    ev_suite = events.agg(
+        cnt.alias("n"),
+        F.sum(
+            F.when(
+                (F.col("value") < 0) | (F.col("value") >= 1_000_000), 1
+            ).otherwise(0)
+        ).alias("range_v"),
+        F.sum(
+            F.when(
+                F.expr(
+                    "try_cast(get_json_object(props, '$.k') AS int)"
+                ).isNull(),
+                1,
+            ).otherwise(0)
+        ).alias("coerce_v"),
+    )
+    ev_range = ev_suite.select(
+        *row("events_value_in_range", "events", F.col("n"), F.col("range_v"))
+    )
+    ev_coerce = ev_suite.select(
+        *row("events_props_k_is_int", "events", F.col("n"), F.col("coerce_v"))
+    )
+    qty = li.agg(
+        cnt.alias("n"),
+        F.sum(F.when(F.col("l_quantity") <= 0, 1).otherwise(0)).alias("v"),
+    ).select(
+        *row("lineitem_quantity_positive", "lineitem", F.col("n"), F.col("v"))
+    )
+    return pk.unionByName(nn).unionByName(ri).unionByName(ev_range).unionByName(
+        ev_coerce
+    ).unionByName(qty)

@@ -107,7 +107,8 @@ _PRIORITY: tuple[str, ...] = (
     # x4_gopher_filter, ext_q15_top_supplier, x6_interval_merge,
     # x4_bigram_logprob, s_funnel_stream, x7_temporal_join,
     # x2_dedup_keep_best, x2_semantic_dedup, ext_incremental_agg,
-    # x3_ivf_pq_topk, mm_audio_energy, x3_mips_topk, x6_rfm_scores.
+    # x3_ivf_pq_topk, mm_audio_energy, x3_mips_topk, x6_rfm_scores,
+    # ext_q17_small_qty_revenue.
     # (Round-7 rotated-out list preserved in git history at this file.)
     # --- the r8 queue (12): derived-partsupp TPC-H batch first ---
     "ext_q2_min_cost_supplier",
@@ -141,8 +142,8 @@ _PRIORITY: tuple[str, ...] = (
     "mm_image_phash_dedup",
     "x6_seasonal_baseline",
     "x3_binary_hamming_topk",
-    # --- r7-green carryovers (17) ---
-    "ext_q17_small_qty_revenue",
+    "ext_dq_audit",
+    # --- r7-green carryovers (16) ---
     "ext_q19_disjunctive_revenue",
     "ext_q21_waiting_supplier",
     "ext_q22_dormant_customers",
