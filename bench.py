@@ -116,6 +116,7 @@ HEADLINE = [
     "x6_seasonal_baseline",
     "x3_binary_hamming_topk",
     "ext_dq_audit",
+    "x3_centroid_outliers",
 ]
 
 

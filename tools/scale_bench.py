@@ -178,6 +178,7 @@ QUERIES = [
     "x6_seasonal_baseline",
     "x3_binary_hamming_topk",
     "ext_dq_audit",
+    "x3_centroid_outliers",
 ]
 
 #: Viral boilerplate for the skew replica: untagged (shared verbatim

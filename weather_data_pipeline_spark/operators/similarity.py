@@ -2025,3 +2025,93 @@ def x3_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("query_id", "vec_id", "hamming")
     )
+
+
+# ----------------------------------------------------------------------
+# Centroid-distance outlier filter (round 8): embedding-space cleaning
+# ----------------------------------------------------------------------
+#: flag vectors whose cosine to their own label centroid falls below
+#: this (integer-comparable after the shared 6-decimal rounding)
+OUTLIER_COS_FLOOR = 0.10
+
+
+@query(
+    "x3_centroid_outliers",
+    oracle=f"""
+    WITH {_DUCK_CENTROIDS.replace('assigned AS', '_unused AS')}
+    SELECT label, n_vectors, n_outliers, worst_vec_id, worst_sim FROM (
+      SELECT e.label,
+             COUNT(*) AS n_vectors,
+             CAST(SUM(CASE WHEN ROUND({_DUCK_COS.format(
+                 a='e.embedding', b='c.centroid')}, 6)
+                  < {OUTLIER_COS_FLOOR} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_outliers,
+             CAST(FIRST(e.vec_id ORDER BY ROUND({_DUCK_COS.format(
+                 a='e.embedding', b='c.centroid')}, 6), e.vec_id)
+               AS BIGINT) AS worst_vec_id,
+             MIN(ROUND({_DUCK_COS.format(
+                 a='e.embedding', b='c.centroid')}, 6)) AS worst_sim
+      FROM embeddings e JOIN cents c USING (label)
+      GROUP BY e.label
+    )
+    """,
+)
+def x3_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier report — the cleaning pass next to
+    SemDeDup: score every vector by cosine to ITS OWN label centroid
+    and count the ones below a floor (mislabeled / off-distribution /
+    corrupted embeddings sit far from their class center). Per label:
+    population, outlier count, and the single worst vector (argmin by
+    (sim, vec_id) — the first thing a human inspects).
+
+    Execution: centroids are the bounded ``build_centroids`` aggregate
+    (k rows, collected and broadcast into the scoring kernel — same
+    quantizer machinery as IVF); scoring is ONE Arrow-batched corpus
+    pass with the fold-order-stable dot product (bit-identical to the
+    oracle); the rollup is a |labels|-group partial aggregate. No
+    pairwise anything — O(corpus · dims) total."""
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+        "label",
+    )
+    n_corpus = base.count()
+    rows = build_centroids(base, "label", n_corpus).collect()
+    cmap = {int(r["label"]): np.array(r["centroid"], float) for r in rows}
+    cnorm = {k: float(_seq_self_norms(v[None, :])[0]) for k, v in cmap.items()}
+    bc = emb.sparkSession.sparkContext.broadcast((cmap, cnorm))
+
+    def score(batches):
+        for pdf in batches:
+            mats = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            norms = _seq_self_norms(mats)
+            cm, cn = bc.value
+            sims = np.empty(len(pdf))
+            labels = pdf["label"].to_numpy()
+            for lab in np.unique(labels):
+                m = labels == lab
+                sims[m] = _seq_dot(mats[m], cm[int(lab)]) / (
+                    norms[m] * cn[int(lab)]
+                )
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "label": labels,
+                    "sim": np.round(sims, 6),
+                }
+            )
+
+    scored = base.mapInPandas(score, schema="vec_id long, label int, sim double")
+    return scored.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum(
+            F.when(F.col("sim") < OUTLIER_COS_FLOOR, 1).otherwise(0)
+        ).cast("long").alias("n_outliers"),
+        F.min_by("vec_id", F.struct("sim", "vec_id")).cast("long").alias(
+            "worst_vec_id"
+        ),
+        F.min("sim").alias("worst_sim"),
+    )

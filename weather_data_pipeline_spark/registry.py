@@ -108,7 +108,7 @@ _PRIORITY: tuple[str, ...] = (
     # x4_bigram_logprob, s_funnel_stream, x7_temporal_join,
     # x2_dedup_keep_best, x2_semantic_dedup, ext_incremental_agg,
     # x3_ivf_pq_topk, mm_audio_energy, x3_mips_topk, x6_rfm_scores,
-    # ext_q17_small_qty_revenue.
+    # ext_q17_small_qty_revenue, ext_q19_disjunctive_revenue.
     # (Round-7 rotated-out list preserved in git history at this file.)
     # --- the r8 queue (12): derived-partsupp TPC-H batch first ---
     "ext_q2_min_cost_supplier",
@@ -143,8 +143,8 @@ _PRIORITY: tuple[str, ...] = (
     "x6_seasonal_baseline",
     "x3_binary_hamming_topk",
     "ext_dq_audit",
-    # --- r7-green carryovers (16) ---
-    "ext_q19_disjunctive_revenue",
+    "x3_centroid_outliers",
+    # --- r7-green carryovers (15) ---
     "ext_q21_waiting_supplier",
     "ext_q22_dormant_customers",
     # graph / CDC / stateful streaming:
