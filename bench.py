@@ -117,6 +117,7 @@ HEADLINE = [
     "x3_binary_hamming_topk",
     "ext_dq_audit",
     "x3_centroid_outliers",
+    "x6_gap_report",
 ]
 
 

@@ -179,6 +179,7 @@ QUERIES = [
     "x3_binary_hamming_topk",
     "ext_dq_audit",
     "x3_centroid_outliers",
+    "x6_gap_report",
 ]
 
 #: Viral boilerplate for the skew replica: untagged (shared verbatim

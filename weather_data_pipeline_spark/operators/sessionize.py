@@ -1346,3 +1346,54 @@ def x6_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mean, 6).alias("mean_value"),
         F.round(s2.cast("double") / n - mean * mean, 6).alias("var_value"),
     )
+
+
+# ----------------------------------------------------------------------
+# Event-gap downtime report (round 8)
+# ----------------------------------------------------------------------
+#: report gaps longer than this many microseconds (6 h)
+GAP_REPORT_US = 6 * 3600 * 1_000_000
+
+
+@query(
+    "x6_gap_report",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             LAG(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    )
+    SELECT user_id, prev_ts AS gap_start, ts AS gap_end,
+           CAST(epoch_us(ts) - epoch_us(prev_ts) AS BIGINT) AS gap_us
+    FROM ordered
+    WHERE prev_ts IS NOT NULL
+      AND epoch_us(ts) - epoch_us(prev_ts) > {GAP_REPORT_US}
+    """,
+)
+def x6_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downtime/dropout report — the inverse of sessionization: instead
+    of grouping activity, emit every SILENCE longer than the threshold
+    (per user: gap start, end, exact integer-microsecond duration).
+    The monitoring primitive behind 'which sensors went dark and for
+    how long'; x6_session_windows groups what this query excludes.
+
+    One hash shuffle on user_id feeding a single lag window (ts ties
+    pinned by event_id); the gap predicate and duration are integer
+    microsecond arithmetic on both engines — no interval types cross
+    the engine boundary."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    gaps = ev.select(
+        "user_id", "ts", "event_id", F.lag("ts").over(w).alias("prev_ts")
+    ).filter(F.col("prev_ts").isNotNull())
+    dur = us("ts") - us("prev_ts")
+    return gaps.filter(dur > GAP_REPORT_US).select(
+        "user_id",
+        F.col("prev_ts").alias("gap_start"),
+        F.col("ts").alias("gap_end"),
+        dur.cast("long").alias("gap_us"),
+    )

@@ -108,7 +108,8 @@ _PRIORITY: tuple[str, ...] = (
     # x4_bigram_logprob, s_funnel_stream, x7_temporal_join,
     # x2_dedup_keep_best, x2_semantic_dedup, ext_incremental_agg,
     # x3_ivf_pq_topk, mm_audio_energy, x3_mips_topk, x6_rfm_scores,
-    # ext_q17_small_qty_revenue, ext_q19_disjunctive_revenue.
+    # ext_q17_small_qty_revenue, ext_q19_disjunctive_revenue,
+    # x4_heavy_hitters.
     # (Round-7 rotated-out list preserved in git history at this file.)
     # --- the r8 queue (12): derived-partsupp TPC-H batch first ---
     "ext_q2_min_cost_supplier",
@@ -144,7 +145,8 @@ _PRIORITY: tuple[str, ...] = (
     "x3_binary_hamming_topk",
     "ext_dq_audit",
     "x3_centroid_outliers",
-    # --- r7-green carryovers (15) ---
+    "x6_gap_report",
+    # --- r7-green carryovers (14) ---
     "ext_q21_waiting_supplier",
     "ext_q22_dormant_customers",
     # graph / CDC / stateful streaming:
@@ -156,7 +158,6 @@ _PRIORITY: tuple[str, ...] = (
     "x5_json_keys_profile",
     "w_csv_quarantine",
     "ext_cogroup_pandas",
-    "x4_heavy_hitters",
     "x1_line_dedup",
     "x8_length_buckets",
     "x1_intradoc_line_dedup",
