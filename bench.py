@@ -118,6 +118,7 @@ HEADLINE = [
     "ext_dq_audit",
     "x3_centroid_outliers",
     "x6_gap_report",
+    "mm_image_phash_neardup",
 ]
 
 

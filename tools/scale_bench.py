@@ -180,6 +180,7 @@ QUERIES = [
     "ext_dq_audit",
     "x3_centroid_outliers",
     "x6_gap_report",
+    "mm_image_phash_neardup",
 ]
 
 #: Viral boilerplate for the skew replica: untagged (shared verbatim

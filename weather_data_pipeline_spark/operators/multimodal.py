@@ -721,3 +721,125 @@ def mm_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_images"),
         F.min("doc_id").alias("keeper_doc_id"),
     )
+
+
+#: near-dup threshold on the 16-bit fingerprint: hamming ≤ 1 — with the
+#: code split into TWO 8-bit bands, any pair within the threshold must
+#: agree exactly on at least one band (pigeonhole), so the band join is
+#: a LOSSLESS candidate generator at this radius
+_PHASH_HAMMING_MAX = 1
+
+_PHASH_HASHES_CTE = f"""
+    img AS (
+      SELECT p.doc_id, p.w, p.h, substr(p.phex, 23) AS pixhex
+      FROM payload p WHERE p.m = 0
+    ),
+    thumb AS (
+      SELECT i.doc_id,
+             string_agg(
+               substr(i.pixhex,
+                      CAST(6 * ((r.r * i.h // 4) * i.w + (c.c * i.w // 4)) + 1
+                           AS INTEGER), 6),
+               '' ORDER BY r.r, c.c) AS thex
+      FROM img i,
+           UNNEST(generate_series(0, 3)) AS r(r),
+           UNNEST(generate_series(0, 3)) AS c(c)
+      GROUP BY i.doc_id
+    ),
+    bytes AS (
+      SELECT t.doc_id, k.k,
+             16 * (strpos('0123456789ABCDEF',
+                          substr(t.thex, CAST(6 * k.k + 2 * b.b + 1
+                                              AS INTEGER), 1)) - 1)
+             + (strpos('0123456789ABCDEF',
+                       substr(t.thex, CAST(6 * k.k + 2 * b.b + 2
+                                           AS INTEGER), 1)) - 1) AS byte
+      FROM thumb t,
+           UNNEST(generate_series(0, 15)) AS k(k),
+           UNNEST(generate_series(0, 2)) AS b(b)
+    ),
+    cells AS (
+      SELECT doc_id, k, CAST(SUM(byte) // 3 AS BIGINT) AS gray
+      FROM bytes GROUP BY doc_id, k
+    ),
+    mu AS (
+      SELECT doc_id, CAST(SUM(gray) // 16 AS BIGINT) AS mu
+      FROM cells GROUP BY doc_id
+    ),
+    hashes AS (
+      SELECT c.doc_id,
+             CAST(SUM(CASE WHEN c.gray >= m.mu
+                           THEN CAST(1 AS BIGINT) << c.k
+                           ELSE 0 END) AS BIGINT) AS phash
+      FROM cells c JOIN mu m USING (doc_id)
+      GROUP BY c.doc_id
+    )
+"""
+
+
+@query(
+    "mm_image_phash_neardup",
+    oracle=f"""
+    WITH {{payload_ctes}},
+    {_PHASH_HASHES_CTE}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+    FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= {_PHASH_HAMMING_MAX}
+    """.format(payload_ctes=_MM_PAYLOAD_CTES),
+)
+def mm_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-duplicate image pairs by fingerprint Hamming distance —
+    multi-index hashing over the aHash codes: the 16-bit fingerprint
+    splits into two 8-bit bands, and by pigeonhole any pair within
+    Hamming ≤ 1 agrees EXACTLY on at least one band, so candidates
+    come from two band-keyed equi-joins (the LSH-for-Hamming trick —
+    lossless at this radius, never a pairwise scan) and are verified
+    with one xor+bit_count. Catches small re-encode/brightness
+    perturbations that flip a single fingerprint bit, which the exact
+    phash groupBy splits apart.
+
+    Scale shape: fingerprints from the same one-scan Arrow kernel as
+    ``mm_image_phash_dedup``; each band join is an equi-join on a
+    1-byte key (bounded fan-out per bucket at 2⁸ buckets — at larger
+    code widths use 64-bit codes with 4×16-bit bands, same plan);
+    dedup of pairs caught by both bands is a distinct on the pair key.
+    The oracle verifies the full pipeline with an all-pairs join —
+    affordable only Duck-side at oracle scale, which is the point of
+    the banding."""
+    import pandas as pd  # noqa: F401
+
+    m = media_table(spark, sf_dir)
+    hashed = (
+        m.filter(F.col("media_type") == "image/ppm")
+        .mapInPandas(_phash_batches, schema="doc_id long, phash long")
+        .withColumn("band_lo", (F.col("phash") % 256).cast("int"))
+        .withColumn(
+            "band_hi", F.expr("CAST(phash DIV 256 AS INT)")
+        )
+        .localCheckpoint(eager=True)
+    )
+    # kernel output consumed by BOTH band joins (2 sides × 2 bands):
+    # materialized once so the decode never re-runs
+    pairs = None
+    for band in ("band_lo", "band_hi"):
+        a = hashed.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("phash").alias("ph_a"),
+            F.col(band).alias("_b"),
+        )
+        b = hashed.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("phash").alias("ph_b"),
+            F.col(band).alias("_b"),
+        )
+        cand = a.join(b, "_b").filter(F.col("doc_a") < F.col("doc_b"))
+        pairs = cand if pairs is None else pairs.unionByName(cand)
+    ham = F.bit_count(
+        F.col("ph_a").bitwiseXOR(F.col("ph_b"))
+    ).cast("long")
+    return (
+        pairs.select("doc_a", "doc_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= _PHASH_HAMMING_MAX)
+        .distinct()
+    )
