@@ -119,6 +119,7 @@ HEADLINE = [
     "x3_centroid_outliers",
     "x6_gap_report",
     "mm_image_phash_neardup",
+    "x8_tokenize_to_ids",
 ]
 
 

@@ -181,6 +181,7 @@ QUERIES = [
     "x3_centroid_outliers",
     "x6_gap_report",
     "mm_image_phash_neardup",
+    "x8_tokenize_to_ids",
 ]
 
 #: Viral boilerplate for the skew replica: untagged (shared verbatim

@@ -2242,3 +2242,97 @@ def x4_entropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("entropy_nats"),
     )
+
+
+# ----------------------------------------------------------------------
+# Tokenizer application (round 8): words → vocab ids + OOV accounting
+# ----------------------------------------------------------------------
+#: vocabulary size for the id mapping (top-N by corpus frequency)
+TOKENIZE_VOCAB_N = 200
+#: id reserved for out-of-vocabulary tokens
+UNK_ID = 0
+
+
+@query(
+    "x8_tokenize_to_ids",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, w, ord
+      FROM (SELECT doc_id,
+                   UNNEST(string_split(text, ' ')) AS w,
+                   generate_subscripts(string_split(text, ' '), 1) AS ord
+            FROM documents)
+    ), vocab AS (
+      SELECT w, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, w) AS id
+      FROM tok GROUP BY w
+      ORDER BY COUNT(*) DESC, w LIMIT {TOKENIZE_VOCAB_N}
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN v.id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           md5(string_agg(CAST(COALESCE(v.id, {UNK_ID}) AS VARCHAR), ','
+                          ORDER BY ord)) AS ids_fp
+    FROM tok LEFT JOIN vocab v USING (w)
+    GROUP BY doc_id
+    """,
+)
+def x8_tokenize_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION — the step after x4_bpe_pair_stats (train)
+    and x4_vocab_coverage (budget): map every token to its vocabulary
+    id (top-``TOKENIZE_VOCAB_N`` terms by corpus frequency, ids
+    assigned by (count DESC, term) so the mapping is engine-exact) or
+    ``UNK_ID``, and emit per document the token count, the OOV count,
+    and an md5 fingerprint of the POSITION-ORDERED id sequence — the
+    contract that lets a release assert 'these exact token streams'
+    without shipping them.
+
+    Scale shape: the vocab build is one partial-aggregated term count
+    pruned to N rows via TakeOrderedAndProject (per-partition top-K —
+    the x4_vocab_coverage trick), then BROADCAST into the token join
+    (vocab ≪ corpus always, by construction); the per-doc rollup
+    shuffles (doc_id, ord, id) triples once. Sequence order is carried
+    by posexplode and pinned inside the fingerprint aggregation with
+    an explicit sort — the one place ordering matters, paid only
+    within each doc's group."""
+    doc = load_table(spark, sf_dir, "documents")
+    tok = doc.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "w"),
+    )
+    vocab = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "w")
+        .limit(TOKENIZE_VOCAB_N)
+    )
+    from pyspark.sql.window import Window as W
+
+    vid = vocab.select(
+        "w",
+        F.row_number()
+        .over(W.orderBy(F.col("c").desc(), "w"))
+        .alias("id"),
+    )
+    joined = tok.join(F.broadcast(vid), "w", "left").select(
+        "doc_id",
+        "pos",
+        F.coalesce(F.col("id"), F.lit(UNK_ID)).alias("id"),
+    )
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("id") == UNK_ID, 1).otherwise(0))
+        .cast("long")
+        .alias("n_oov"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "id"))
+                    ),
+                    lambda s: s["id"].cast("string"),
+                ),
+            )
+        ).alias("ids_fp"),
+    )

@@ -109,7 +109,7 @@ _PRIORITY: tuple[str, ...] = (
     # x2_dedup_keep_best, x2_semantic_dedup, ext_incremental_agg,
     # x3_ivf_pq_topk, mm_audio_energy, x3_mips_topk, x6_rfm_scores,
     # ext_q17_small_qty_revenue, ext_q19_disjunctive_revenue,
-    # x4_heavy_hitters, x1_intradoc_line_dedup.
+    # x4_heavy_hitters, x1_intradoc_line_dedup, x1_line_dedup.
     # (Round-7 rotated-out list preserved in git history at this file.)
     # --- the r8 queue (12): derived-partsupp TPC-H batch first ---
     "ext_q2_min_cost_supplier",
@@ -147,7 +147,8 @@ _PRIORITY: tuple[str, ...] = (
     "x3_centroid_outliers",
     "x6_gap_report",
     "mm_image_phash_neardup",
-    # --- r7-green carryovers (13) ---
+    "x8_tokenize_to_ids",
+    # --- r7-green carryovers (12) ---
     "ext_q21_waiting_supplier",
     "ext_q22_dormant_customers",
     # graph / CDC / stateful streaming:
@@ -159,7 +160,6 @@ _PRIORITY: tuple[str, ...] = (
     "x5_json_keys_profile",
     "w_csv_quarantine",
     "ext_cogroup_pandas",
-    "x1_line_dedup",
     "x8_length_buckets",
     "x4_perplexity_buckets",
 )
