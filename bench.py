@@ -120,6 +120,7 @@ HEADLINE = [
     "x6_gap_report",
     "mm_image_phash_neardup",
     "x8_tokenize_to_ids",
+    "x6_cusum_changepoints",
 ]
 
 

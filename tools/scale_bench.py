@@ -182,6 +182,7 @@ QUERIES = [
     "x6_gap_report",
     "mm_image_phash_neardup",
     "x8_tokenize_to_ids",
+    "x6_cusum_changepoints",
 ]
 
 #: Viral boilerplate for the skew replica: untagged (shared verbatim

@@ -1397,3 +1397,141 @@ def x6_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("gap_end"),
         dur.cast("long").alias("gap_us"),
     )
+
+
+# ----------------------------------------------------------------------
+# CUSUM change-point detection (round 8)
+# ----------------------------------------------------------------------
+#: CUSUM slack (absorbs noise below this per-step drift)
+CUSUM_K = 5.0
+#: CUSUM alarm threshold on the accumulated statistic
+CUSUM_H = 20.0
+
+
+def _cusum_kernel(k: float, h: float, max_shard_rows: int):
+    """Per-shard two-sided CUSUM walk: against each user's FIRST daily
+    close as the reference mean μ, accumulate s_hi = max(0, s_hi + x −
+    μ − k) and s_lo = max(0, s_lo + μ − x − k); alarm when either
+    exceeds h, resetting both on the NEXT step (restart-after-alarm
+    form). Emitted statistics floor-truncate at 6 decimals; raw states
+    carry the recurrence (the Holt convention)."""
+    import math
+
+    import pandas as pd
+
+    def run(pdf):
+        if len(pdf) > max_shard_rows:
+            raise ValueError(
+                f"CUSUM shard frame has {len(pdf)} rows > bound "
+                f"{max_shard_rows}: raise `shards` so each grouped-map "
+                f"frame fits executor memory"
+            )
+        pdf = pdf.sort_values(["user_id", "day"])
+        his, los, alarms = [], [], []
+        for _, g in pdf.groupby("user_id", sort=False):
+            mu = None
+            s_hi = s_lo = 0.0
+            alarm = False
+            for x in g["close_value"]:
+                x = float(x)
+                if mu is None:
+                    mu, s_hi, s_lo, alarm = x, 0.0, 0.0, False
+                else:
+                    if alarm:
+                        s_hi = s_lo = 0.0
+                    s_hi = max(0.0, s_hi + x - mu - k)
+                    s_lo = max(0.0, s_lo + mu - x - k)
+                    alarm = s_hi > h or s_lo > h
+                his.append(math.floor(s_hi * 1_000_000) / 1e6)
+                los.append(math.floor(s_lo * 1_000_000) / 1e6)
+                alarms.append(bool(alarm))
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "day": pdf["day"],
+                "close_value": pdf["close_value"],
+                "s_hi": his,
+                "s_lo": los,
+                "alarm": alarms,
+            }
+        )
+
+    return run
+
+
+@query(
+    "x6_cusum_changepoints",
+    oracle=f"""
+    WITH RECURSIVE ranked AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             ROUND(CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE), 2)
+               AS close_value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, date_trunc('day', ts)
+               ORDER BY ts DESC, event_id DESC) AS pick
+      FROM events
+    ), daily AS (
+      SELECT user_id, day, close_value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS rn
+      FROM ranked WHERE pick = 1
+    ), rec(user_id, day, close_value, rn, mu, s_hi, s_lo, alarm) AS (
+      SELECT user_id, day, close_value, rn,
+             CAST(close_value AS DOUBLE),
+             CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), FALSE
+      FROM daily WHERE rn = 1
+      UNION ALL
+      SELECT d.user_id, d.day, d.close_value, d.rn, r.mu,
+             GREATEST(0.0, (CASE WHEN r.alarm THEN 0.0 ELSE r.s_hi END)
+                           + d.close_value - r.mu - {CUSUM_K}),
+             GREATEST(0.0, (CASE WHEN r.alarm THEN 0.0 ELSE r.s_lo END)
+                           + r.mu - d.close_value - {CUSUM_K}),
+             GREATEST(0.0, (CASE WHEN r.alarm THEN 0.0 ELSE r.s_hi END)
+                           + d.close_value - r.mu - {CUSUM_K}) > {CUSUM_H}
+             OR GREATEST(0.0, (CASE WHEN r.alarm THEN 0.0 ELSE r.s_lo END)
+                           + r.mu - d.close_value - {CUSUM_K}) > {CUSUM_H}
+      FROM rec r JOIN daily d ON d.user_id = r.user_id AND d.rn = r.rn + 1
+    )
+    SELECT user_id, day, close_value,
+           FLOOR(s_hi * 1000000) / 1000000.0 AS s_hi,
+           FLOOR(s_lo * 1000000) / 1000000.0 AS s_lo,
+           alarm
+    FROM rec
+    """,
+)
+def x6_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM change-point detection over each user's daily
+    close — the sequential drift detector (Page's test) that flags
+    SUSTAINED shifts z-scores miss (many small same-direction steps
+    accumulate; a single outlier doesn't). Reference mean = the user's
+    first observation; alarms reset the statistic (restart form), so
+    repeated regime changes each fire once.
+
+    Same scalable shape as x6_ema_daily/x6_holt_smoothing — the
+    recurrence family windows can't express, as a sharded Arrow
+    grouped-map walk with the fail-fast per-shard row bound; oracle =
+    the identical recurrence as a recursive CTE, raw states carried,
+    floor-truncated only at the emit boundary (max(0,·) is exact in
+    IEEE, so both engines walk bit-identical states)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.round(
+            F.max_by("value", F.struct("ts", "event_id"))
+            .cast("decimal(18,2)")
+            .cast("double"),
+            2,
+        ).alias("close_value")
+    )
+    shards = ema_shards_for()
+    return (
+        daily.withColumn("shard", F.col("user_id") % shards)
+        .groupBy("shard")
+        .applyInPandas(
+            _cusum_kernel(CUSUM_K, CUSUM_H, EMA_MAX_SHARD_ROWS),
+            schema=(
+                "user_id long, day timestamp_ntz, close_value double, "
+                "s_hi double, s_lo double, alarm boolean"
+            ),
+        )
+    )

@@ -109,7 +109,8 @@ _PRIORITY: tuple[str, ...] = (
     # x2_dedup_keep_best, x2_semantic_dedup, ext_incremental_agg,
     # x3_ivf_pq_topk, mm_audio_energy, x3_mips_topk, x6_rfm_scores,
     # ext_q17_small_qty_revenue, ext_q19_disjunctive_revenue,
-    # x4_heavy_hitters, x1_intradoc_line_dedup, x1_line_dedup.
+    # x4_heavy_hitters, x1_intradoc_line_dedup, x1_line_dedup,
+    # ext_q22_dormant_customers.
     # (Round-7 rotated-out list preserved in git history at this file.)
     # --- the r8 queue (12): derived-partsupp TPC-H batch first ---
     "ext_q2_min_cost_supplier",
@@ -148,9 +149,9 @@ _PRIORITY: tuple[str, ...] = (
     "x6_gap_report",
     "mm_image_phash_neardup",
     "x8_tokenize_to_ids",
-    # --- r7-green carryovers (12) ---
+    "x6_cusum_changepoints",
+    # --- r7-green carryovers (11) ---
     "ext_q21_waiting_supplier",
-    "ext_q22_dormant_customers",
     # graph / CDC / stateful streaming:
     "x9_pagerank",
     "x9_triangle_count",
