@@ -121,6 +121,8 @@ HEADLINE = [
     "mm_image_phash_neardup",
     "x8_tokenize_to_ids",
     "x6_cusum_changepoints",
+    "x4_uniqueness_score",
+    "x3_binary_recall_eval",
 ]
 
 

@@ -2115,3 +2115,64 @@ def x3_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.min("sim").alias("worst_sim"),
     )
+
+
+@query(
+    "x3_binary_recall_eval",
+    oracle=f"""
+    WITH {_BQ_DUCK},
+    hamtop AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY bit_count(xor(q.c_lo, c.c_lo))
+                          + bit_count(xor(q.c_hi, c.c_hi)), c.vec_id) AS rn
+        FROM (SELECT * FROM codes WHERE vec_id < {N_QUERIES}) q
+        CROSS JOIN codes c
+        WHERE q.vec_id <> c.vec_id
+      ) WHERE rn <= {TOP_K}
+    ),
+    exacttop AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY ROUND({_DUCK_COS.format(
+                     a='q.embedding', b='c.embedding')}, 6) DESC,
+                          c.vec_id) AS rn
+        FROM (SELECT * FROM embeddings WHERE vec_id < {N_QUERIES}) q
+        CROSS JOIN embeddings c
+        WHERE q.vec_id <> c.vec_id
+      ) WHERE rn <= {TOP_K}
+    )
+    SELECT e.query_id,
+           CAST({TOP_K} AS BIGINT) AS k,
+           CAST(COUNT(h.vec_id) AS BIGINT) AS n_overlap
+    FROM exacttop e
+    LEFT JOIN hamtop h
+      ON h.query_id = e.query_id AND h.vec_id = e.vec_id
+    GROUP BY e.query_id
+    """,
+)
+def x3_binary_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the binary-Hamming rung against the exact cosine
+    ranking — the per-corpus evaluation that decides whether the 32×
+    compressed index is good enough to serve (the same harness shape
+    as x3_ivf_recall_eval and x3_prefix_dim_recall: integer overlap
+    counts per query, no float ratio). Both rankings are computed by
+    the registered rungs' own machinery — this is evaluation BY
+    composition, so a regression in either rung moves this query's
+    oracle-checked output."""
+    ham = x3_binary_hamming_topk(spark, sf_dir).select(
+        "query_id", "vec_id", F.lit(1).alias("hit")
+    )
+    exact = x3_cosine_topk(spark, sf_dir).select("query_id", "vec_id")
+    return (
+        exact.join(ham, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.lit(TOP_K).cast("long").alias("k"),
+            F.count("hit").alias("n_overlap"),
+        )
+    )

@@ -2336,3 +2336,68 @@ def x8_tokenize_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("ids_fp"),
     )
+
+
+# ----------------------------------------------------------------------
+# N-gram uniqueness score (round 8): inverse-df quality signal
+# ----------------------------------------------------------------------
+@query(
+    "x4_uniqueness_score",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+      FROM w, UNNEST(generate_series(1, len(words) - 2)) AS t(i)
+    ), df AS (
+      SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unique,
+           CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS uniq_ppm
+    FROM sh JOIN df USING (shingle)
+    GROUP BY doc_id
+    """,
+)
+def x4_uniqueness_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram UNIQUENESS — the inverse-document-frequency
+    quality signal: what fraction of a doc's distinct trigrams appear
+    in NO other document (boilerplate and templates score near zero;
+    original prose near one). The score the near-dup ladder uses to
+    pick keepers reads from the same gram statistics, so at 100 TB
+    this query and the dedup rungs share their heaviest intermediate.
+
+    One gram explode → df count (partial-aggregated, the only
+    token-volume shuffle) → join back on the gram key → per-doc
+    conditional count. The fraction is integer parts-per-million
+    (floor cross-multiplication — no float ratio crosses the engine
+    boundary). Gram keys are xxhash64 on the Spark side (16-byte
+    strings → 8-byte keys) with the collision bound documented on
+    x2_ngram_jaccard."""
+    from ..session import fan_out
+    from .dedup import shingle_arrays
+
+    doc = fan_out(load_table(spark, sf_dir, "documents"))
+    sh = shingle_arrays(doc, 3).select(
+        "doc_id", F.explode("grams").alias("shingle")
+    ).select("doc_id", F.xxhash64("shingle").alias("h"))
+    df_tbl = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(df_tbl, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_unique"),
+            F.expr(
+                "CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) * 1000000"
+                " DIV COUNT(*) AS BIGINT)"
+            ).alias("uniq_ppm"),
+        )
+    )

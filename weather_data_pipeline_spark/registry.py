@@ -110,7 +110,7 @@ _PRIORITY: tuple[str, ...] = (
     # x3_ivf_pq_topk, mm_audio_energy, x3_mips_topk, x6_rfm_scores,
     # ext_q17_small_qty_revenue, ext_q19_disjunctive_revenue,
     # x4_heavy_hitters, x1_intradoc_line_dedup, x1_line_dedup,
-    # ext_q22_dormant_customers.
+    # ext_q22_dormant_customers, x4_vocab_coverage, x8_budget_select.
     # (Round-7 rotated-out list preserved in git history at this file.)
     # --- the r8 queue (12): derived-partsupp TPC-H batch first ---
     "ext_q2_min_cost_supplier",
@@ -150,14 +150,14 @@ _PRIORITY: tuple[str, ...] = (
     "mm_image_phash_neardup",
     "x8_tokenize_to_ids",
     "x6_cusum_changepoints",
-    # --- r7-green carryovers (11) ---
+    "x4_uniqueness_score",
+    "x3_binary_recall_eval",
+    # --- r7-green carryovers (9) ---
     "ext_q21_waiting_supplier",
     # graph / CDC / stateful streaming:
     "x9_pagerank",
     "x9_triangle_count",
     "ext_cdc_merge",
-    "x4_vocab_coverage",
-    "x8_budget_select",
     "x5_json_keys_profile",
     "w_csv_quarantine",
     "ext_cogroup_pandas",
