@@ -123,6 +123,8 @@ HEADLINE = [
     "x6_cusum_changepoints",
     "x4_uniqueness_score",
     "x3_binary_recall_eval",
+    "x8_interleave_sources",
+    "x5_schema_evolution_read",
 ]
 
 

@@ -185,6 +185,8 @@ QUERIES = [
     "x6_cusum_changepoints",
     "x4_uniqueness_score",
     "x3_binary_recall_eval",
+    "x8_interleave_sources",
+    "x5_schema_evolution_read",
 ]
 
 #: Viral boilerplate for the skew replica: untagged (shared verbatim

@@ -121,3 +121,59 @@ def x5_json_keys_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.col("val").cast("double")).alias("min_num"),
         F.max(F.col("val").cast("double")).alias("max_num"),
     )
+
+
+# ----------------------------------------------------------------------
+# Schema-evolution-tolerant JSON read (round 8)
+# ----------------------------------------------------------------------
+@query(
+    "x5_schema_evolution_read",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN json_extract_string(props, '$.k') IS NULL
+                    THEN 0 ELSE 1 END) AS BIGINT) AS k_present,
+           CAST(SUM(CASE WHEN json_extract_string(props, '$.schema_v2_field')
+                    IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS v2_present,
+           CAST(SUM(CAST(TRY_CAST(json_extract_string(props, '$.k')
+                                  AS BIGINT) AS BIGINT)) AS BIGINT)
+             AS k_sum
+    FROM events GROUP BY event_type
+    """,
+)
+def x5_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution-tolerant JSON ingestion: parse ``props``
+    against a WIDER target schema than today's payloads carry (the
+    current field ``k`` plus a future ``schema_v2_field``) and report
+    per event type how much of each field is actually populated — the
+    read pattern that lets producers add fields before consumers
+    deploy, and consumers deploy before producers emit (both
+    directions of JSON schema evolution). ``from_json`` with an
+    explicit wider StructType fills missing fields with NULL instead
+    of failing, exactly like parquet mergeSchema for columnar data;
+    the coverage counts are the dashboard that tracks a field's
+    rollout. One partial-aggregated exchange; the parse is scan-side."""
+    from pyspark.sql import types as T
+
+    ev = load_table(spark, sf_dir, "events")
+    wider = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("schema_v2_field", T.StringType()),
+        ]
+    )
+    p = ev.select(
+        "event_type", F.from_json("props", wider).alias("p")
+    )
+    return p.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("p.k").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("k_present"),
+        F.sum(
+            F.when(F.col("p.schema_v2_field").isNotNull(), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("v2_present"),
+        F.sum("p.k").cast("long").alias("k_sum"),
+    )

@@ -2401,3 +2401,98 @@ def x4_uniqueness_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("uniq_ppm"),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# Source-interleaved training order (round 8)
+# ----------------------------------------------------------------------
+#: hash shards for the interleave-order fingerprints (the
+#: x8_epoch_shuffle convention: verify order per shard, never globally)
+INTERLEAVE_SHARDS = 16
+
+
+@query(
+    "x8_interleave_sources",
+    oracle=f"""
+    WITH src AS (
+      SELECT source, ROW_NUMBER() OVER (ORDER BY source) - 1 AS s_idx,
+             COUNT(*) OVER () AS n_sources
+      FROM (SELECT DISTINCT source FROM documents)
+    ), ranked AS (
+      SELECT d.doc_id, d.source,
+             ROW_NUMBER() OVER (PARTITION BY d.source
+                                ORDER BY d.doc_id) - 1 AS r,
+             s.s_idx, s.n_sources
+      FROM documents d JOIN src s USING (source)
+    ), pos AS (
+      SELECT doc_id, source,
+             r * n_sources + s_idx AS position
+      FROM ranked
+    )
+    SELECT CAST(position % {INTERLEAVE_SHARDS} AS BIGINT) AS shard,
+           COUNT(*) AS n_docs,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ','
+                          ORDER BY position)) AS order_fp
+    FROM pos GROUP BY position % {INTERLEAVE_SHARDS}
+    """,
+)
+def x8_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic SOURCE-INTERLEAVED training order — round-robin
+    across sources (doc r of source s lands at global position
+    r·|sources| + s), the mixing rule that stops any single source
+    from clumping in the training stream without needing sampling
+    randomness. The order is pinned per hash shard by an md5
+    fingerprint of the position-ordered doc sequence (the
+    x8_epoch_shuffle contract: byte-identical re-runs).
+
+    Scale shape: within-source ranks come from the shared
+    ``functions.distributed.global_prefix_sums`` grouped primitive
+    (range exchange + per-partition windows + broadcast offsets — NO
+    whole-source window task); the source index table is |sources|
+    rows broadcast; the interleave position is pure arithmetic on
+    (rank, index). The only other exchange is the 16-shard
+    fingerprint rollup, whose per-group sort is bounded by shard
+    membership — the same bound x8_epoch_shuffle carries."""
+    from ..functions.distributed import global_prefix_sums
+
+    doc = load_table(spark, sf_dir, "documents")
+    srcs = sorted(
+        r["source"]
+        for r in doc.select("source").distinct().collect()
+    )
+    n_sources = len(srcs)
+    s_idx = F.element_at(
+        F.create_map(
+            *[F.lit(x) for s, i in zip(srcs, range(n_sources)) for x in (s, i)]
+        ),
+        F.col("source"),
+    )
+    ranked, _totals = global_prefix_sums(
+        spark,
+        doc.select("doc_id", "source"),
+        [F.col("doc_id")],
+        val_col=None,
+        group_cols=["source"],
+        out_col="r1",
+    )
+    pos = ranked.select(
+        "doc_id",
+        "source",
+        ((F.col("r1") - 1) * n_sources + s_idx).alias("position"),
+    )
+    return pos.groupBy(
+        (F.col("position") % INTERLEAVE_SHARDS).cast("long").alias("shard")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("position", "doc_id"))
+                    ),
+                    lambda s: s["doc_id"].cast("string"),
+                ),
+            )
+        ).alias("order_fp"),
+    )

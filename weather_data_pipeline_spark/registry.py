@@ -110,7 +110,9 @@ _PRIORITY: tuple[str, ...] = (
     # x3_ivf_pq_topk, mm_audio_energy, x3_mips_topk, x6_rfm_scores,
     # ext_q17_small_qty_revenue, ext_q19_disjunctive_revenue,
     # x4_heavy_hitters, x1_intradoc_line_dedup, x1_line_dedup,
-    # ext_q22_dormant_customers, x4_vocab_coverage, x8_budget_select.
+    # ext_q22_dormant_customers, x4_vocab_coverage, x8_budget_select,
+    # x8_length_buckets, x4_perplexity_buckets (their scalable twins
+    # stay in-window on the SAME oracles).
     # (Round-7 rotated-out list preserved in git history at this file.)
     # --- the r8 queue (12): derived-partsupp TPC-H batch first ---
     "ext_q2_min_cost_supplier",
@@ -152,7 +154,9 @@ _PRIORITY: tuple[str, ...] = (
     "x6_cusum_changepoints",
     "x4_uniqueness_score",
     "x3_binary_recall_eval",
-    # --- r7-green carryovers (9) ---
+    "x8_interleave_sources",
+    "x5_schema_evolution_read",
+    # --- r7-green carryovers (7) ---
     "ext_q21_waiting_supplier",
     # graph / CDC / stateful streaming:
     "x9_pagerank",
@@ -161,8 +165,6 @@ _PRIORITY: tuple[str, ...] = (
     "x5_json_keys_profile",
     "w_csv_quarantine",
     "ext_cogroup_pandas",
-    "x8_length_buckets",
-    "x4_perplexity_buckets",
 )
 
 #: Round-9 rotation queue — every registered query not yet covered by the
