@@ -234,3 +234,45 @@ def test_incremental_topk_matches_batch(spark, tmp_path):
     assert replayed == want, (replayed, want)
     rows = jobs.read_state(spark, state).collect()
     assert len(rows) == len(replayed)  # no duplicate identities in state
+
+
+def test_c4_gate_state_holds_only_accepted_digests(spark):
+    """The ingest C4 gate's WHOLE state-bound claim, measured from the
+    state-store metrics: the dedup operator's numRowsTotal must equal
+    the number of ACCEPTED distinct digests (quality+lang survivors) —
+    rejected documents never enter (or grow) the digest state. A
+    CASE-keyed or post-dedup-filtered pipeline would hold one state
+    row per document and fail this."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from weather_data_pipeline_spark.operators.text_analysis import (
+        C4_KEEP_LANG,
+        C4_MAX_WORDS,
+        C4_MIN_WORDS,
+    )
+    from weather_data_pipeline_spark.streaming import jobs
+
+    sf = "/root/testdata/sf0.01"
+    sink = f"s_c4state_{uuid.uuid4().hex[:8]}"
+    q = jobs.streaming_c4_gate(jobs.stream_documents(spark, sf), sink)
+    rows = [
+        p["stateOperators"][0]["numRowsTotal"]
+        for p in q.recentProgress
+        if p["stateOperators"]
+    ]
+    assert rows, "no state-operator progress recorded"
+    doc = spark.read.parquet(f"{sf}/documents.parquet")
+    wc = F.size(F.split("text", " "))
+    expected = (
+        doc.filter(
+            (wc >= C4_MIN_WORDS)
+            & (wc <= C4_MAX_WORDS)
+            & (F.col("lang") == C4_KEEP_LANG)
+        )
+        .select(F.md5("text"))
+        .distinct()
+        .count()
+    )
+    assert max(rows) == expected

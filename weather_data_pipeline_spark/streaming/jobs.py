@@ -339,7 +339,7 @@ def incremental_topk_per_key(
     )
 
 
-def streaming_c4_gate(source: DataFrame, sink_table: str) -> None:
+def streaming_c4_gate(source: DataFrame, sink_table: str):
     """The C4-style cleaning funnel at INGEST time: quality gate
     (word-count band) → language keep → first-seen exact dedup, as one
     streaming pipeline — the stream twin of the x8_c4_pipeline batch
@@ -368,7 +368,7 @@ def streaming_c4_gate(source: DataFrame, sink_table: str) -> None:
         )
         .dropDuplicates(["content_hash"])
     )
-    run_to_completion(
+    return run_to_completion(
         gated.writeStream.format("memory")
         .queryName(sink_table)
         .outputMode("append"),
