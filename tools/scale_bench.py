@@ -385,7 +385,8 @@ def main() -> None:
         # |docs|·cap bound.
         build_skew(spark)
         skew = {}
-        for name in ("x2_ngram_jaccard", "x2_ngram_jaccard_capped"):
+        for name in ("x2_ngram_jaccard", "x2_ngram_jaccard_capped",
+                     "x2_containment_pairs", "x2_containment_capped"):
             t1 = _time(qs, name, spark, SKEW1_DIR)
             t10 = _time(qs, name, spark, SKEW10_DIR)
             skew[name] = {"t_1x": t1, "t_10x": t10, "ratio": round(t10 / t1, 2)}
