@@ -1228,3 +1228,18 @@ def test_binary_hamming_codes_build_jvm_side(spark):
     # one BroadcastExchange (query codes) + one hash exchange (top-k
     # window) — num_shuffles counts both kinds
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_tokenize_vocab_window_input_is_pruned(spark):
+    """The vocab-id ranking window may only ever see the top
+    TOKENIZE_VOCAB_N terms: the plan must prune via
+    TakeOrderedAndProject before the Window runs (root-first printing:
+    Window appears before the prune it reads from) — the
+    x4_vocab_coverage property, so id assignment costs O(N) at any
+    vocabulary size; the corpus-side work is the broadcast join."""
+    from weather_data_pipeline_spark.plans.inspect import executed_plan
+
+    plan = executed_plan(_Q["x8_tokenize_to_ids"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.index("TakeOrderedAndProject") > plan.index("Window")
+    assert "BroadcastHashJoin" in plan
