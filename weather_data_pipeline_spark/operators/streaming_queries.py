@@ -307,3 +307,41 @@ def s_c4_gate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = f"s_c4gate_{uuid.uuid4().hex[:8]}"
     jobs.streaming_c4_gate(jobs.stream_documents(spark, sf_dir), sink)
     return spark.table(sink).select("content_hash", "wc")
+
+
+@query(
+    "s_stream_left_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id, p.ts AS p_ts,
+           ROUND(CAST(CAST(p.value AS DECIMAL(18,2)) AS DOUBLE), 2) AS value,
+           v.event_id AS view_id, v.ts AS v_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id
+     AND epoch_us(CAST(p.ts AS TIMESTAMP)) >= epoch_us(CAST(v.ts AS TIMESTAMP))
+     AND epoch_us(CAST(p.ts AS TIMESTAMP))
+         <= epoch_us(CAST(v.ts AS TIMESTAMP)) + 3600000000
+    """,
+)
+def s_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join (purchases kept even
+    with no prior-hour view — NULL view columns): the semantics the
+    inner join can't show, because outer rows emit only when the
+    watermark PROVES no future match exists. The job appends a
+    far-future sentinel view as a second micro-batch so the watermark
+    passes every real purchase and the availableNow no-data cleanup
+    batch flushes every unmatched row — making the drained sink equal
+    the batch LEFT JOIN exactly (oracle), instead of losing the
+    stream-tail's unmatched purchases to retained state."""
+    sink = f"s_ssleft_{uuid.uuid4().hex[:8]}"
+    jobs.stream_stream_left_join(spark, sf_dir, sink)
+    return spark.table(sink).select(
+        F.col("purchase_id"),
+        F.col("p_user").alias("user_id"),
+        F.col("p_ts").cast("timestamp_ntz").alias("p_ts"),
+        F.round(F.col("value").cast("decimal(18,2)").cast("double"), 2).alias(
+            "value"
+        ),
+        "view_id",
+        F.col("v_ts").cast("timestamp_ntz").alias("v_ts"),
+    )

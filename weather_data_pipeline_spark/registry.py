@@ -112,7 +112,7 @@ _PRIORITY: tuple[str, ...] = (
     # x4_heavy_hitters, x1_intradoc_line_dedup, x1_line_dedup,
     # ext_q22_dormant_customers, x4_vocab_coverage, x8_budget_select,
     # x8_length_buckets, x4_perplexity_buckets (their scalable twins
-    # stay in-window on the SAME oracles).
+    # stay in-window on the SAME oracles), x5_json_keys_profile.
     # (Round-7 rotated-out list preserved in git history at this file.)
     # --- the r8 queue (12): derived-partsupp TPC-H batch first ---
     "ext_q2_min_cost_supplier",
@@ -156,13 +156,13 @@ _PRIORITY: tuple[str, ...] = (
     "x3_binary_recall_eval",
     "x8_interleave_sources",
     "x5_schema_evolution_read",
-    # --- r7-green carryovers (7) ---
+    "s_stream_left_join",
+    # --- r7-green carryovers (6) ---
     "ext_q21_waiting_supplier",
     # graph / CDC / stateful streaming:
     "x9_pagerank",
     "x9_triangle_count",
     "ext_cdc_merge",
-    "x5_json_keys_profile",
     "w_csv_quarantine",
     "ext_cogroup_pandas",
 )

@@ -374,3 +374,126 @@ def streaming_c4_gate(source: DataFrame, sink_table: str):
         .outputMode("append"),
         f"c4gate-{sink_table}",
     )
+
+
+def stream_stream_left_join(
+    spark: SparkSession, sf_dir: str, sink_table: str, horizon: str = "1 hour"
+) -> None:
+    """Watermarked stream-stream LEFT OUTER join — the capability inner
+    joins don't exercise: an unmatched purchase must eventually emit
+    with NULL view columns, and "eventually" is an event-time fact —
+    the row can only emit once the watermark proves no future view can
+    still match (v_ts ≥ p_ts − horizon is impossible once watermark >
+    p_ts). A drain that stops before the watermark passes the stream's
+    tail would silently LOSE the tail's unmatched rows, so this job
+    stages the events file plus a SENTINEL view at max(ts) + 2·horizon
+    as a second file and processes them as separate micro-batches
+    (maxFilesPerTrigger=1): the sentinel batch advances the watermark
+    past every real purchase, and the no-data cleanup batch that
+    availableNow appends flushes every remaining null row. The memory
+    sink then equals the batch LEFT JOIN exactly — deterministic
+    stream-batch parity for OUTER results."""
+    import shutil
+    import tempfile
+
+    from ..sources.testdata import EVENTS_TS_NTZ, events_ts_unit
+
+    work = tempfile.mkdtemp(prefix="ssleft_", dir=SCRATCH)
+    src_file = os.path.join(sf_dir, "events.parquet")
+    shutil.copy(src_file, os.path.join(work, "a_events.parquet"))
+    # sentinel: one far-future view for a user id no purchase carries
+    ev = spark.read.parquet(src_file)
+    unit = events_ts_unit(sf_dir)
+    if unit == "ns":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        max_ts = ev.agg(
+            F.max(F.timestamp_micros(F.expr("ts div 1000")))
+        ).collect()[0][0]
+    else:
+        max_ts = ev.agg(F.max(F.col("ts").cast("timestamp"))).collect()[0][0]
+    sent_dir = os.path.join(work, "_sentinel_build")
+    # sentinels on BOTH sides: the global watermark is the MIN across
+    # the two watermark operators (default multipleWatermarkPolicy), so
+    # a view-only sentinel leaves the purchase side's max — and with it
+    # the global watermark — stuck at the real stream's tail (observed:
+    # wm never advanced and the tail's unmatched rows never flushed).
+    # Distinct negative user ids keep the two sentinels from matching
+    # each other, the view side never appears in left-join output, and
+    # the sentinel purchase itself stays in state (wm stops 1·horizon
+    # short of it) so it never emits either.
+    spark.createDataFrame(
+        [
+            (int(-1), max_ts, int(-2), "view", 0.0, None),
+            (int(-2), max_ts, int(-1), "purchase", 0.0, None),
+        ],
+        schema="event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    ).select(
+        "event_id",
+        # far enough that the engine's CONSERVATIVE state watermark
+        # (global watermark minus the interval slack) still clears
+        # every real purchase: watermark arithmetic subtracts the
+        # horizon once more on the buffered side, so 2·horizon is the
+        # minimum and 4·horizon leaves margin
+        (F.col("ts") + F.expr(f"INTERVAL {horizon}") * 4).cast(
+            "timestamp_ntz"
+        ).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    ).coalesce(1).write.mode("overwrite").parquet(sent_dir)
+    part = sorted(
+        p for p in os.listdir(sent_dir) if p.endswith(".parquet")
+    )[0]
+    # TWO sentinel batches: the watermark a batch RUNS WITH comes from
+    # the PREVIOUS batch's max event time, and availableNow terminates
+    # after the last data batch without a trailing no-data cleanup
+    # batch — so the flush of the stream-tail's unmatched purchases
+    # needs a data batch that EXECUTES after the watermark has already
+    # passed them. Sentinel 1 advances the watermark; sentinel 2 is
+    # the batch that runs under it and emits the tail's null rows.
+    shutil.copy(
+        os.path.join(sent_dir, part), os.path.join(work, "b_sentinel.parquet")
+    )
+    shutil.copy(
+        os.path.join(sent_dir, part), os.path.join(work, "c_sentinel.parquet")
+    )
+    raw = (
+        spark.readStream.schema(EVENTS_TS_NTZ)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(work)
+    )
+    if unit == "ns":
+        # the staged copy keeps the source's unit; the sentinel file is
+        # µs — but ns testdata would surface as LONG under the NTZ
+        # schema. The driver has shipped µs units since round 3; the
+        # ns path mirrors stream_events' handling for completeness.
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    else:
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    views = raw.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("view_id"),
+    ).withWatermark("v_ts", horizon)
+    purchases = raw.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+        "value",
+    ).withWatermark("p_ts", horizon)
+    joined = purchases.join(
+        views,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr(f"INTERVAL {horizon}")),
+        "left_outer",
+    )
+    run_to_completion(
+        joined.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("append"),
+        f"ssleft-{sink_table}",
+    )
