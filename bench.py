@@ -125,6 +125,7 @@ HEADLINE = [
     "x3_binary_recall_eval",
     "x8_interleave_sources",
     "x5_schema_evolution_read",
+    "x5_variant_extract",
 ]
 
 

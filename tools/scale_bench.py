@@ -187,6 +187,7 @@ QUERIES = [
     "x3_binary_recall_eval",
     "x8_interleave_sources",
     "x5_schema_evolution_read",
+    "x5_variant_extract",
 ]
 
 #: Viral boilerplate for the skew replica: untagged (shared verbatim

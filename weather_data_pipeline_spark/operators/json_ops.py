@@ -177,3 +177,53 @@ def x5_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("v2_present"),
         F.sum("p.k").cast("long").alias("k_sum"),
     )
+
+
+# ----------------------------------------------------------------------
+# VariantType semi-structured handling (round 8): Spark 4 native JSON
+# ----------------------------------------------------------------------
+@query(
+    "x5_variant_extract",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS k_sum,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS k_min,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS k_max,
+           COUNT(DISTINCT json_structure(props)) AS n_shapes
+    FROM events GROUP BY event_type
+    """,
+)
+def x5_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction through Spark 4's native
+    ``VariantType`` — ``parse_json`` once into the binary variant
+    encoding, then typed ``variant_get`` path extraction and
+    ``schema_of_variant`` shape profiling. Versus string-based
+    ``get_json_object`` (the O8/X5 baseline), the variant parses each
+    document ONCE into a binary form that all downstream path reads
+    share — the engine-native answer to repeated JSON probing, and the
+    same storage layout Delta/Iceberg variant columns use at rest. The
+    oracle recomputes identical aggregates with DuckDB's JSON
+    functions (shape profiling via ``json_structure`` ≙ the variant
+    schema modulo spelling — compared as distinct-count, not text).
+    One partial-aggregated exchange; the parse is scan-side."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.parse_json("props").alias("v")
+    )
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.variant_get(F.col("v"), "$.k", "long"))
+        .cast("long")
+        .alias("k_sum"),
+        F.min(F.variant_get(F.col("v"), "$.k", "long"))
+        .cast("long")
+        .alias("k_min"),
+        F.max(F.variant_get(F.col("v"), "$.k", "long"))
+        .cast("long")
+        .alias("k_max"),
+        F.countDistinct(F.schema_of_variant(F.col("v"))).alias("n_shapes"),
+    )

@@ -112,7 +112,8 @@ _PRIORITY: tuple[str, ...] = (
     # x4_heavy_hitters, x1_intradoc_line_dedup, x1_line_dedup,
     # ext_q22_dormant_customers, x4_vocab_coverage, x8_budget_select,
     # x8_length_buckets, x4_perplexity_buckets (their scalable twins
-    # stay in-window on the SAME oracles), x5_json_keys_profile.
+    # stay in-window on the SAME oracles), x5_json_keys_profile,
+    # ext_q21_waiting_supplier.
     # (Round-7 rotated-out list preserved in git history at this file.)
     # --- the r8 queue (12): derived-partsupp TPC-H batch first ---
     "ext_q2_min_cost_supplier",
@@ -157,8 +158,8 @@ _PRIORITY: tuple[str, ...] = (
     "x8_interleave_sources",
     "x5_schema_evolution_read",
     "s_stream_left_join",
-    # --- r7-green carryovers (6) ---
-    "ext_q21_waiting_supplier",
+    "x5_variant_extract",
+    # --- r7-green carryovers (5) ---
     # graph / CDC / stateful streaming:
     "x9_pagerank",
     "x9_triangle_count",
