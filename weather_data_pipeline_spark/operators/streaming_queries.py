@@ -345,3 +345,20 @@ def s_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "view_id",
         F.col("v_ts").cast("timestamp_ntz").alias("v_ts"),
     )
+
+
+@query("s_api_stream", oracle=_STAGED_SQL)
+def s_api_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 as a Spark 4 PYTHON STREAMING data source
+    (``SimpleDataSourceStreamReader``, ``sources/api_source.py``): the
+    weather API surfaced as an unbounded snapshot stream, one
+    micro-batch per ingest day, with deterministic
+    ``readBetweenOffsets`` replay (synthetic documents are a pure
+    function of (city, date)) — the recovery contract a production
+    ingest stream needs. Oracle = the same ``read_json`` staged SQL as
+    the batch DataSource twin ``w_api_source``: the drained stream
+    equals the batch fixture scan exactly (stream-batch parity at the
+    CONNECTOR level, not just the query level)."""
+    sink = f"s_api_{uuid.uuid4().hex[:8]}"
+    jobs.api_stream_ingest(spark, sink)
+    return spark.table(sink)

@@ -113,7 +113,7 @@ _PRIORITY: tuple[str, ...] = (
     # ext_q22_dormant_customers, x4_vocab_coverage, x8_budget_select,
     # x8_length_buckets, x4_perplexity_buckets (their scalable twins
     # stay in-window on the SAME oracles), x5_json_keys_profile,
-    # ext_q21_waiting_supplier.
+    # ext_q21_waiting_supplier, x9_triangle_count.
     # (Round-7 rotated-out list preserved in git history at this file.)
     # --- the r8 queue (12): derived-partsupp TPC-H batch first ---
     "ext_q2_min_cost_supplier",
@@ -159,10 +159,10 @@ _PRIORITY: tuple[str, ...] = (
     "x5_schema_evolution_read",
     "s_stream_left_join",
     "x5_variant_extract",
-    # --- r7-green carryovers (5) ---
+    "s_api_stream",
+    # --- r7-green carryovers (4) ---
     # graph / CDC / stateful streaming:
     "x9_pagerank",
-    "x9_triangle_count",
     "ext_cdc_merge",
     "w_csv_quarantine",
     "ext_cogroup_pandas",

@@ -103,7 +103,69 @@ class WeatherApiDataSource(DataSource):
     def reader(self, schema: T.StructType) -> DataSourceReader:
         return WeatherApiReader(self.options)
 
+    def simpleStreamReader(self, schema: T.StructType):
+        return WeatherApiStreamReader(self.options)
+
 
 def register(spark) -> None:
     """Idempotent format registration."""
     spark.dataSource.register(WeatherApiDataSource)
+
+
+# ----------------------------------------------------------------------
+# Streaming variant (round 8): the API as an unbounded snapshot stream
+# ----------------------------------------------------------------------
+from pyspark.sql.datasource import SimpleDataSourceStreamReader  # noqa: E402
+
+
+class WeatherApiStreamReader(SimpleDataSourceStreamReader):
+    """Offset = index into the date axis: each micro-batch delivers ONE
+    ingest day's snapshots for every city (the shape a scheduled
+    ingest produces — the O32 daily pickup as a true streaming
+    source). ``read`` advances one day per batch; ``readBetweenOffsets``
+    regenerates any replayed range deterministically (synthetic mode is
+    a pure function of (city, date)), which is exactly the replay
+    contract Structured Streaming recovery needs."""
+
+    def __init__(self, options: dict):
+        self.cities = [
+            c for c in options.get("cities", ",".join(wsrc.CITIES)).split(",") if c
+        ]
+        self.dates = [
+            d
+            for d in options.get("dates", ",".join(wsrc.FIXTURE_DATES)).split(",")
+            if d
+        ]
+
+    def initialOffset(self) -> dict:
+        return {"i": 0}
+
+    def _rows(self, date: str) -> list:
+        # a LIST, not a generator: the runner pickles the prefetched
+        # rows between the driver-side plan and the executors, and
+        # generators don't pickle
+        return [
+            (
+                _to_tuple(doc["location"], WEATHER_RAW["location"].dataType),
+                _to_tuple(doc["current"], WEATHER_RAW["current"].dataType),
+                date,
+            )
+            for city in self.cities
+            for doc in [wsrc.synthesize_raw_doc(city, date)]
+        ]
+
+    def read(self, start: dict):
+        i = start["i"]
+        if i >= len(self.dates):
+            return iter([]), start
+        # iter() over a materialized list: the prefetch cache calls
+        # next() on it (so a bare list fails) but also pickles it for
+        # the executors (so a generator fails) — a list_iterator
+        # satisfies both
+        return iter(self._rows(self.dates[i])), {"i": i + 1}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> list:
+        out: list = []
+        for i in range(start["i"], min(end["i"], len(self.dates))):
+            out.extend(self._rows(self.dates[i]))
+        return out

@@ -497,3 +497,48 @@ def stream_stream_left_join(
         .outputMode("append"),
         f"ssleft-{sink_table}",
     )
+
+
+def api_stream_ingest(
+    spark: SparkSession, sink_table: str, timeout_s: float = 120.0
+) -> None:
+    """Drain the weather-API STREAMING source (one micro-batch per
+    ingest day) into a memory sink. availableNow can't drain it — a
+    Python SimpleDataSourceStreamReader prefetches exactly one batch
+    ahead, so "available now" is one day, not the axis — hence a
+    continuous trigger polled until the source's date axis is
+    exhausted (row count = |dates|·|cities|, both known from the
+    source's own options) and then stopped. The flatten is the same
+    staging projection the batch path uses."""
+    import time as _t
+
+    from ..sources import api_source
+    from ..sources import weather as wsrc
+    from ..transforms import flatten_raw
+
+    api_source.register(spark)
+    src = flatten_raw(
+        spark.readStream.format("weather_api").load(), with_ingest_date=True
+    )
+    expected = len(wsrc.CITIES) * len(wsrc.FIXTURE_DATES)
+    q = (
+        src.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("append")
+        .option("checkpointLocation", _ckpt(f"apistream-{sink_table}"))
+        .start()
+    )
+    deadline = _t.time() + timeout_s
+    try:
+        while _t.time() < deadline:
+            if spark.table(sink_table).count() >= expected:
+                break
+            _t.sleep(0.3)
+        else:
+            raise TimeoutError(
+                f"api stream drained {spark.table(sink_table).count()} of "
+                f"{expected} rows within {timeout_s}s"
+            )
+    finally:
+        q.stop()
+        q.awaitTermination()
