@@ -111,3 +111,58 @@ def test_ntile_of_rank_matches_sql_ntile(spark, n, tiles):
         ).collect()
     }
     assert got == expect
+
+
+def test_global_prefix_sums_null_group_key(spark):
+    """A NULL group key must not crash the driver-side offset sort
+    (ADVICE r8: None-vs-value tuple comparison raised TypeError) and
+    NULL forms its own group, like SQL GROUP BY."""
+    data = [
+        (i, None if i % 3 == 0 else ("a" if i % 2 == 0 else "b"), 1)
+        for i in range(60)
+    ]
+    df = _rows(spark, data, "id long, g string, v long").repartition(7)
+    out, totals = global_prefix_sums(
+        spark,
+        df,
+        [F.col("id")],
+        val_col="v",
+        group_cols=["g"],
+        out_col="cum",
+    )
+    rows = out.collect()
+    assert {k: v for k, v in totals.items()} == {
+        (None,): 20,
+        ("a",): 20,
+        ("b",): 20,
+    }
+    by_group = {}
+    for r in sorted(rows, key=lambda r: r["id"]):
+        by_group.setdefault(r["g"], []).append(r["cum"])
+    for g, cums in by_group.items():
+        assert cums == list(range(1, len(cums) + 1)), g
+
+
+def test_ntile_of_rank_beyond_double_precision(spark):
+    """Ranks past 2^53 must still tile exactly — the integral-divide
+    path has no IEEE ceiling (ADVICE r8: (a - a%b)/b rounded there)."""
+    n = (1 << 55) + 7
+    tiles = 10
+    q, r = divmod(n, tiles)
+    # boundary ranks around the big-tile/small-tile switch and the far end
+    ks = [1, q + 1, r * (q + 1), r * (q + 1) + 1, n - 1, n]
+    df = spark.createDataFrame([(k,) for k in ks], "k long")
+    got = {
+        row["k"]: row["t"]
+        for row in df.select(
+            "k", ntile_of_rank(F.col("k"), n, tiles).alias("t")
+        ).collect()
+    }
+
+    def expect(k):
+        big = r * (q + 1)
+        if k <= big:
+            return (k - 1) // (q + 1) + 1
+        return r + (k - big - 1) // q + 1
+
+    assert got == {k: expect(k) for k in ks}

@@ -1243,3 +1243,35 @@ def test_tokenize_vocab_window_input_is_pruned(spark):
     assert "TakeOrderedAndProject" in plan
     assert plan.index("TakeOrderedAndProject") > plan.index("Window")
     assert "BroadcastHashJoin" in plan
+
+
+def test_dq_audit_single_scan_per_table(spark):
+    """The DQ audit's cost at 100 TB IS its scans: every audited table
+    must appear exactly ONCE in the executed plan (the r8 form consumed
+    the orders suite twice and ran RI as a third pass — three orders
+    scans for a 6-row report). The RI broadcast join folds into the one
+    orders pass, so constraint fan-out happens on 1-row aggregates."""
+    from weather_data_pipeline_spark.plans.inspect import executed_plan
+
+    plan = executed_plan(_Q["ext_dq_audit"](spark, SF))
+    for tbl in ("orders", "events", "lineitem", "customer"):
+        assert plan.count(f"{tbl}.parquet") == 1, (
+            tbl,
+            plan.count(f"{tbl}.parquet"),
+        )
+
+
+def test_html_extract_scan_side(spark):
+    """Markup extraction is embarrassingly parallel: ZERO exchanges
+    (scan + project only), no Python stage, and column pruning reaches
+    the scan — only (doc_id, text) are read, never the whole table."""
+    from weather_data_pipeline_spark.plans.inspect import (
+        executed_plan,
+        scan_columns,
+    )
+
+    df = _Q["x4_html_extract"](spark, SF)
+    assert num_shuffles(df) == 0
+    plan = executed_plan(df)
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert scan_columns(df) == [["doc_id", "text"]]

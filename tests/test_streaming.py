@@ -276,3 +276,48 @@ def test_c4_gate_state_holds_only_accepted_digests(spark):
         .count()
     )
     assert max(rows) == expected
+
+
+def test_stream_left_join_ns_unit(spark, tmp_path):
+    """The ns-unit branch of stream_stream_left_join, exercised against
+    a synthetic nanosecond-physical events.parquet (ADVICE r8: the
+    branch used to be dead-identical to the µs path and would have
+    mis-read ns data under the NTZ schema). The sentinel file must be
+    written in the SAME ns unit as the staged copy, the whole dir read
+    under the long-ts schema, and the converted join must equal the
+    batch LEFT JOIN: one matched purchase, two tail purchases flushed
+    with NULL view columns."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = 1_700_000_000_000_000_000  # 2023-11-14T22:13:20Z in ns
+    hour = 3_600_000_000_000  # ns
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "ts": pa.array(
+                [base, base + hour // 2, base + 3 * hour, base + 4 * hour],
+                pa.timestamp("ns"),
+            ),
+            "user_id": pa.array([10, 10, 10, 20], pa.int64()),
+            "event_type": pa.array(
+                ["view", "purchase", "purchase", "purchase"], pa.string()
+            ),
+            "value": pa.array([0.0, 5.0, 7.0, 9.0], pa.float64()),
+            "props": pa.array([None] * 4, pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    from weather_data_pipeline_spark.sources.testdata import events_ts_unit
+
+    assert events_ts_unit(str(tmp_path)) == "ns"
+    sink = "s_ssleft_nsunit"
+    jobs.stream_stream_left_join(spark, str(tmp_path), sink)
+    out = {
+        r["purchase_id"]: (r["view_id"], r["value"])
+        for r in spark.table(sink).collect()
+    }
+    assert out == {2: (1, 5.0), 3: (None, 7.0), 4: (None, 9.0)}
+    # the matched row's timestamps round-trip the ns→µs conversion
+    row = spark.table(sink).filter(F.col("purchase_id") == 2).collect()[0]
+    assert int(row["p_ts"].timestamp() * 1e6) == (base + hour // 2) // 1000

@@ -65,7 +65,17 @@ def global_prefix_sums(
     rows = parts.groupBy("_pid", *groups).agg(agg.alias("_n")).collect()
     acc: dict[tuple, int] = {}
     offsets = []
-    for r in sorted(rows, key=lambda r: (tuple(r[g] for g in groups), r["_pid"])):
+    # None-safe sort key: a NULL group value must order deterministically
+    # (NULLS FIRST) instead of raising TypeError on None-vs-value
+    # comparison (ADVICE r8) — the offset table itself is agnostic to
+    # which order, it only needs ONE total order shared with nothing.
+    def _nskey(v):
+        return (v is not None, v)
+
+    for r in sorted(
+        rows,
+        key=lambda r: (tuple(_nskey(r[g]) for g in groups), r["_pid"]),
+    ):
         key = tuple(r[g] for g in groups)
         offsets.append((r["_pid"], *key, acc.get(key, 0)))
         acc[key] = acc.get(key, 0) + r["_n"]
@@ -112,12 +122,13 @@ def global_ranks(
 
 
 def _floordiv1(a: Column, b: int) -> Column:
-    """Exact integer ``a // b`` for non-negative long ``a`` (b ≥ 1):
-    ``(a - a % b) / b`` divides an exact multiple, so the double
-    division is exact and the long cast is lossless — no IEEE-rounding
-    dependence (ADVICE r7 #3)."""
-    bl = F.lit(max(b, 1))
-    return ((a - a % bl) / bl).cast("long")
+    """Exact integer ``a // b`` for non-negative long ``a`` (b ≥ 1) via
+    Spark's integral-divide (`DIV`) — pure long arithmetic end to end.
+    The previous ``(a - a % b) / b`` double division was exact only for
+    ranks below 2^53 (longs lose precision in the double conversion
+    above that), at odds with the primitive's no-limits framing
+    (ADVICE r8); ``DIV`` has no such ceiling."""
+    return F.call_function("div", a.cast("long"), F.lit(max(b, 1)))
 
 
 def ntile_of_rank(k: Column, n: int, tiles: int) -> Column:

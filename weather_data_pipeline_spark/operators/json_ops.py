@@ -193,7 +193,7 @@ def x5_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS BIGINT) AS k_min,
            CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))
                 AS BIGINT) AS k_max,
-           COUNT(DISTINCT json_structure(props)) AS n_shapes
+           COUNT(DISTINCT list_sort(json_keys(props))) AS n_shapes
     FROM events GROUP BY event_type
     """,
 )
@@ -207,12 +207,18 @@ def x5_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     share — the engine-native answer to repeated JSON probing, and the
     same storage layout Delta/Iceberg variant columns use at rest. The
     oracle recomputes identical aggregates with DuckDB's JSON
-    functions (shape profiling via ``json_structure`` ≙ the variant
-    schema modulo spelling — compared as distinct-count, not text).
-    One partial-aggregated exchange; the parse is scan-side."""
+    functions. Shape profiling is normalized to the sorted TOP-LEVEL
+    KEY SET per document (ADVICE r8: Spark's ``schema_of_variant``
+    and DuckDB's ``json_structure`` sit on different type lattices —
+    e.g. UBIGINT/BIGINT splits — so a typed-structure distinct count
+    can diverge on data the fixture merely happens not to contain;
+    key sets are lattice-free and engine-exact). One
+    partial-aggregated exchange; the parse is scan-side."""
     ev = load_table(spark, sf_dir, "events")
     v = ev.select(
-        "event_type", F.parse_json("props").alias("v")
+        "event_type",
+        F.parse_json("props").alias("v"),
+        F.array_sort(F.json_object_keys("props")).alias("keyset"),
     )
     return v.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -225,5 +231,5 @@ def x5_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.variant_get(F.col("v"), "$.k", "long"))
         .cast("long")
         .alias("k_max"),
-        F.countDistinct(F.schema_of_variant(F.col("v"))).alias("n_shapes"),
+        F.countDistinct(F.col("keyset")).alias("n_shapes"),
     )

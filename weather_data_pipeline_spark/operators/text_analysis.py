@@ -2448,24 +2448,34 @@ def x8_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: within-source ranks come from the shared
     ``functions.distributed.global_prefix_sums`` grouped primitive
     (range exchange + per-partition windows + broadcast offsets — NO
-    whole-source window task); the source index table is |sources|
-    rows broadcast; the interleave position is pure arithmetic on
-    (rank, index). The only other exchange is the 16-shard
-    fingerprint rollup, whose per-group sort is bounded by shard
-    membership — the same bound x8_epoch_shuffle carries."""
+    whole-source window task); the source index is derived
+    DISTRIBUTIVELY — row_number over the |sources|-row distinct frame,
+    broadcast-joined back (VERDICT r8 #4: the previous create_map
+    literal collected distinct sources to the driver, the package's
+    only data-dependent collect; the single-partition window here is
+    over |sources| rows, a config-sized dim, not data). The interleave
+    position is pure arithmetic on (rank, index). The only other
+    exchange is the 16-shard fingerprint rollup, whose per-group sort
+    is bounded by shard membership — the same bound x8_epoch_shuffle
+    carries."""
+    from pyspark.sql.window import Window
+
     from ..functions.distributed import global_prefix_sums
 
     doc = load_table(spark, sf_dir, "documents")
-    srcs = sorted(
-        r["source"]
-        for r in doc.select("source").distinct().collect()
-    )
-    n_sources = len(srcs)
-    s_idx = F.element_at(
-        F.create_map(
-            *[F.lit(x) for s, i in zip(srcs, range(n_sources)) for x in (s, i)]
-        ),
-        F.col("source"),
+    src = (
+        doc.select("source")
+        .distinct()
+        .select(
+            "source",
+            (F.row_number().over(Window.orderBy("source")) - 1).alias(
+                "s_idx"
+            ),
+            F.count(F.lit(1))
+            .over(Window.partitionBy())
+            .cast("long")
+            .alias("n_sources"),
+        )
     )
     ranked, _totals = global_prefix_sums(
         spark,
@@ -2475,10 +2485,12 @@ def x8_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_cols=["source"],
         out_col="r1",
     )
-    pos = ranked.select(
+    pos = ranked.join(F.broadcast(src), "source").select(
         "doc_id",
         "source",
-        ((F.col("r1") - 1) * n_sources + s_idx).alias("position"),
+        ((F.col("r1") - 1) * F.col("n_sources") + F.col("s_idx")).alias(
+            "position"
+        ),
     )
     return pos.groupBy(
         (F.col("position") % INTERLEAVE_SHARDS).cast("long").alias("shard")
@@ -2495,4 +2507,170 @@ def x8_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         ).alias("order_fp"),
+    )
+
+
+# ----------------------------------------------------------------------
+# HTML/markup → text extraction (round 9): the stage upstream of the C4
+# funnel in a real web-scale corpus (reference analog: the raw-JSON →
+# staged-table parse, weather_etl.py:62-90 — same capability class).
+# ----------------------------------------------------------------------
+# The synthetic documents carry no markup, so the rung RENDERS each doc
+# into deterministic HTML scan-side (pure function of (doc_id, text) —
+# the mm_image_phash convention: synthesize the encoded form, then
+# prove the decoder recovers the payload exactly) and extracts it back:
+# script/style/comment drop, tag strip, boilerplate-line removal (short
+# or unterminated lines), entity decode AFTER tag strip (so a literal
+# &lt;2026&gt; in content survives as <2026> instead of being eaten as
+# a tag). `extract_ok` asserts in-band that the kept content line is
+# byte-identical to the original text.
+_HTML_LINE_HEAD = (
+    '<html><head><script type="text/javascript">var a = 1; '
+    "// <b>x</b> &amp;</script><style>p { color: red }</style></head>"
+)
+_HTML_LINE_NAV = '<div class="nav">Home | About | Contact</div>'
+_HTML_LINE_COMMENT = "<!-- hidden <p>comment.</p> -->"
+_HTML_LINE_FOOTER = "<p>Footer &amp; copyright &lt;2026&gt; on this page.</p>"
+_HTML_LINE_TAIL = "</body></html>"
+
+#: shared Java/RE2 regexes — no backreferences (RE2 has none), inline
+#: flags instead of engine-specific option strings
+_RE_SCRIPT = "(?is)<script[^>]*>.*?</script>"
+_RE_STYLE = "(?is)<style[^>]*>.*?</style>"
+_RE_COMMENT = "(?s)<!--.*?-->"
+_RE_TAG = "<[^>]+>"
+_RE_TERMINAL = "[.!?]$"
+_HTML_MIN_LINE_WORDS = 3
+#: decode order: named/numeric entities first, &amp; LAST (else
+#: &amp;lt; would double-decode)
+_HTML_ENTITIES = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+]
+
+
+def _sqlq(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _html_oracle() -> str:
+    strip = "html"
+    for pat, rep in (
+        (_RE_SCRIPT, " "),
+        (_RE_STYLE, " "),
+        (_RE_COMMENT, " "),
+        (_RE_TAG, ""),
+    ):
+        strip = f"regexp_replace({strip}, {_sqlq(pat)}, {_sqlq(rep)}, 'g')"
+    decode = "array_to_string(kept, chr(10))"
+    for ent, ch in _HTML_ENTITIES:
+        decode = f"replace({decode}, {_sqlq(ent)}, {_sqlq(ch)})"
+    return f"""
+    WITH h AS (
+      SELECT doc_id, text,
+             {_sqlq(_HTML_LINE_HEAD)} || chr(10) ||
+             {_sqlq(_HTML_LINE_NAV)} || chr(10) ||
+             {_sqlq(_HTML_LINE_COMMENT)} || chr(10) ||
+             '<p>' || text || '.</p>' || chr(10) ||
+             {_sqlq(_HTML_LINE_FOOTER)} || chr(10) ||
+             {_sqlq(_HTML_LINE_TAIL)} AS html
+      FROM documents
+    ), s AS (
+      SELECT doc_id, text, string_split({strip}, chr(10)) AS lines FROM h
+    ), k AS (
+      SELECT doc_id, text, lines,
+             list_filter(lines, x ->
+               len(list_filter(string_split_regex(x, '\\s+'),
+                               w -> w <> '')) >= {_HTML_MIN_LINE_WORDS}
+               AND regexp_matches(rtrim(x), {_sqlq(_RE_TERMINAL)})) AS kept
+      FROM s
+    ), c AS (
+      SELECT doc_id, text, lines, kept, {decode} AS clean FROM k
+    )
+    SELECT doc_id,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           CAST(len(kept) AS BIGINT) AS n_kept,
+           CAST(len(lines) - len(kept) AS BIGINT) AS n_dropped,
+           CAST(LENGTH(clean) AS BIGINT) AS clean_len,
+           md5(clean) AS clean_fp,
+           (string_split(clean, chr(10))[1] = text || '.') AS extract_ok
+    FROM c
+    """
+
+
+@query("x4_html_extract", oracle=_html_oracle())
+def x4_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML/markup → text extraction (the step upstream of the C4
+    funnel in a web-scale corpus; VERDICT r8 ask #3): render each doc
+    into deterministic markup scan-side, then extract — drop
+    script/style blocks WITH their content (ordering matters: the
+    script body contains tags and entities that must never leak),
+    drop comments, strip remaining tags, remove boilerplate lines
+    (fewer than {_HTML_MIN_LINE_WORDS} words OR no terminal
+    punctuation — the C4 line rule, which kills nav bars that pass a
+    bare word count), and decode entities AFTER tag stripping so
+    decoded angle brackets can't be re-eaten as tags. Per-doc
+    kept/dropped counts + an md5 fingerprint of the cleaned text, and
+    ``extract_ok`` proves in-band that extraction recovered the
+    original content line byte-exactly.
+
+    Scale shape: one documents scan, everything codegen
+    string/array expressions (regexp_replace / split / filter /
+    array_join — no Python, no UDF), ZERO exchanges: extraction is
+    embarrassingly parallel and the plan must stay a scan + project
+    (tests/test_plans.py::test_html_extract_scan_side). The regex
+    passes are shared Java/RE2 syntax — no backreferences, inline
+    flags — so the DuckDB oracle replays the identical chain."""
+    doc = load_table(spark, sf_dir, "documents")
+    html = F.concat_ws(
+        "\n",
+        F.lit(_HTML_LINE_HEAD),
+        F.lit(_HTML_LINE_NAV),
+        F.lit(_HTML_LINE_COMMENT),
+        F.concat(F.lit("<p>"), F.col("text"), F.lit(".</p>")),
+        F.lit(_HTML_LINE_FOOTER),
+        F.lit(_HTML_LINE_TAIL),
+    )
+    stripped = html
+    for pat, rep in (
+        (_RE_SCRIPT, " "),
+        (_RE_STYLE, " "),
+        (_RE_COMMENT, " "),
+        (_RE_TAG, ""),
+    ):
+        stripped = F.regexp_replace(stripped, pat, rep)
+    lines = F.split(stripped, "\n")
+    kept = F.filter(
+        lines,
+        lambda x: (
+            F.size(F.filter(F.split(x, r"\s+"), lambda w: w != ""))
+            >= _HTML_MIN_LINE_WORDS
+        )
+        & F.rtrim(x).rlike(_RE_TERMINAL),
+    )
+    clean = F.array_join(kept, "\n")
+    for ent, ch in _HTML_ENTITIES:
+        clean = F.replace(clean, F.lit(ent), F.lit(ch))
+    d = doc.select(
+        "doc_id",
+        "text",
+        lines.alias("lines"),
+        kept.alias("kept"),
+        clean.alias("clean"),
+    )
+    return d.select(
+        "doc_id",
+        F.size("lines").cast("long").alias("n_lines"),
+        F.size("kept").cast("long").alias("n_kept"),
+        (F.size("lines") - F.size("kept")).cast("long").alias("n_dropped"),
+        F.length("clean").cast("long").alias("clean_len"),
+        F.md5("clean").alias("clean_fp"),
+        (
+            F.element_at(F.split("clean", "\n"), 1)
+            == F.concat(F.col("text"), F.lit("."))
+        ).alias("extract_ok"),
     )

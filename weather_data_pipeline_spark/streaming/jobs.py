@@ -401,16 +401,20 @@ def stream_stream_left_join(
     work = tempfile.mkdtemp(prefix="ssleft_", dir=SCRATCH)
     src_file = os.path.join(sf_dir, "events.parquet")
     shutil.copy(src_file, os.path.join(work, "a_events.parquet"))
-    # sentinel: one far-future view for a user id no purchase carries
-    ev = spark.read.parquet(src_file)
+    # sentinel: one far-future view for a user id no purchase carries.
+    # Unit sniff + legacy conf BEFORE the read — parquet schema
+    # inference is eager, and TIMESTAMP(NANOS) without nanosAsLong
+    # fails at DataFrame creation, not at collect.
     unit = events_ts_unit(sf_dir)
     if unit == "ns":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        max_ts = ev.agg(
+        max_ts = spark.read.parquet(src_file).agg(
             F.max(F.timestamp_micros(F.expr("ts div 1000")))
         ).collect()[0][0]
     else:
-        max_ts = ev.agg(F.max(F.col("ts").cast("timestamp"))).collect()[0][0]
+        max_ts = spark.read.parquet(src_file).agg(
+            F.max(F.col("ts").cast("timestamp"))
+        ).collect()[0][0]
     sent_dir = os.path.join(work, "_sentinel_build")
     # sentinels on BOTH sides: the global watermark is the MIN across
     # the two watermark operators (default multipleWatermarkPolicy), so
@@ -421,6 +425,23 @@ def stream_stream_left_join(
     # each other, the view side never appears in left-join output, and
     # the sentinel purchase itself stays in state (wm stops 1·horizon
     # short of it) so it never emits either.
+    # far enough that the engine's CONSERVATIVE state watermark
+    # (global watermark minus the interval slack) still clears
+    # every real purchase: watermark arithmetic subtracts the
+    # horizon once more on the buffered side, so 2·horizon is the
+    # minimum and 4·horizon leaves margin
+    sent_ts = (F.col("ts") + F.expr(f"INTERVAL {horizon}") * 4).cast(
+        "timestamp"
+    )
+    # the sentinel file must carry the SAME physical ts unit as the
+    # staged source copy — the stream reads the whole dir under one
+    # schema. ns sources stage ns longs, so the sentinel writes ns
+    # longs too (mirroring stream_events' unit handling, ADVICE r8);
+    # µs sources write NTZ, matching EVENTS_TS_NTZ.
+    if unit == "ns":
+        sent_ts = (F.unix_micros(sent_ts) * F.lit(1000)).alias("ts")
+    else:
+        sent_ts = sent_ts.cast("timestamp_ntz").alias("ts")
     spark.createDataFrame(
         [
             (int(-1), max_ts, int(-2), "view", 0.0, None),
@@ -430,14 +451,7 @@ def stream_stream_left_join(
         "event_type string, value double, props string",
     ).select(
         "event_id",
-        # far enough that the engine's CONSERVATIVE state watermark
-        # (global watermark minus the interval slack) still clears
-        # every real purchase: watermark arithmetic subtracts the
-        # horizon once more on the buffered side, so 2·horizon is the
-        # minimum and 4·horizon leaves margin
-        (F.col("ts") + F.expr(f"INTERVAL {horizon}") * 4).cast(
-            "timestamp_ntz"
-        ).alias("ts"),
+        sent_ts,
         "user_id",
         "event_type",
         "value",
@@ -459,20 +473,29 @@ def stream_stream_left_join(
     shutil.copy(
         os.path.join(sent_dir, part), os.path.join(work, "c_sentinel.parquet")
     )
-    raw = (
-        spark.readStream.schema(EVENTS_TS_NTZ)
-        .option("maxFilesPerTrigger", "1")
-        .option("pathGlobFilter", "*.parquet")
-        .parquet(work)
-    )
     if unit == "ns":
-        # the staged copy keeps the source's unit; the sentinel file is
-        # µs — but ns testdata would surface as LONG under the NTZ
-        # schema. The driver has shipped µs units since round 3; the
-        # ns path mirrors stream_events' handling for completeness.
-        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+        # the staged copy keeps the source's ns unit and the sentinel
+        # above was written as ns longs, so the whole dir reads under
+        # the long-ts schema and converts exactly as stream_events
+        # does (nanosAsLong was set when max_ts was computed). Covered
+        # by test_stream_left_join_ns_unit against a synthetic ns
+        # fixture — not dead code even though driver testdata has
+        # shipped µs since round 3.
+        raw = (
+            spark.readStream.schema(TESTDATA["events"])
+            .option("maxFilesPerTrigger", "1")
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(work)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
     else:
-        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+        raw = (
+            spark.readStream.schema(EVENTS_TS_NTZ)
+            .option("maxFilesPerTrigger", "1")
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(work)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
     views = raw.filter(F.col("event_type") == "view").select(
         F.col("user_id").alias("v_user"),
         F.col("ts").alias("v_ts"),
