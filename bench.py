@@ -126,6 +126,10 @@ HEADLINE = [
     "x8_interleave_sources",
     "x5_schema_evolution_read",
     "x5_variant_extract",
+    # round-9 additions
+    "x4_html_extract",
+    "x2_tfidf_cosine_prefix",
+    "mm_phash_neardup_codes",
 ]
 
 

@@ -1275,3 +1275,19 @@ def test_html_extract_scan_side(spark):
     plan = executed_plan(df)
     assert "EvalPython" not in plan and "MapInPandas" not in plan
     assert scan_columns(df) == [["doc_id", "text"]]
+
+
+def test_phash_codes_plan_independent_of_dup_multiplicity(spark):
+    """The dup-heavy-safe twin: after the one decode pass + fingerprint
+    groupBy (the ONLY stage proportional to duplicate multiplicity),
+    everything downstream operates on the distinct-codes
+    localCheckpoint — no payload bytes in any exchange, and the band
+    joins' inputs are ExistingRDD scans of the materialized codes, so
+    a viral image can never grow a posting list."""
+    from weather_data_pipeline_spark.plans.inspect import executed_plan
+
+    df = _Q["mm_phash_neardup_codes"](spark, SF)
+    plan = executed_plan(df)
+    assert "payload" not in plan
+    assert "MapInPandas" not in plan  # decode already collapsed to codes
+    assert plan.count("ExistingRDD") >= 2  # both joins read the checkpoint

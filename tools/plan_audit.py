@@ -37,6 +37,12 @@ MULTI_JOB = {
     "prior job; total and top-K prune both read the ExistingRDD",
     "x3_prefix_dim_recall": "query collect + kernel-output localCheckpoint "
     "run as prior jobs; both rankings read the one ExistingRDD",
+    "x2_tfidf_cosine_prefix": "weighted-term localCheckpoint + the adaptive "
+    "selectivity probe (two postings counts) run as prior bounded jobs; "
+    "the plan shows the path the cost rule chose (exhaustive on this "
+    "corpus — BENCH_PREFIX_AB.json)",
+    "mm_phash_neardup_codes": "decode + fingerprint groupBy localCheckpoint "
+    "as a prior job; both band joins read the distinct-codes ExistingRDD",
 }
 
 

@@ -1030,10 +1030,17 @@ TFIDF_DF_CAP = 50
 #: cosine threshold for emitting a near-dup pair
 TFIDF_MIN_COS = 0.35
 
+#: multiplicative slack on the prefix-filter bound: the suffix-norm
+#: comparison runs in doubles, so the bound is tested against
+#: (t·(1−ε))² — ε overwhelms IEEE accumulation error by ~9 orders of
+#: magnitude, keeping the filter strictly conservative (it may admit a
+#: few extra candidates, never drop a true pair).
+TFIDF_PREFIX_EPS = 1e-6
 
-@query(
-    "x2_tfidf_cosine",
-    oracle=f"""
+#: one oracle for both TF-IDF rungs: the prefix filter is a candidate
+#: PRUNING strategy with exact verification, so its answer is defined
+#: to be identical to the exhaustive rung's.
+_TFIDF_ORACLE = f"""
     WITH w AS (
       SELECT doc_id, string_split(text, ' ') AS words FROM documents
       WHERE len(string_split(text, ' ')) >= 3
@@ -1071,8 +1078,69 @@ TFIDF_MIN_COS = 0.35
     WHERE CAST(dot AS DOUBLE)
       / sqrt(CAST(na.norm_sq AS DOUBLE) * CAST(nb.norm_sq AS DOUBLE))
       >= {TFIDF_MIN_COS}
-    """,
-)
+    """
+
+
+def _tfidf_weighted(spark: SparkSession, sf_dir: str):
+    """Shared df-capped TF-IDF subtree for both cosine rungs: returns
+    (weighted, norms) where weighted = (doc_id, h=xxhash64(term), wt)
+    localCheckpointed (read ≥3x by every consumer — see the reuse note
+    on x2_tfidf_cosine) and norms = (doc_id, norm_sq DECIMAL)."""
+    doc = fan_out(load_table(spark, sf_dir, "documents"))
+    words = doc.select("doc_id", F.split("text", " ").alias("words")).filter(
+        F.size("words") >= 3
+    )
+    from pyspark.ml.feature import NGram
+
+    grams = NGram(n=3, inputCol="words", outputCol="raw_grams").transform(
+        words
+    )
+    tf = (
+        grams.select("doc_id", F.explode("raw_grams").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    nd = words.count()  # one bounded count job; result folds into idf
+    stats = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= TFIDF_DF_CAP)
+    )
+    weighted = tf.join(stats, "term").select(
+        "doc_id",
+        F.xxhash64("term").alias("h"),
+        (F.col("tf") * F.log(F.lit(float(nd)) / F.col("df"))).alias("wt"),
+    ).localCheckpoint(eager=True)
+    norms = weighted.groupBy("doc_id").agg(
+        F.sum((F.col("wt") * F.col("wt")).cast("decimal(28,12)")).alias(
+            "norm_sq"
+        )
+    )
+    return weighted, norms
+
+
+def _tfidf_emit(dots: DataFrame, norms: DataFrame) -> DataFrame:
+    """Shared emit boundary: join per-doc norms onto decimal-exact pair
+    dots, one double division + sqrt, threshold, round — byte-identical
+    across rungs so they can share one oracle."""
+    na = norms.select(
+        F.col("doc_id").alias("doc_a"), F.col("norm_sq").alias("nsq_a")
+    )
+    nb = norms.select(
+        F.col("doc_id").alias("doc_b"), F.col("norm_sq").alias("nsq_b")
+    )
+    cos = F.col("dot").cast("double") / F.sqrt(
+        F.col("nsq_a").cast("double") * F.col("nsq_b").cast("double")
+    )
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(cos >= TFIDF_MIN_COS)
+        .select("doc_a", "doc_b", F.round(cos, 6).alias("cosine"))
+    )
+
+
+@query("x2_tfidf_cosine", oracle=_TFIDF_ORACLE)
 def x2_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF-weighted cosine near-dup pairs — the weighted rung between
     set-overlap Jaccard (every shared shingle counts 1) and embedding
@@ -1094,30 +1162,9 @@ def x2_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ceiling below structurally bounds pair work at |docs|·cap, so the
     # op stays linear in the corpus at any scale (the gate's error text
     # would also misdirect to the Jaccard rungs).
-    doc = fan_out(load_table(spark, sf_dir, "documents"))
-    words = doc.select("doc_id", F.split("text", " ").alias("words")).filter(
-        F.size("words") >= 3
-    )
-    from pyspark.ml.feature import NGram
-
-    grams = NGram(n=3, inputCol="words", outputCol="raw_grams").transform(words)
-    tf = (
-        grams.select("doc_id", F.explode("raw_grams").alias("term"))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    nd = words.count()  # one bounded count job; result folds into idf
-    stats = (
-        tf.groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= TFIDF_DF_CAP)
-    )
-    weighted = tf.join(stats, "term").select(
-        "doc_id",
-        F.xxhash64("term").alias("h"),
-        (F.col("tf") * F.log(F.lit(float(nd)) / F.col("df"))).alias("wt"),
-    ).localCheckpoint(eager=True)
-    # read 3x (norms + both pair-join sides); without reuse the
+    #
+    # weighted is localCheckpointed inside _tfidf_weighted — read 3x
+    # here (norms + both pair-join sides); without reuse the
     # explode→tf-groupBy→stats-join subtree re-runs per consumer
     # (benched ~4.9 s → ~3 s warm at sf0.1). localCheckpoint instead of
     # cache() (ADVICE/VERDICT r6 #4): the materialized table is freed by
@@ -1125,11 +1172,7 @@ def x2_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of pinning one MEMORY_AND_DISK entry per sf_dir for the session.
     # Cluster caveat: executor loss loses checkpoint partitions; a
     # long-lived job swaps in checkpoint() with a reliable dir.
-    norms = weighted.groupBy("doc_id").agg(
-        F.sum((F.col("wt") * F.col("wt")).cast("decimal(28,12)")).alias(
-            "norm_sq"
-        )
-    )
+    weighted, norms = _tfidf_weighted(spark, sf_dir)
     a = weighted.select(
         F.col("doc_id").alias("doc_a"), "h", F.col("wt").alias("wa")
     )
@@ -1146,21 +1189,129 @@ def x2_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    na = norms.select(
-        F.col("doc_id").alias("doc_a"), F.col("norm_sq").alias("nsq_a")
+    return _tfidf_emit(dots, norms)
+
+
+#: adaptive switch for the prefix rung: if the suffix-norm filter keeps
+#: MORE than this fraction of postings, candidate generation can't pay
+#: for the extra distinct + re-score join and the exhaustive single-pass
+#: join is the better plan (measured crossover well above 0.5 on this
+#: corpus — the filter keeps 87% at t=0.35 and the rung ran 3× slower;
+#: BENCH_PREFIX_AB.json).
+TFIDF_PREFIX_SELECTIVITY_MAX = 0.5
+
+
+def _tfidf_prefix_dots(
+    spark: SparkSession,
+    weighted: DataFrame,
+    norms: DataFrame,
+    force_prefix: bool = False,
+) -> DataFrame:
+    """Candidate generation + exact re-score for the prefix rung, with
+    the ADAPTIVE fallback: two O(|postings|-aggregate) counts measure
+    the filter's real selectivity on the materialized postings, and if
+    the prefix keeps > TFIDF_PREFIX_SELECTIVITY_MAX of them the
+    exhaustive co-term join runs instead (identical answer either
+    way — the choice is pure cost, the engine's own CBO pattern).
+    ``force_prefix`` exists for tools/prefix_ab.py to measure the
+    filtered path even where the cost rule rejects it."""
+    from pyspark.sql.window import Window
+
+    unit = weighted.join(norms, "doc_id").select(
+        "doc_id",
+        "h",
+        (F.col("wt") / F.sqrt(F.col("norm_sq").cast("double"))).alias("u"),
     )
-    nb = norms.select(
-        F.col("doc_id").alias("doc_b"), F.col("norm_sq").alias("nsq_b")
+    w = Window.partitionBy("doc_id").orderBy(F.col("u").desc(), "h")
+    cum = F.sum(F.col("u") * F.col("u")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cos = F.col("dot").cast("double") / F.sqrt(
-        F.col("nsq_a").cast("double") * F.col("nsq_b").cast("double")
+    bound = (TFIDF_MIN_COS * (1.0 - TFIDF_PREFIX_EPS)) ** 2
+    # suffix norm² INCLUDING this row = 1 − (cum − u²); index rows
+    # while it still reaches the (slackened) threshold
+    pref = (
+        unit.withColumn(
+            "rem_sq", F.lit(1.0) - (cum - F.col("u") * F.col("u"))
+        )
+        .filter(F.col("rem_sq") >= F.lit(bound))
+        .select(F.col("doc_id").alias("doc_a"), "h")
+    )
+    if not force_prefix:
+        keep_frac = pref.count() / max(weighted.count(), 1)
+        if keep_frac > TFIDF_PREFIX_SELECTIVITY_MAX:
+            a = weighted.select(
+                F.col("doc_id").alias("doc_a"), "h", F.col("wt").alias("wa")
+            )
+            b = weighted.select(
+                F.col("doc_id").alias("doc_b"), "h", F.col("wt").alias("wb")
+            )
+            return (
+                a.join(b, "h")
+                .filter(F.col("doc_a") < F.col("doc_b"))
+                .groupBy("doc_a", "doc_b")
+                .agg(
+                    F.sum(
+                        (F.col("wa") * F.col("wb")).cast("decimal(28,12)")
+                    ).alias("dot")
+                )
+            )
+    cand = (
+        pref.join(weighted.select(F.col("doc_id").alias("doc_b"), "h"), "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    fa = weighted.select(
+        F.col("doc_id").alias("doc_a"), "h", F.col("wt").alias("wa")
+    )
+    fb = weighted.select(
+        F.col("doc_id").alias("doc_b"), "h", F.col("wt").alias("wb")
     )
     return (
-        dots.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .filter(cos >= TFIDF_MIN_COS)
-        .select("doc_a", "doc_b", F.round(cos, 6).alias("cosine"))
+        cand.join(fa, "doc_a")
+        .join(fb, ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum((F.col("wa") * F.col("wb")).cast("decimal(28,12)")).alias(
+                "dot"
+            )
+        )
     )
+
+
+@query("x2_tfidf_cosine_prefix", oracle=_TFIDF_ORACLE)
+def x2_tfidf_cosine_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bayardo/Chaudhuri prefix-filtered TF-IDF cosine (All-Pairs,
+    WWW'07; SSJoin, ICDE'06 — public algorithms), with an ADAPTIVE
+    cost rule: identical answer to ``x2_tfidf_cosine`` (same oracle),
+    candidate pairs from joining each doc's PREFIX postings against
+    the corpus instead of full×full — but only when the filter
+    actually prunes. With unit-normalized weights sorted descending,
+    once the remaining suffix norm of doc *x* falls below the
+    threshold *t*, no pair whose shared terms all lie in that suffix
+    can reach cos ≥ t (dot ≤ ‖x_suffix‖·‖y‖ < t) — so indexing only
+    rows where the suffix norm starting there is ≥ t·(1−ε) is
+    lossless, one-sidedly, for ANY per-doc order: every qualifying
+    pair shares a term inside each member's prefix. Survivors are
+    re-scored EXACTLY (decimal dot over raw weights, the shared emit
+    boundary), so float error in the filter can only admit extra
+    candidates, never change the answer.
+
+    MEASURED VERDICT (BENCH_PREFIX_AB.json, sf0.1 interleaved A/B):
+    on THIS corpus the forced-prefix path LOSES to the exhaustive
+    join (median ~11 s vs ~3.4 s) at every threshold 0.35–0.9,
+    structurally: docs share capped terms so densely that candidate
+    pairs ≈ co-term pairs (913k candidates for a 256-pair answer at
+    t=0.35; still 114k at t=0.9), so the filter prunes <25% of join
+    rows while the candidate-distinct and re-score join add strictly
+    more. Hence the adaptive rule: the rung measures the filter's
+    selectivity on the materialized postings (two cheap counts) and
+    falls back to the exhaustive plan past
+    TFIDF_PREFIX_SELECTIVITY_MAX — the prefix path engages exactly on
+    the corpora it was invented for (high threshold, sparse-candidate,
+    long skewed posting lists), which is when a CBO would pick it."""
+    weighted, norms = _tfidf_weighted(spark, sf_dir)
+    return _tfidf_emit(_tfidf_prefix_dots(spark, weighted, norms), norms)
 
 
 @query(

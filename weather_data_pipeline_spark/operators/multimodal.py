@@ -813,14 +813,28 @@ def mm_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = (
         m.filter(F.col("media_type") == "image/ppm")
         .mapInPandas(_phash_batches, schema="doc_id long, phash long")
-        .withColumn("band_lo", (F.col("phash") % 256).cast("int"))
-        .withColumn(
-            "band_hi", F.expr("CAST(phash DIV 256 AS INT)")
-        )
         .localCheckpoint(eager=True)
     )
     # kernel output consumed by BOTH band joins (2 sides × 2 bands):
     # materialized once so the decode never re-runs
+    return band_neardup_pairs(hashed)
+
+
+def _with_bands(df: DataFrame) -> DataFrame:
+    return df.withColumn(
+        "band_lo", (F.col("phash") % 256).cast("int")
+    ).withColumn("band_hi", F.expr("CAST(phash DIV 256 AS INT)"))
+
+
+def band_neardup_pairs(hashed: DataFrame) -> DataFrame:
+    """Per-doc banded Hamming join over (doc_id, phash) rows — the
+    mm_image_phash_neardup candidate generator, exposed for the skew
+    A/B (tools/phash_skew_ab.py). Posting-list caveat: a bucket of
+    identical fingerprints (one viral thumbnail on 5% of pages)
+    produces |bucket|² candidate rows — under duplicate-heavy media
+    use ``band_neardup_codes`` instead, which collapses to distinct
+    codes first."""
+    hashed = _with_bands(hashed)
     pairs = None
     for band in ("band_lo", "band_hi"):
         a = hashed.select(
@@ -835,11 +849,108 @@ def mm_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cand = a.join(b, "_b").filter(F.col("doc_a") < F.col("doc_b"))
         pairs = cand if pairs is None else pairs.unionByName(cand)
-    ham = F.bit_count(
-        F.col("ph_a").bitwiseXOR(F.col("ph_b"))
-    ).cast("long")
+    ham = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))).cast("long")
     return (
         pairs.select("doc_a", "doc_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= _PHASH_HAMMING_MAX)
         .distinct()
     )
+
+
+def band_neardup_codes(codes: DataFrame) -> DataFrame:
+    """Distinct-CODE banded Hamming join over (phash, n_images) rows —
+    the duplicate-heavy mitigation: band-bucket size is bounded by the
+    number of DISTINCT codes per band (≤ 2^band_bits), independent of
+    how many images share a code, so a viral thumbnail that puts 5% of
+    the corpus on ONE fingerprint adds one row to the join instead of
+    squaring a posting list. Cross-cluster pair volume is carried as
+    the COUNT ``n_pairs = n_a·n_b`` (within-cluster as C(n,2)) — the
+    answer a pipeline actually consumes; materializing cluster² doc
+    pairs is the part that can't scale, in the output itself."""
+    banded = _with_bands(codes)
+    pairs = None
+    for band in ("band_lo", "band_hi"):
+        a = banded.select(
+            F.col("phash").alias("ph_a"),
+            F.col("n_images").alias("n_a"),
+            F.col(band).alias("_b"),
+        )
+        b = banded.select(
+            F.col("phash").alias("ph_b"),
+            F.col("n_images").alias("n_b"),
+            F.col(band).alias("_b"),
+        )
+        cand = a.join(b, "_b").filter(F.col("ph_a") < F.col("ph_b"))
+        pairs = cand if pairs is None else pairs.unionByName(cand)
+    ham = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))).cast("long")
+    cross = (
+        pairs.select(
+            "ph_a",
+            "ph_b",
+            ham.alias("hamming"),
+            (F.col("n_a") * F.col("n_b")).cast("long").alias("n_pairs"),
+        )
+        .filter(F.col("hamming") <= _PHASH_HAMMING_MAX)
+        .distinct()
+    )
+    within = codes.filter(F.col("n_images") >= 2).select(
+        F.col("phash").alias("ph_a"),
+        F.col("phash").alias("ph_b"),
+        F.lit(0).cast("long").alias("hamming"),
+        (F.col("n_images") * (F.col("n_images") - 1) / 2)
+        .cast("long")
+        .alias("n_pairs"),
+    )
+    return cross.unionByName(within)
+
+
+@query(
+    "mm_phash_neardup_codes",
+    oracle=f"""
+    WITH {{payload_ctes}},
+    {_PHASH_HASHES_CTE},
+    codes AS (
+      SELECT phash, COUNT(*) AS n FROM hashes GROUP BY phash
+    )
+    SELECT ph_a, ph_b, hamming, n_pairs FROM (
+      SELECT a.phash AS ph_a, b.phash AS ph_b,
+             CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming,
+             CAST(a.n * b.n AS BIGINT) AS n_pairs
+      FROM codes a JOIN codes b ON a.phash < b.phash
+      WHERE bit_count(xor(a.phash, b.phash)) <= {_PHASH_HAMMING_MAX}
+      UNION ALL
+      SELECT phash, phash, CAST(0 AS BIGINT),
+             CAST(n * (n - 1) // 2 AS BIGINT)
+      FROM codes WHERE n >= 2
+    )
+    """.format(payload_ctes=_MM_PAYLOAD_CTES),
+)
+def mm_phash_neardup_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-heavy-safe twin of ``mm_image_phash_neardup``: exact
+    dedup FIRST (fingerprint groupBy — the mm_image_phash_dedup step),
+    THEN the banded Hamming join over DISTINCT codes, emitting
+    (code_a, code_b, hamming, n_pairs) cluster-level near-dup volume
+    instead of materialized doc pairs. This is the ladder's scale path
+    for media: the per-doc band join squares the posting list of any
+    viral image (one shared thumbnail on 5% of a 10⁹-image corpus is a
+    2.5×10¹⁵-pair bucket — unrunnable AND unstoreable), while the
+    distinct-code join is bounded by the code space per band and the
+    pair VOLUME survives as counts. Measured under a duplicate-heavy
+    replica in tools/phash_skew_ab.py (BENCH_SCALE.json skew section).
+
+    Scale shape: one Arrow decode pass (shared kernel), one 2-byte-key
+    groupBy (the dedup), two band equi-joins over ≤|distinct codes|
+    rows, a distinct on code pairs, a count-only union. Nothing in the
+    plan is proportional to duplicate multiplicity except the one
+    groupBy that collapses it."""
+    import pandas as pd  # noqa: F401
+
+    m = media_table(spark, sf_dir)
+    codes = (
+        m.filter(F.col("media_type") == "image/ppm")
+        .mapInPandas(_phash_batches, schema="doc_id long, phash long")
+        .groupBy("phash")
+        .agg(F.count(F.lit(1)).alias("n_images"))
+        .localCheckpoint(eager=True)
+    )
+    return band_neardup_codes(codes)

@@ -93,6 +93,74 @@ _PRIORITY: tuple[str, ...] = (
     "o15_latest_per_key",  # flagship (also entry())
     "w_corrupt_quarantine",  # r2 hash-fail regression pin
     "x6_session_windows",  # r2 hash-fail regression pin
+    # --- round-9 additions (3): driver-checked the round they land ---
+    "x4_html_extract",
+    "x2_tfidf_cosine_prefix",
+    "mm_phash_neardup_codes",
+    # --- round-9 STALENESS rotation (44; VERDICT r8 ask #5): with the
+    # backlog at zero, the window turns toward freshness — the 38
+    # oldest-driver-checked oracle-bearing queries (every r1 and r2 row
+    # plus the oldest r3 rows) re-enter so the union's max staleness
+    # drops from 8 rounds to ~5, plus one oldest-checked representative
+    # for each family the stale tier lacks (x7/x8/x9/CDC/cogroup/s_ —
+    # family coverage is pinned by
+    # test_first_50_slots_cover_survey_operators). Rotated OUT: the 45
+    # r8-window queries not re-listed here — all r8-green, their rows
+    # stand in the r1–r8 union.
+    # family representatives (6):
+    "x7_asof_join",
+    "x8_mixture_sample",
+    "x9_triangle_count",
+    "ext_cdc_merge",
+    "ext_cogroup_pandas",
+    "s_dedup_stream",
+    # stalest tier — last driver-checked round 1:
+    "ext_percentiles",
+    "ext_salted_join",
+    "ext_range_join",
+    "x1_exact_dedup_hash",
+    "o15_latest_per_key_agg",
+    "ext_join_semi",
+    "ext_join_anti",
+    "ext_join_left_outer",
+    "ext_join_full_outer",
+    "ext_lookup_join",
+    "ext_sort_limit_topk",
+    "ext_distinct",
+    "ext_intersect",
+    "ext_except",
+    "ext_union_distinct",
+    "ext_cube",
+    "ext_unpivot",
+    "ext_scalar_subquery",
+    "ext_correlated_subquery",
+    "ext_count_distinct",
+    "ext_null_ops",
+    "ext_string_funcs",
+    "ext_regexp",
+    "x5_from_json_struct",
+    # last driver-checked round 2:
+    "ext_grouping_sets",
+    "ext_join_broadcast_dims",
+    "ext_pivot",
+    "x5_json_get_path",
+    "x6_session_window_native",
+    "x3_embedding_near_dup",
+    # last driver-checked round 3 (oldest eight):
+    "ext_rollup",
+    "o8_json_serialize",
+    "ext_q5_local_supplier",
+    "ext_q18_large_orders",
+    "mm_type_rollup",
+    "o9_nested_flatten",
+    "o11_rename",
+    "o12_projection",
+)
+
+#: The pre-round-9 window, kept for the union math in
+#: test_driver_union_vs_registry documentation (rows all stand in
+#: CORRECTNESS_r08.json, which is committed):
+_R8_WINDOW_ROTATED_OUT: tuple[str, ...] = (
     # --- round-8 rotation (47): the declared 12-query r8 queue rotates IN
     # (VERDICT r7 ask #1); 12 r7-green slots rotate OUT (their rows stand
     # in the r1–r7 union; family representation preserved — asserted by
@@ -168,15 +236,14 @@ _PRIORITY: tuple[str, ...] = (
     "ext_cogroup_pandas",
 )
 
-#: Round-9 rotation queue — every registered query not yet covered by the
-#: union of driver CORRECTNESS rows (r1–r7 files) plus the r8 window above.
-#: tests/test_entry.py::test_driver_union_vs_registry computes the gap from
-#: the CORRECTNESS_r0*.json files and asserts it equals EXACTLY this set,
-#: so the backlog can never silently grow past one round's rotation
-#: capacity again. The full 12-query r8 queue rotated INTO the r8 window
-#: (VERDICT r7 ask #1), so this starts empty; round-8 additions that do
-#: not fit the window append here as they are registered.
-_R9_QUEUE: set[str] = set()
+#: Round-10 rotation queue — every registered query not yet covered by
+#: the union of driver CORRECTNESS rows (r1–r8 files) plus the r9 window
+#: above. tests/test_entry.py::test_driver_union_vs_registry computes the
+#: gap from the CORRECTNESS_r0*.json files and asserts it equals EXACTLY
+#: this set, so the backlog can never silently grow past one round's
+#: rotation capacity again. Empty since round 8 (zero verification debt);
+#: both round-9 additions sit in the r9 window, so it stays empty.
+_R10_QUEUE: set[str] = set()
 
 
 def _prioritized(d: dict[str, object]) -> dict[str, object]:
