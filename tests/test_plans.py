@@ -1291,3 +1291,19 @@ def test_phash_codes_plan_independent_of_dup_multiplicity(spark):
     assert "payload" not in plan
     assert "MapInPandas" not in plan  # decode already collapsed to codes
     assert plan.count("ExistingRDD") >= 2  # both joins read the checkpoint
+
+
+def test_hashed_linear_score_scan_side(spark):
+    """fastText-shaped inference must be scan-bandwidth-bound: zero
+    exchanges, no Python stage, only (doc_id, text) read — the whole
+    classifier is a JVM aggregate fold inside the scan projection."""
+    from weather_data_pipeline_spark.plans.inspect import (
+        executed_plan,
+        scan_columns,
+    )
+
+    df = _Q["x4_hashed_linear_score"](spark, SF)
+    assert num_shuffles(df) == 0
+    plan = executed_plan(df)
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert scan_columns(df) == [["doc_id", "text"]]

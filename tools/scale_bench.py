@@ -192,6 +192,7 @@ QUERIES = [
     "x4_html_extract",
     "x2_tfidf_cosine_prefix",
     "mm_phash_neardup_codes",
+    "x4_hashed_linear_score",
 ]
 
 #: Viral boilerplate for the skew replica: untagged (shared verbatim

@@ -18,6 +18,7 @@ from .text_analysis import (
     C4_KEEP_LANG as _C4_LANG,
     C4_MAX_WORDS as _C4_MAX,
     C4_MIN_WORDS as _C4_MIN,
+    HTML_EXTRACT_ORACLE as _HTML_ORACLE,
 )
 from .weather_queries import _STAGED_SQL
 
@@ -361,4 +362,19 @@ def s_api_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     CONNECTOR level, not just the query level)."""
     sink = f"s_api_{uuid.uuid4().hex[:8]}"
     jobs.api_stream_ingest(spark, sink)
+    return spark.table(sink)
+
+
+@query("s_html_extract_stream", oracle=_HTML_ORACLE)
+def s_html_extract_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``x4_html_extract`` — markup→text extraction
+    as the first ingest stage (where a crawl pipeline actually runs
+    it): the same stateless expression chain applied per micro-batch,
+    no watermark, no state. Oracle = the batch rung's oracle verbatim:
+    extraction is a pure per-row function, so the drained sink equals
+    the batch scan exactly — stream-batch parity on kept/dropped
+    counts, cleaned-text fingerprints, and the in-band extract_ok
+    recovery proof."""
+    sink = f"s_htmlx_{uuid.uuid4().hex[:8]}"
+    jobs.streaming_html_extract(jobs.stream_documents(spark, sf_dir), sink)
     return spark.table(sink)

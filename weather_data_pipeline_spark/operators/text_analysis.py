@@ -2602,30 +2602,17 @@ def _html_oracle() -> str:
     """
 
 
-@query("x4_html_extract", oracle=_html_oracle())
-def x4_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HTML/markup → text extraction (the step upstream of the C4
-    funnel in a web-scale corpus; VERDICT r8 ask #3): render each doc
-    into deterministic markup scan-side, then extract — drop
-    script/style blocks WITH their content (ordering matters: the
-    script body contains tags and entities that must never leak),
-    drop comments, strip remaining tags, remove boilerplate lines
-    (fewer than {_HTML_MIN_LINE_WORDS} words OR no terminal
-    punctuation — the C4 line rule, which kills nav bars that pass a
-    bare word count), and decode entities AFTER tag stripping so
-    decoded angle brackets can't be re-eaten as tags. Per-doc
-    kept/dropped counts + an md5 fingerprint of the cleaned text, and
-    ``extract_ok`` proves in-band that extraction recovered the
-    original content line byte-exactly.
+#: one oracle for the batch rung and its ingest-stream twin
+#: (s_html_extract_stream): extraction is stateless, so the drained
+#: stream must equal the batch scan row-for-row.
+HTML_EXTRACT_ORACLE = _html_oracle()
 
-    Scale shape: one documents scan, everything codegen
-    string/array expressions (regexp_replace / split / filter /
-    array_join — no Python, no UDF), ZERO exchanges: extraction is
-    embarrassingly parallel and the plan must stay a scan + project
-    (tests/test_plans.py::test_html_extract_scan_side). The regex
-    passes are shared Java/RE2 syntax — no backreferences, inline
-    flags — so the DuckDB oracle replays the identical chain."""
-    doc = load_table(spark, sf_dir, "documents")
+
+def html_extract_frame(doc: DataFrame) -> DataFrame:
+    """The markup-extraction transform over a (doc_id, text) frame —
+    shared by the batch rung and the streaming ingest twin (stateless
+    per-row expressions, so it drops into a micro-batch plan
+    unchanged). See ``x4_html_extract`` for semantics."""
     html = F.concat_ws(
         "\n",
         F.lit(_HTML_LINE_HEAD),
@@ -2673,4 +2660,111 @@ def x4_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at(F.split("clean", "\n"), 1)
             == F.concat(F.col("text"), F.lit("."))
         ).alias("extract_ok"),
+    )
+
+
+@query("x4_html_extract", oracle=HTML_EXTRACT_ORACLE)
+def x4_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML/markup → text extraction (the step upstream of the C4
+    funnel in a web-scale corpus; VERDICT r8 ask #3): render each doc
+    into deterministic markup scan-side, then extract — drop
+    script/style blocks WITH their content (ordering matters: the
+    script body contains tags and entities that must never leak),
+    drop comments, strip remaining tags, remove boilerplate lines
+    (fewer than {_HTML_MIN_LINE_WORDS} words OR no terminal
+    punctuation — the C4 line rule, which kills nav bars that pass a
+    bare word count), and decode entities AFTER tag stripping so
+    decoded angle brackets can't be re-eaten as tags. Per-doc
+    kept/dropped counts + an md5 fingerprint of the cleaned text, and
+    ``extract_ok`` proves in-band that extraction recovered the
+    original content line byte-exactly.
+
+    Scale shape: one documents scan, everything codegen
+    string/array expressions (regexp_replace / split / filter /
+    array_join — no Python, no UDF), ZERO exchanges: extraction is
+    embarrassingly parallel and the plan must stay a scan + project
+    (tests/test_plans.py::test_html_extract_scan_side). The regex
+    passes are shared Java/RE2 syntax — no backreferences, inline
+    flags — so the DuckDB oracle replays the identical chain. The
+    transform itself lives in ``html_extract_frame`` (stateless
+    per-row expressions), shared with the ingest-stream twin
+    ``s_html_extract_stream``."""
+    return html_extract_frame(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+
+# ----------------------------------------------------------------------
+# Hashed linear quality classifier (round 9): model-scored filtering
+# ----------------------------------------------------------------------
+#: fastText-style feature-hash bucket count (kept small so bucket
+#: collisions are exercised at test scale; production uses ~2M)
+HLS_BUCKETS = 2001
+#: keep threshold in integer per-mille of mean token weight:
+#: keep iff score·1000 ≥ HLS_THRESH_PM · n_tokens
+HLS_THRESH_PM = 25
+
+
+@query(
+    "x4_hashed_linear_score",
+    oracle=f"""
+    SELECT doc_id, score, n_tokens,
+           score * 1000 >= {HLS_THRESH_PM} * n_tokens AS keep
+    FROM (
+      SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(text, ' '),
+                   w -> CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT)
+                        % {HLS_BUCKETS} - {HLS_BUCKETS // 2})),
+               (acc, v) -> acc + v) AS score,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    """,
+)
+def x4_hashed_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-scored quality filtering — the fastText-shaped linear
+    classifier inference every production corpus pipeline runs (CCNet,
+    RefinedWeb, FineWeb use exactly this op class to keep "wiki-like"
+    text): tokens feature-HASH into a fixed bucket space (no
+    vocabulary, no OOV — fastText's trick), each bucket carries a
+    weight, a document's score is the sum over its token stream, and
+    the keep decision thresholds the MEAN weight. Weights here are a
+    deterministic pure function of the bucket (md5-prefix hash →
+    integer in [-1000, 1000]) standing in for learned values — the
+    execution shape is identical to broadcasting a trained weight
+    array and indexing it by bucket, which is how real weights slot in
+    (a w[h % B] lookup replaces the hash arithmetic; nothing else
+    changes). Portable md5-prefix hashes (the x4_rolling_fingerprint
+    convention) keep scoring oracle-exact; all integer arithmetic —
+    the threshold is the cross-multiplied per-mille form, no division.
+
+    Scale shape: ZERO exchanges — the entire inference is a JVM
+    ``aggregate`` fold over the split-token array inside the scan
+    (plan-gated with x4_html_extract's scan-side gate pattern). At
+    100 TB this op is scan-bandwidth-bound, exactly as fastText
+    inference should be; a 2M-bucket learned weight array broadcasts
+    at 8 MB and leaves the plan unchanged."""
+    doc = load_table(spark, sf_dir, "documents")
+    half = HLS_BUCKETS // 2
+    wt = lambda w: (  # noqa: E731
+        F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long")
+        % F.lit(HLS_BUCKETS)
+        - F.lit(half)
+    )
+    toks = F.split("text", " ")
+    score = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, w: acc + wt(w)
+    )
+    return doc.select(
+        "doc_id",
+        score.alias("score"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    ).select(
+        "doc_id",
+        "score",
+        "n_tokens",
+        (F.col("score") * 1000 >= F.lit(HLS_THRESH_PM) * F.col("n_tokens"))
+        .alias("keep"),
     )

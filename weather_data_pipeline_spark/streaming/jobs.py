@@ -565,3 +565,23 @@ def api_stream_ingest(
     finally:
         q.stop()
         q.awaitTermination()
+
+
+def streaming_html_extract(source: DataFrame, sink_table: str) -> None:
+    """Markup→text extraction at INGEST time — the stream twin of
+    ``x4_html_extract``: the extraction chain is stateless per-row
+    expressions (``operators.text_analysis.html_extract_frame``), so it
+    drops into the micro-batch plan unchanged, runs scan-side on each
+    arriving file, and needs no watermark or state store. This is where
+    a real crawl pipeline runs extraction — before anything is stored —
+    so the drained sink must equal the batch scan row-for-row
+    (stream-batch parity on the full transform)."""
+    from ..operators.text_analysis import html_extract_frame
+
+    run_to_completion(
+        html_extract_frame(source.select("doc_id", "text"))
+        .writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("append"),
+        f"htmlx-{sink_table}",
+    )
