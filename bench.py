@@ -128,6 +128,8 @@ HEADLINE = [
     "x5_variant_extract",
     # round-9 additions
     "x4_html_extract",
+    "x4_hashed_linear_score",
+    "x1_substring_spans",
     "x2_tfidf_cosine_prefix",
     "mm_phash_neardup_codes",
 ]

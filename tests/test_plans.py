@@ -1307,3 +1307,24 @@ def test_hashed_linear_score_scan_side(spark):
     plan = executed_plan(df)
     assert "EvalPython" not in plan and "MapInPandas" not in plan
     assert scan_columns(df) == [["doc_id", "text"]]
+
+
+def test_substring_spans_two_exchanges_one_scan(spark):
+    """The exact-substring-span rung must stay ONE scan (doc_id, text
+    only), zero joins, zero Python, and exactly two exchanges: one on
+    the window hash (corpus-wide occurrence count), one on doc_id (the
+    island recurrence) — both downstream groupBys ride the doc_id
+    exchange because hash(doc_id) satisfies the (doc_id, island)
+    clustering."""
+    from weather_data_pipeline_spark.plans.inspect import (
+        executed_plan,
+        scan_columns,
+    )
+
+    df = _Q["x1_substring_spans"](spark, SF)
+    assert num_shuffles(df) == 2
+    plan = executed_plan(df)
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert "Join" not in plan
+    assert plan.count("documents") <= 1  # one parquet scan
+    assert scan_columns(df) == [["doc_id", "text"]]

@@ -193,6 +193,7 @@ QUERIES = [
     "x2_tfidf_cosine_prefix",
     "mm_phash_neardup_codes",
     "x4_hashed_linear_score",
+    "x1_substring_spans",
 ]
 
 #: Viral boilerplate for the skew replica: untagged (shared verbatim

@@ -1737,3 +1737,202 @@ def x2_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("inter") / mn, 6).alias("containment"),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# Exact-substring duplicate spans — the suffix-array dedup op class
+# ----------------------------------------------------------------------
+#: duplicated-span window length in tokens. Production exact-substring
+#: dedup uses ~50 tokens (the "Deduplicating Training Data Makes
+#: Language Models Better" setting); 16 keeps both code paths live at
+#: test scale (testdata has docs on each side of the threshold).
+SPAN_K = 16
+#: keep a document iff its duplicated-token coverage is at most this
+#: many parts-per-million of its token count (30%, RefinedWeb-ish).
+SPAN_DUP_PPM_MAX = 300_000
+
+#: rolling-hash params shared with x4_rolling_fingerprint (same
+#: portable md5-prefix token hashes, same Rabin–Karp fold, same
+#: overflow headroom: acc·base + h < 2^63).
+from .text_analysis import ROLL_BASE as _SPAN_BASE  # noqa: E402
+from .text_analysis import ROLL_MOD as _SPAN_MOD  # noqa: E402
+
+
+@query(
+    "x1_substring_spans",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n,
+             list_transform(string_split(text, ' '),
+               w -> CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT)) AS th
+      FROM documents
+    ), wins AS (
+      SELECT doc_id, i AS pos,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                            list_slice(th, i, i + {SPAN_K} - 1)),
+               (acc, h) -> (acc * {_SPAN_BASE} + h) % {_SPAN_MOD}) AS wh
+      FROM t, UNNEST(generate_series(1, n - {SPAN_K} + 1)) AS g(i)
+      WHERE n >= {SPAN_K}
+    ), dup AS (
+      SELECT wh FROM wins GROUP BY wh HAVING COUNT(*) > 1
+    ), dw AS (
+      SELECT w.doc_id, w.pos, w.pos + {SPAN_K} - 1 AS iv_end
+      FROM wins w JOIN dup USING (wh)
+    ), marked AS (
+      SELECT doc_id, pos, iv_end,
+             CASE WHEN MAX(iv_end) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  IS NULL
+                  OR pos > MAX(iv_end) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             THEN 1 ELSE 0 END AS is_new
+      FROM dw
+    ), isl AS (
+      SELECT doc_id, pos, iv_end,
+             SUM(is_new) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM marked
+    ), merged AS (
+      SELECT doc_id, island, MIN(pos) AS s, MAX(iv_end) AS e,
+             COUNT(*) AS nw
+      FROM isl GROUP BY doc_id, island
+    ), cov AS (
+      SELECT doc_id, SUM(nw) AS n_dup_windows,
+             SUM(e - s + 1) AS dup_covered
+      FROM merged GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(t.n AS BIGINT) AS n_tokens,
+           CAST(GREATEST(t.n - {SPAN_K} + 1, 0) AS BIGINT) AS n_windows,
+           CAST(COALESCE(cov.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+           CAST(COALESCE(cov.dup_covered, 0) AS BIGINT) AS dup_covered,
+           CAST(COALESCE(cov.dup_covered, 0) * 1000000 // t.n AS BIGINT)
+             AS dup_ppm,
+           COALESCE(cov.dup_covered, 0) * 1000000 // t.n
+             <= {SPAN_DUP_PPM_MAX} AS keep
+    FROM t LEFT JOIN cov USING (doc_id)
+    """,
+)
+def x1_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-SUBSTRING duplicate spans — the op class of suffix-array
+    dedup ("Deduplicating Training Data Makes Language Models Better",
+    Lee et al. 2022), re-expressed as its scalable distributed form:
+    a {SPAN_K}-token window is a duplicated span iff its rolling hash
+    occurs 2+ times ANYWHERE in the corpus (intra-doc repeats count,
+    matching the paper's any-repeated-substring rule); per document,
+    overlapping duplicated windows merge into islands
+    (gaps-and-islands, the x6_interval_merge recurrence) and the
+    double-counting-free covered-token total drives the keep decision:
+    keep iff coverage ≤ {SPAN_DUP_PPM_MAX} ppm of the doc's tokens.
+    Complements the ladder: X1 catches whole-doc copies, X2 catches
+    similar PAIRS — this rung catches a long quote/boilerplate block
+    embedded in otherwise-unique documents, which neither flags.
+
+    Window hashes reuse x4_rolling_fingerprint's portable convention
+    (md5-prefix token hashes folded mod {_SPAN_MOD}) so the DuckDB
+    oracle replays hashing exactly. Documents shorter than the span
+    emit one sentinel row hashed to -(doc_id+1): real hashes are
+    non-negative, so sentinels are unique (never duplicated), keep the
+    doc in the per-doc aggregate without a second scan OR a null-key
+    hot partition, and are excluded from window counts by sign.
+
+    Scale shape: ONE documents scan, ZERO joins, two exchanges — (1)
+    partition by window hash for the corpus-wide occurrence count, (2)
+    partition by doc_id for the island recurrence; both downstream
+    groupBys ride exchange (2) (hash(doc_id) satisfies the (doc_id,
+    island) clustering). Token hashes are computed once per doc into a
+    materialized array column; each window is an O(K) fold over a
+    slice. Caveat shared with every hash-keyed rung: a viral span
+    (corpus-wide boilerplate) makes one hot window-hash partition;
+    window aggregation is not AQE-skew-splittable, so the 100-TB
+    mitigation is the ladder's usual df-cap (drop hashes with count >
+    cap from COVERAGE — they are boilerplate by definition and the C4
+    line rule upstream already removes them)."""
+    from pyspark.sql.window import Window
+
+    doc = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    th = F.transform(
+        toks,
+        lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long"),
+    )
+    base = doc.select(
+        "doc_id", F.size(toks).alias("n"), th.alias("th")
+    )
+    win_arr = F.when(
+        F.col("n") >= SPAN_K,
+        F.transform(
+            F.sequence(F.lit(1), F.col("n") - SPAN_K + 1),
+            lambda i: F.aggregate(
+                F.slice(F.col("th"), i, SPAN_K),
+                F.lit(0).cast("long"),
+                lambda acc, h: (acc * F.lit(_SPAN_BASE) + h)
+                % F.lit(_SPAN_MOD),
+            ),
+        ),
+    ).otherwise(F.array((-F.col("doc_id") - F.lit(1)).cast("long")))
+    ex = base.select(
+        "doc_id", "n", F.posexplode(win_arr).alias("p0", "wh")
+    ).select("doc_id", "n", (F.col("p0") + 1).alias("pos"), "wh")
+
+    is_dup = (F.col("wh") >= 0) & (
+        F.count(F.lit(1)).over(Window.partitionBy("wh")) > 1
+    )
+    flagged = ex.withColumn("is_dup", is_dup)
+
+    prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dup_end = F.when(F.col("is_dup"), F.col("pos") + SPAN_K - 1)
+    marked = flagged.withColumn(
+        "is_new",
+        F.when(~F.col("is_dup"), 0)
+        .when(F.max(dup_end).over(prev).isNull(), 1)
+        .when(F.col("pos") > F.max(dup_end).over(prev), 1)
+        .otherwise(0),
+    ).withColumn("iv_end", dup_end)
+    isl = marked.withColumn("island", F.sum("is_new").over(cum))
+    merged = isl.groupBy("doc_id", "island").agg(
+        F.first("n").alias("n"),
+        F.sum(F.col("is_dup").cast("int")).alias("nw"),
+        F.min(F.when(F.col("is_dup"), F.col("pos"))).alias("s"),
+        F.max("iv_end").alias("e"),
+    )
+    per_doc = merged.groupBy("doc_id").agg(
+        F.first("n").alias("n_int"),
+        F.sum("nw").alias("n_dup_windows"),
+        F.sum(F.coalesce(F.col("e") - F.col("s") + 1, F.lit(0))).alias(
+            "dup_covered"
+        ),
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_int").cast("long").alias("n_tokens"),
+        F.greatest(F.col("n_int") - (SPAN_K - 1), F.lit(0))
+        .cast("long")
+        .alias("n_windows"),
+        "n_dup_windows",
+        "dup_covered",
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "n_windows",
+        "n_dup_windows",
+        "dup_covered",
+        F.expr("dup_covered * 1000000 DIV n_tokens").alias("dup_ppm"),
+        (
+            F.expr("dup_covered * 1000000 DIV n_tokens")
+            <= F.lit(SPAN_DUP_PPM_MAX)
+        ).alias("keep"),
+    )
