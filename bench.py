@@ -130,6 +130,7 @@ HEADLINE = [
     "x4_html_extract",
     "x4_hashed_linear_score",
     "x1_substring_spans",
+    "x1_substring_rewrite",
     "x2_tfidf_cosine_prefix",
     "mm_phash_neardup_codes",
 ]

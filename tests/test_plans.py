@@ -1328,3 +1328,24 @@ def test_substring_spans_two_exchanges_one_scan(spark):
     assert "Join" not in plan
     assert plan.count("documents") <= 1  # one parquet scan
     assert scan_columns(df) == [["doc_id", "text"]]
+
+
+def test_substring_rewrite_plan(spark):
+    """The rewrite rung keeps the span machinery's two shuffles; the
+    interval array comes back to a second (doc_id, text)-only scan as
+    a broadcast join at this scale; token filtering is JVM HOFs —
+    no Python stage anywhere."""
+    from weather_data_pipeline_spark.plans.inspect import (
+        executed_plan,
+        scan_columns,
+    )
+
+    df = _Q["x1_substring_rewrite"](spark, SF)
+    plan = executed_plan(df)
+    # 2 hash exchanges (window hash + doc_id islands) + 1 broadcast of
+    # the per-doc interval arrays; num_shuffles counts both kinds
+    assert num_shuffles(df) == 3
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "BroadcastExchange" in plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert scan_columns(df) == [["doc_id", "text"], ["doc_id", "text"]]

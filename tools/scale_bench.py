@@ -194,6 +194,7 @@ QUERIES = [
     "mm_phash_neardup_codes",
     "x4_hashed_linear_score",
     "x1_substring_spans",
+    "x1_substring_rewrite",
 ]
 
 #: Viral boilerplate for the skew replica: untagged (shared verbatim

@@ -1758,6 +1758,38 @@ from .text_analysis import ROLL_BASE as _SPAN_BASE  # noqa: E402
 from .text_analysis import ROLL_MOD as _SPAN_MOD  # noqa: E402
 
 
+def _span_exploded(doc: DataFrame) -> DataFrame:
+    """One-scan window explode shared by the span rungs: (doc_id, n,
+    pos, wh) with one row per {SPAN_K}-token window; docs shorter than
+    the span emit a single unique NEGATIVE sentinel hash (-(doc_id+1))
+    so they survive per-doc aggregation without a second scan or a
+    null-key hot partition. Token hashes materialize ONCE per doc (the
+    Generate boundary stops CollapseProject from inlining the md5
+    transform into the per-window fold — verified in the optimized
+    plan: md5 appears exactly once)."""
+    toks = F.split("text", " ")
+    th = F.transform(
+        toks,
+        lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long"),
+    )
+    base = doc.select("doc_id", F.size(toks).alias("n"), th.alias("th"))
+    win_arr = F.when(
+        F.col("n") >= SPAN_K,
+        F.transform(
+            F.sequence(F.lit(1), F.col("n") - SPAN_K + 1),
+            lambda i: F.aggregate(
+                F.slice(F.col("th"), i, SPAN_K),
+                F.lit(0).cast("long"),
+                lambda acc, h: (acc * F.lit(_SPAN_BASE) + h)
+                % F.lit(_SPAN_MOD),
+            ),
+        ),
+    ).otherwise(F.array((-F.col("doc_id") - F.lit(1)).cast("long")))
+    return base.select(
+        "doc_id", "n", F.posexplode(win_arr).alias("p0", "wh")
+    ).select("doc_id", "n", (F.col("p0") + 1).alias("pos"), "wh")
+
+
 @query(
     "x1_substring_spans",
     oracle=f"""
@@ -1855,29 +1887,7 @@ def x1_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     doc = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    th = F.transform(
-        toks,
-        lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long"),
-    )
-    base = doc.select(
-        "doc_id", F.size(toks).alias("n"), th.alias("th")
-    )
-    win_arr = F.when(
-        F.col("n") >= SPAN_K,
-        F.transform(
-            F.sequence(F.lit(1), F.col("n") - SPAN_K + 1),
-            lambda i: F.aggregate(
-                F.slice(F.col("th"), i, SPAN_K),
-                F.lit(0).cast("long"),
-                lambda acc, h: (acc * F.lit(_SPAN_BASE) + h)
-                % F.lit(_SPAN_MOD),
-            ),
-        ),
-    ).otherwise(F.array((-F.col("doc_id") - F.lit(1)).cast("long")))
-    ex = base.select(
-        "doc_id", "n", F.posexplode(win_arr).alias("p0", "wh")
-    ).select("doc_id", "n", (F.col("p0") + 1).alias("pos"), "wh")
+    ex = _span_exploded(doc)
 
     is_dup = (F.col("wh") >= 0) & (
         F.count(F.lit(1)).over(Window.partitionBy("wh")) > 1
@@ -1935,4 +1945,140 @@ def x1_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("dup_covered * 1000000 DIV n_tokens")
             <= F.lit(SPAN_DUP_PPM_MAX)
         ).alias("keep"),
+    )
+
+
+@query(
+    "x1_substring_rewrite",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n,
+             list_transform(string_split(text, ' '),
+               w -> CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT)) AS th
+      FROM documents
+    ), wins AS (
+      SELECT doc_id, i AS pos,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                            list_slice(th, i, i + {SPAN_K} - 1)),
+               (acc, h) -> (acc * {_SPAN_BASE} + h) % {_SPAN_MOD}) AS wh
+      FROM t, UNNEST(generate_series(1, n - {SPAN_K} + 1)) AS g(i)
+      WHERE n >= {SPAN_K}
+    ), marked AS (
+      SELECT doc_id, pos,
+             COUNT(*) OVER (PARTITION BY wh) AS c,
+             MIN(doc_id * 1000000 + pos) OVER (PARTITION BY wh) AS keeper
+      FROM wins
+    ), rm AS (
+      SELECT doc_id, pos, pos + {SPAN_K} - 1 AS iv_end
+      FROM marked
+      WHERE c > 1 AND doc_id * 1000000 + pos <> keeper
+    ), cov AS (
+      SELECT DISTINCT doc_id, p
+      FROM rm, UNNEST(generate_series(pos, iv_end)) AS u(p)
+    ), toks AS (
+      SELECT s.doc_id, g.i AS p, s.ws[g.i] AS w
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws
+            FROM documents) s,
+           UNNEST(generate_series(1, len(s.ws))) AS g(i)
+    ), kept AS (
+      SELECT tk.doc_id, tk.p, tk.w
+      FROM toks tk LEFT JOIN cov
+        ON cov.doc_id = tk.doc_id AND cov.p = tk.p
+      WHERE cov.p IS NULL
+    ), agg AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(w, ' ' ORDER BY p) AS cleaned
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(string_split(d.text, ' '))
+                - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
+           md5(COALESCE(a.cleaned, '')) AS cleaned_fp
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def x1_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup's REWRITE step (x1_substring_spans is the
+    report): remove every occurrence of a duplicated {SPAN_K}-token
+    span EXCEPT the corpus-first one — first-occurrence-wins by the
+    global (doc_id, pos) order, encoded as the scalar doc_id·10⁶+pos
+    so both engines rank occurrences identically without relying on
+    struct comparison. A token is excised iff covered by at least one
+    non-first duplicated window; surviving tokens reassemble in
+    position order into the cleaned text, fingerprinted for the
+    value check. Two identical docs → the later one collapses to '';
+    an intra-doc repeat → the second copy excised; the corpus-first
+    copy of everything survives byte-exact.
+
+    Scale shape: the span machinery is the shared one-scan
+    ``_span_exploded`` + the same two exchanges (window hash, doc_id
+    islands); removal intervals then come BACK to a second (doc_id,
+    text)-only scan as a per-doc interval array join — at test scale
+    Catalyst broadcasts it; at 100 TB it degrades to a co-partitioned
+    doc_id shuffle join, never wider than |docs with removals|. Token
+    filtering is a JVM filter-with-index over exists(intervals) —
+    no Python anywhere."""
+    from pyspark.sql.window import Window
+
+    doc = load_table(spark, sf_dir, "documents")
+    ex = _span_exploded(doc)
+
+    whw = Window.partitionBy("wh")
+    okey = F.col("doc_id") * F.lit(1_000_000) + F.col("pos")
+    is_rm = (
+        (F.col("wh") >= 0)
+        & (F.count(F.lit(1)).over(whw) > 1)
+        & (okey != F.min(okey).over(whw))
+    )
+    flagged = ex.withColumn("is_rm", is_rm)
+
+    prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rm_end = F.when(F.col("is_rm"), F.col("pos") + SPAN_K - 1)
+    marked = flagged.withColumn(
+        "is_new",
+        F.when(~F.col("is_rm"), 0)
+        .when(F.max(rm_end).over(prev).isNull(), 1)
+        .when(F.col("pos") > F.max(rm_end).over(prev), 1)
+        .otherwise(0),
+    ).withColumn("iv_end", rm_end)
+    isl = marked.withColumn("island", F.sum("is_new").over(cum))
+    merged = isl.groupBy("doc_id", "island").agg(
+        F.min(F.when(F.col("is_rm"), F.col("pos"))).alias("s"),
+        F.max("iv_end").alias("e"),
+    )
+    ivs = (
+        merged.filter(F.col("s").isNotNull())
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.struct("s", "e")).alias("ivs"))
+    )
+
+    toks = F.split("text", " ")
+    joined = doc.select("doc_id", "text").join(ivs, "doc_id", "left")
+    ivs0 = F.coalesce(
+        F.col("ivs"), F.expr("CAST(array() AS array<struct<s:int,e:int>>)")
+    )
+    with_ivs = joined.withColumn("ivs0", ivs0)
+    kept = F.filter(
+        toks,
+        lambda w, i: ~F.exists(
+            F.col("ivs0"),
+            lambda iv: (i + 1 >= iv["s"]) & (i + 1 <= iv["e"]),
+        ),
+    )
+    return with_ivs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        (F.size(toks) - F.size(kept)).cast("long").alias("n_removed"),
+        F.md5(F.array_join(kept, " ")).alias("cleaned_fp"),
     )

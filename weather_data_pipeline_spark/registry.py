@@ -93,15 +93,16 @@ _PRIORITY: tuple[str, ...] = (
     "o15_latest_per_key",  # flagship (also entry())
     "w_corrupt_quarantine",  # r2 hash-fail regression pin
     "x6_session_windows",  # r2 hash-fail regression pin
-    # --- round-9 additions (6): driver-checked the round they land ---
+    # --- round-9 additions (7): driver-checked the round they land ---
     "x4_html_extract",
     "x2_tfidf_cosine_prefix",
     "mm_phash_neardup_codes",
     "s_html_extract_stream",
     "x4_hashed_linear_score",
     "x1_substring_spans",
-    # --- round-9 STALENESS rotation (41; VERDICT r8 ask #5): with the
-    # backlog at zero, the window turns toward freshness — the 35
+    "x1_substring_rewrite",
+    # --- round-9 STALENESS rotation (40; VERDICT r8 ask #5): with the
+    # backlog at zero, the window turns toward freshness — the 34
     # oldest-driver-checked oracle-bearing queries (every r1 and r2 row
     # plus the oldest r3 rows) re-enter so the union's max staleness
     # drops from 8 rounds to ~5, plus one oldest-checked representative
@@ -149,12 +150,11 @@ _PRIORITY: tuple[str, ...] = (
     "x5_json_get_path",
     "x6_session_window_native",
     "x3_embedding_near_dup",
-    # last driver-checked round 3 (oldest five):
+    # last driver-checked round 3 (oldest four):
     "ext_rollup",
     "o8_json_serialize",
     "ext_q5_local_supplier",
     "ext_q18_large_orders",
-    "mm_type_rollup",
 )
 
 #: The pre-round-9 window, kept for the union math in
@@ -242,7 +242,7 @@ _R8_WINDOW_ROTATED_OUT: tuple[str, ...] = (
 #: gap from the CORRECTNESS_r0*.json files and asserts it equals EXACTLY
 #: this set, so the backlog can never silently grow past one round's
 #: rotation capacity again. Empty since round 8 (zero verification debt);
-#: all six round-9 additions sit in the r9 window, so it stays empty.
+#: all seven round-9 additions sit in the r9 window, so it stays empty.
 _R10_QUEUE: set[str] = set()
 
 
