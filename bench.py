@@ -131,6 +131,7 @@ HEADLINE = [
     "x4_hashed_linear_score",
     "x1_substring_spans",
     "x1_substring_rewrite",
+    "x8_cluster_balance",
     "x2_tfidf_cosine_prefix",
     "mm_phash_neardup_codes",
 ]

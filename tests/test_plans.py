@@ -1349,3 +1349,20 @@ def test_substring_rewrite_plan(spark):
     assert "BroadcastExchange" in plan
     assert "EvalPython" not in plan and "MapInPandas" not in plan
     assert scan_columns(df) == [["doc_id", "text"], ["doc_id", "text"]]
+
+
+def test_cluster_balance_plan(spark):
+    """Cluster-balanced selection: ONE Arrow scoring pass, one exchange
+    carrying only the scored (vec_id, label, sim) triples — never
+    embeddings — and the rank<=quota filter rewritten to
+    WindowGroupLimit (bounded per-task top-N heap, no full sort)."""
+    from weather_data_pipeline_spark.plans.inspect import executed_plan
+
+    df = _Q["x8_cluster_balance"](spark, SF)
+    plan = executed_plan(df)
+    assert plan.count("MapInPandas") == 1
+    assert "WindowGroupLimit" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    # the post-scoring exchange must not carry the embedding column
+    ex_line = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert all("embedding" not in l for l in ex_line)

@@ -195,6 +195,7 @@ QUERIES = [
     "x4_hashed_linear_score",
     "x1_substring_spans",
     "x1_substring_rewrite",
+    "x8_cluster_balance",
 ]
 
 #: Viral boilerplate for the skew replica: untagged (shared verbatim

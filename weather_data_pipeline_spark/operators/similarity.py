@@ -2035,6 +2035,50 @@ def x3_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 OUTLIER_COS_FLOOR = 0.10
 
 
+def _centroid_scored(emb: DataFrame) -> DataFrame:
+    """Per-vector cosine to ITS OWN label centroid as a (vec_id, label,
+    sim) frame — the shared kernel of the outlier report and the
+    cluster-balanced selection: centroids are the bounded
+    ``build_centroids`` aggregate (k rows collected and broadcast), and
+    scoring is ONE Arrow-batched corpus pass with the fold-order-stable
+    dot product (bit-identical to the oracle)."""
+    import pandas as pd
+
+    base = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+        "label",
+    )
+    n_corpus = base.count()
+    rows = build_centroids(base, "label", n_corpus).collect()
+    cmap = {int(r["label"]): np.array(r["centroid"], float) for r in rows}
+    cnorm = {k: float(_seq_self_norms(v[None, :])[0]) for k, v in cmap.items()}
+    bc = emb.sparkSession.sparkContext.broadcast((cmap, cnorm))
+
+    def score(batches):
+        for pdf in batches:
+            mats = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            norms = _seq_self_norms(mats)
+            cm, cn = bc.value
+            sims = np.empty(len(pdf))
+            labels = pdf["label"].to_numpy()
+            for lab in np.unique(labels):
+                m = labels == lab
+                sims[m] = _seq_dot(mats[m], cm[int(lab)]) / (
+                    norms[m] * cn[int(lab)]
+                )
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "label": labels,
+                    "sim": np.round(sims, 6),
+                }
+            )
+
+    return base.mapInPandas(score, schema="vec_id long, label int, sim double")
+
+
+
 @query(
     "x3_centroid_outliers",
     oracle=f"""
@@ -2070,41 +2114,7 @@ def x3_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass with the fold-order-stable dot product (bit-identical to the
     oracle); the rollup is a |labels|-group partial aggregate. No
     pairwise anything — O(corpus · dims) total."""
-    import pandas as pd
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    base = emb.select(
-        "vec_id",
-        F.col("embedding").cast("array<double>").alias("embedding"),
-        "label",
-    )
-    n_corpus = base.count()
-    rows = build_centroids(base, "label", n_corpus).collect()
-    cmap = {int(r["label"]): np.array(r["centroid"], float) for r in rows}
-    cnorm = {k: float(_seq_self_norms(v[None, :])[0]) for k, v in cmap.items()}
-    bc = emb.sparkSession.sparkContext.broadcast((cmap, cnorm))
-
-    def score(batches):
-        for pdf in batches:
-            mats = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            norms = _seq_self_norms(mats)
-            cm, cn = bc.value
-            sims = np.empty(len(pdf))
-            labels = pdf["label"].to_numpy()
-            for lab in np.unique(labels):
-                m = labels == lab
-                sims[m] = _seq_dot(mats[m], cm[int(lab)]) / (
-                    norms[m] * cn[int(lab)]
-                )
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].to_numpy(),
-                    "label": labels,
-                    "sim": np.round(sims, 6),
-                }
-            )
-
-    scored = base.mapInPandas(score, schema="vec_id long, label int, sim double")
+    scored = _centroid_scored(load_table(spark, sf_dir, "embeddings"))
     return scored.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vectors"),
         F.sum(
@@ -2175,4 +2185,66 @@ def x3_binary_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(TOP_K).cast("long").alias("k"),
             F.count("hit").alias("n_overlap"),
         )
+    )
+
+
+# ----------------------------------------------------------------------
+# Cluster-balanced selection (round 9): curation diversity quota
+# ----------------------------------------------------------------------
+#: per-cluster keep quota — sized so testdata exercises BOTH branches
+#: (clusters under quota keep everything, clusters over it truncate)
+BALANCE_QUOTA = 48
+
+
+@query(
+    "x8_cluster_balance",
+    oracle=f"""
+    WITH flat AS (
+      SELECT label, i AS idx, CAST(embedding[i] AS DOUBLE) AS val
+      FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+    ), cents AS (
+      SELECT label, array_agg(a ORDER BY idx) AS centroid
+      FROM (SELECT label, idx, FLOOR(AVG(val) * 1000000) / 1000000.0 AS a
+            FROM flat GROUP BY label, idx)
+      GROUP BY label
+    )
+    SELECT label, vec_id, rnk, sim FROM (
+      SELECT e.label, e.vec_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.label
+               ORDER BY ROUND({_DUCK_COS.format(
+                   a='e.embedding', b='c.centroid')}, 6) DESC, e.vec_id)
+               AS rnk,
+             ROUND({_DUCK_COS.format(
+                 a='e.embedding', b='c.centroid')}, 6) AS sim
+      FROM embeddings e JOIN cents c USING (label)
+    ) WHERE rnk <= {BALANCE_QUOTA}
+    """,
+)
+def x8_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLUSTER-BALANCED data selection — the curation-diversity quota
+    every embedding-curated corpus applies (the SemDeDup/DCLM family's
+    selection step): cap each cluster's contribution at
+    {BALANCE_QUOTA} vectors so no dense region of embedding space
+    dominates the training mix, keeping the most PROTOTYPICAL members
+    (highest cosine to the cluster's own centroid, vec_id tiebreak) —
+    the deterministic counterpart of per-cluster uniform sampling.
+    Clusters under quota keep everything; over-quota clusters truncate
+    at rank {BALANCE_QUOTA} (testdata exercises both branches).
+
+    Execution: reuses ``_centroid_scored`` (k-row centroid collect →
+    broadcast → ONE Arrow-batched corpus scoring pass), then a
+    rank-filtered window per label — Spark rewrites the rank<=N filter
+    into WindowGroupLimit, so each task keeps a bounded top-{{N}} heap
+    per cluster instead of fully sorting its partition; with k
+    clusters the whole selection shuffles only the scored
+    (vec_id,label,sim) triples, never embeddings."""
+    from pyspark.sql.window import Window
+
+    scored = _centroid_scored(load_table(spark, sf_dir, "embeddings"))
+    w = Window.partitionBy("label").orderBy(F.col("sim").desc(), "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= BALANCE_QUOTA)
+        .select("label", "vec_id", F.col("rnk").cast("long").alias("rnk"), "sim")
     )
