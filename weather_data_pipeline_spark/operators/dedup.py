@@ -1879,11 +1879,14 @@ def x1_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     island) clustering). Token hashes are computed once per doc into a
     materialized array column; each window is an O(K) fold over a
     slice. Caveat shared with every hash-keyed rung: a viral span
-    (corpus-wide boilerplate) makes one hot window-hash partition;
-    window aggregation is not AQE-skew-splittable, so the 100-TB
-    mitigation is the ladder's usual df-cap (drop hashes with count >
-    cap from COVERAGE — they are boilerplate by definition and the C4
-    line rule upstream already removes them)."""
+    (corpus-wide boilerplate) makes hot window-hash partitions, and
+    window aggregation is not AQE-skew-splittable — but unlike the
+    pair-join rungs the cost is an O(m log m) single-task count, not
+    O(m²) output, so degradation is task serialization only (measured:
+    tools/span_skew_ab.py, BENCH_SCALE.json skew ratio 1.38 at 10×
+    with a 36-token block on 5% of docs). If multiplicity ever
+    dominates, the successor is a salted two-phase count
+    (groupBy(wh, salt) partial → groupBy(wh) merge + join-back)."""
     from pyspark.sql.window import Window
 
     doc = load_table(spark, sf_dir, "documents")
