@@ -439,3 +439,67 @@ def test_prefix_sum_twins_partitioning_invariant(spark):
                 assert got == expected, (twin_name, n)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_substring_rewrite_first_occurrence_wins(spark, tmp_path):
+    """End-to-end semantics of the exact-substring rungs on a crafted
+    corpus (testdata has no byte-identical docs, so the collapse branch
+    needs a fixture): the corpus-FIRST copy survives byte-exact, a
+    byte-identical later doc collapses to '', an embedded copy of a
+    span is excised from an otherwise-unique doc, a short doc passes
+    through untouched with zero windows, and an intra-doc repeat loses
+    its second copy. Removal is always a subset of reported dup
+    coverage."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from weather_data_pipeline_spark import registry
+    from weather_data_pipeline_spark.operators.dedup import SPAN_K
+
+    span = " ".join(f"s{i}" for i in range(SPAN_K))  # 16 unique tokens
+    t1 = span + " " + " ".join(f"a{i}" for i in range(4))  # keeper
+    t2 = t1  # byte-identical later copy -> collapses
+    t3 = " ".join(f"b{i}" for i in range(SPAN_K - 6))  # short doc
+    pre = " ".join(f"c{i}" for i in range(5))
+    post = " ".join(f"d{i}" for i in range(5))
+    t4 = f"{pre} {span} {post}"  # embedded copy of the span
+    fill = " ".join(f"e{i}" for i in range(SPAN_K))
+    t5 = f"{span} {fill}"  # within-corpus dup of span, unique tail
+    rows = [(i + 1, t, "en", "syn", len(t)) for i, t in
+            enumerate([t1, t2, t3, t4, t5])]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    rw = {
+        r["doc_id"]: r
+        for r in registry.queries()["x1_substring_rewrite"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    sp = {
+        r["doc_id"]: r
+        for r in registry.queries()["x1_substring_spans"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # corpus-first copy survives byte-exact; identical later doc collapses
+    assert rw[1]["n_removed"] == 0 and rw[1]["cleaned_fp"] == md5(t1)
+    assert rw[2]["cleaned_fp"] == md5("") and rw[2]["n_removed"] == rw[2]["n_tokens"]
+    # short doc: no windows, untouched, trivially kept
+    assert sp[3]["n_windows"] == 0 and sp[3]["keep"]
+    assert rw[3]["n_removed"] == 0 and rw[3]["cleaned_fp"] == md5(t3)
+    # embedded span excised, surroundings survive in order
+    assert rw[4]["n_removed"] == SPAN_K
+    assert rw[4]["cleaned_fp"] == md5(f"{pre} {post}")
+    # later within-corpus copy of the span excised, unique tail kept
+    assert rw[5]["n_removed"] == SPAN_K
+    assert rw[5]["cleaned_fp"] == md5(fill)
+    # removal never exceeds reported dup coverage; the keeper is
+    # dup-covered but not removed
+    for i in rw:
+        assert rw[i]["n_removed"] <= sp[i]["dup_covered"]
+    assert sp[1]["dup_covered"] > 0 and rw[1]["n_removed"] == 0
