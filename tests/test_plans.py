@@ -1366,3 +1366,23 @@ def test_cluster_balance_plan(spark):
     # the post-scoring exchange must not carry the embedding column
     ex_line = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
     assert all("embedding" not in l for l in ex_line)
+
+
+def test_curriculum_order_no_single_partition(spark):
+    """The curriculum rank comes from the shared prefix-sum primitive:
+    no SinglePartition exchange anywhere, no Python stage, scan pruned
+    to (doc_id, text)."""
+    from weather_data_pipeline_spark.plans.inspect import (
+        executed_plan,
+        scan_columns,
+    )
+
+    df = _Q["x8_curriculum_order"](spark, SF)
+    plan = executed_plan(df)
+    assert "SinglePartition" not in plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    # the primitive's eager localCheckpoint is the only input: the
+    # final plan reads the checkpointed range partitions, so the
+    # (doc_id, text) scan happened exactly once, at checkpoint time
+    assert "ExistingRDD" in plan
+    assert scan_columns(df) == []

@@ -196,6 +196,7 @@ QUERIES = [
     "x1_substring_spans",
     "x1_substring_rewrite",
     "x8_cluster_balance",
+    "x8_curriculum_order",
 ]
 
 #: Viral boilerplate for the skew replica: untagged (shared verbatim

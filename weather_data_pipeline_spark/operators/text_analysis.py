@@ -2768,3 +2768,67 @@ def x4_hashed_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("score") * 1000 >= F.lit(HLS_THRESH_PM) * F.col("n_tokens"))
         .alias("keep"),
     )
+
+
+# ----------------------------------------------------------------------
+# Curriculum ordering (round 9): difficulty-staged training order
+# ----------------------------------------------------------------------
+#: number of curriculum stages (easy → hard)
+CURRICULUM_STAGES = 4
+
+
+@query(
+    "x8_curriculum_order",
+    oracle=f"""
+    SELECT doc_id, difficulty,
+           ROW_NUMBER() OVER (ORDER BY difficulty, doc_id) AS k,
+           CAST(NTILE({CURRICULUM_STAGES})
+                OVER (ORDER BY difficulty, doc_id) AS BIGINT) AS stage
+    FROM (
+      SELECT doc_id,
+             length(text) * 1000 // len(string_split(text, ' '))
+               AS difficulty
+      FROM documents
+    )
+    """,
+)
+def x8_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CURRICULUM ordering — the difficulty-staged training order
+    (easy→hard) curriculum-learning pipelines assign before packing:
+    every document gets an exact global curriculum position and a
+    stage, ordered by a readability proxy (average characters per
+    token in integer per-mille — longer-word text reads harder;
+    swap in any scored difficulty column and nothing else changes).
+    The position must be a TOTAL order (doc_id tiebreak) and exact —
+    the training schedule is reproducible run-to-run and
+    partitioning-independent, the same release property as
+    x8_budget_select.
+
+    Scale shape: the rank is the shared
+    ``functions.distributed.global_ranks`` primitive (range partition →
+    per-partition ranks + O(partitions) driver offsets — no
+    SinglePartition exchange, no task sees more than one range), and
+    the stage is ``ntile_of_rank`` arithmetic on (k, n) — NTILE
+    boundary semantics without a window. Fifth consumer of the
+    prefix-sum primitive; plan-gated like its siblings."""
+    from ..functions.distributed import global_ranks, ntile_of_rank
+
+    doc = load_table(spark, sf_dir, "documents")
+    proj = doc.select(
+        "doc_id",
+        F.expr(
+            "CAST(length(text) AS BIGINT) * 1000 "
+            "DIV size(split(text, ' '))"
+        ).alias("difficulty"),
+    )
+    ranked, n = global_ranks(
+        spark, proj, [F.col("difficulty"), F.col("doc_id")]
+    )
+    return ranked.select(
+        "doc_id",
+        "difficulty",
+        F.col("k").cast("long").alias("k"),
+        ntile_of_rank(F.col("k"), n, CURRICULUM_STAGES)
+        .cast("long")
+        .alias("stage"),
+    )
