@@ -378,3 +378,44 @@ def s_html_extract_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = f"s_htmlx_{uuid.uuid4().hex[:8]}"
     jobs.streaming_html_extract(jobs.stream_documents(spark, sf_dir), sink)
     return spark.table(sink)
+
+
+@query(
+    "s_stream_full_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           COALESCE(p.user_id, v.user_id) AS user_id,
+           p.ts AS p_ts,
+           ROUND(CAST(CAST(p.value AS DECIMAL(18,2)) AS DOUBLE), 2) AS value,
+           v.event_id AS view_id, v.ts AS v_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    FULL JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id
+     AND epoch_us(CAST(p.ts AS TIMESTAMP)) >= epoch_us(CAST(v.ts AS TIMESTAMP))
+     AND epoch_us(CAST(p.ts AS TIMESTAMP))
+         <= epoch_us(CAST(v.ts AS TIMESTAMP)) + 3600000000
+    """,
+)
+def s_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream FULL OUTER join — completes the
+    stream-join mode set (interval inner, LEFT OUTER, full outer):
+    on top of the left join's unmatched purchases, unmatched VIEWS
+    also emit with NULL purchase columns, each only once the
+    watermark proves no purchase in [v_ts, v_ts + horizon] can still
+    arrive. Same job and two-sided sentinel staging as
+    s_stream_left_join (join_type is the only difference — the
+    sentinels already park the watermark past both sides' flush
+    thresholds and themselves stay in state); drained sink equals the
+    batch FULL JOIN exactly."""
+    sink = f"s_ssfull_{uuid.uuid4().hex[:8]}"
+    jobs.stream_stream_left_join(spark, sf_dir, sink, join_type="full_outer")
+    return spark.table(sink).select(
+        F.col("purchase_id"),
+        F.coalesce(F.col("p_user"), F.col("v_user")).alias("user_id"),
+        F.col("p_ts").cast("timestamp_ntz").alias("p_ts"),
+        F.round(F.col("value").cast("decimal(18,2)").cast("double"), 2).alias(
+            "value"
+        ),
+        "view_id",
+        F.col("v_ts").cast("timestamp_ntz").alias("v_ts"),
+    )

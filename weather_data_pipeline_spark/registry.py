@@ -93,7 +93,7 @@ _PRIORITY: tuple[str, ...] = (
     "o15_latest_per_key",  # flagship (also entry())
     "w_corrupt_quarantine",  # r2 hash-fail regression pin
     "x6_session_windows",  # r2 hash-fail regression pin
-    # --- round-9 additions (9): driver-checked the round they land ---
+    # --- round-9 additions (10): driver-checked the round they land ---
     "x4_html_extract",
     "x2_tfidf_cosine_prefix",
     "mm_phash_neardup_codes",
@@ -103,8 +103,9 @@ _PRIORITY: tuple[str, ...] = (
     "x1_substring_rewrite",
     "x8_cluster_balance",
     "x8_curriculum_order",
-    # --- round-9 STALENESS rotation (38; VERDICT r8 ask #5): with the
-    # backlog at zero, the window turns toward freshness — the 32
+    "s_stream_full_join",
+    # --- round-9 STALENESS rotation (37; VERDICT r8 ask #5): with the
+    # backlog at zero, the window turns toward freshness — the 31
     # oldest-driver-checked oracle-bearing queries (every r1 and r2 row
     # plus the oldest r3 rows) re-enter so the union's max staleness
     # drops from 8 rounds to ~5, plus one oldest-checked representative
@@ -152,9 +153,9 @@ _PRIORITY: tuple[str, ...] = (
     "x5_json_get_path",
     "x6_session_window_native",
     "x3_embedding_near_dup",
-    # last driver-checked round 3 (oldest two; o8_json_serialize
-    # displaced instead of ext_q5 to keep an ext_q family rep in-window):
-    "ext_rollup",
+    # last driver-checked round 3 (oldest one; o8_json_serialize and
+    # ext_rollup displaced instead of ext_q5 to keep an ext_q family
+    # rep in-window):
     "ext_q5_local_supplier",
 )
 
@@ -243,7 +244,7 @@ _R8_WINDOW_ROTATED_OUT: tuple[str, ...] = (
 #: gap from the CORRECTNESS_r0*.json files and asserts it equals EXACTLY
 #: this set, so the backlog can never silently grow past one round's
 #: rotation capacity again. Empty since round 8 (zero verification debt);
-#: all nine round-9 additions sit in the r9 window, so it stays empty.
+#: all ten round-9 additions sit in the r9 window, so it stays empty.
 _R10_QUEUE: set[str] = set()
 
 

@@ -377,7 +377,11 @@ def streaming_c4_gate(source: DataFrame, sink_table: str):
 
 
 def stream_stream_left_join(
-    spark: SparkSession, sf_dir: str, sink_table: str, horizon: str = "1 hour"
+    spark: SparkSession,
+    sf_dir: str,
+    sink_table: str,
+    horizon: str = "1 hour",
+    join_type: str = "left_outer",
 ) -> None:
     """Watermarked stream-stream LEFT OUTER join — the capability inner
     joins don't exercise: an unmatched purchase must eventually emit
@@ -507,12 +511,19 @@ def stream_stream_left_join(
         F.col("event_id").alias("purchase_id"),
         "value",
     ).withWatermark("p_ts", horizon)
+    # join_type="full_outer" adds the symmetric capability: unmatched
+    # VIEWS also emit (NULL purchase columns) once the watermark proves
+    # no purchase in [v_ts, v_ts + horizon] can still arrive. The same
+    # two-sided sentinel staging covers it: the watermark parks ~3x
+    # horizon past the real tail, clearing v_ts + horizon for every
+    # real view, while both sentinels stay in state (4x horizon out)
+    # and never reach the sink on either side of either mode.
     joined = purchases.join(
         views,
         (F.col("p_user") == F.col("v_user"))
         & (F.col("p_ts") >= F.col("v_ts"))
         & (F.col("p_ts") <= F.col("v_ts") + F.expr(f"INTERVAL {horizon}")),
-        "left_outer",
+        join_type,
     )
     run_to_completion(
         joined.writeStream.format("memory")
