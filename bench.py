@@ -133,6 +133,7 @@ HEADLINE = [
     "x1_substring_rewrite",
     "x8_cluster_balance",
     "x8_curriculum_order",
+    "x6_resample_interpolate",
     "x2_tfidf_cosine_prefix",
     "mm_phash_neardup_codes",
 ]

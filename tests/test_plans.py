@@ -1386,3 +1386,18 @@ def test_curriculum_order_no_single_partition(spark):
     # (doc_id, text) scan happened exactly once, at checkpoint time
     assert "ExistingRDD" in plan
     assert scan_columns(df) == []
+
+
+def test_resample_interpolate_plan(spark):
+    """Resampling is the as-of machinery, not a range join: no Join
+    operator at all, no Python, the deduped observation checkpoint
+    feeds bounds AND the union (events scans once), and only two hash
+    exchanges (bounds agg + the per-user union windows)."""
+    from weather_data_pipeline_spark.plans.inspect import executed_plan
+
+    df = _Q["x6_resample_interpolate"](spark, SF)
+    plan = executed_plan(df)
+    assert "Join" not in plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert plan.count("ExistingRDD") >= 2

@@ -197,6 +197,7 @@ QUERIES = [
     "x1_substring_rewrite",
     "x8_cluster_balance",
     "x8_curriculum_order",
+    "x6_resample_interpolate",
 ]
 
 #: Viral boilerplate for the skew replica: untagged (shared verbatim

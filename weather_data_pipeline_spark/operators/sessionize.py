@@ -1535,3 +1535,153 @@ def x6_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# Fixed-grid resampling with linear interpolation (round 9)
+# ----------------------------------------------------------------------
+#: resample step — 6-hour grid keeps the output ~bounded while the
+#: construction is step-agnostic
+RESAMPLE_HOURS = 6
+
+
+@query(
+    "x6_resample_interpolate",
+    oracle=f"""
+    WITH obs AS (
+      SELECT user_id, ts,
+             ROUND(CAST(CAST(arg_min(value, event_id) AS DECIMAL(18,2))
+                   AS DOUBLE), 2) AS v
+      FROM events GROUP BY user_id, ts
+    ), bounds AS (
+      SELECT user_id, MIN(ts) AS mn, MAX(ts) AS mx FROM obs GROUP BY user_id
+    ), grid AS (
+      SELECT user_id, g AS gts
+      FROM bounds,
+           UNNEST(generate_series(date_trunc('hour', mn),
+                                  date_trunc('hour', mx),
+                                  INTERVAL {RESAMPLE_HOURS} HOUR)) AS t(g)
+      WHERE g >= mn
+    ), un AS (
+      SELECT user_id, ts AS pt, v, 0 AS is_grid FROM obs
+      UNION ALL
+      SELECT user_id, gts AS pt, NULL AS v, 1 AS is_grid FROM grid
+    ), w AS (
+      SELECT user_id, pt, v, is_grid,
+        LAST_VALUE(v IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY pt, is_grid
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+        LAST_VALUE(CASE WHEN v IS NOT NULL THEN pt END IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY pt, is_grid
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_t,
+        LAST_VALUE(v IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY pt DESC, is_grid
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS next_v,
+        LAST_VALUE(CASE WHEN v IS NOT NULL THEN pt END IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY pt DESC, is_grid
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS next_t
+      FROM un
+    )
+    SELECT user_id, pt AS grid_ts,
+           ROUND(CASE WHEN prev_t = next_t THEN prev_v
+                 ELSE prev_v + (next_v - prev_v)
+                      * (CAST(date_diff('microsecond', prev_t, pt) AS DOUBLE)
+                         / CAST(date_diff('microsecond', prev_t, next_t)
+                                AS DOUBLE))
+                 END, 6) AS value
+    FROM w WHERE is_grid = 1
+    """,
+)
+def x6_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-grid RESAMPLING with linear interpolation — the
+    regularization step every time-series pipeline runs before
+    models that need an even cadence: per user, a {RESAMPLE_HOURS}-hour
+    grid spanning [first obs, last obs], each grid point linearly
+    interpolated between its surrounding observations (exact
+    observation hits pass through unchanged; the grid starts at the
+    first aligned point ≥ the first observation, so every grid point
+    has both neighbors — no extrapolation policy needed). Duplicate
+    (user, ts) observations resolve deterministically (min event_id).
+
+    Shape: the as-of machinery in BOTH directions without a range
+    join — observations and grid points union-sort once per user and
+    two cumulative last-non-null windows (forward + reverse) find the
+    neighbors; interpolation weights are integer microsecond diffs on
+    TIMESTAMP_NTZ (timestampdiff — no session-timezone arithmetic),
+    value math in double with the identical expression shape on both
+    engines, rounded once at the boundary. The deduped observation
+    frame is localCheckpointed — bounds, grid, and the union all read
+    the one materialization, so events scans once. Grid size is
+    span/{RESAMPLE_HOURS}h rows per user — output-volume-bounded, no
+    pair blowup at any scale."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    obs = (
+        ev.groupBy("user_id", "ts")
+        .agg(
+            F.round(
+                F.min_by("value", "event_id")
+                .cast("decimal(18,2)")
+                .cast("double"),
+                2,
+            ).alias("v")
+        )
+        .localCheckpoint(eager=True)
+    )
+    bounds = obs.groupBy("user_id").agg(
+        F.min("ts").alias("mn"), F.max("ts").alias("mx")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", F.col("mn")),
+                F.date_trunc("hour", F.col("mx")),
+                F.expr(f"INTERVAL {RESAMPLE_HOURS} HOURS"),
+            )
+        ).alias("gts"),
+        "mn",
+    ).filter(F.col("gts") >= F.col("mn"))
+    un = obs.select(
+        "user_id", F.col("ts").alias("pt"), "v", F.lit(0).alias("is_grid")
+    ).unionByName(
+        grid.select(
+            "user_id",
+            F.col("gts").alias("pt"),
+            F.lit(None).cast("double").alias("v"),
+            F.lit(1).alias("is_grid"),
+        )
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("pt", "is_grid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rev = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("pt").desc(), "is_grid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    obs_t = F.when(F.col("v").isNotNull(), F.col("pt"))
+    w = (
+        un.withColumn("prev_v", F.last("v", ignorenulls=True).over(fwd))
+        .withColumn("prev_t", F.last(obs_t, ignorenulls=True).over(fwd))
+        .withColumn("next_v", F.last("v", ignorenulls=True).over(rev))
+        .withColumn("next_t", F.last(obs_t, ignorenulls=True).over(rev))
+    )
+    frac = F.expr(
+        "CAST(timestampdiff(MICROSECOND, prev_t, pt) AS DOUBLE)"
+        " / CAST(timestampdiff(MICROSECOND, prev_t, next_t) AS DOUBLE)"
+    )
+    return w.filter(F.col("is_grid") == 1).select(
+        "user_id",
+        F.col("pt").alias("grid_ts"),
+        F.round(
+            F.when(F.col("prev_t") == F.col("next_t"), F.col("prev_v"))
+            .otherwise(
+                F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * frac
+            ),
+            6,
+        ).alias("value"),
+    )

@@ -93,7 +93,7 @@ _PRIORITY: tuple[str, ...] = (
     "o15_latest_per_key",  # flagship (also entry())
     "w_corrupt_quarantine",  # r2 hash-fail regression pin
     "x6_session_windows",  # r2 hash-fail regression pin
-    # --- round-9 additions (10): driver-checked the round they land ---
+    # --- round-9 additions (11): driver-checked the round they land ---
     "x4_html_extract",
     "x2_tfidf_cosine_prefix",
     "mm_phash_neardup_codes",
@@ -104,8 +104,9 @@ _PRIORITY: tuple[str, ...] = (
     "x8_cluster_balance",
     "x8_curriculum_order",
     "s_stream_full_join",
-    # --- round-9 STALENESS rotation (37; VERDICT r8 ask #5): with the
-    # backlog at zero, the window turns toward freshness — the 31
+    "x6_resample_interpolate",
+    # --- round-9 STALENESS rotation (36; VERDICT r8 ask #5): with the
+    # backlog at zero, the window turns toward freshness — the 30
     # oldest-driver-checked oracle-bearing queries (every r1 and r2 row
     # plus the oldest r3 rows) re-enter so the union's max staleness
     # drops from 8 rounds to ~5, plus one oldest-checked representative
@@ -114,13 +115,13 @@ _PRIORITY: tuple[str, ...] = (
     # test_first_50_slots_cover_survey_operators). Rotated OUT: the 45
     # r8-window queries not re-listed here — all r8-green, their rows
     # stand in the r1–r8 union.
-    # family representatives (6):
+    # family representatives (5; the s_ rep is covered by the two
+    # round-9 streaming ADDITIONS, so its slot returns to rotation):
     "x7_asof_join",
     "x8_mixture_sample",
     "x9_triangle_count",
     "ext_cdc_merge",
     "ext_cogroup_pandas",
-    "s_dedup_stream",
     # stalest tier — last driver-checked round 1:
     "ext_percentiles",
     "ext_salted_join",
@@ -244,7 +245,7 @@ _R8_WINDOW_ROTATED_OUT: tuple[str, ...] = (
 #: gap from the CORRECTNESS_r0*.json files and asserts it equals EXACTLY
 #: this set, so the backlog can never silently grow past one round's
 #: rotation capacity again. Empty since round 8 (zero verification debt);
-#: all ten round-9 additions sit in the r9 window, so it stays empty.
+#: all eleven round-9 additions sit in the r9 window, so it stays empty.
 _R10_QUEUE: set[str] = set()
 
 
