@@ -109,11 +109,15 @@ def main() -> int:
             "few true near-dups), so pruning saves <25% of join rows while "
             "the candidate distinct + re-score join add strictly more work. "
             "The registered rung is therefore ADAPTIVE: it measures the "
-            "filter's selectivity on the materialized postings and falls "
-            "back to the exhaustive plan past "
+            "filter's selectivity with one aggregate over a deterministic "
+            "~2% doc-hash sample of the materialized postings (round 9: "
+            "the earlier FULL-corpus probe built and discarded the whole "
+            "prefix window, ~1 s / +25% over the base it fell back to) "
+            "and falls back to the exhaustive plan past "
             "TFIDF_PREFIX_SELECTIVITY_MAX=0.5, so it matches the base's "
-            "cost here and engages the prefix path only on the "
-            "sparse-candidate/high-threshold corpora it was invented for."
+            "cost here — medians within noise of each other — and engages "
+            "the prefix path only on the sparse-candidate/high-threshold "
+            "corpora it was invented for."
         ),
     }
     with open("/root/repo/BENCH_PREFIX_AB.json", "w") as f:

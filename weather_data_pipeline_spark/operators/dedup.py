@@ -1200,21 +1200,20 @@ def x2_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: BENCH_PREFIX_AB.json).
 TFIDF_PREFIX_SELECTIVITY_MAX = 0.5
 
+#: probe sample: selectivity is estimated on docs whose
+#: xxhash64(doc_id) falls in 1/PREFIX_PROBE_MOD of hash space (~2% of
+#: the corpus) — deterministic, and the window that prices the filter
+#: runs over ~2% of postings instead of all of them, so the probe
+#: costs ~nothing on the fallback corpora where its answer is "don't".
+PREFIX_PROBE_MOD = 50
 
-def _tfidf_prefix_dots(
-    spark: SparkSession,
-    weighted: DataFrame,
-    norms: DataFrame,
-    force_prefix: bool = False,
-) -> DataFrame:
-    """Candidate generation + exact re-score for the prefix rung, with
-    the ADAPTIVE fallback: two O(|postings|-aggregate) counts measure
-    the filter's real selectivity on the materialized postings, and if
-    the prefix keeps > TFIDF_PREFIX_SELECTIVITY_MAX of them the
-    exhaustive co-term join runs instead (identical answer either
-    way — the choice is pure cost, the engine's own CBO pattern).
-    ``force_prefix`` exists for tools/prefix_ab.py to measure the
-    filtered path even where the cost rule rejects it."""
+
+def _tfidf_rem_sq(weighted: DataFrame, norms: DataFrame) -> DataFrame:
+    """Per-posting suffix-norm² for the Bayardo prefix index: per doc,
+    unit-normalize weights, sort descending, and carry the suffix
+    norm² INCLUDING the row (1 − (cum − u²)). Any input subset of docs
+    yields exactly that subset's rows (the window is per-doc), which
+    is what lets the selectivity probe run on a sample."""
     from pyspark.sql.window import Window
 
     unit = weighted.join(norms, "doc_id").select(
@@ -1226,18 +1225,76 @@ def _tfidf_prefix_dots(
     cum = F.sum(F.col("u") * F.col("u")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    bound = (TFIDF_MIN_COS * (1.0 - TFIDF_PREFIX_EPS)) ** 2
-    # suffix norm² INCLUDING this row = 1 − (cum − u²); index rows
-    # while it still reaches the (slackened) threshold
-    pref = (
-        unit.withColumn(
-            "rem_sq", F.lit(1.0) - (cum - F.col("u") * F.col("u"))
-        )
-        .filter(F.col("rem_sq") >= F.lit(bound))
+    return unit.withColumn(
+        "rem_sq", F.lit(1.0) - (cum - F.col("u") * F.col("u"))
+    )
+
+
+#: slackened squared threshold the suffix norm² is tested against
+_PREFIX_BOUND = (TFIDF_MIN_COS * (1.0 - TFIDF_PREFIX_EPS)) ** 2
+
+
+def _tfidf_prefix_postings(weighted: DataFrame, norms: DataFrame) -> DataFrame:
+    """The prefix index itself: rows whose suffix norm² still reaches
+    the (slackened) threshold² — indexing only these is lossless (see
+    the rung docstring)."""
+    return (
+        _tfidf_rem_sq(weighted, norms)
+        .filter(F.col("rem_sq") >= F.lit(_PREFIX_BOUND))
         .select(F.col("doc_id").alias("doc_a"), "h")
     )
+
+
+def _tfidf_prefix_dots(
+    spark: SparkSession,
+    weighted: DataFrame,
+    norms: DataFrame,
+    force_prefix: bool = False,
+) -> DataFrame:
+    """Candidate generation + exact re-score for the prefix rung, with
+    the ADAPTIVE fallback: the filter's selectivity is measured on a
+    deterministic ~2% doc-hash sample of the postings (the prefix
+    window is per-doc, so a doc sample's kept fraction is an unbiased
+    estimate of the corpus's), and if the prefix would keep
+    > TFIDF_PREFIX_SELECTIVITY_MAX of them the exhaustive co-term join
+    runs instead (identical answer either way — both paths are exact,
+    so the sample only steers plan CHOICE, never the result; the
+    engine's own CBO pattern). Probing on the sample instead of the
+    full corpus is what makes the fallback free: the earlier
+    full-corpus probe cost ~1 s at sf0.1 — the whole prefix window
+    built and discarded — putting the adaptive rung ~25% over the base
+    it fell back to (BENCH_PREFIX_AB.json).
+    ``force_prefix`` exists for tools/prefix_ab.py to measure the
+    filtered path even where the cost rule rejects it."""
     if not force_prefix:
-        keep_frac = pref.count() / max(weighted.count(), 1)
+        sample = weighted.filter(
+            F.pmod(F.xxhash64(F.col("doc_id")), F.lit(PREFIX_PROBE_MOD))
+            == 0
+        )
+        probe = (
+            _tfidf_rem_sq(sample, norms)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count_if(
+                    F.col("rem_sq") >= F.lit(_PREFIX_BOUND)
+                ).alias("kept"),
+            )
+            .first()
+        )
+        if probe["n"] == 0:
+            # corpus too small for the sample — probe the whole thing
+            # (cheap exactly when this branch triggers)
+            probe = (
+                _tfidf_rem_sq(weighted, norms)
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.count_if(
+                        F.col("rem_sq") >= F.lit(_PREFIX_BOUND)
+                    ).alias("kept"),
+                )
+                .first()
+            )
+        keep_frac = probe["kept"] / max(probe["n"], 1)
         if keep_frac > TFIDF_PREFIX_SELECTIVITY_MAX:
             a = weighted.select(
                 F.col("doc_id").alias("doc_a"), "h", F.col("wt").alias("wa")
@@ -1255,6 +1312,7 @@ def _tfidf_prefix_dots(
                     ).alias("dot")
                 )
             )
+    pref = _tfidf_prefix_postings(weighted, norms)
     cand = (
         pref.join(weighted.select(F.col("doc_id").alias("doc_b"), "h"), "h")
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -1305,11 +1363,17 @@ def x2_tfidf_cosine_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     t=0.35; still 114k at t=0.9), so the filter prunes <25% of join
     rows while the candidate-distinct and re-score join add strictly
     more. Hence the adaptive rule: the rung measures the filter's
-    selectivity on the materialized postings (two cheap counts) and
-    falls back to the exhaustive plan past
-    TFIDF_PREFIX_SELECTIVITY_MAX — the prefix path engages exactly on
-    the corpora it was invented for (high threshold, sparse-candidate,
-    long skewed posting lists), which is when a CBO would pick it."""
+    selectivity with ONE aggregate over a deterministic ~2% doc-hash
+    sample of the materialized postings (the prefix window is per-doc,
+    so the sample's kept fraction estimates the corpus's; both paths
+    are exact, so the sample steers only plan choice) and falls back
+    to the exhaustive plan past TFIDF_PREFIX_SELECTIVITY_MAX — the
+    prefix path engages exactly on the corpora it was invented for
+    (high threshold, sparse-candidate, long skewed posting lists),
+    which is when a CBO would pick it. The sampled probe is what makes
+    the fallback ~free: the full-corpus probe it replaces built and
+    discarded the whole prefix window (~1 s at sf0.1, ~25% over the
+    base rung it then fell back to)."""
     weighted, norms = _tfidf_weighted(spark, sf_dir)
     return _tfidf_emit(_tfidf_prefix_dots(spark, weighted, norms), norms)
 
