@@ -1401,3 +1401,23 @@ def test_resample_interpolate_plan(spark):
     assert "EvalPython" not in plan and "MapInPandas" not in plan
     assert plan.count("Exchange hashpartitioning") == 2
     assert plan.count("ExistingRDD") >= 2
+
+
+def test_tfidf_prefix_fallback_matches_base_plan(spark):
+    """The adaptive prefix rung's fallback claim, as a gate: on this
+    corpus the sampled selectivity probe (driver-side, before the plan
+    exists) must reject the prefix path, so the RETURNED plan is the
+    base rung's — same exchange count, no candidate-distinct stage
+    (the prefix path's extra Aggregate over (doc_a, doc_b) keys), and
+    no window (the prefix index's per-doc sort never enters the
+    executed plan)."""
+    from weather_data_pipeline_spark.plans.inspect import (
+        executed_plan,
+        num_shuffles,
+    )
+
+    base = _Q["x2_tfidf_cosine"](spark, SF)
+    pref = _Q["x2_tfidf_cosine_prefix"](spark, SF)
+    assert num_shuffles(pref) == num_shuffles(base)
+    plan = executed_plan(pref)
+    assert "Window" not in plan
