@@ -134,6 +134,7 @@ HEADLINE = [
     "x8_cluster_balance",
     "x8_curriculum_order",
     "x6_resample_interpolate",
+    "x2_source_overlap",
     "x2_tfidf_cosine_prefix",
     "mm_phash_neardup_codes",
 ]

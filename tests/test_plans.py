@@ -1421,3 +1421,24 @@ def test_tfidf_prefix_fallback_matches_base_plan(spark):
     assert num_shuffles(pref) == num_shuffles(base)
     plan = executed_plan(pref)
     assert "Window" not in plan
+
+
+def test_source_overlap_single_gram_build(spark):
+    """The cross-source overlap matrix reads the distinct (source,
+    gram) table from ONE materialization (per-source counts + both
+    pair-join sides all ExistingRDD scans of the checkpoint — the
+    scan→explode→distinct subtree runs once, not 3×), the per-source
+    count table rides broadcast joins, and no SortMergeJoin appears:
+    posting lists after the per-source distinct are ≤ |sources| long,
+    so the pair join never needs a sort."""
+    from weather_data_pipeline_spark.plans.inspect import (
+        executed_plan,
+        num_shuffles,
+    )
+
+    df = _Q["x2_source_overlap"](spark, SF)
+    plan = executed_plan(df)
+    assert plan.count("ExistingRDD") >= 3
+    assert "documents.parquet" not in plan  # scan only at checkpoint time
+    assert "SortMergeJoin" not in plan
+    assert num_shuffles(df) <= 6

@@ -198,6 +198,7 @@ QUERIES = [
     "x8_cluster_balance",
     "x8_curriculum_order",
     "x6_resample_interpolate",
+    "x2_source_overlap",
 ]
 
 #: Viral boilerplate for the skew replica: untagged (shared verbatim

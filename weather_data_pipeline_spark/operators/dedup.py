@@ -2149,3 +2149,98 @@ def x1_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.size(toks) - F.size(kept)).cast("long").alias("n_removed"),
         F.md5(F.array_join(kept, " ")).alias("cleaned_fp"),
     )
+
+
+# ----------------------------------------------------------------------
+# Cross-source overlap matrix (round 9)
+# ----------------------------------------------------------------------
+
+
+@query(
+    "x2_source_overlap",
+    oracle="""
+    WITH w AS (
+      SELECT source, string_split(text, ' ') AS words FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ), sh AS (
+      SELECT DISTINCT source,
+             words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+      FROM w, UNNEST(generate_series(1, len(words) - 2)) AS t(i)
+    ), n AS (
+      SELECT source, COUNT(*) AS n FROM sh GROUP BY source
+    ), p AS (
+      SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b
+        ON a.shingle = b.shingle AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, inter,
+           ROUND(inter / LEAST(x.n, y.n), 6) AS overlap
+    FROM p
+    JOIN n x ON x.source = source_a
+    JOIN n y ON y.source = source_b
+    """,
+)
+def x2_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-SOURCE n-gram overlap matrix — the redundancy diagnostic a
+    corpus-mixing pipeline runs BEFORE setting mixture weights
+    (x8_temperature_mixture / x8_interleave_sources): for every source
+    pair, the containment-style overlap |grams_a ∩ grams_b| /
+    min(|grams_a|, |grams_b|) of their DISTINCT trigram vocabularies.
+    Two crawl snapshots of the same sites score near 1 and should not
+    both be upweighted; disjoint corpora score near 0.
+
+    Structurally bounded where the doc-level pair rungs need caps:
+    grams are made distinct PER SOURCE first, so every posting list in
+    the self-join is ≤ |sources| long — pair work is
+    O(|distinct grams| · |sources|²) with no viral-shingle blowup, and
+    the output is the |sources|² matrix, not a doc-pair set. Per-source
+    gram counts ride a broadcast join; counting is integer-exact with
+    one double division + round at the emit boundary. Same xxhash64
+    join-key convention (collision caveat documented on
+    x2_ngram_jaccard) as the rest of the ladder."""
+    from pyspark.ml.feature import NGram
+
+    doc = fan_out(load_table(spark, sf_dir, "documents"))
+    words = doc.select("source", F.split("text", " ").alias("words")).filter(
+        F.size("words") >= 3
+    )
+    grams = NGram(n=3, inputCol="words", outputCol="raw_grams").transform(
+        words
+    )
+    # the distinct (source, gram) table is read 3× (per-source counts +
+    # both pair-join sides) — materialize it once so the scan→explode→
+    # distinct subtree doesn't re-run per consumer (the ladder's
+    # localCheckpoint reuse convention; see x2_tfidf_cosine)
+    sh = (
+        grams.select("source", F.explode("raw_grams").alias("shingle"))
+        .select("source", F.xxhash64("shingle").alias("h"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("source").alias("source_a"), "h")
+    b = sh.select(F.col("source").alias("source_b"), "h")
+    pairs = (
+        a.join(b, "h")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = F.broadcast(
+        n.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    )
+    nb = F.broadcast(
+        n.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    )
+    mn = F.least(F.col("n_a"), F.col("n_b"))
+    return (
+        pairs.join(na, "source_a")
+        .join(nb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "inter",
+            F.round(F.col("inter") / mn, 6).alias("overlap"),
+        )
+    )

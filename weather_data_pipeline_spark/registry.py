@@ -93,7 +93,7 @@ _PRIORITY: tuple[str, ...] = (
     "o15_latest_per_key",  # flagship (also entry())
     "w_corrupt_quarantine",  # r2 hash-fail regression pin
     "x6_session_windows",  # r2 hash-fail regression pin
-    # --- round-9 additions (11): driver-checked the round they land ---
+    # --- round-9 additions (12): driver-checked the round they land ---
     "x4_html_extract",
     "x2_tfidf_cosine_prefix",
     "mm_phash_neardup_codes",
@@ -105,7 +105,8 @@ _PRIORITY: tuple[str, ...] = (
     "x8_curriculum_order",
     "s_stream_full_join",
     "x6_resample_interpolate",
-    # --- round-9 STALENESS rotation (36; VERDICT r8 ask #5): with the
+    "x2_source_overlap",
+    # --- round-9 STALENESS rotation (35; VERDICT r8 ask #5): with the
     # backlog at zero, the window turns toward freshness — the 30
     # oldest-driver-checked oracle-bearing queries (every r1 and r2 row
     # plus the oldest r3 rows) re-enter so the union's max staleness
@@ -146,7 +147,8 @@ _PRIORITY: tuple[str, ...] = (
     "ext_null_ops",
     "ext_string_funcs",
     "ext_regexp",
-    "x5_from_json_struct",
+    # (x5_from_json_struct displaced by the 12th round-9 addition —
+    # x5 family representation in-window stays via x5_json_get_path)
     # last driver-checked round 2:
     "ext_grouping_sets",
     "ext_join_broadcast_dims",
