@@ -137,6 +137,10 @@ HEADLINE = [
     "x2_source_overlap",
     "x2_tfidf_cosine_prefix",
     "mm_phash_neardup_codes",
+    # x7_interval_overlap (grid pair join) is scale-suite-only: ~6 s/run
+    # of intrinsically pair-volume-bound work, too heavy for the 5-pass
+    # interleaved loop — its aggregate-only twin headlines instead
+    "x7_interval_overlap_sweep",
 ]
 
 

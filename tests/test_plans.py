@@ -1442,3 +1442,48 @@ def test_source_overlap_single_gram_build(spark):
     assert "documents.parquet" not in plan  # scan only at checkpoint time
     assert "SortMergeJoin" not in plan
     assert num_shuffles(df) <= 6
+
+
+def test_interval_overlap_is_equi_join(spark):
+    """The interval×interval overlap join must plan as an EQUI-join on
+    the grid cell id — never the BroadcastNestedLoopJoin that the raw
+    inequality predicate would produce (O(|A|·|B|) at scale). The
+    overlap test and the canonical-cell exactly-once rule are residual
+    filters on the matched pairs, and the aggregate partial-aggregates
+    before its one hash exchange."""
+    from weather_data_pipeline_spark.plans.inspect import (
+        executed_plan,
+        has_partial_aggregation,
+    )
+
+    df = _Q["x7_interval_overlap"](spark, SF)
+    plan = executed_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert has_partial_aggregation(df)
+
+
+def test_interval_overlap_sweep_no_pairs(spark):
+    """The sweep twin must never materialize overlap pairs: exactly the
+    one endpoint aggregate's hash exchange plus the calendar-bounded
+    SinglePartition cumulative window, and both window lookups ride
+    broadcast hash joins (never a pair-producing join shape)."""
+    from weather_data_pipeline_spark.plans.inspect import executed_plan
+
+    df = _Q["x7_interval_overlap_sweep"](spark, SF)
+    plan = executed_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 2
+    # the endpoint aggregate + cumulative window run ONCE, at the eager
+    # checkpoint: both broadcast lookups read the checkpointed calendar
+    # (ExistingRDD), so the final plan carries no SHUFFLE exchange at
+    # all (broadcast exchanges only) and the only file scan is the
+    # window build's supplier projection
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert plan.count("ExistingRDD") == 2
+    assert "EvalPython" not in plan and "MapInPandas" not in plan

@@ -43,7 +43,14 @@ MULTI_JOB = {
     "corpus — BENCH_PREFIX_AB.json)",
     "mm_phash_neardup_codes": "decode + fingerprint groupBy localCheckpoint "
     "as a prior job; both band joins read the distinct-codes ExistingRDD",
+    "x7_interval_overlap_sweep": "endpoint aggregate + calendar cumulative "
+    "window localCheckpoint as a prior bounded job (≤ span-days rows); "
+    "both broadcast lookups read the one ExistingRDD",
 }
+
+#: Scale-suite-only queries too heavy for the bench loop whose plan is
+#: still worth recording next to their headline twins.
+EXTRA = ["x7_interval_overlap"]
 
 
 def main() -> None:
@@ -60,7 +67,7 @@ def main() -> None:
         "that run bounded driver-side jobs before the final plan say so.",
         "",
     ]
-    for name in HEADLINE:
+    for name in HEADLINE + EXTRA:
         df = qs[name](spark, SF_DIR)
         n_ex = pi.num_shuffles(df)
         bits = [f"exchanges={n_ex}"]

@@ -199,6 +199,8 @@ QUERIES = [
     "x8_curriculum_order",
     "x6_resample_interpolate",
     "x2_source_overlap",
+    "x7_interval_overlap",
+    "x7_interval_overlap_sweep",
 ]
 
 #: Viral boilerplate for the skew replica: untagged (shared verbatim

@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.scalars import dec_out
 from ..registry import query
 from ..sources.testdata import load_table, register_views
 
@@ -562,4 +563,243 @@ def x7_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(use_back, "backward")
         .otherwise("forward")
         .alias("direction"),
+    )
+
+
+# ----------------------------------------------------------------------
+# X7 — interval overlap join via grid bucketing (round 9)
+# ----------------------------------------------------------------------
+#: grid cell width in days. Chosen ≥ the longest probe interval (≤31 d)
+#: so a transit spans at most 2 cells and an audit window (≤91 d) at
+#: most 4 — the explode factors are small constants, never data-sized.
+OVERLAP_GRID_DAYS = 32
+
+_INTERVAL_OVERLAP_ORACLE = """
+    WITH transit AS (
+      SELECT CAST(l_shipdate AS DATE) AS t_start,
+             CAST(l_shipdate AS DATE)
+               + CAST(1 + (l_orderkey * 7 + l_linenumber) % 30 AS INT)
+               AS t_end,
+             l_quantity
+      FROM lineitem
+    ), win AS (
+      SELECT s_suppkey AS window_id,
+             DATE '1994-01-01'
+               + CAST((s_suppkey * 37) % 2400 AS INT) AS w_start,
+             DATE '1994-01-01'
+               + CAST((s_suppkey * 37) % 2400
+                      + 7 + (s_suppkey * 11) % 84 AS INT) AS w_end
+      FROM supplier
+    )
+    SELECT w.window_id, w.w_start, w.w_end,
+           COUNT(*) AS n_transit,
+           ROUND(CAST(SUM(CAST(t.l_quantity AS DECIMAL(18,2)))
+                 AS DOUBLE), 2) AS sum_qty
+    FROM win w JOIN transit t
+      ON t.t_start <= w.w_end AND t.t_end >= w.w_start
+    GROUP BY 1, 2, 3
+"""
+
+
+@query("x7_interval_overlap", oracle=_INTERVAL_OVERLAP_ORACLE)
+def x7_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval × interval OVERLAP join — the temporal-join mode the
+    x7 ladder lacked: x7_temporal_join is point-in-time on an equi
+    key, ext_range_join is point-in-range; here BOTH sides are
+    intervals with arbitrary endpoints and no shared key. Business
+    shape: per supplier audit window, how many shipments were in
+    transit (derived [ship, ship+1..30 d]) at any moment of the
+    window, with total quantity.
+
+    Execution is the grid-bucketing rewrite, NOT the naive theta
+    join: a raw `a.start <= b.end AND b.start <= a.end` predicate
+    has no equi key, so Spark plans BroadcastNestedLoopJoin —
+    O(|A|·|B|) comparisons, quadratic at 100 TB. Instead each
+    interval explodes onto the OVERLAP_GRID_DAYS-day cells it
+    touches (≤2 for transits, ≤4 for windows — constants set by the
+    max interval length, never by data volume) and the join becomes
+    a plain EQUI-join on the cell id with the overlap test as a
+    residual. A pair overlapping across several shared cells must
+    count ONCE: the canonical-cell rule keeps a pair only in the
+    cell containing greatest(t_start, w_start) — for a true overlap
+    that date lies inside both intervals, so exactly one surviving
+    cell per pair, no distinct, no pair-identity shuffle. The rows
+    ENTERING the join are O(|A| + |B|) (×small cell constants), but
+    the MATCHED pairs are Θ(|A|·|B| / span) whenever windows overlap
+    a constant fraction of history — measured 10× ratio 14.1, the
+    pair count itself growing ~100× (BENCH_SCALE.json). That volume
+    is irreducible when the downstream consumes the pairs (per-pair
+    enrichment); when it only needs per-window AGGREGATES — as this
+    query's output does — the ladder successor is
+    ``x7_interval_overlap_sweep`` (same oracle, zero pair
+    materialization, ratio 1.15). At local SF the exploded window
+    side broadcasts; on a 1000-executor cluster AQE swaps the same
+    plan to a shuffled hash join on the cell id. Plan-gated: no
+    BroadcastNestedLoopJoin / CartesianProduct. Oracle states the
+    semantics as the plain inequality join — DuckDB's IEJoin handles
+    the quadratic form at oracle SF."""
+    g = OVERLAP_GRID_DAYS
+
+    def cell(c):  # grid cell id of a date
+        return F.floor(F.unix_date(c) / g)
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.to_date("l_shipdate").alias("t_start"),
+        F.date_add(
+            F.to_date("l_shipdate"),
+            (
+                1 + (F.col("l_orderkey") * 7 + F.col("l_linenumber")) % 30
+            ).cast("int"),
+        ).alias("t_end"),
+        "l_quantity",
+    )
+    start = F.date_add(
+        F.to_date(F.lit("1994-01-01")),
+        ((F.col("s_suppkey") * 37) % 2400).cast("int"),
+    )
+    win = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("window_id"),
+        start.alias("w_start"),
+        F.date_add(start, (7 + (F.col("s_suppkey") * 11) % 84).cast("int")).alias(
+            "w_end"
+        ),
+    )
+    lb = li.withColumn("cell", F.explode(F.sequence(cell("t_start"), cell("t_end"))))
+    wb = win.withColumn(
+        "cell", F.explode(F.sequence(cell("w_start"), cell("w_end")))
+    )
+    pairs = lb.join(wb, "cell").where(
+        (F.col("t_start") <= F.col("w_end"))
+        & (F.col("t_end") >= F.col("w_start"))
+        & (F.col("cell") == cell(F.greatest("t_start", "w_start")))
+    )
+    return pairs.groupBy("window_id", "w_start", "w_end").agg(
+        F.count(F.lit(1)).alias("n_transit"),
+        dec_out(F.sum(F.col("l_quantity").cast("decimal(18,2)")), 2).alias(
+            "sum_qty"
+        ),
+    )
+
+
+@query("x7_interval_overlap_sweep", oracle=_INTERVAL_OVERLAP_ORACLE)
+def x7_interval_overlap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100-TB rung of ``x7_interval_overlap``, SAME oracle: when the
+    downstream needs per-window AGGREGATES (not the pairs), the pair
+    join is the wrong algorithm at any scale — matched-pair volume is
+    Θ(|A|·|B| / span) whenever a window overlaps a constant fraction
+    of history (measured: the grid rung's 10× ratio is 14.1 because
+    the pair count itself grows ~100×). The sweep-line identity kills
+    the pairs entirely:
+
+        n_overlap(w)  = #{t_start <= w_end} − #{t_end <= w_start − 1}
+        sum_qty(w)    = same difference over decimal qty prefix sums
+
+    (the subtracted set is contained in the first — every transit
+    ended before w_start also started before w_end — so the
+    difference is exactly the overlap set.)
+
+    Execution: one pass explodes each transit to two endpoint rows
+    (start: +count/+qty, end: +count/+qty in separate columns) and
+    injects every window's two lookup dates as zero rows; ONE hash
+    aggregate by date collapses this to ≤ calendar-span rows (~3.3k
+    days here — bounded by physical time, NOT by data volume, which
+    is why the subsequent single-partition cumulative window is
+    principled: O(days) forever); the four running sums then serve
+    every window via TWO broadcast equi-joins on the injected dates.
+    Total cost O(|A| + |B|) rows shuffled, output only windows with
+    n_transit > 0 (matching the oracle's inner join). Decimal sums
+    make the prefix-difference order-independent and engine-exact."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.to_date("l_shipdate").alias("t_start"),
+        F.date_add(
+            F.to_date("l_shipdate"),
+            (
+                1 + (F.col("l_orderkey") * 7 + F.col("l_linenumber")) % 30
+            ).cast("int"),
+        ).alias("t_end"),
+        F.col("l_quantity").cast("decimal(18,2)").alias("qty"),
+    )
+    start = F.date_add(
+        F.to_date(F.lit("1994-01-01")),
+        ((F.col("s_suppkey") * 37) % 2400).cast("int"),
+    )
+    win = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("window_id"),
+        start.alias("w_start"),
+        F.date_add(start, (7 + (F.col("s_suppkey") * 11) % 84).cast("int")).alias(
+            "w_end"
+        ),
+    )
+    zero_q = F.lit(0).cast("decimal(18,2)")
+    ep = li.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("t_start").alias("d"),
+                    F.lit(1).alias("n_s"),
+                    F.col("qty").alias("q_s"),
+                    F.lit(0).alias("n_e"),
+                    zero_q.alias("q_e"),
+                ),
+                F.struct(
+                    F.col("t_end").alias("d"),
+                    F.lit(0).alias("n_s"),
+                    zero_q.alias("q_s"),
+                    F.lit(1).alias("n_e"),
+                    F.col("qty").alias("q_e"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.*")
+    # zero rows pin both lookup dates into the calendar, so the final
+    # probes are exact equi-joins — no as-of machinery needed
+    probes = win.select(
+        F.explode(
+            F.array(F.col("w_end"), F.date_sub("w_start", 1))
+        ).alias("d"),
+        F.lit(0).alias("n_s"),
+        zero_q.alias("q_s"),
+        F.lit(0).alias("n_e"),
+        zero_q.alias("q_e"),
+    )
+    daily = (
+        ep.unionByName(probes)
+        .groupBy("d")
+        .agg(
+            F.sum("n_s").alias("dn_s"),
+            F.sum("q_s").alias("dq_s"),
+            F.sum("n_e").alias("dn_e"),
+            F.sum("q_e").alias("dq_e"),
+        )
+    )
+    cal = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # cum is consumed by BOTH lookup joins: materialize it once (eager
+    # localCheckpoint, the repo's doubly-consumed-aggregate fix) so the
+    # endpoint scan + aggregate + cumulative window run exactly once —
+    # without it Spark replays the whole subtree per consumer, scanning
+    # lineitem twice. The checkpoint is ≤ calendar-span rows, i.e. tiny.
+    cum = daily.select(
+        "d",
+        F.sum("dn_s").over(cal).alias("c_ns"),
+        F.sum("dq_s").over(cal).alias("c_qs"),
+        F.sum("dn_e").over(cal).alias("c_ne"),
+        F.sum("dq_e").over(cal).alias("c_qe"),
+    ).localCheckpoint(eager=True)
+    at_end = F.broadcast(cum.select("d", "c_ns", "c_qs"))
+    before_start = F.broadcast(cum.select("d", "c_ne", "c_qe"))
+    out = (
+        win.join(at_end, win.w_end == at_end.d)
+        .drop("d")
+        .join(before_start, F.date_sub(win.w_start, 1) == before_start.d)
+        .drop("d")
+    )
+    n = (F.col("c_ns") - F.col("c_ne")).cast("long")
+    return out.where(n > 0).select(
+        "window_id",
+        "w_start",
+        "w_end",
+        n.alias("n_transit"),
+        dec_out(F.col("c_qs") - F.col("c_qe"), 2).alias("sum_qty"),
     )

@@ -93,7 +93,7 @@ _PRIORITY: tuple[str, ...] = (
     "o15_latest_per_key",  # flagship (also entry())
     "w_corrupt_quarantine",  # r2 hash-fail regression pin
     "x6_session_windows",  # r2 hash-fail regression pin
-    # --- round-9 additions (12): driver-checked the round they land ---
+    # --- round-9 additions (14): driver-checked the round they land ---
     "x4_html_extract",
     "x2_tfidf_cosine_prefix",
     "mm_phash_neardup_codes",
@@ -106,7 +106,9 @@ _PRIORITY: tuple[str, ...] = (
     "s_stream_full_join",
     "x6_resample_interpolate",
     "x2_source_overlap",
-    # --- round-9 STALENESS rotation (35; VERDICT r8 ask #5): with the
+    "x7_interval_overlap",
+    "x7_interval_overlap_sweep",
+    # --- round-9 STALENESS rotation (33; VERDICT r8 ask #5): with the
     # backlog at zero, the window turns toward freshness — the 30
     # oldest-driver-checked oracle-bearing queries (every r1 and r2 row
     # plus the oldest r3 rows) re-enter so the union's max staleness
@@ -116,9 +118,9 @@ _PRIORITY: tuple[str, ...] = (
     # test_first_50_slots_cover_survey_operators). Rotated OUT: the 45
     # r8-window queries not re-listed here — all r8-green, their rows
     # stand in the r1–r8 union.
-    # family representatives (5; the s_ rep is covered by the two
-    # round-9 streaming ADDITIONS, so its slot returns to rotation):
-    "x7_asof_join",
+    # family representatives (4; the s_ rep is covered by the two
+    # round-9 streaming ADDITIONS and the x7 rep by the
+    # x7_interval_overlap ADDITION, so those slots return to rotation):
     "x8_mixture_sample",
     "x9_triangle_count",
     "ext_cdc_merge",
@@ -132,7 +134,9 @@ _PRIORITY: tuple[str, ...] = (
     "ext_join_semi",
     "ext_join_anti",
     "ext_join_left_outer",
-    "ext_join_full_outer",
+    # (ext_join_full_outer displaced by the 14th round-9 addition —
+    # join-family representation in-window stays via semi/anti/
+    # left_outer/lookup)
     "ext_lookup_join",
     "ext_sort_limit_topk",
     "ext_distinct",
