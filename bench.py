@@ -141,6 +141,7 @@ HEADLINE = [
     # of intrinsically pair-volume-bound work, too heavy for the 5-pass
     # interleaved loop — its aggregate-only twin headlines instead
     "x7_interval_overlap_sweep",
+    "x6_lttb_downsample",
 ]
 
 

@@ -1487,3 +1487,21 @@ def test_interval_overlap_sweep_no_pairs(spark):
     assert "Exchange SinglePartition" not in plan
     assert plan.count("ExistingRDD") == 2
     assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_lttb_downsample_plan(spark):
+    """The LTTB variant's whole point is selection-parallelism: no
+    Python, no SinglePartition, the checkpointed ranked series feeds
+    all seven consumers (zero parquet re-scans), and only two hash
+    exchanges remain downstream (bucket stats + the user-keyed
+    anchor/winner windows)."""
+    from weather_data_pipeline_spark.plans.inspect import executed_plan
+
+    df = _Q["x6_lttb_downsample"](spark, SF)
+    plan = executed_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "Scan parquet" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2

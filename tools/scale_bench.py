@@ -201,6 +201,7 @@ QUERIES = [
     "x2_source_overlap",
     "x7_interval_overlap",
     "x7_interval_overlap_sweep",
+    "x6_lttb_downsample",
 ]
 
 #: Viral boilerplate for the skew replica: untagged (shared verbatim

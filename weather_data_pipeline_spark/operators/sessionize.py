@@ -1685,3 +1685,235 @@ def x6_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("value"),
     )
+
+
+# ----------------------------------------------------------------------
+# LTTB-style triangle-area downsampling (round 9)
+# ----------------------------------------------------------------------
+#: total output points per series: first + LTTB_BUCKETS winners + last
+LTTB_OUT = 12
+LTTB_BUCKETS = LTTB_OUT - 2
+
+_LTTB_ORACLE = f"""
+    WITH obs AS (
+      SELECT user_id, ts,
+             ROUND(CAST(CAST(arg_min(value, event_id) AS DECIMAL(18,2))
+                   AS DOUBLE), 2) AS v
+      FROM events GROUP BY user_id, ts
+    ), ranked AS (
+      SELECT user_id, ts, v,
+             ROW_NUMBER() OVER w AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n,
+             CAST(date_diff('second',
+                  MIN(ts) OVER (PARTITION BY user_id), ts) AS BIGINT) AS x,
+             CAST(ROUND(v * 100) AS BIGINT) AS y
+      FROM obs
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), small AS (
+      SELECT user_id, ts AS pt, v, rn - 1 AS slot
+      FROM ranked WHERE n <= {LTTB_OUT}
+    ), big AS (
+      SELECT * FROM ranked WHERE n > {LTTB_OUT}
+    ), interior AS (
+      SELECT *, CAST(((rn - 2) * {LTTB_BUCKETS}) // (n - 2) AS BIGINT)
+                  AS bucket
+      FROM big WHERE rn > 1 AND rn < n
+    ), stats AS (
+      SELECT user_id, bucket, COUNT(*) AS nb,
+             SUM(x) AS sx, SUM(y) AS sy
+      FROM interior GROUP BY user_id, bucket
+      UNION ALL
+      SELECT user_id, -1 AS bucket, 1 AS nb, x AS sx, y AS sy
+      FROM big WHERE rn = 1
+      UNION ALL
+      SELECT user_id, {LTTB_BUCKETS} AS bucket, 1 AS nb, x AS sx, y AS sy
+      FROM big WHERE rn = n
+    ), anchors AS (
+      SELECT user_id, bucket,
+             LAG(nb)  OVER wb AS np, LAG(sx)  OVER wb AS sxp,
+             LAG(sy)  OVER wb AS syp,
+             LEAD(nb) OVER wb AS nn, LEAD(sx) OVER wb AS sxn,
+             LEAD(sy) OVER wb AS syn
+      FROM stats
+      WINDOW wb AS (PARTITION BY user_id ORDER BY bucket)
+    ), scored AS (
+      SELECT i.user_id, i.ts, i.v, i.bucket,
+             ABS((CAST(a.sxp AS HUGEINT) * a.nn
+                    - CAST(a.sxn AS HUGEINT) * a.np)
+                 * (CAST(i.y AS HUGEINT) * a.np - a.syp)
+               - (CAST(a.sxp AS HUGEINT) - CAST(i.x AS HUGEINT) * a.np)
+                 * (CAST(a.syn AS HUGEINT) * a.np
+                    - CAST(a.syp AS HUGEINT) * a.nn)) AS area,
+             ROW_NUMBER() OVER (
+               PARTITION BY i.user_id, i.bucket
+               ORDER BY ABS((CAST(a.sxp AS HUGEINT) * a.nn
+                    - CAST(a.sxn AS HUGEINT) * a.np)
+                 * (CAST(i.y AS HUGEINT) * a.np - a.syp)
+               - (CAST(a.sxp AS HUGEINT) - CAST(i.x AS HUGEINT) * a.np)
+                 * (CAST(a.syn AS HUGEINT) * a.np
+                    - CAST(a.syp AS HUGEINT) * a.nn)) DESC, i.ts) AS pk
+      FROM interior i
+      JOIN anchors a ON a.user_id = i.user_id AND a.bucket = i.bucket
+    )
+    SELECT user_id, pt, v, CAST(slot AS BIGINT) AS slot FROM small
+    UNION ALL
+    SELECT user_id, ts AS pt, v, CAST(0 AS BIGINT) AS slot
+    FROM big WHERE rn = 1
+    UNION ALL
+    SELECT user_id, ts AS pt, v, CAST(bucket + 1 AS BIGINT) AS slot
+    FROM scored WHERE pk = 1
+    UNION ALL
+    SELECT user_id, ts AS pt, v, CAST({LTTB_BUCKETS} + 1 AS BIGINT) AS slot
+    FROM big WHERE rn = n
+"""
+
+
+@query("x6_lttb_downsample", oracle=_LTTB_ORACLE)
+def x6_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle-area downsampling to {LTTB_OUT} points per series — the
+    dashboard/visualization reduction that preserves spikes and shape
+    where every-Nth or per-bucket-mean sampling erases them
+    (Steinarsson's largest-triangle family). Endpoints always survive;
+    each of the {LTTB_BUCKETS} equal-count interior buckets keeps the
+    point with the largest triangle area against its NEIGHBOR-BUCKET
+    MEAN anchors. That static-anchor variant (vs exact LTTB's
+    previously-SELECTED point) is the deliberate scale trade: exact
+    LTTB is sequential per series (it would ride the sharded
+    recurrence family like x6_cusum_changepoints), while mean anchors
+    make every bucket's argmax INDEPENDENT — selection is one
+    groupBy + rank, embarrassingly parallel across 10⁹ series.
+
+    Engine-exactness: x is tz-free wall-clock seconds from the
+    series start (``timestampdiff`` — a non-UTC driver session cannot
+    skew it, unlike epoch extraction on NTZ), y is integer cents from
+    the already-rounded value; the triangle area is the fully
+    cross-multiplied integer form (×np·nn·np clears all three mean
+    denominators), compared in DECIMAL(38,0)/HUGEINT — argmax ties
+    broken on ts, so both engines pick identical points. Series with
+    ≤ {LTTB_OUT} points pass through whole. Spark plan: every stage
+    (obs dedup, rank, bucket stats, anchor lag/lead, winner rank) is
+    user_id-(prefix-)keyed — one logical partitioning serves the
+    whole pipeline; anchors join candidates co-partitioned; no
+    Python, no SinglePartition."""
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.groupBy("user_id", "ts").agg(
+        F.round(
+            F.min_by("value", "event_id").cast("decimal(18,2)").cast("double"),
+            2,
+        ).alias("v")
+    )
+    wu = Window.partitionBy("user_id")
+    ranked = obs.select(
+        "user_id",
+        "ts",
+        "v",
+        F.row_number().over(wu.orderBy("ts")).alias("rn"),
+        F.count(F.lit(1)).over(wu).alias("n"),
+        F.expr(
+            "timestampdiff(SECOND, min(ts) over "
+            "(partition by user_id), ts)"
+        ).cast("long").alias("x"),
+        F.round(F.col("v") * 100).cast("long").alias("y"),
+    )
+    # ranked feeds SEVEN consumers (small/first/last/interior twice over
+    # + both union tails): materialize it once (eager localCheckpoint —
+    # the doubly-consumed-subtree fix) or Spark replays the scan +
+    # dedup + rank window per consumer (measured: 7 parquet scans, 14
+    # exchanges without it).
+    ranked = ranked.localCheckpoint(eager=True)
+    small = ranked.filter(F.col("n") <= LTTB_OUT).select(
+        "user_id",
+        F.col("ts").alias("pt"),
+        "v",
+        (F.col("rn") - 1).cast("long").alias("slot"),
+    )
+    big = ranked.filter(F.col("n") > LTTB_OUT)
+    interior = big.filter((F.col("rn") > 1) & (F.col("rn") < F.col("n"))).withColumn(
+        "bucket",
+        F.expr(f"((rn - 2) * {LTTB_BUCKETS}) div (n - 2)").cast("long"),
+    )
+    first = big.filter(F.col("rn") == 1)
+    last = big.filter(F.col("rn") == F.col("n"))
+    stats = (
+        interior.groupBy("user_id", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("nb"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+        )
+        .unionByName(
+            first.select(
+                "user_id",
+                F.lit(-1).cast("long").alias("bucket"),
+                F.lit(1).cast("long").alias("nb"),
+                F.col("x").alias("sx"),
+                F.col("y").alias("sy"),
+            )
+        )
+        .unionByName(
+            last.select(
+                "user_id",
+                F.lit(LTTB_BUCKETS).cast("long").alias("bucket"),
+                F.lit(1).cast("long").alias("nb"),
+                F.col("x").alias("sx"),
+                F.col("y").alias("sy"),
+            )
+        )
+    )
+    wb = Window.partitionBy("user_id").orderBy("bucket")
+    anchors = stats.select(
+        "user_id",
+        "bucket",
+        F.lag("nb").over(wb).alias("np"),
+        F.lag("sx").over(wb).alias("sxp"),
+        F.lag("sy").over(wb).alias("syp"),
+        F.lead("nb").over(wb).alias("nn"),
+        F.lead("sx").over(wb).alias("sxn"),
+        F.lead("sy").over(wb).alias("syn"),
+    ).filter(
+        (F.col("bucket") >= 0) & (F.col("bucket") < LTTB_BUCKETS)
+    )
+
+    def d(c):  # exact wide-decimal arithmetic (HUGEINT twin in the oracle)
+        return c.cast("decimal(19,0)")
+
+    t = (d(F.col("sxp")) * d(F.col("nn")) - d(F.col("sxn")) * d(F.col("np"))) * (
+        d(F.col("y")) * d(F.col("np")) - d(F.col("syp"))
+    ) - (d(F.col("sxp")) - d(F.col("x")) * d(F.col("np"))) * (
+        d(F.col("syn")) * d(F.col("np")) - d(F.col("syp")) * d(F.col("nn"))
+    )
+    scored = interior.join(anchors, ["user_id", "bucket"]).withColumn(
+        "area", F.abs(t)
+    )
+    wk = Window.partitionBy("user_id", "bucket").orderBy(
+        F.col("area").desc(), "ts"
+    )
+    winners = (
+        scored.withColumn("pk", F.row_number().over(wk))
+        .filter(F.col("pk") == 1)
+        .select(
+            "user_id",
+            F.col("ts").alias("pt"),
+            "v",
+            (F.col("bucket") + 1).cast("long").alias("slot"),
+        )
+    )
+    return (
+        small.unionByName(
+            first.select(
+                "user_id",
+                F.col("ts").alias("pt"),
+                "v",
+                F.lit(0).cast("long").alias("slot"),
+            )
+        )
+        .unionByName(winners)
+        .unionByName(
+            last.select(
+                "user_id",
+                F.col("ts").alias("pt"),
+                "v",
+                F.lit(LTTB_BUCKETS + 1).cast("long").alias("slot"),
+            )
+        )
+    )

@@ -93,7 +93,7 @@ _PRIORITY: tuple[str, ...] = (
     "o15_latest_per_key",  # flagship (also entry())
     "w_corrupt_quarantine",  # r2 hash-fail regression pin
     "x6_session_windows",  # r2 hash-fail regression pin
-    # --- round-9 additions (14): driver-checked the round they land ---
+    # --- round-9 additions (15): driver-checked the round they land ---
     "x4_html_extract",
     "x2_tfidf_cosine_prefix",
     "mm_phash_neardup_codes",
@@ -108,7 +108,8 @@ _PRIORITY: tuple[str, ...] = (
     "x2_source_overlap",
     "x7_interval_overlap",
     "x7_interval_overlap_sweep",
-    # --- round-9 STALENESS rotation (33; VERDICT r8 ask #5): with the
+    "x6_lttb_downsample",
+    # --- round-9 STALENESS rotation (32; VERDICT r8 ask #5): with the
     # backlog at zero, the window turns toward freshness — the 30
     # oldest-driver-checked oracle-bearing queries (every r1 and r2 row
     # plus the oldest r3 rows) re-enter so the union's max staleness
@@ -132,11 +133,12 @@ _PRIORITY: tuple[str, ...] = (
     "x1_exact_dedup_hash",
     "o15_latest_per_key_agg",
     "ext_join_semi",
-    "ext_join_anti",
+    # (ext_join_anti displaced by the 15th round-9 addition — the
+    # join family keeps semi/left_outer/lookup in-window)
     "ext_join_left_outer",
     # (ext_join_full_outer displaced by the 14th round-9 addition —
-    # join-family representation in-window stays via semi/anti/
-    # left_outer/lookup)
+    # join-family representation in-window stays via semi/left_outer/
+    # lookup)
     "ext_lookup_join",
     "ext_sort_limit_topk",
     "ext_distinct",
