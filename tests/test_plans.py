@@ -1505,3 +1505,19 @@ def test_lttb_downsample_plan(spark):
     assert "Exchange SinglePartition" not in plan
     assert "Scan parquet" not in plan
     assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_m4_downsample_plan(spark):
+    """M4 is wholly relational and selection-parallel: the four role
+    ranks share the (user_id, bin) partitioning and emit through ONE
+    conditional-array explode — no join, no Python, no SinglePartition,
+    one scan, two hash exchanges total."""
+    from weather_data_pipeline_spark.plans.inspect import executed_plan
+
+    df = _Q["x6_m4_downsample"](spark, SF)
+    plan = executed_plan(df)
+    assert "Join" not in plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 2

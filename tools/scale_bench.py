@@ -202,6 +202,7 @@ QUERIES = [
     "x7_interval_overlap",
     "x7_interval_overlap_sweep",
     "x6_lttb_downsample",
+    "x6_m4_downsample",
 ]
 
 #: Viral boilerplate for the skew replica: untagged (shared verbatim

@@ -1917,3 +1917,136 @@ def x6_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# ----------------------------------------------------------------------
+# M4 downsampling (round 9) — LTTB's industry-standard sibling
+# ----------------------------------------------------------------------
+#: fixed equal-TIME-width bins per series (the "pixel columns")
+M4_BINS = 12
+
+_M4_ORACLE = f"""
+    WITH obs AS (
+      SELECT user_id, ts,
+             ROUND(CAST(CAST(arg_min(value, event_id) AS DECIMAL(18,2))
+                   AS DOUBLE), 2) AS v
+      FROM events GROUP BY user_id, ts
+    ), spanned AS (
+      SELECT user_id, ts, v,
+             CAST(date_diff('second',
+                  MIN(ts) OVER (PARTITION BY user_id), ts) AS BIGINT) AS x,
+             CAST(date_diff('second',
+                  MIN(ts) OVER (PARTITION BY user_id),
+                  MAX(ts) OVER (PARTITION BY user_id)) AS BIGINT) AS span,
+             CAST(ROUND(v * 100) AS BIGINT) AS y
+      FROM obs
+    ), binned AS (
+      SELECT *,
+             CASE WHEN span = 0 THEN 0
+                  ELSE LEAST((x * {M4_BINS}) // span, {M4_BINS} - 1)
+             END AS bin
+      FROM spanned
+    ), rn AS (
+      SELECT *,
+        ROW_NUMBER() OVER (PARTITION BY user_id, bin ORDER BY ts) AS rf,
+        ROW_NUMBER() OVER (PARTITION BY user_id, bin ORDER BY ts DESC) AS rl,
+        ROW_NUMBER() OVER (PARTITION BY user_id, bin ORDER BY y, ts) AS rmn,
+        ROW_NUMBER() OVER (PARTITION BY user_id, bin ORDER BY y DESC, ts)
+          AS rmx
+      FROM binned
+    )
+    SELECT user_id, CAST(bin AS BIGINT) AS bin, 'first' AS role,
+           ts AS pt, v FROM rn WHERE rf = 1
+    UNION ALL
+    SELECT user_id, CAST(bin AS BIGINT) AS bin, 'last' AS role,
+           ts AS pt, v FROM rn WHERE rl = 1
+    UNION ALL
+    SELECT user_id, CAST(bin AS BIGINT) AS bin, 'min' AS role,
+           ts AS pt, v FROM rn WHERE rmn = 1
+    UNION ALL
+    SELECT user_id, CAST(bin AS BIGINT) AS bin, 'max' AS role,
+           ts AS pt, v FROM rn WHERE rmx = 1
+"""
+
+
+@query("x6_m4_downsample", oracle=_M4_ORACLE)
+def x6_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 downsampling (Jugel et al., VLDB 2014) — the pixel-perfect
+    line-chart reduction and x6_lttb_downsample's industry-standard
+    sibling: per series, {M4_BINS} equal-TIME-width bins each keep
+    exactly the first/last/min/max points (long form, one row per
+    role; a point holding several roles appears once per role, so the
+    output is partitioning-independent). M4's guarantee is
+    pixel-exactness of the rendered line, LTTB's is perceptual shape
+    — a real dashboard stack ships both.
+
+    Wholly relational and selection-parallel: min/max/first/last per
+    bin are four rank-1 windows over the SAME (user_id, bin)
+    partitioning (one exchange serves all four sorts), emitted in a
+    single pass via a conditional-array explode — no union of four
+    re-reads of the windowed frame, no join, no Python. Determinism:
+    y is integer cents, role ranks tie-break on ts (unique per user
+    after the obs dedup), x/bin arithmetic is integer (tz-free
+    timestampdiff seconds; bin = x·B // span capped at B−1, span-0
+    series collapse to bin 0) — both engines select identical rows."""
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.groupBy("user_id", "ts").agg(
+        F.round(
+            F.min_by("value", "event_id").cast("decimal(18,2)").cast("double"),
+            2,
+        ).alias("v")
+    )
+    wu = Window.partitionBy("user_id")
+    spanned = obs.select(
+        "user_id",
+        "ts",
+        "v",
+        F.expr(
+            "timestampdiff(SECOND, min(ts) over "
+            "(partition by user_id), ts)"
+        ).cast("long").alias("x"),
+        F.expr(
+            "timestampdiff(SECOND, min(ts) over "
+            "(partition by user_id), max(ts) over "
+            "(partition by user_id))"
+        ).cast("long").alias("span"),
+        F.round(F.col("v") * 100).cast("long").alias("y"),
+    )
+    binned = spanned.withColumn(
+        "bin",
+        F.when(F.col("span") == 0, F.lit(0).cast("long")).otherwise(
+            F.least(
+                F.expr(f"(x * {M4_BINS}) div span"),
+                F.lit(M4_BINS - 1).cast("long"),
+            )
+        ),
+    )
+    wb = Window.partitionBy("user_id", "bin")
+    rn = binned.select(
+        "user_id",
+        "bin",
+        "ts",
+        "v",
+        F.row_number().over(wb.orderBy("ts")).alias("rf"),
+        F.row_number().over(wb.orderBy(F.col("ts").desc())).alias("rl"),
+        F.row_number().over(wb.orderBy("y", "ts")).alias("rmn"),
+        F.row_number().over(wb.orderBy(F.col("y").desc(), "ts")).alias("rmx"),
+    )
+    role = F.explode(
+        F.filter(
+            F.array(
+                F.when(F.col("rf") == 1, F.lit("first")),
+                F.when(F.col("rl") == 1, F.lit("last")),
+                F.when(F.col("rmn") == 1, F.lit("min")),
+                F.when(F.col("rmx") == 1, F.lit("max")),
+            ),
+            lambda c: c.isNotNull(),
+        )
+    )
+    return rn.select(
+        "user_id",
+        F.col("bin").cast("long").alias("bin"),
+        role.alias("role"),
+        F.col("ts").alias("pt"),
+        "v",
+    )

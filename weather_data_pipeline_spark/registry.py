@@ -93,7 +93,7 @@ _PRIORITY: tuple[str, ...] = (
     "o15_latest_per_key",  # flagship (also entry())
     "w_corrupt_quarantine",  # r2 hash-fail regression pin
     "x6_session_windows",  # r2 hash-fail regression pin
-    # --- round-9 additions (15): driver-checked the round they land ---
+    # --- round-9 additions (16): driver-checked the round they land ---
     "x4_html_extract",
     "x2_tfidf_cosine_prefix",
     "mm_phash_neardup_codes",
@@ -109,7 +109,8 @@ _PRIORITY: tuple[str, ...] = (
     "x7_interval_overlap",
     "x7_interval_overlap_sweep",
     "x6_lttb_downsample",
-    # --- round-9 STALENESS rotation (32; VERDICT r8 ask #5): with the
+    "x6_m4_downsample",
+    # --- round-9 STALENESS rotation (31; VERDICT r8 ask #5): with the
     # backlog at zero, the window turns toward freshness — the 30
     # oldest-driver-checked oracle-bearing queries (every r1 and r2 row
     # plus the oldest r3 rows) re-enter so the union's max staleness
@@ -144,7 +145,8 @@ _PRIORITY: tuple[str, ...] = (
     "ext_distinct",
     "ext_intersect",
     "ext_except",
-    "ext_union_distinct",
+    # (ext_union_distinct displaced by the 16th round-9 addition — the
+    # set-op family keeps distinct/intersect/except in-window)
     "ext_cube",
     "ext_unpivot",
     "ext_scalar_subquery",
