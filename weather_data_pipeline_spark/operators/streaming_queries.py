@@ -78,6 +78,65 @@ def s_tumbling_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "s_m4_hourly_stream",
+    oracle="""
+    WITH ev AS (
+      SELECT date_trunc('hour', ts) AS hour_start, event_type, ts, event_id,
+             ROUND(CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE), 2) AS v,
+             CAST(ROUND(ROUND(CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE),
+                  2) * 100) AS BIGINT) AS y
+      FROM events
+    ), rn AS (
+      SELECT *,
+        ROW_NUMBER() OVER (PARTITION BY hour_start, event_type
+                           ORDER BY ts, event_id) AS rf,
+        ROW_NUMBER() OVER (PARTITION BY hour_start, event_type
+                           ORDER BY ts DESC, event_id DESC) AS rl,
+        ROW_NUMBER() OVER (PARTITION BY hour_start, event_type
+                           ORDER BY y, ts, event_id) AS rmn,
+        ROW_NUMBER() OVER (PARTITION BY hour_start, event_type
+                           ORDER BY y DESC, ts, event_id) AS rmx
+      FROM ev
+    )
+    SELECT hour_start, event_type, COUNT(*) AS n,
+           MAX(CASE WHEN rf = 1 THEN ts END) AS ts_first,
+           MAX(CASE WHEN rf = 1 THEN v END) AS v_first,
+           MAX(CASE WHEN rl = 1 THEN ts END) AS ts_last,
+           MAX(CASE WHEN rl = 1 THEN v END) AS v_last,
+           MIN(v) AS v_min,
+           MAX(CASE WHEN rmn = 1 THEN ts END) AS ts_min,
+           MAX(v) AS v_max,
+           MAX(CASE WHEN rmx = 1 THEN ts END) AS ts_max
+    FROM rn GROUP BY hour_start, event_type
+    """,
+)
+def s_m4_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of x6_m4_downsample's role selection, at the
+    hourly-dashboard grain: per tumbling 1h window and event_type the
+    first/last/min/max points with their timestamps, computed
+    INCREMENTALLY — every statistic is a mergeable declarative
+    aggregate (min/max/min_by/max_by with integer-cent + (ts,
+    event_id) struct keys), so open-window state is O(1) per group at
+    any event volume. Oracle = the identical batch selection via
+    rank-1 windows; stream-batch parity is the correctness bar."""
+    sink = f"s_m4_{uuid.uuid4().hex[:8]}"
+    jobs.m4_hourly(jobs.stream_events(spark, sf_dir), sink)
+    return spark.table(sink).select(
+        F.col("window.start").cast("timestamp_ntz").alias("hour_start"),
+        "event_type",
+        "n",
+        F.col("ts_first").cast("timestamp_ntz").alias("ts_first"),
+        "v_first",
+        F.col("ts_last").cast("timestamp_ntz").alias("ts_last"),
+        "v_last",
+        "v_min",
+        F.col("ts_min").cast("timestamp_ntz").alias("ts_min"),
+        "v_max",
+        F.col("ts_max").cast("timestamp_ntz").alias("ts_max"),
+    )
+
+
+@query(
     "s_session_window_stream",
     oracle=f"""
     WITH marked AS (

@@ -93,7 +93,7 @@ _PRIORITY: tuple[str, ...] = (
     "o15_latest_per_key",  # flagship (also entry())
     "w_corrupt_quarantine",  # r2 hash-fail regression pin
     "x6_session_windows",  # r2 hash-fail regression pin
-    # --- round-9 additions (16): driver-checked the round they land ---
+    # --- round-9 additions (17): driver-checked the round they land ---
     "x4_html_extract",
     "x2_tfidf_cosine_prefix",
     "mm_phash_neardup_codes",
@@ -110,7 +110,8 @@ _PRIORITY: tuple[str, ...] = (
     "x7_interval_overlap_sweep",
     "x6_lttb_downsample",
     "x6_m4_downsample",
-    # --- round-9 STALENESS rotation (31; VERDICT r8 ask #5): with the
+    "s_m4_hourly_stream",
+    # --- round-9 STALENESS rotation (30; VERDICT r8 ask #5): with the
     # backlog at zero, the window turns toward freshness — the 30
     # oldest-driver-checked oracle-bearing queries (every r1 and r2 row
     # plus the oldest r3 rows) re-enter so the union's max staleness
@@ -149,7 +150,8 @@ _PRIORITY: tuple[str, ...] = (
     # set-op family keeps distinct/intersect/except in-window)
     "ext_cube",
     "ext_unpivot",
-    "ext_scalar_subquery",
+    # (ext_scalar_subquery displaced by the 17th round-9 addition —
+    # the subquery family keeps ext_correlated_subquery in-window)
     "ext_correlated_subquery",
     "ext_count_distinct",
     "ext_null_ops",

@@ -200,6 +200,48 @@ def tumbling_counts(source: DataFrame, sink_table: str) -> None:
     )
 
 
+def m4_hourly(source: DataFrame, sink_table: str) -> None:
+    """Streaming M4 downsampling at ingest: per tumbling 1h event-time
+    window and event_type, the first/last/min/max points (values AND
+    their timestamps) — the dashboard-feed reduction of
+    x6_m4_downsample run incrementally. Every statistic is a
+    declarative aggregate with a partial merge (min/max/min_by/max_by),
+    so state per open window is O(1) regardless of event volume —
+    streaming's whole advantage over re-running the batch rung.
+    Determinism matches the batch twin: integer-cent ordering keys
+    with (ts, event_id) tiebreaks inside the min_by/max_by structs."""
+    v = F.round(F.col("value").cast("decimal(18,2)").cast("double"), 2)
+    prepped = source.select(
+        "ts",
+        "event_type",
+        "event_id",
+        v.alias("v"),
+        F.round(v * 100).cast("long").alias("y"),
+    )
+    tie = F.struct("ts", "event_id")
+    agg = (
+        prepped.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("ts").alias("ts_first"),
+            F.min_by("v", tie).alias("v_first"),
+            F.max("ts").alias("ts_last"),
+            F.max_by("v", tie).alias("v_last"),
+            F.min("v").alias("v_min"),
+            F.min_by("ts", F.struct("y", "ts", "event_id")).alias("ts_min"),
+            F.max("v").alias("v_max"),
+            F.min_by(
+                "ts", F.struct((F.col("y") * -1).alias("ny"), "ts", "event_id")
+            ).alias("ts_max"),
+        )
+    )
+    run_to_completion(
+        agg.writeStream.format("memory").queryName(sink_table).outputMode("complete"),
+        f"m4-{sink_table}",
+    )
+
+
 def session_windows(source: DataFrame, sink_table: str, gap: str = "30 minutes") -> None:
     """Native stateful sessionization: ``session_window`` aggregation,
     append mode (the only mode session windows support on streams).
