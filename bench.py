@@ -143,6 +143,7 @@ HEADLINE = [
     "x7_interval_overlap_sweep",
     "x6_lttb_downsample",
     "x6_m4_downsample",
+    "x6_lttb_exact",
 ]
 
 

@@ -1521,3 +1521,20 @@ def test_m4_downsample_plan(spark):
     assert "Exchange SinglePartition" not in plan
     assert plan.count("Scan parquet") == 1
     assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_lttb_exact_kernel_plan(spark):
+    """Exact LTTB's sequential argmax runs in the sharded grouped-map
+    kernel; everything around it stays relational: the checkpointed
+    ranked series feeds all consumers (no parquet re-scan), anchors and
+    first-point coords join co-partitioned, and no SinglePartition
+    exchange appears anywhere."""
+    from weather_data_pipeline_spark.plans.inspect import executed_plan
+
+    df = _Q["x6_lttb_exact"](spark, SF)
+    plan = executed_plan(df)
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "Scan parquet" not in plan

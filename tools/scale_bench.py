@@ -203,6 +203,7 @@ QUERIES = [
     "x7_interval_overlap_sweep",
     "x6_lttb_downsample",
     "x6_m4_downsample",
+    "x6_lttb_exact",
 ]
 
 #: Viral boilerplate for the skew replica: untagged (shared verbatim

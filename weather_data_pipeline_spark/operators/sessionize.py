@@ -2050,3 +2050,287 @@ def x6_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("pt"),
         "v",
     )
+
+
+# ----------------------------------------------------------------------
+# Exact LTTB (round 9) — the sequential-anchor form, recurrence family
+# ----------------------------------------------------------------------
+_LTTB_EXACT_ORACLE = f"""
+    WITH RECURSIVE obs AS (
+      SELECT user_id, ts,
+             ROUND(CAST(CAST(arg_min(value, event_id) AS DECIMAL(18,2))
+                   AS DOUBLE), 2) AS v
+      FROM events GROUP BY user_id, ts
+    ), ranked AS (
+      SELECT user_id, ts, v,
+             ROW_NUMBER() OVER w AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n,
+             CAST(date_diff('second',
+                  MIN(ts) OVER (PARTITION BY user_id), ts) AS BIGINT) AS x,
+             CAST(ROUND(v * 100) AS BIGINT) AS y
+      FROM obs
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), small AS (
+      SELECT user_id, ts AS pt, v, rn - 1 AS slot
+      FROM ranked WHERE n <= {LTTB_OUT}
+    ), big AS (
+      SELECT * FROM ranked WHERE n > {LTTB_OUT}
+    ), interior AS (
+      SELECT *, CAST(((rn - 2) * {LTTB_BUCKETS}) // (n - 2) AS BIGINT)
+                  AS bucket,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn) AS irn
+      FROM big WHERE rn > 1 AND rn < n
+    ), bstats AS (
+      SELECT user_id, bucket, COUNT(*) AS nb, SUM(x) AS sx, SUM(y) AS sy
+      FROM interior GROUP BY user_id, bucket
+      UNION ALL
+      SELECT user_id, {LTTB_BUCKETS} AS bucket, 1 AS nb, x AS sx, y AS sy
+      FROM big WHERE rn = n
+    ), nxt AS (
+      SELECT user_id, bucket - 1 AS bucket, nb AS nn, sx AS sxn, sy AS syn
+      FROM bstats WHERE bucket >= 1
+    ), firstpt AS (
+      SELECT user_id, x AS px, y AS py FROM big WHERE rn = 1
+    ), walk(user_id, irn, psx, psy, bucket, bx, by, bts, bv, barea,
+            cts, cv, cbucket) AS (
+      SELECT i.user_id, i.irn,
+             CAST(f.px AS BIGINT), CAST(f.py AS BIGINT),
+             i.bucket, i.x, i.y, i.ts, i.v,
+             ABS((CAST(f.px AS HUGEINT) * m.nn - m.sxn)
+                   * (CAST(i.y AS HUGEINT) - f.py)
+                 - (CAST(f.px AS HUGEINT) - i.x)
+                   * (CAST(m.syn AS HUGEINT) - CAST(f.py AS HUGEINT) * m.nn)),
+             CAST(NULL AS TIMESTAMP), CAST(NULL AS DOUBLE),
+             CAST(NULL AS BIGINT)
+      FROM interior i
+      JOIN firstpt f ON f.user_id = i.user_id
+      JOIN nxt m ON m.user_id = i.user_id AND m.bucket = i.bucket
+      WHERE i.irn = 1
+      UNION ALL
+      SELECT i.user_id, i.irn,
+             CASE WHEN i.bucket > r.bucket THEN r.bx ELSE r.psx END,
+             CASE WHEN i.bucket > r.bucket THEN r.by ELSE r.psy END,
+             i.bucket,
+             CASE WHEN i.bucket > r.bucket THEN i.x
+                  WHEN ABS((CAST(r.psx AS HUGEINT) * m.nn - m.sxn)
+                         * (CAST(i.y AS HUGEINT) - r.psy)
+                       - (CAST(r.psx AS HUGEINT) - i.x)
+                         * (CAST(m.syn AS HUGEINT)
+                            - CAST(r.psy AS HUGEINT) * m.nn)) > r.barea
+                  THEN i.x ELSE r.bx END,
+             CASE WHEN i.bucket > r.bucket THEN i.y
+                  WHEN ABS((CAST(r.psx AS HUGEINT) * m.nn - m.sxn)
+                         * (CAST(i.y AS HUGEINT) - r.psy)
+                       - (CAST(r.psx AS HUGEINT) - i.x)
+                         * (CAST(m.syn AS HUGEINT)
+                            - CAST(r.psy AS HUGEINT) * m.nn)) > r.barea
+                  THEN i.y ELSE r.by END,
+             CASE WHEN i.bucket > r.bucket THEN i.ts
+                  WHEN ABS((CAST(r.psx AS HUGEINT) * m.nn - m.sxn)
+                         * (CAST(i.y AS HUGEINT) - r.psy)
+                       - (CAST(r.psx AS HUGEINT) - i.x)
+                         * (CAST(m.syn AS HUGEINT)
+                            - CAST(r.psy AS HUGEINT) * m.nn)) > r.barea
+                  THEN i.ts ELSE r.bts END,
+             CASE WHEN i.bucket > r.bucket THEN i.v
+                  WHEN ABS((CAST(r.psx AS HUGEINT) * m.nn - m.sxn)
+                         * (CAST(i.y AS HUGEINT) - r.psy)
+                       - (CAST(r.psx AS HUGEINT) - i.x)
+                         * (CAST(m.syn AS HUGEINT)
+                            - CAST(r.psy AS HUGEINT) * m.nn)) > r.barea
+                  THEN i.v ELSE r.bv END,
+             CASE WHEN i.bucket > r.bucket THEN
+                  ABS((CAST(r.bx AS HUGEINT) * m.nn - m.sxn)
+                        * (CAST(i.y AS HUGEINT) - r.by)
+                      - (CAST(r.bx AS HUGEINT) - i.x)
+                        * (CAST(m.syn AS HUGEINT)
+                           - CAST(r.by AS HUGEINT) * m.nn))
+                  ELSE GREATEST(r.barea,
+                  ABS((CAST(r.psx AS HUGEINT) * m.nn - m.sxn)
+                        * (CAST(i.y AS HUGEINT) - r.psy)
+                      - (CAST(r.psx AS HUGEINT) - i.x)
+                        * (CAST(m.syn AS HUGEINT)
+                           - CAST(r.psy AS HUGEINT) * m.nn))) END,
+             CASE WHEN i.bucket > r.bucket THEN r.bts END,
+             CASE WHEN i.bucket > r.bucket THEN r.bv END,
+             CASE WHEN i.bucket > r.bucket THEN r.bucket END
+      FROM walk r
+      JOIN interior i ON i.user_id = r.user_id AND i.irn = r.irn + 1
+      JOIN nxt m ON m.user_id = i.user_id AND m.bucket = i.bucket
+    ), tails AS (
+      SELECT user_id, MAX(irn) AS m_irn FROM walk GROUP BY user_id
+    )
+    SELECT user_id, pt, v, CAST(slot AS BIGINT) AS slot FROM small
+    UNION ALL
+    SELECT user_id, ts AS pt, v, CAST(0 AS BIGINT) AS slot
+    FROM big WHERE rn = 1
+    UNION ALL
+    SELECT user_id, cts AS pt, cv AS v, CAST(cbucket + 1 AS BIGINT) AS slot
+    FROM walk WHERE cts IS NOT NULL
+    UNION ALL
+    SELECT w.user_id, w.bts AS pt, w.bv AS v,
+           CAST(w.bucket + 1 AS BIGINT) AS slot
+    FROM walk w JOIN tails t
+      ON t.user_id = w.user_id AND w.irn = t.m_irn
+    UNION ALL
+    SELECT user_id, ts AS pt, v, CAST({LTTB_BUCKETS} + 1 AS BIGINT) AS slot
+    FROM big WHERE rn = n
+"""
+
+
+def _lttb_kernel(max_shard_rows: int):
+    """Kernel factory: per-shard exact-LTTB walk — users one at a time,
+    interior points in (bucket, ts) order, the previously SELECTED
+    point as the moving anchor. All arithmetic in Python ints
+    (arbitrary precision — numpy int64 products would overflow
+    silently), so the argmax matches the oracle's HUGEINT walk
+    bit-for-bit."""
+    import pandas as pd
+
+    def lttb_of_shard(pdf):
+        if len(pdf) > max_shard_rows:
+            raise ValueError(
+                f"LTTB shard frame has {len(pdf)} rows > bound "
+                f"{max_shard_rows}: raise `shards` so each grouped-map "
+                f"frame fits executor memory"
+            )
+        pdf = pdf.sort_values(["user_id", "bucket", "ts"])
+        users, pts, vs, slots = [], [], [], []
+        for uid, g in pdf.groupby("user_id", sort=False):
+            px, py = int(g["px"].iloc[0]), int(g["py"].iloc[0])
+            cur = best = None  # cur: bucket; best: (area, ts, v, x, y)
+            for row in g.itertuples(index=False):
+                x, y = int(row.x), int(row.y)
+                nn, sxn, syn = int(row.nn), int(row.sxn), int(row.syn)
+                if cur is not None and row.bucket > cur:
+                    users.append(uid)
+                    pts.append(best[1])
+                    vs.append(best[2])
+                    slots.append(cur + 1)
+                    px, py = best[3], best[4]
+                    best = None
+                cur = row.bucket
+                area = abs(
+                    (px * nn - sxn) * (y - py) - (px - x) * (syn - py * nn)
+                )
+                if best is None or area > best[0]:
+                    best = (area, row.ts, row.v, x, y)
+            if best is not None:
+                users.append(uid)
+                pts.append(best[1])
+                vs.append(best[2])
+                slots.append(cur + 1)
+        return pd.DataFrame(
+            {"user_id": users, "pt": pts, "v": vs, "slot": slots}
+        )
+
+    return lttb_of_shard
+
+
+@query("x6_lttb_exact", oracle=_LTTB_EXACT_ORACLE)
+def x6_lttb_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT LTTB (Steinarsson's original): identical bucketing and
+    output contract as ``x6_lttb_downsample``, but each bucket's
+    triangle anchor is the PREVIOUSLY SELECTED point — a sequential
+    dependency across buckets that no window/join can express, so the
+    selection rides the sharded recurrence family (sixth member, after
+    EMA/Holt/CUSUM/pack): users hash into shard frames, the kernel
+    walks each user's interior points once, O(series) per user, with
+    the fail-fast per-shard row bound. Delivered to substantiate the
+    variant rung's claim rather than leave it prose.
+
+    Anchor coordinates and areas are pure-integer (Python ints in the
+    kernel — numpy int64 products would overflow silently; HUGEINT in
+    the oracle's per-point recursive-CTE walk, which carries
+    (prev-selected, current-bucket-best) state and commits on bucket
+    boundaries), strict-> replacement ties to the earlier point — both
+    engines select identical rows. The bucket-mean next anchors, first
+    coords, and candidate rows are the SAME relational prework as the
+    variant; only the argmax is sequential. Choose the variant when
+    mean anchors are acceptable (selection-parallel); choose this rung
+    when exact LTTB output is contractual."""
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.groupBy("user_id", "ts").agg(
+        F.round(
+            F.min_by("value", "event_id").cast("decimal(18,2)").cast("double"),
+            2,
+        ).alias("v")
+    )
+    wu = Window.partitionBy("user_id")
+    ranked = obs.select(
+        "user_id",
+        "ts",
+        "v",
+        F.row_number().over(wu.orderBy("ts")).alias("rn"),
+        F.count(F.lit(1)).over(wu).alias("n"),
+        F.expr(
+            "timestampdiff(SECOND, min(ts) over "
+            "(partition by user_id), ts)"
+        ).cast("long").alias("x"),
+        F.round(F.col("v") * 100).cast("long").alias("y"),
+    ).localCheckpoint(eager=True)
+    small = ranked.filter(F.col("n") <= LTTB_OUT).select(
+        "user_id",
+        F.col("ts").alias("pt"),
+        "v",
+        (F.col("rn") - 1).cast("long").alias("slot"),
+    )
+    big = ranked.filter(F.col("n") > LTTB_OUT)
+    interior = big.filter((F.col("rn") > 1) & (F.col("rn") < F.col("n"))).withColumn(
+        "bucket",
+        F.expr(f"((rn - 2) * {LTTB_BUCKETS}) div (n - 2)").cast("long"),
+    )
+    first = big.filter(F.col("rn") == 1)
+    last = big.filter(F.col("rn") == F.col("n"))
+    bstats = interior.groupBy("user_id", "bucket").agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+    ).unionByName(
+        last.select(
+            "user_id",
+            F.lit(LTTB_BUCKETS).cast("long").alias("bucket"),
+            F.lit(1).cast("long").alias("nb"),
+            F.col("x").alias("sx"),
+            F.col("y").alias("sy"),
+        )
+    )
+    nxt = bstats.filter(F.col("bucket") >= 1).select(
+        "user_id",
+        (F.col("bucket") - 1).alias("bucket"),
+        F.col("nb").alias("nn"),
+        F.col("sx").alias("sxn"),
+        F.col("sy").alias("syn"),
+    )
+    firstpt = first.select(
+        "user_id", F.col("x").alias("px"), F.col("y").alias("py")
+    )
+    cand = interior.join(nxt, ["user_id", "bucket"]).join(firstpt, "user_id")
+    shards = ema_shards_for()
+    winners = (
+        cand.withColumn("shard", F.col("user_id") % shards)
+        .groupBy("shard")
+        .applyInPandas(
+            _lttb_kernel(EMA_MAX_SHARD_ROWS),
+            schema="user_id long, pt timestamp_ntz, v double, slot long",
+        )
+    )
+    return (
+        small.unionByName(
+            first.select(
+                "user_id",
+                F.col("ts").alias("pt"),
+                "v",
+                F.lit(0).cast("long").alias("slot"),
+            )
+        )
+        .unionByName(winners)
+        .unionByName(
+            last.select(
+                "user_id",
+                F.col("ts").alias("pt"),
+                "v",
+                F.lit(LTTB_BUCKETS + 1).cast("long").alias("slot"),
+            )
+        )
+    )

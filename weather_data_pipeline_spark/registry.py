@@ -93,7 +93,7 @@ _PRIORITY: tuple[str, ...] = (
     "o15_latest_per_key",  # flagship (also entry())
     "w_corrupt_quarantine",  # r2 hash-fail regression pin
     "x6_session_windows",  # r2 hash-fail regression pin
-    # --- round-9 additions (17): driver-checked the round they land ---
+    # --- round-9 additions (18): driver-checked the round they land ---
     "x4_html_extract",
     "x2_tfidf_cosine_prefix",
     "mm_phash_neardup_codes",
@@ -111,7 +111,8 @@ _PRIORITY: tuple[str, ...] = (
     "x6_lttb_downsample",
     "x6_m4_downsample",
     "s_m4_hourly_stream",
-    # --- round-9 STALENESS rotation (30; VERDICT r8 ask #5): with the
+    "x6_lttb_exact",
+    # --- round-9 STALENESS rotation (29; VERDICT r8 ask #5): with the
     # backlog at zero, the window turns toward freshness — the 30
     # oldest-driver-checked oracle-bearing queries (every r1 and r2 row
     # plus the oldest r3 rows) re-enter so the union's max staleness
@@ -155,7 +156,8 @@ _PRIORITY: tuple[str, ...] = (
     "ext_correlated_subquery",
     "ext_count_distinct",
     "ext_null_ops",
-    "ext_string_funcs",
+    # (ext_string_funcs displaced by the 18th round-9 addition — the
+    # string family keeps ext_regexp in-window)
     "ext_regexp",
     # (x5_from_json_struct displaced by the 12th round-9 addition —
     # x5 family representation in-window stays via x5_json_get_path)
