@@ -144,6 +144,7 @@ HEADLINE = [
     "x6_lttb_downsample",
     "x6_m4_downsample",
     "x6_lttb_exact",
+    "x7_interval_coverage",
 ]
 
 

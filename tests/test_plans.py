@@ -1538,3 +1538,21 @@ def test_lttb_exact_kernel_plan(spark):
     assert "CartesianProduct" not in plan
     assert "Exchange SinglePartition" not in plan
     assert "Scan parquet" not in plan
+
+
+def test_interval_coverage_no_pairs(spark):
+    """The duration-weighted overlap rung inherits the sweep's no-pair
+    plan: checkpointed calendar cumulative, two broadcast lookups, no
+    shuffle exchange in the final plan, no pair-producing join."""
+    from weather_data_pipeline_spark.plans.inspect import executed_plan
+
+    df = _Q["x7_interval_coverage"](spark, SF)
+    plan = executed_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert plan.count("ExistingRDD") == 2
+    assert "EvalPython" not in plan and "MapInPandas" not in plan

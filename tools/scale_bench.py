@@ -204,6 +204,7 @@ QUERIES = [
     "x6_lttb_downsample",
     "x6_m4_downsample",
     "x6_lttb_exact",
+    "x7_interval_coverage",
 ]
 
 #: Viral boilerplate for the skew replica: untagged (shared verbatim

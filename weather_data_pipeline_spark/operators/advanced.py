@@ -803,3 +803,167 @@ def x7_interval_overlap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.alias("n_transit"),
         dec_out(F.col("c_qs") - F.col("c_qe"), 2).alias("sum_qty"),
     )
+
+
+_INTERVAL_COVERAGE_ORACLE = """
+    WITH transit AS (
+      SELECT CAST(l_shipdate AS DATE) AS t_start,
+             CAST(l_shipdate AS DATE)
+               + CAST(1 + (l_orderkey * 7 + l_linenumber) % 30 AS INT)
+               AS t_end
+      FROM lineitem
+    ), win AS (
+      SELECT s_suppkey AS window_id,
+             DATE '1994-01-01'
+               + CAST((s_suppkey * 37) % 2400 AS INT) AS w_start,
+             DATE '1994-01-01'
+               + CAST((s_suppkey * 37) % 2400
+                      + 7 + (s_suppkey * 11) % 84 AS INT) AS w_end
+      FROM supplier
+    )
+    SELECT w.window_id, w.w_start, w.w_end,
+           COUNT(*) AS n_transit,
+           CAST(SUM(CAST(date_diff('day',
+                 GREATEST(t.t_start, w.w_start),
+                 LEAST(t.t_end, w.w_end)) AS BIGINT) + 1) AS BIGINT)
+             AS covered_days
+    FROM win w JOIN transit t
+      ON t.t_start <= w.w_end AND t.t_end >= w.w_start
+    GROUP BY 1, 2, 3
+"""
+
+
+@query("x7_interval_coverage", oracle=_INTERVAL_COVERAGE_ORACLE)
+def x7_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DURATION-weighted interval overlap — per audit window, the total
+    in-transit days Σ (min(t_end, w_end) − max(t_start, w_start) + 1)
+    over every overlapping shipment. The third rung of the
+    interval-overlap ladder: counts (sweep rung) weigh a 1-day graze
+    the same as a full containment; capacity/exposure questions need
+    the integral.
+
+    Same zero-pair sweep-line machinery as ``x7_interval_overlap_sweep``
+    — the min/max terms DECOMPOSE into four calendar prefix sums
+    (counts and coordinate-sums of starts and ends):
+
+      Σ min(te, we) = Ste(we) − Ste(ws−1) + we·(Cts(we) − Cte(we))
+      Σ max(ts, ws) = Sts(we) − Sts(ws−1) + ws·(n − Cts(we) + Cts(ws−1))
+      n             = Cts(we) − Cte(ws−1)
+      covered_days  = Σ min − Σ max + n
+
+    (each identity splits the overlap set on which operand wins the
+    min/max; the loser's side collapses to a count times the window
+    constant). ONE endpoint aggregate (≤ calendar-span rows, the
+    windows' two lookup dates injected as zero rows), one bounded
+    cumulative materialized once, two broadcast equi-join lookups —
+    cost O(|A| + |B|), pure BIGINT day arithmetic on both engines.
+    Oracle states the semantics as the plain inequality join."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.to_date("l_shipdate").alias("t_start"),
+        F.date_add(
+            F.to_date("l_shipdate"),
+            (
+                1 + (F.col("l_orderkey") * 7 + F.col("l_linenumber")) % 30
+            ).cast("int"),
+        ).alias("t_end"),
+    )
+    start = F.date_add(
+        F.to_date(F.lit("1994-01-01")),
+        ((F.col("s_suppkey") * 37) % 2400).cast("int"),
+    )
+    win = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("window_id"),
+        start.alias("w_start"),
+        F.date_add(start, (7 + (F.col("s_suppkey") * 11) % 84).cast("int")).alias(
+            "w_end"
+        ),
+    )
+    zero = F.lit(0).cast("long")
+    ep = li.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("t_start").alias("d"),
+                    F.lit(1).cast("long").alias("n_s"),
+                    F.unix_date("t_start").cast("long").alias("x_s"),
+                    zero.alias("n_e"),
+                    zero.alias("x_e"),
+                ),
+                F.struct(
+                    F.col("t_end").alias("d"),
+                    zero.alias("n_s"),
+                    zero.alias("x_s"),
+                    F.lit(1).cast("long").alias("n_e"),
+                    F.unix_date("t_end").cast("long").alias("x_e"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.*")
+    probes = win.select(
+        F.explode(
+            F.array(F.col("w_end"), F.date_sub("w_start", 1))
+        ).alias("d"),
+        zero.alias("n_s"),
+        zero.alias("x_s"),
+        zero.alias("n_e"),
+        zero.alias("x_e"),
+    )
+    daily = (
+        ep.unionByName(probes)
+        .groupBy("d")
+        .agg(
+            F.sum("n_s").alias("dn_s"),
+            F.sum("x_s").alias("dx_s"),
+            F.sum("n_e").alias("dn_e"),
+            F.sum("x_e").alias("dx_e"),
+        )
+    )
+    cal = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = daily.select(
+        "d",
+        F.sum("dn_s").over(cal).alias("c_ts"),
+        F.sum("dx_s").over(cal).alias("s_ts"),
+        F.sum("dn_e").over(cal).alias("c_te"),
+        F.sum("dx_e").over(cal).alias("s_te"),
+    ).localCheckpoint(eager=True)
+    at_end = F.broadcast(
+        cum.select(
+            F.col("d").alias("d1"),
+            F.col("c_ts").alias("cts_e"),
+            F.col("s_ts").alias("sts_e"),
+            F.col("c_te").alias("cte_e"),
+            F.col("s_te").alias("ste_e"),
+        )
+    )
+    before_start = F.broadcast(
+        cum.select(
+            F.col("d").alias("d2"),
+            F.col("c_ts").alias("cts_b"),
+            F.col("s_ts").alias("sts_b"),
+            F.col("c_te").alias("cte_b"),
+            F.col("s_te").alias("ste_b"),
+        )
+    )
+    out = win.join(at_end, win.w_end == F.col("d1")).join(
+        before_start, F.date_sub(win.w_start, 1) == F.col("d2")
+    )
+    we = F.unix_date("w_end").cast("long")
+    ws = F.unix_date("w_start").cast("long")
+    n = F.col("cts_e") - F.col("cte_b")
+    sum_min = (
+        F.col("ste_e") - F.col("ste_b") + we * (F.col("cts_e") - F.col("cte_e"))
+    )
+    sum_max = (
+        F.col("sts_e")
+        - F.col("sts_b")
+        + ws * (n - F.col("cts_e") + F.col("cts_b"))
+    )
+    return out.where(n > 0).select(
+        "window_id",
+        "w_start",
+        "w_end",
+        n.alias("n_transit"),
+        (sum_min - sum_max + n).alias("covered_days"),
+    )

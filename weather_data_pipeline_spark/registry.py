@@ -93,7 +93,7 @@ _PRIORITY: tuple[str, ...] = (
     "o15_latest_per_key",  # flagship (also entry())
     "w_corrupt_quarantine",  # r2 hash-fail regression pin
     "x6_session_windows",  # r2 hash-fail regression pin
-    # --- round-9 additions (18): driver-checked the round they land ---
+    # --- round-9 additions (19): driver-checked the round they land ---
     "x4_html_extract",
     "x2_tfidf_cosine_prefix",
     "mm_phash_neardup_codes",
@@ -112,7 +112,8 @@ _PRIORITY: tuple[str, ...] = (
     "x6_m4_downsample",
     "s_m4_hourly_stream",
     "x6_lttb_exact",
-    # --- round-9 STALENESS rotation (29; VERDICT r8 ask #5): with the
+    "x7_interval_coverage",
+    # --- round-9 STALENESS rotation (28; VERDICT r8 ask #5): with the
     # backlog at zero, the window turns toward freshness — the 30
     # oldest-driver-checked oracle-bearing queries (every r1 and r2 row
     # plus the oldest r3 rows) re-enter so the union's max staleness
@@ -150,7 +151,8 @@ _PRIORITY: tuple[str, ...] = (
     # (ext_union_distinct displaced by the 16th round-9 addition — the
     # set-op family keeps distinct/intersect/except in-window)
     "ext_cube",
-    "ext_unpivot",
+    # (ext_unpivot displaced by the 19th round-9 addition — the
+    # reshape family keeps ext_pivot in-window)
     # (ext_scalar_subquery displaced by the 17th round-9 addition —
     # the subquery family keeps ext_correlated_subquery in-window)
     "ext_correlated_subquery",
