@@ -1556,3 +1556,18 @@ def test_interval_coverage_no_pairs(spark):
     assert "Exchange SinglePartition" not in plan
     assert plan.count("ExistingRDD") == 2
     assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_soft_dedup_weights_plan(spark):
+    """Soft-dedup weights compose the components machinery: the final
+    plan reads the checkpointed converged labels (ExistingRDD), adds
+    one component-keyed aggregate and a co-partitioned join-back —
+    never a nested loop, never a SinglePartition exchange."""
+    from weather_data_pipeline_spark.plans.inspect import executed_plan
+
+    df = _Q["x2_soft_dedup_weights"](spark, SF)
+    plan = executed_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "ExistingRDD" in plan

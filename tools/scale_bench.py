@@ -205,6 +205,7 @@ QUERIES = [
     "x6_m4_downsample",
     "x6_lttb_exact",
     "x7_interval_coverage",
+    "x2_soft_dedup_weights",
 ]
 
 #: Viral boilerplate for the skew replica: untagged (shared verbatim

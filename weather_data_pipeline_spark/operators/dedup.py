@@ -2244,3 +2244,66 @@ def x2_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("inter") / mn, 6).alias("overlap"),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# Soft dedup — keep everything, reweight by duplication degree (round 9)
+# ----------------------------------------------------------------------
+@query(
+    "x2_soft_dedup_weights",
+    oracle=f"""
+    WITH RECURSIVE {_JACCARD_CTES},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM dup_pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM dup_pairs
+    ),
+    reach(node, lab) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (
+      SELECT node AS doc_id, MIN(lab) AS component FROM reach GROUP BY node
+    ),
+    sizes AS (
+      SELECT component, COUNT(*) AS comp_size FROM comp GROUP BY component
+    )
+    SELECT c.doc_id, c.component,
+           CAST(s.comp_size AS BIGINT) AS comp_size,
+           CAST(1000000 // s.comp_size AS BIGINT) AS weight_ppm
+    FROM comp c JOIN sizes s USING (component)
+    """,
+)
+def x2_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOFT dedup (the SoftDedup reweighting idea, He et al. 2024,
+    applied at component granularity): instead of DROPPING duplicates
+    — which discards the signal that popular text carries — every
+    document survives with a training-loss weight inversely
+    proportional to its duplicate-group size, so each near-duplicate
+    CLUSTER contributes one document's worth of gradient regardless
+    of how many copies crawled in. Hard dedup is the degenerate case
+    (weight 1 for the keeper, 0 for the rest); soft weights preserve
+    corpus-frequency information that several data-curation ablations
+    show helps.
+
+    Pure composition of the dedup ladder: the SAME near-dup pair graph
+    (gram-keyed Jaccard join) and the SAME min-label-propagation
+    components as ``x2_dup_components``, then one component-keyed
+    count and a co-partitioned join-back — the weight step adds one
+    aggregate + one join on top of machinery whose 100 TB posture
+    (df caps, star-contraction, checkpointed iterations) is already
+    established. Weights in integer PPM (1e6 // comp_size) — engine-
+    exact, no float division anywhere."""
+    doc = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = x2_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    labels = min_label_propagate(doc, pairs)
+    sizes = labels.groupBy("component").agg(
+        F.count(F.lit(1)).alias("comp_size")
+    )
+    return labels.join(sizes, "component").select(
+        "doc_id",
+        "component",
+        "comp_size",
+        F.expr("1000000 div comp_size").cast("long").alias("weight_ppm"),
+    )

@@ -93,7 +93,7 @@ _PRIORITY: tuple[str, ...] = (
     "o15_latest_per_key",  # flagship (also entry())
     "w_corrupt_quarantine",  # r2 hash-fail regression pin
     "x6_session_windows",  # r2 hash-fail regression pin
-    # --- round-9 additions (19): driver-checked the round they land ---
+    # --- round-9 additions (20): driver-checked the round they land ---
     "x4_html_extract",
     "x2_tfidf_cosine_prefix",
     "mm_phash_neardup_codes",
@@ -113,7 +113,8 @@ _PRIORITY: tuple[str, ...] = (
     "s_m4_hourly_stream",
     "x6_lttb_exact",
     "x7_interval_coverage",
-    # --- round-9 STALENESS rotation (28; VERDICT r8 ask #5): with the
+    "x2_soft_dedup_weights",
+    # --- round-9 STALENESS rotation (27; VERDICT r8 ask #5): with the
     # backlog at zero, the window turns toward freshness — the 30
     # oldest-driver-checked oracle-bearing queries (every r1 and r2 row
     # plus the oldest r3 rows) re-enter so the union's max staleness
@@ -135,7 +136,8 @@ _PRIORITY: tuple[str, ...] = (
     "ext_salted_join",
     "ext_range_join",
     "x1_exact_dedup_hash",
-    "o15_latest_per_key_agg",
+    # (o15_latest_per_key_agg displaced by the 20th round-9 addition —
+    # the flagship family is covered by the o15_latest_per_key PIN)
     "ext_join_semi",
     # (ext_join_anti displaced by the 15th round-9 addition — the
     # join family keeps semi/left_outer/lookup in-window)
