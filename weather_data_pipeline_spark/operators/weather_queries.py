@@ -221,3 +221,43 @@ def w_csv_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("temp_sum"),
         F.min(F.when(corrupt, F.md5("_corrupt"))).alias("quarantine_digest"),
     )
+
+
+@query(
+    "w_orc_roundtrip",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS total_value,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def w_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-format coverage for ORC, Spark's second native columnar
+    format (built-in reader/writer, predicate pushdown, vectorized
+    scan — the format a Hive-era lake hands us): the events table is
+    written to ORC and read back, and the round-tripped copy must
+    aggregate IDENTICALLY to the parquet original the oracle reads —
+    types (including TIMESTAMP_NTZ), values, and decimal sums all
+    survive the format boundary. At 100 TB the same two-liner is the
+    parquet↔ORC migration path; nothing in the engine is
+    parquet-specific."""
+    import os
+    import uuid
+
+    from ..streaming.jobs import SCRATCH
+
+    from ..sources.testdata import load_table
+
+    path = os.path.join(SCRATCH, f"orc_roundtrip_{uuid.uuid4().hex[:8]}")
+    load_table(spark, sf_dir, "events").write.mode("overwrite").orc(path)
+    ev = spark.read.orc(path)
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("total_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

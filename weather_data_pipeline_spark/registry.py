@@ -93,7 +93,7 @@ _PRIORITY: tuple[str, ...] = (
     "o15_latest_per_key",  # flagship (also entry())
     "w_corrupt_quarantine",  # r2 hash-fail regression pin
     "x6_session_windows",  # r2 hash-fail regression pin
-    # --- round-9 additions (20): driver-checked the round they land ---
+    # --- round-9 additions (21): driver-checked the round they land ---
     "x4_html_extract",
     "x2_tfidf_cosine_prefix",
     "mm_phash_neardup_codes",
@@ -114,7 +114,8 @@ _PRIORITY: tuple[str, ...] = (
     "x6_lttb_exact",
     "x7_interval_coverage",
     "x2_soft_dedup_weights",
-    # --- round-9 STALENESS rotation (27; VERDICT r8 ask #5): with the
+    "w_orc_roundtrip",
+    # --- round-9 STALENESS rotation (26; VERDICT r8 ask #5): with the
     # backlog at zero, the window turns toward freshness — the 30
     # oldest-driver-checked oracle-bearing queries (every r1 and r2 row
     # plus the oldest r3 rows) re-enter so the union's max staleness
@@ -148,7 +149,8 @@ _PRIORITY: tuple[str, ...] = (
     "ext_lookup_join",
     "ext_sort_limit_topk",
     "ext_distinct",
-    "ext_intersect",
+    # (ext_intersect displaced by the 21st round-9 addition — the
+    # set-op family keeps ext_distinct/ext_except in-window)
     "ext_except",
     # (ext_union_distinct displaced by the 16th round-9 addition — the
     # set-op family keeps distinct/intersect/except in-window)
