@@ -1,0 +1,72 @@
+"""100x spot-check: measure a handful of structurally-bounded rungs on
+a 100-COPY key-shifted replica of sf0.1 (~60M lineitem rows) — the
+"would this hold at 1000x?" question answered one decade further than
+BENCH_SCALE.json's 10x. Reuses scale_bench's replica builder via env
+overrides; writes BENCH_SCALE100.json (separate artifact — never
+merged into the 10x file).
+
+Run on an idle box:  python tools/scale100_spot.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ["SPARK_GRAFT_SCALE_COPIES"] = "100"
+os.environ["SPARK_GRAFT_SCALE_DIR"] = "/tmp/spark_graft_scale100"
+
+from tools import scale_bench as sb  # noqa: E402  (env read at import)
+from weather_data_pipeline_spark import registry  # noqa: E402
+
+#: rungs whose 100-TB claim is a STRUCTURAL bound (calendar-bounded
+#: sweep tables, prefix-sum twins, single-pass scans) — the ones where
+#: a flat 10x->100x step is the designed behavior, plus one TPC-H
+#: baseline for context.
+SPOT = [
+    "ext_q1_pricing_summary",
+    "o15_latest_per_key",
+    "x7_interval_overlap_sweep",
+    "x7_interval_coverage",
+    "x6_m4_downsample",
+    "x8_budget_select_scalable",
+    "x4_hashed_linear_score",
+]
+
+
+def main() -> None:
+    spark = sb.SparkSession.builder.master(
+        f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+    ).appName("scale100-spot").config("spark.ui.enabled", "false").config(
+        "spark.driver.memory", "24g"
+    ).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    sb.tune(spark)
+    t0 = time.perf_counter()
+    sb.build(spark)
+    build_s = round(time.perf_counter() - t0, 1)
+    qs = registry.queries()
+    out = {}
+    for name in SPOT:
+        t1 = sb._time(qs, name, spark, sb.BASE)
+        t100 = sb._time(qs, name, spark, sb.SCALE_DIR)
+        out[name] = {"t_1x": t1, "t_100x": t100, "ratio": round(t100 / t1, 2)}
+        print(name, out[name], flush=True)
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    payload = {
+        "copies": 100,
+        "base": sb.BASE,
+        "replica_build_s": build_s,
+        "queries": out,
+    }
+    with open(os.path.join(root, "BENCH_SCALE100.json"), "w") as f:
+        json.dump(payload, f, indent=1)
+    print(json.dumps(payload))
+
+
+if __name__ == "__main__":
+    main()
