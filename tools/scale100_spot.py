@@ -50,20 +50,34 @@ def main() -> None:
     sb.build(spark)
     build_s = round(time.perf_counter() - t0, 1)
     qs = registry.queries()
+    # argv filters: measure only matching rungs and MERGE into the
+    # existing artifact (same convention as scale_bench.py)
+    filters = sys.argv[1:]
+    names = [
+        n
+        for n in (filters and sorted(registry.queries()) or SPOT)
+        if not filters or any(f in n for f in filters)
+    ]
     out = {}
-    for name in SPOT:
+    for name in names:
         t1 = sb._time(qs, name, spark, sb.BASE)
         t100 = sb._time(qs, name, spark, sb.SCALE_DIR)
         out[name] = {"t_1x": t1, "t_100x": t100, "ratio": round(t100 / t1, 2)}
         print(name, out[name], flush=True)
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    payload = {
-        "copies": 100,
-        "base": sb.BASE,
-        "replica_build_s": build_s,
-        "queries": out,
-    }
-    with open(os.path.join(root, "BENCH_SCALE100.json"), "w") as f:
+    path = os.path.join(root, "BENCH_SCALE100.json")
+    if filters and os.path.exists(path):
+        with open(path) as f:
+            payload = json.load(f)
+        payload["queries"].update(out)
+    else:
+        payload = {
+            "copies": 100,
+            "base": sb.BASE,
+            "replica_build_s": build_s,
+            "queries": out,
+        }
+    with open(path, "w") as f:
         json.dump(payload, f, indent=1)
     print(json.dumps(payload))
 
