@@ -503,3 +503,109 @@ def test_substring_rewrite_first_occurrence_wins(spark, tmp_path):
     for i in rw:
         assert rw[i]["n_removed"] <= sp[i]["dup_covered"]
     assert sp[1]["dup_covered"] > 0 and rw[1]["n_removed"] == 0
+
+
+def test_downsampling_rungs_edge_cases(spark, tmp_path):
+    """Edge semantics of the downsampling trio on a crafted series set
+    the driver testdata can't be relied on to contain: a single-event
+    user (span 0 — M4's division guard), a user whose every event
+    shares one timestamp (collapses to n=1 after the obs dedup), a
+    user at exactly the passthrough boundary (n == 12), same-ts
+    duplicate events (min_by event_id wins), and an all-constant
+    series (areas/values tie everywhere → ts tiebreaks must hold on
+    both LTTB forms and M4)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from weather_data_pipeline_spark import registry
+    from weather_data_pipeline_spark.operators.sessionize import (
+        LTTB_BUCKETS,
+        LTTB_OUT,
+    )
+
+    t0 = datetime.datetime(2023, 1, 1)
+    rows = []
+    eid = 0
+
+    def ev(uid, minutes, value):
+        nonlocal eid
+        eid += 1
+        rows.append(
+            (eid, t0 + datetime.timedelta(minutes=minutes), uid, "view",
+             float(value), "{}")
+        )
+
+    ev(1, 0, 5.0)  # user 1: single event (span 0)
+    for i in range(7):  # user 2: all events at ONE timestamp; min
+        ev(2, 0, 10.0 + i)  # event_id carries value 10.0 -> n=1 kept
+    for i in range(LTTB_OUT):  # user 3: exactly at passthrough boundary
+        ev(3, i * 60, i)
+    for i in range(2 * LTTB_OUT):  # user 4: constant values (all ties)
+        ev(4, i * 60, 7.0)
+    for i in range(2 * LTTB_OUT):  # user 5: a real series, one spike
+        ev(5, i * 60, 100.0 if i == 13 else 1.0)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+
+    qs = registry.queries()
+    for name in ("x6_lttb_downsample", "x6_lttb_exact"):
+        got = qs[name](spark, str(tmp_path)).collect()
+        by_user = {}
+        for r in got:
+            by_user.setdefault(r["user_id"], []).append(r)
+        # single-event + same-ts users pass through as one row, slot 0
+        for uid, want_v in ((1, 5.0), (2, 10.0)):
+            assert len(by_user[uid]) == 1 and by_user[uid][0]["slot"] == 0
+            assert by_user[uid][0]["v"] == want_v, name
+        # boundary user: all 12 points, slots 0..11
+        assert sorted(r["slot"] for r in by_user[3]) == list(range(LTTB_OUT))
+        # downsampled users: exactly 12 rows, slots 0..11, first+last kept
+        for uid in (4, 5):
+            assert sorted(r["slot"] for r in by_user[uid]) == list(
+                range(LTTB_OUT)
+            ), (name, uid)
+        # constant series: every tie breaks to the EARLIEST candidate,
+        # so selected points are identical across both LTTB forms
+        # (checked implicitly by comparing the two rungs below)
+        # spike survives: slot of the max-v row for user 5
+        assert any(r["v"] == 100.0 for r in by_user[5]), name
+    # both LTTB forms agree wherever ties decide everything (user 4)
+    a = sorted(
+        (r["pt"], r["slot"])
+        for r in qs["x6_lttb_downsample"](spark, str(tmp_path)).collect()
+        if r["user_id"] == 4
+    )
+    b = sorted(
+        (r["pt"], r["slot"])
+        for r in qs["x6_lttb_exact"](spark, str(tmp_path)).collect()
+        if r["user_id"] == 4
+    )
+    assert a == b
+
+    m4 = qs["x6_m4_downsample"](spark, str(tmp_path)).collect()
+    m4_by_user = {}
+    for r in m4:
+        m4_by_user.setdefault(r["user_id"], []).append(r)
+    # span-0 users: the division guard routes everything to bin 0 and
+    # one point holds all four roles (one row per role)
+    for uid, want_v in ((1, 5.0), (2, 10.0)):
+        g = m4_by_user[uid]
+        assert {r["role"] for r in g} == {"first", "last", "min", "max"}
+        assert all(r["bin"] == 0 and r["v"] == want_v for r in g), uid
+    # spike user: the max role in the spike's bin carries 100.0
+    assert any(
+        r["role"] == "max" and r["v"] == 100.0 for r in m4_by_user[5]
+    )
+    # constant user: min == max value everywhere; roles tie to earliest
+    # ts within each bin, so min-role and max-role pts coincide
+    for r in m4_by_user[4]:
+        assert r["v"] == 7.0
+    pts = {}
+    for r in m4_by_user[4]:
+        pts.setdefault(r["bin"], {})[r["role"]] = r["pt"]
+    for _bin, roles in pts.items():
+        assert roles["min"] == roles["max"] == roles["first"]
