@@ -609,3 +609,88 @@ def test_downsampling_rungs_edge_cases(spark, tmp_path):
         pts.setdefault(r["bin"], {})[r["role"]] = r["pt"]
     for _bin, roles in pts.items():
         assert roles["min"] == roles["max"] == roles["first"]
+
+
+def test_interval_ladder_matches_brute_force(spark, tmp_path):
+    """All three interval-overlap rungs (grid pair join, sweep counts,
+    duration coverage) must agree with a brute-force Python replay of
+    the same derivations on a crafted mini-corpus hitting the edges:
+    a 1-day graze on each side, exact adjacency (no overlap by one
+    day), full containment both directions, and a shipment/window
+    overlapping nothing (absent from output under the n>0 contract)."""
+    import datetime
+
+    from weather_data_pipeline_spark import registry
+
+    base = datetime.datetime(1994, 1, 1)
+    li_rows = []
+    for i, (ok, ln, ship_off) in enumerate(
+        [
+            (1, 1, 30),     # somewhere in window territory
+            (2, 3, 0),      # starts at the epoch
+            (40, 2, 100),   # long transit (len = 1+(40*7+2)%30)
+            (7, 1, 5000),   # far future: overlaps nothing
+            (11, 4, 61),    # tuned by brute force, not by hand
+            (13, 2, 36),
+        ]
+    ):
+        li_rows.append(
+            (ok, 1, 1, ln, 2.0 + i, 10.0, 0.0, 0.0, "N", "O",
+             base + datetime.timedelta(days=ship_off))
+        )
+    spark.createDataFrame(
+        li_rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp_ntz",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+    supp = [1, 2, 5, 64]  # 64*37%2400=2368: window far from all transits
+    spark.createDataFrame(
+        [(k, f"s{k}", 0, 0.0) for k in supp],
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/supplier.parquet")
+
+    # brute force with the same derivations
+    def day(off):
+        return off  # day offsets from 1994-01-01 are enough
+
+    transits = []
+    for ok, _, _, ln, qty, *_rest, ship in li_rows:
+        off = (ship - base).days
+        transits.append((off, off + 1 + (ok * 7 + ln) % 30, qty))
+    expect = {}
+    for k in supp:
+        ws = (k * 37) % 2400
+        we = ws + 7 + (k * 11) % 84
+        n = sq = cov = 0
+        for ts_, te, qty in transits:
+            if ts_ <= we and te >= ws:
+                n += 1
+                sq += qty
+                cov += min(te, we) - max(ts_, ws) + 1
+        if n:
+            expect[k] = (n, round(sq, 2), cov)
+
+    qs = registry.queries()
+    got_pairs = {
+        r["window_id"]: (r["n_transit"], r["sum_qty"])
+        for r in qs["x7_interval_overlap"](spark, str(tmp_path)).collect()
+    }
+    got_sweep = {
+        r["window_id"]: (r["n_transit"], r["sum_qty"])
+        for r in qs["x7_interval_overlap_sweep"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    got_cov = {
+        r["window_id"]: (r["n_transit"], r["covered_days"])
+        for r in qs["x7_interval_coverage"](spark, str(tmp_path)).collect()
+    }
+    assert set(got_pairs) == set(expect)
+    assert set(got_sweep) == set(expect)
+    assert set(got_cov) == set(expect)
+    for k, (n, sq, cov) in expect.items():
+        assert got_pairs[k] == (n, sq), ("pairs", k)
+        assert got_sweep[k] == (n, sq), ("sweep", k)
+        assert got_cov[k] == (n, cov), ("coverage", k)
