@@ -142,6 +142,7 @@ HEADLINE = [
     # interleaved loop — its aggregate-only twin headlines instead
     "x7_interval_overlap_sweep",
     "x6_lttb_downsample",
+    "x6_holt_winters",
     "x6_m4_downsample",
     "x6_lttb_exact",
     "x7_interval_coverage",

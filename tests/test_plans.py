@@ -1571,3 +1571,16 @@ def test_soft_dedup_weights_plan(spark):
     assert "CartesianProduct" not in plan
     assert "Exchange SinglePartition" not in plan
     assert "ExistingRDD" in plan
+
+
+def test_holt_winters_kernel_plan(spark):
+    """The triple recurrence runs in the sharded grouped-map kernel
+    over the daily aggregate — one shard exchange, no SinglePartition,
+    no join anywhere."""
+    from weather_data_pipeline_spark.plans.inspect import executed_plan
+
+    df = _Q["x6_holt_winters"](spark, SF)
+    plan = executed_plan(df)
+    assert "FlatMapGroupsInPandas" in plan
+    assert "Join" not in plan
+    assert "Exchange SinglePartition" not in plan

@@ -206,6 +206,7 @@ QUERIES = [
     "x6_lttb_exact",
     "x7_interval_coverage",
     "x2_soft_dedup_weights",
+    "x6_holt_winters",
 ]
 
 #: Viral boilerplate for the skew replica: untagged (shared verbatim

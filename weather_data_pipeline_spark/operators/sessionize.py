@@ -2334,3 +2334,206 @@ def x6_lttb_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+
+# ----------------------------------------------------------------------
+# Holt–Winters additive seasonal smoothing (round 9)
+# ----------------------------------------------------------------------
+HW_ALPHA = 0.3
+HW_BETA = 0.1
+HW_GAMMA = 0.2
+#: cycle length: position-in-series weekly seasonality (7 daily closes)
+HW_M = 7
+
+_HW_ORACLE = f"""
+    WITH RECURSIVE ranked AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             ROUND(CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE), 2)
+               AS close_value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, date_trunc('day', ts)
+               ORDER BY ts DESC, event_id DESC) AS pick
+      FROM events
+    ), daily AS (
+      SELECT user_id, day, close_value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS rn
+      FROM ranked WHERE pick = 1
+    ), seeds AS (
+      SELECT user_id,
+             MAX(CASE WHEN rn = 1 THEN close_value END) AS c1,
+             MAX(CASE WHEN rn = 2 THEN close_value END) AS c2,
+             MAX(CASE WHEN rn = 3 THEN close_value END) AS c3,
+             MAX(CASE WHEN rn = 4 THEN close_value END) AS c4,
+             MAX(CASE WHEN rn = 5 THEN close_value END) AS c5,
+             MAX(CASE WHEN rn = 6 THEN close_value END) AS c6,
+             MAX(CASE WHEN rn = 7 THEN close_value END) AS c7
+      FROM daily WHERE rn <= 7 GROUP BY user_id
+      HAVING COUNT(*) = 7
+    ), seeded AS (
+      SELECT user_id, (c1 + c2 + c3 + c4 + c5 + c6 + c7) / 7 AS l,
+             c1 - (c1 + c2 + c3 + c4 + c5 + c6 + c7) / 7 AS s0,
+             c2 - (c1 + c2 + c3 + c4 + c5 + c6 + c7) / 7 AS s1,
+             c3 - (c1 + c2 + c3 + c4 + c5 + c6 + c7) / 7 AS s2,
+             c4 - (c1 + c2 + c3 + c4 + c5 + c6 + c7) / 7 AS s3,
+             c5 - (c1 + c2 + c3 + c4 + c5 + c6 + c7) / 7 AS s4,
+             c6 - (c1 + c2 + c3 + c4 + c5 + c6 + c7) / 7 AS s5,
+             c7 - (c1 + c2 + c3 + c4 + c5 + c6 + c7) / 7 AS s6
+      FROM seeds
+    ), rec(user_id, day, close_value, rn, l, b,
+           s0, s1, s2, s3, s4, s5, s6) AS (
+      SELECT d.user_id, d.day, d.close_value, d.rn,
+             s.l, CAST(0.0 AS DOUBLE),
+             s.s0, s.s1, s.s2, s.s3, s.s4, s.s5, s.s6
+      FROM daily d JOIN seeded s USING (user_id) WHERE d.rn = 7
+      UNION ALL
+      SELECT d.user_id, d.day, d.close_value, d.rn,
+             l_new.v,
+             {HW_BETA} * (l_new.v - r.l) + {1.0 - HW_BETA} * r.b,
+             CASE WHEN (d.rn - 1) % 7 = 0 THEN
+               {HW_GAMMA} * (d.close_value - l_new.v)
+                 + {1.0 - HW_GAMMA} * r.s0
+               ELSE r.s0 END,
+             CASE WHEN (d.rn - 1) % 7 = 1 THEN
+               {HW_GAMMA} * (d.close_value - l_new.v)
+                 + {1.0 - HW_GAMMA} * r.s1
+               ELSE r.s1 END,
+             CASE WHEN (d.rn - 1) % 7 = 2 THEN
+               {HW_GAMMA} * (d.close_value - l_new.v)
+                 + {1.0 - HW_GAMMA} * r.s2
+               ELSE r.s2 END,
+             CASE WHEN (d.rn - 1) % 7 = 3 THEN
+               {HW_GAMMA} * (d.close_value - l_new.v)
+                 + {1.0 - HW_GAMMA} * r.s3
+               ELSE r.s3 END,
+             CASE WHEN (d.rn - 1) % 7 = 4 THEN
+               {HW_GAMMA} * (d.close_value - l_new.v)
+                 + {1.0 - HW_GAMMA} * r.s4
+               ELSE r.s4 END,
+             CASE WHEN (d.rn - 1) % 7 = 5 THEN
+               {HW_GAMMA} * (d.close_value - l_new.v)
+                 + {1.0 - HW_GAMMA} * r.s5
+               ELSE r.s5 END,
+             CASE WHEN (d.rn - 1) % 7 = 6 THEN
+               {HW_GAMMA} * (d.close_value - l_new.v)
+                 + {1.0 - HW_GAMMA} * r.s6
+               ELSE r.s6 END
+      FROM rec r
+      JOIN daily d ON d.user_id = r.user_id AND d.rn = r.rn + 1
+      CROSS JOIN LATERAL (SELECT
+        {HW_ALPHA} * (d.close_value - CASE (d.rn - 1) % 7
+            WHEN 0 THEN r.s0 WHEN 1 THEN r.s1 WHEN 2 THEN r.s2
+            WHEN 3 THEN r.s3 WHEN 4 THEN r.s4 WHEN 5 THEN r.s5
+            ELSE r.s6 END)
+          + {1.0 - HW_ALPHA} * (r.l + r.b) AS v) AS l_new
+    )
+    SELECT user_id, day, close_value,
+           FLOOR(l * 1000000) / 1000000.0 AS level,
+           FLOOR(b * 1000000) / 1000000.0 AS trend,
+           FLOOR(CASE (rn - 1) % 7
+             WHEN 0 THEN s0 WHEN 1 THEN s1 WHEN 2 THEN s2 WHEN 3 THEN s3
+             WHEN 4 THEN s4 WHEN 5 THEN s5 ELSE s6 END * 1000000)
+             / 1000000.0 AS season
+    FROM rec WHERE rn >= 8
+"""
+
+
+def _hw_kernel(alpha: float, beta: float, gamma: float, max_shard_rows: int):
+    """Kernel factory: per-shard Holt–Winters walk — raw float64 states,
+    seed = mean of the first 7 closes summed LEFT-TO-RIGHT (the oracle
+    writes the same 7-term sum in the same order, so the seed double is
+    bit-identical), b seeded 0, seasonal seeds y_i − mean. Users with
+    fewer than 8 daily closes emit nothing (seed consumes 7, the walk
+    starts at the 8th)."""
+    import math
+
+    import pandas as pd
+
+    def hw_of_shard(pdf):
+        if len(pdf) > max_shard_rows:
+            raise ValueError(
+                f"HW shard frame has {len(pdf)} rows > bound "
+                f"{max_shard_rows}: raise `shards` so each grouped-map "
+                f"frame fits executor memory"
+            )
+        pdf = pdf.sort_values(["user_id", "day"])
+        out = {k: [] for k in
+               ("user_id", "day", "close_value", "level", "trend", "season")}
+
+        def trunc(x):
+            return math.floor(x * 1_000_000) / 1e6
+
+        for uid, g in pdf.groupby("user_id", sort=False):
+            ys = [float(v) for v in g["close_value"]]
+            if len(ys) < HW_M + 1:
+                continue
+            acc = 0.0
+            for v in ys[:HW_M]:  # left-to-right, matches the SQL sum
+                acc = acc + v
+            level = acc / HW_M
+            trend = 0.0
+            season = [ys[i] - level for i in range(HW_M)]
+            days = list(g["day"])
+            for i in range(HW_M, len(ys)):
+                pos = i % HW_M  # rn = i+1 → (rn−1) % 7
+                prev_l = level
+                level = alpha * (ys[i] - season[pos]) + (1.0 - alpha) * (
+                    level + trend
+                )
+                trend = beta * (level - prev_l) + (1.0 - beta) * trend
+                season[pos] = gamma * (ys[i] - level) + (1.0 - gamma) * (
+                    season[pos]
+                )
+                out["user_id"].append(uid)
+                out["day"].append(days[i])
+                out["close_value"].append(ys[i])
+                out["level"].append(trunc(level))
+                out["trend"].append(trunc(trend))
+                out["season"].append(trunc(season[pos]))
+        return pd.DataFrame(out)
+
+    return hw_of_shard
+
+
+@query("x6_holt_winters", oracle=_HW_ORACLE)
+def x6_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt–Winters ADDITIVE seasonal smoothing of each user's daily
+    close — the smoothing ladder's last rung (EMA → Holt → here):
+    level, trend AND a 7-slot seasonal component, the triple recurrence
+    a seasonality-blind smoother mistakes for noise. Seasonality is
+    position-in-series (slot = (rn−1) mod 7 from each user's first
+    close), so the contract is calendar-free and deterministic; seeds
+    are the classic first-cycle ones (level = mean of the first 7
+    closes, trend 0, s_i = y_i − mean), emission starts at the 8th
+    close, users with shorter histories emit nothing.
+
+    Same scalable shape as EMA/Holt/CUSUM — the seventh sharded
+    grouped-map recurrence kernel with the fail-fast per-shard row
+    bound. Oracle: the identical triple recurrence as a recursive CTE
+    carrying (l, b, s0..s6) state columns with the seasonal slot
+    rotated via CASE; BOTH engines seed the level from the same
+    left-to-right 7-term sum and carry RAW float64 states,
+    floor-truncating only the emitted values — bit-identical walks."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.round(
+            F.max_by("value", F.struct("ts", "event_id"))
+            .cast("decimal(18,2)")
+            .cast("double"),
+            2,
+        ).alias("close_value")
+    )
+    shards = ema_shards_for()
+    return (
+        daily.withColumn("shard", F.col("user_id") % shards)
+        .groupBy("shard")
+        .applyInPandas(
+            _hw_kernel(HW_ALPHA, HW_BETA, HW_GAMMA, EMA_MAX_SHARD_ROWS),
+            schema=(
+                "user_id long, day timestamp_ntz, close_value double, "
+                "level double, trend double, season double"
+            ),
+        )
+    )

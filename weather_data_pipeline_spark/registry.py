@@ -93,7 +93,7 @@ _PRIORITY: tuple[str, ...] = (
     "o15_latest_per_key",  # flagship (also entry())
     "w_corrupt_quarantine",  # r2 hash-fail regression pin
     "x6_session_windows",  # r2 hash-fail regression pin
-    # --- round-9 additions (21): driver-checked the round they land ---
+    # --- round-9 additions (22): driver-checked the round they land ---
     "x4_html_extract",
     "x2_tfidf_cosine_prefix",
     "mm_phash_neardup_codes",
@@ -115,7 +115,8 @@ _PRIORITY: tuple[str, ...] = (
     "x7_interval_coverage",
     "x2_soft_dedup_weights",
     "w_orc_roundtrip",
-    # --- round-9 STALENESS rotation (26; VERDICT r8 ask #5): with the
+    "x6_holt_winters",
+    # --- round-9 STALENESS rotation (25; VERDICT r8 ask #5): with the
     # backlog at zero, the window turns toward freshness — the 30
     # oldest-driver-checked oracle-bearing queries (every r1 and r2 row
     # plus the oldest r3 rows) re-enter so the union's max staleness
@@ -142,7 +143,8 @@ _PRIORITY: tuple[str, ...] = (
     "ext_join_semi",
     # (ext_join_anti displaced by the 15th round-9 addition — the
     # join family keeps semi/left_outer/lookup in-window)
-    "ext_join_left_outer",
+    # (ext_join_left_outer displaced by the 22nd round-9 addition —
+    # the join family keeps semi + lookup in-window)
     # (ext_join_full_outer displaced by the 14th round-9 addition —
     # join-family representation in-window stays via semi/left_outer/
     # lookup)
