@@ -146,6 +146,9 @@ HEADLINE = [
     "x6_m4_downsample",
     "x6_lttb_exact",
     "x7_interval_coverage",
+    # late round-9 rungs (VERDICT r9 ask #3 bookkeeping)
+    "x2_soft_dedup_weights",
+    "w_orc_roundtrip",
 ]
 
 
@@ -202,10 +205,14 @@ def main() -> None:
                 "value": round(sum(times.values()), 3),
                 "unit": "sec",
                 "queries": times,
-                "queries_median": medians,
                 "queries_stdev": stdevs,
                 "runs": runs,
                 "sf": _sf_from_dir(SF_DIR),
+                # LAST dict on purpose: the driver's BENCH_r{N} tail
+                # truncates to the final dict in this line — medians are
+                # the round-over-round comparable numbers, stdevs aren't
+                # (VERDICT r9 ask #2).
+                "queries_median": medians,
             }
         )
     )

@@ -207,6 +207,7 @@ QUERIES = [
     "x7_interval_coverage",
     "x2_soft_dedup_weights",
     "x6_holt_winters",
+    "w_orc_roundtrip",
 ]
 
 #: Viral boilerplate for the skew replica: untagged (shared verbatim

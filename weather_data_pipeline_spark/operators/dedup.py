@@ -2034,12 +2034,12 @@ def x1_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), marked AS (
       SELECT doc_id, pos,
              COUNT(*) OVER (PARTITION BY wh) AS c,
-             MIN(doc_id * 1000000 + pos) OVER (PARTITION BY wh) AS keeper
+             MIN(doc_id * 4294967296 + pos) OVER (PARTITION BY wh) AS keeper
       FROM wins
     ), rm AS (
       SELECT doc_id, pos, pos + {SPAN_K} - 1 AS iv_end
       FROM marked
-      WHERE c > 1 AND doc_id * 1000000 + pos <> keeper
+      WHERE c > 1 AND doc_id * 4294967296 + pos <> keeper
     ), cov AS (
       SELECT DISTINCT doc_id, p
       FROM rm, UNNEST(generate_series(pos, iv_end)) AS u(p)
@@ -2070,9 +2070,11 @@ def x1_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring dedup's REWRITE step (x1_substring_spans is the
     report): remove every occurrence of a duplicated {SPAN_K}-token
     span EXCEPT the corpus-first one — first-occurrence-wins by the
-    global (doc_id, pos) order, encoded as the scalar doc_id·10⁶+pos
-    so both engines rank occurrences identically without relying on
-    struct comparison. A token is excised iff covered by at least one
+    global (doc_id, pos) order, encoded as the scalar doc_id·2³²+pos
+    (shiftleft — pos is a token index, bounded far below 2³² by the
+    JVM string-length ceiling, so no doc can bleed into the next
+    doc_id's key range) so both engines rank occurrences identically
+    without relying on struct comparison. A token is excised iff covered by at least one
     non-first duplicated window; surviving tokens reassemble in
     position order into the cleaned text, fingerprinted for the
     value check. Two identical docs → the later one collapses to '';
@@ -2093,7 +2095,7 @@ def x1_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = _span_exploded(doc)
 
     whw = Window.partitionBy("wh")
-    okey = F.col("doc_id") * F.lit(1_000_000) + F.col("pos")
+    okey = F.shiftleft(F.col("doc_id").cast("long"), 32) + F.col("pos")
     is_rm = (
         (F.col("wh") >= 0)
         & (F.count(F.lit(1)).over(whw) > 1)

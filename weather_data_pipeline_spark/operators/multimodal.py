@@ -897,9 +897,10 @@ def band_neardup_codes(codes: DataFrame) -> DataFrame:
         F.col("phash").alias("ph_a"),
         F.col("phash").alias("ph_b"),
         F.lit(0).cast("long").alias("hamming"),
-        (F.col("n_images") * (F.col("n_images") - 1) / 2)
-        .cast("long")
-        .alias("n_pairs"),
+        # integral DIV, not double /: exact at any multiplicity (the
+        # rung's motivating case is 1e8-1e9 copies of one viral code,
+        # past double's 2^53 mantissa)
+        F.expr("n_images * (n_images - 1) div 2").cast("long").alias("n_pairs"),
     )
     return cross.unionByName(within)
 

@@ -245,13 +245,16 @@ def w_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet↔ORC migration path; nothing in the engine is
     parquet-specific."""
     import os
-    import uuid
 
     from ..streaming.jobs import SCRATCH
 
     from ..sources.testdata import load_table
 
-    path = os.path.join(SCRATCH, f"orc_roundtrip_{uuid.uuid4().hex[:8]}")
+    # Deterministic per-sf_dir path (overwrite mode handles reruns) so
+    # repeated bench/verify sweeps reuse one directory instead of
+    # accumulating unbounded uuid-named scratch copies.
+    slug = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = os.path.join(SCRATCH, f"orc_roundtrip_{slug}")
     load_table(spark, sf_dir, "events").write.mode("overwrite").orc(path)
     ev = spark.read.orc(path)
     return ev.groupBy("event_type").agg(

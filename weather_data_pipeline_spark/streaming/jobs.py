@@ -206,8 +206,13 @@ def m4_hourly(source: DataFrame, sink_table: str) -> None:
     their timestamps) — the dashboard-feed reduction of
     x6_m4_downsample run incrementally. Every statistic is a
     declarative aggregate with a partial merge (min/max/min_by/max_by),
-    so state per open window is O(1) regardless of event volume —
-    streaming's whole advantage over re-running the batch rung.
+    so state per OPEN window is O(1) regardless of event volume.
+    Test-harness caveat: this job runs outputMode('complete') into the
+    memory sink so the batch oracle can compare every window, which
+    retains all window rows for the run's lifetime — total sink+state
+    is O(#windows), not watermark-bounded. A production deploy flips
+    to append mode, where the 1-day watermark evicts closed windows
+    and the O(1)-per-open-window bound is the whole story.
     Determinism matches the batch twin: integer-cent ordering keys
     with (ts, event_id) tiebreaks inside the min_by/max_by structs."""
     v = F.round(F.col("value").cast("decimal(18,2)").cast("double"), 2)
