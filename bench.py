@@ -149,6 +149,11 @@ HEADLINE = [
     # late round-9 rungs (VERDICT r9 ask #3 bookkeeping)
     "x2_soft_dedup_weights",
     "w_orc_roundtrip",
+    # round-10 additions
+    "x4_bpe_merge_train",
+    "x4_domain_rollup",
+    "x8_domain_caps",
+    "mm_pair_cosine_filter",
 ]
 
 

@@ -1584,3 +1584,61 @@ def test_holt_winters_kernel_plan(spark):
     assert "FlatMapGroupsInPandas" in plan
     assert "Join" not in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_bpe_merge_train_zero_parquet_rescans(spark):
+    """The BPE training loop's returned merge table unions six
+    TakeOrdered arms over checkpointed dictionary snapshots — the
+    corpus is scanned exactly once INSIDE the loop (word count), so
+    the result plan must contain zero parquet scans, no cartesian, and
+    a partial-aggregated pair count per arm."""
+    from weather_data_pipeline_spark.plans.inspect import executed_plan
+
+    df = _Q["x4_bpe_merge_train"](spark, SF)
+    plan = executed_plan(df)
+    assert "Scan parquet" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("TakeOrderedAndProject") == 6
+    assert "Union" in plan
+    assert has_partial_aggregation(df)
+
+
+def test_domain_rollup_single_scan_partial_agg(spark):
+    """Domain rollup: scan-side string extraction (no Python stage),
+    partial-aggregated groupBy(domain), 1-row total broadcast — the
+    duplicated agg subtree is the deliberate lazy-recompute pattern
+    (x8_temperature_mixture), so at most two column-pruned scans."""
+    from weather_data_pipeline_spark.plans.inspect import executed_plan
+
+    df = _Q["x4_domain_rollup"](spark, SF)
+    plan = executed_plan(df)
+    assert plan.count("Scan parquet") <= 2
+    assert "InPandas" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert has_partial_aggregation(df)
+
+
+def test_domain_caps_window_group_limit(spark):
+    """Per-domain caps: the rank<=cap filter must rewrite to
+    WindowGroupLimit (per-task top-cap heap BEFORE the exchange — the
+    over-represented domain is exactly where that bound matters), with
+    ONE hash exchange on domain and one scan."""
+    from weather_data_pipeline_spark.plans.inspect import executed_plan
+
+    df = _Q["x8_domain_caps"](spark, SF)
+    plan = executed_plan(df)
+    assert "WindowGroupLimit" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Scan parquet") == 1
+
+
+def test_pair_cosine_filter_zero_exchanges(spark):
+    """CLIP-score pair filtering is one embarrassingly-parallel pass:
+    zero exchanges of any kind, no Python stage, one scan."""
+    from weather_data_pipeline_spark.plans.inspect import executed_plan
+
+    df = _Q["mm_pair_cosine_filter"](spark, SF)
+    plan = executed_plan(df)
+    assert "Exchange" not in plan
+    assert "InPandas" not in plan and "BatchEvalPython" not in plan
+    assert plan.count("Scan parquet") == 1

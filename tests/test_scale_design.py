@@ -218,3 +218,34 @@ def test_skew_report_flags_hot_key(spark):
     rep2 = skew_report(uniform, "k")
     assert rep2["recommended_salt"] == 1
     assert "no mitigation" in rep2["advice"]
+
+
+def test_scale100_artifact_within_ceilings():
+    """The 100x spot-check evidence (BENCH_SCALE100.json) is gated,
+    not just recorded (VERDICT r9 ask #8): every rung in
+    tools.scale100_spot.SPOT_CEILINGS must have a committed
+    measurement, and each measured 100x wall ratio must sit under its
+    rung-class ceiling — editing a rung into a worse scale shape (or
+    dropping it from the spot set) fails here instead of silently
+    rotting the artifact. Ceilings encode the CLASS bound (near-flat /
+    read-bandwidth / documented-linear), with contended-box headroom
+    above the idle-box measurements; a quadratic regression would
+    overshoot by orders of magnitude."""
+    import json
+    import os
+
+    from tools.scale100_spot import SPOT_CEILINGS
+
+    path = os.path.join(os.path.dirname(__file__), "..", "BENCH_SCALE100.json")
+    with open(path) as f:
+        payload = json.load(f)
+    assert payload["copies"] == 100
+    qs = payload["queries"]
+    missing = sorted(set(SPOT_CEILINGS) - set(qs))
+    assert not missing, f"spot rungs with no 100x measurement: {missing}"
+    over = {
+        n: (qs[n]["ratio"], ceil)
+        for n, ceil in SPOT_CEILINGS.items()
+        if qs[n]["ratio"] > ceil
+    }
+    assert not over, f"100x ratio over rung-class ceiling: {over}"

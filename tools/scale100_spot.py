@@ -17,28 +17,54 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-os.environ["SPARK_GRAFT_SCALE_COPIES"] = "100"
-os.environ["SPARK_GRAFT_SCALE_DIR"] = "/tmp/spark_graft_scale100"
-
-from tools import scale_bench as sb  # noqa: E402  (env read at import)
-from weather_data_pipeline_spark import registry  # noqa: E402
-
 #: rungs whose 100-TB claim is a STRUCTURAL bound (calendar-bounded
 #: sweep tables, prefix-sum twins, single-pass scans) — the ones where
 #: a flat 10x->100x step is the designed behavior, plus one TPC-H
-#: baseline for context.
-SPOT = [
-    "ext_q1_pricing_summary",
-    "o15_latest_per_key",
-    "x7_interval_overlap_sweep",
-    "x7_interval_coverage",
-    "x6_m4_downsample",
-    "x8_budget_select_scalable",
-    "x4_hashed_linear_score",
-]
+#: baseline for context. Each maps to its 100x wall-ratio CEILING,
+#: gated by tests/test_scale_design.py::test_scale100_artifact_within_
+#: ceilings (round 10, VERDICT r9 ask #8) so the committed
+#: BENCH_SCALE100.json evidence can't silently rot as rungs are
+#: edited: prefix-sum/calendar-bounded rungs must stay well under the
+#: read-bandwidth slope, scan-bound rungs track it (~5x — 100x rows
+#: with 32 fixed cores amortizing per-query overheads ~20x), and the
+#: capped dedup rungs are documented-linear in the duplicate-heavy
+#: replica's pair volume (ceiling covers measured + contended-box
+#: headroom; quadratic behavior would read ~10^2-10^3x, far past any
+#: ceiling here).
+SPOT_CEILINGS = {
+    # structurally bounded (prefix-sum twins / calendar sweeps /
+    # latest-per-key partial agg): near-flat by design
+    "o15_latest_per_key": 4.0,
+    "x7_interval_coverage": 4.5,
+    "x8_budget_select_scalable": 3.0,
+    # scan-bound single-pass rungs: ratio tracks read bandwidth
+    "ext_q1_pricing_summary": 8.0,
+    "x7_interval_overlap_sweep": 8.0,
+    "x6_m4_downsample": 8.0,
+    "x4_hashed_linear_score": 9.0,
+    "x1_substring_spans": 11.0,
+    "x1_exact_dedup_hash": 4.0,
+    # capped dedup rungs: linear in the (duplicate-heavy by
+    # construction) replica's pair volume — the DF-cap guarantee is
+    # "linear, never quadratic", so the ceiling sits above the
+    # measured linear slope and far below any quadratic signature
+    "x2_containment_capped": 22.0,
+    "x2_ngram_jaccard_capped": 32.0,
+}
+
+SPOT = list(SPOT_CEILINGS)
 
 
 def main() -> None:
+    # env overrides BEFORE the scale_bench import (it reads env at
+    # import time); kept inside main() so importing this module for
+    # SPOT_CEILINGS (the pytest ceiling gate) is side-effect-free.
+    os.environ["SPARK_GRAFT_SCALE_COPIES"] = "100"
+    os.environ["SPARK_GRAFT_SCALE_DIR"] = "/tmp/spark_graft_scale100"
+    global sb, registry
+    from tools import scale_bench as sb
+    from weather_data_pipeline_spark import registry
+
     spark = sb.SparkSession.builder.master(
         f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
     ).appName("scale100-spot").config("spark.ui.enabled", "false").config(

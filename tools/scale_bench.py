@@ -208,6 +208,10 @@ QUERIES = [
     "x2_soft_dedup_weights",
     "x6_holt_winters",
     "w_orc_roundtrip",
+    "x4_bpe_merge_train",
+    "x4_domain_rollup",
+    "x8_domain_caps",
+    "mm_pair_cosine_filter",
 ]
 
 #: Viral boilerplate for the skew replica: untagged (shared verbatim

