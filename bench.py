@@ -154,6 +154,8 @@ HEADLINE = [
     "x4_domain_rollup",
     "x8_domain_caps",
     "mm_pair_cosine_filter",
+    "x1_url_dedup",
+    "x9_label_propagation",
 ]
 
 

@@ -1642,3 +1642,35 @@ def test_pair_cosine_filter_zero_exchanges(spark):
     assert "Exchange" not in plan
     assert "InPandas" not in plan and "BatchEvalPython" not in plan
     assert plan.count("Scan parquet") == 1
+
+
+def test_url_dedup_single_scan_one_exchange(spark):
+    """URL-canonicalization dedup: the canonical-string build is pure
+    scan-side string built-ins (no Python stage), then the identical
+    single partial-aggregated exchange shape as x1_exact_dedup_hash —
+    one scan, one hash exchange, codegen end-to-end."""
+    from weather_data_pipeline_spark.plans.inspect import executed_plan
+
+    df = _Q["x1_url_dedup"](spark, SF)
+    plan = executed_plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "InPandas" not in plan and "BatchEvalPython" not in plan
+    assert has_partial_aggregation(df)
+
+
+def test_label_propagation_round_shape(spark):
+    """LPA's final (un-checkpointed) round must show the Pregel step
+    shape: the |nodes|-row label vector BROADCASTS into the edge join
+    (no edge re-shuffle, no sort-merge), one partial-aggregated
+    (src,label) count exchange, zero parquet rescans (edges and prior
+    labels are checkpointed), never cartesian."""
+    from weather_data_pipeline_spark.plans.inspect import executed_plan
+
+    df = _Q["x9_label_propagation"](spark, SF)
+    plan = executed_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Scan parquet" not in plan
+    assert has_partial_aggregation(df)

@@ -2309,3 +2309,163 @@ def x2_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "comp_size",
         F.expr("1000000 div comp_size").cast("long").alias("weight_ppm"),
     )
+
+
+# ----------------------------------------------------------------------
+# URL-canonicalization dedup (round 10): the crawl-frontier dedup stage
+# — the SAME page fetched under scheme/host-case, www, default-port,
+# trailing-slash, tracking-param and fragment decorations collapses to
+# one canonical URL
+# ----------------------------------------------------------------------
+#: raw synthetic URL per document (documents carries no URL column —
+#: same payload discipline as the domain rungs, but DIFFERENT synth:
+#: this one varies every decoration canonicalization must undo, with
+#: page identity doc_id % 97 so ~5 raw variants share each canonical
+#: target at sf0.01). Decorations cycle on coprime moduli so most
+#: combinations occur.
+_RAW_URL_SPARK = (
+    "concat(CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END, '://',"
+    " CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END,"
+    " CASE WHEN doc_id % 2 = 0 THEN 'News.Example.COM'"
+    "      ELSE 'news.example.com' END,"
+    " CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END,"
+    " '/articles/', CAST(doc_id % 97 AS STRING),"
+    " CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END,"
+    " CASE WHEN doc_id % 3 = 1 THEN concat('?utm_source=feed&id=',"
+    "                                      CAST(doc_id % 97 AS STRING))"
+    "      ELSE concat('?id=', CAST(doc_id % 97 AS STRING),"
+    "                  '&utm_campaign=x') END,"
+    " CASE WHEN doc_id % 11 = 0 THEN '#sec1' ELSE '' END)"
+)
+_RAW_URL_DUCK = (
+    "concat(CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END, '://',"
+    " CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END,"
+    " CASE WHEN doc_id % 2 = 0 THEN 'News.Example.COM'"
+    "      ELSE 'news.example.com' END,"
+    " CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END,"
+    " '/articles/', CAST(doc_id % 97 AS VARCHAR),"
+    " CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END,"
+    " CASE WHEN doc_id % 3 = 1 THEN concat('?utm_source=feed&id=',"
+    "                                      CAST(doc_id % 97 AS VARCHAR))"
+    "      ELSE concat('?id=', CAST(doc_id % 97 AS VARCHAR),"
+    "                  '&utm_campaign=x') END,"
+    " CASE WHEN doc_id % 11 = 0 THEN '#sec1' ELSE '' END)"
+)
+
+
+@query(
+    "x1_url_dedup",
+    oracle=f"""
+    WITH raw AS (
+      SELECT doc_id, {_RAW_URL_DUCK} AS url FROM documents
+    ), parts AS (
+      SELECT doc_id,
+             lower(split_part(split_part(url, '#', 1), '://', 1)) AS scheme,
+             split_part(split_part(url, '#', 1), '://', 2) AS rest
+      FROM raw
+    ), hp AS (
+      SELECT doc_id, scheme,
+             split_part(rest, '/', 1) AS hostport,
+             substr(rest, len(split_part(rest, '/', 1)) + 1) AS path_q
+      FROM parts
+    ), comps AS (
+      SELECT doc_id, scheme,
+             regexp_replace(lower(split_part(hostport, ':', 1)),
+                            '^www\\.', '') AS host,
+             CASE WHEN contains(hostport, ':')
+                       AND NOT (scheme = 'https'
+                                AND split_part(hostport, ':', 2) = '443')
+                       AND NOT (scheme = 'http'
+                                AND split_part(hostport, ':', 2) = '80')
+                  THEN ':' || split_part(hostport, ':', 2) ELSE '' END
+               AS port,
+             CASE WHEN split_part(path_q, '?', 1) = '/' THEN '/'
+                  ELSE regexp_replace(split_part(path_q, '?', 1),
+                                      '/$', '') END AS path,
+             array_to_string(list_sort(list_filter(
+               string_split(CASE WHEN contains(path_q, '?')
+                                 THEN split_part(path_q, '?', 2)
+                                 ELSE '' END, '&'),
+               x -> x <> '' AND NOT x LIKE 'utm_%')), '&') AS query
+      FROM hp
+    ), canon AS (
+      SELECT doc_id,
+             scheme || '://' || host || port || path
+               || CASE WHEN query <> '' THEN '?' || query ELSE '' END
+               AS canonical_url
+      FROM comps
+    )
+    SELECT canonical_url, COUNT(*) AS n_copies,
+           MIN(doc_id) AS keeper_doc_id
+    FROM canon GROUP BY canonical_url
+    """,
+)
+def x1_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup — the crawl-frontier/page-level dedup
+    stage upstream of every content rung in the X1 ladder: the same
+    page fetched as ``HTTPS://www.News.Example.COM:443/articles/7/
+    ?utm_source=feed&id=7#sec1`` and ``https://news.example.com/
+    articles/7?id=7&utm_campaign=x`` must collapse to ONE canonical
+    URL before fetch-count or content work is spent. Canonical rules
+    (the standard crawl set): lowercase scheme+host, strip ``www.``,
+    strip default ports (443/https, 80/http), strip the fragment,
+    strip one trailing slash (root ``/`` survives), drop ``utm_*``
+    tracking params and sort the survivors. First occurrence wins:
+    keeper = min doc_id per canonical URL. Reference scope: no analog;
+    CommonCrawl-curation extension tier next to x4_domain_rollup /
+    x8_domain_caps.
+
+    Scale shape: canonicalization is pure scan-side string built-ins
+    (substring_index / lower / regexp_replace / one array
+    filter+sort over query params — zero Python, whole-stage
+    codegen), then ONE partial-aggregated groupBy(canonical_url) —
+    the identical single-exchange shape as x1_exact_dedup_hash, with
+    the canonical string as the grouping key. Plan-gated single scan,
+    one exchange."""
+    doc = load_table(spark, sf_dir, "documents")
+    d = doc.select("doc_id").withColumn("url", F.expr(_RAW_URL_SPARK))
+    nofrag = F.substring_index("url", "#", 1)
+    d = d.withColumn("scheme", F.lower(F.substring_index(nofrag, "://", 1)))
+    d = d.withColumn("rest", F.substring_index(nofrag, "://", -1))
+    hostport = F.substring_index("rest", "/", 1)
+    d = d.withColumn("hostport", hostport).withColumn(
+        "path_q", F.expr("substring(rest, length(hostport) + 1)")
+    )
+    host = F.regexp_replace(
+        F.lower(F.substring_index("hostport", ":", 1)), r"^www\.", ""
+    )
+    port = F.expr(
+        "CASE WHEN contains(hostport, ':')"
+        "          AND NOT (scheme = 'https'"
+        "                   AND substring_index(hostport, ':', -1) = '443')"
+        "          AND NOT (scheme = 'http'"
+        "                   AND substring_index(hostport, ':', -1) = '80')"
+        "     THEN concat(':', substring_index(hostport, ':', -1))"
+        "     ELSE '' END"
+    )
+    path = F.expr(
+        "CASE WHEN substring_index(path_q, '?', 1) = '/' THEN '/'"
+        "     ELSE regexp_replace(substring_index(path_q, '?', 1),"
+        "                         '/$', '') END"
+    )
+    qry = F.expr(
+        "array_join(array_sort(filter(split("
+        "  CASE WHEN contains(path_q, '?')"
+        "       THEN substring_index(path_q, '?', -1) ELSE '' END, '&'),"
+        "  x -> x != '' AND x NOT LIKE 'utm_%')), '&')"
+    )
+    canon = d.select(
+        "doc_id",
+        F.concat(
+            F.col("scheme"),
+            F.lit("://"),
+            host,
+            port,
+            path,
+            F.when(qry != "", F.concat(F.lit("?"), qry)).otherwise(""),
+        ).alias("canonical_url"),
+    )
+    return canon.groupBy("canonical_url").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("doc_id").alias("keeper_doc_id"),
+    )

@@ -413,3 +413,118 @@ def x9_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("d").cast("long").alias("min_deg"),
         F.max("d").cast("long").alias("max_deg"),
     )
+
+
+# ----------------------------------------------------------------------
+# Label propagation (round 10): synchronous LPA community detection —
+# the third canonical iterative graph algorithm after connected
+# components (dedup tier) and PageRank
+# ----------------------------------------------------------------------
+#: synchronous LPA rounds (unrolled in the oracle; loop here)
+LPA_ROUNDS = 3
+
+
+def _lpa_oracle() -> str:
+    """``LPA_ROUNDS``-unrolled DuckDB twin: per round, each node adopts
+    its neighbors' most frequent label (ties → smallest label), picked
+    with a deterministic ROW_NUMBER over (cnt DESC, label)."""
+    rounds = []
+    for i in range(1, LPA_ROUNDS + 1):
+        rounds.append(
+            f""", lab{i} AS (
+      SELECT src AS node, label FROM (
+        SELECT e.src, l.label, COUNT(*) AS cnt,
+               ROW_NUMBER() OVER (PARTITION BY e.src
+                                  ORDER BY COUNT(*) DESC, l.label) AS rn
+        FROM edges e JOIN lab{i - 1} l ON e.dst = l.node
+        GROUP BY e.src, l.label
+      ) WHERE rn = 1
+    )"""
+        )
+    return f"""
+    WITH edges AS ({_edges_sql()}),
+    lab0 AS (SELECT DISTINCT src AS node, src AS label FROM edges)
+    {"".join(rounds)}
+    SELECT label AS community, COUNT(*) AS n_nodes,
+           CAST(SUM(CASE WHEN node < {SUPP_OFFSET} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_customers,
+           CAST(SUM(CASE WHEN node >= {SUPP_OFFSET} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_suppliers,
+           MIN(node) AS min_node
+    FROM lab{LPA_ROUNDS} GROUP BY label
+    """
+
+
+@query("x9_label_propagation", oracle=_lpa_oracle())
+def x9_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation community detection (LPA,
+    Raghavan et al. 2007) over the customer↔supplier trade graph:
+    every node starts as its own community and per round adopts the
+    most frequent label among its neighbors — ties broken to the
+    SMALLEST label so every round is engine-deterministic (classic
+    LPA breaks ties randomly; a reproducible data pipeline cannot).
+    After ``LPA_ROUNDS`` rounds the output is the community rollup
+    (size, customer/supplier split, min member). Reference scope: no
+    graph ops in the reference; §2.10 extension tier.
+
+    Scale shape — the textbook Pregel step as plain DataFrame ops,
+    sharing x9_pagerank's machinery: edges localCheckpoint once and
+    every round joins them against the |nodes|-row label vector
+    (broadcast under PR_BROADCAST_NODES — no edge shuffle; keyed
+    shuffle past it, the web-scale shape), then ONE partial-aggregated
+    (src,label) count exchange and a max_by(label, (cnt,-label))
+    argmax per src — the same struct-ordered engine-exact pick as the
+    oracle's ROW_NUMBER. Label vectors localCheckpoint per round
+    (truncated lineage, same ADVICE r6 #4 rationale as PageRank's
+    edge build)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    base = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + SUPP_OFFSET).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = base.unionAll(
+        base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    n = labels.count()  # |nodes| — bounded job over the materialized init
+    small = n <= PR_BROADCAST_NODES
+    for r in range(LPA_ROUNDS):
+        lv = labels.withColumnRenamed("node", "dst")
+        counts = (
+            edges.join(F.broadcast(lv) if small else lv, "dst")
+            .groupBy("src", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            counts.withColumn("neg", -F.col("label"))
+            .groupBy(F.col("src").alias("node"))
+            .agg(
+                F.max_by("label", F.struct("cnt", "neg")).alias("label")
+            )
+        )
+        if r < LPA_ROUNDS - 1:
+            # truncate lineage between rounds; the LAST round stays
+            # lazy so the returned plan exposes the per-round shape
+            # (broadcast label join + one partial-agg exchange) for
+            # the plan gate, and skips one |nodes|-row materialization
+            labels = labels.localCheckpoint(eager=True)
+    return labels.groupBy(F.col("label").alias("community")).agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum((F.col("node") < SUPP_OFFSET).cast("int"))
+        .cast("long")
+        .alias("n_customers"),
+        F.sum((F.col("node") >= SUPP_OFFSET).cast("int"))
+        .cast("long")
+        .alias("n_suppliers"),
+        F.min("node").alias("min_node"),
+    )
