@@ -156,6 +156,10 @@ HEADLINE = [
     "mm_pair_cosine_filter",
     "x1_url_dedup",
     "x9_label_propagation",
+    "w_compact_small_files",
+    "x9_kcore_peel",
+    "x8_k_anonymity",
+    "x9_jaccard_neighbors",
 ]
 
 

@@ -1674,3 +1674,78 @@ def test_label_propagation_round_shape(spark):
     assert "CartesianProduct" not in plan
     assert "Scan parquet" not in plan
     assert has_partial_aggregation(df)
+
+
+def test_kcore_peel_no_rescans(spark):
+    """k-core peeling: per-round edge snapshots are checkpointed, so
+    the returned 3-row cascade plan reads only checkpoint RDDs — zero
+    parquet rescans, no cartesian, partial-aggregated stats."""
+    from weather_data_pipeline_spark.plans.inspect import executed_plan
+
+    df = _Q["x9_kcore_peel"](spark, SF)
+    plan = executed_plan(df)
+    assert "Scan parquet" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Union" in plan
+    assert has_partial_aggregation(df)
+
+
+def test_k_anonymity_rollup_broadcast_plan(spark):
+    """k-anonymity audit: the rollup pass runs ONCE (checkpointed —
+    the returned plan must show exactly one customer scan and no
+    Expand recompute per level), the three level tables come back as
+    broadcast joins, and no |segments|-parallelism window or
+    sort-merge join appears."""
+    from weather_data_pipeline_spark.plans.inspect import executed_plan
+
+    df = _Q["x8_k_anonymity"](spark, SF)
+    plan = executed_plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "Expand" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert has_partial_aggregation(df)
+
+
+def test_jaccard_neighbors_capped_wedge_plan(spark):
+    """Neighborhood-Jaccard: the adjacency cap must rewrite to
+    WindowGroupLimit (per-task top-K before the supp exchange), the
+    wedge join stays equi-keyed (no cartesian/NLJ), degree joins come
+    back as broadcasts, and the final top-N is TakeOrderedAndProject,
+    never a global sort."""
+    from weather_data_pipeline_spark.plans.inspect import executed_plan
+
+    df = _Q["x9_jaccard_neighbors"](spark, SF)
+    plan = executed_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert has_partial_aggregation(df)
+
+
+def test_jaccard_neighbors_cap_is_window_group_limit(spark):
+    """The capped adjacency build itself (pre-checkpoint) must plan the
+    rank<=K filter as WindowGroupLimit — checked on the uncheckpointed
+    prefix since the checkpoint hides it from the result plan."""
+    from pyspark.sql import Window, functions as F
+    from weather_data_pipeline_spark.operators.graph import ADJ_K
+    from weather_data_pipeline_spark.plans.inspect import executed_plan
+    from weather_data_pipeline_spark.sources.testdata import load_table
+
+    orders = load_table(spark, SF, "orders")
+    li = load_table(spark, SF, "lineitem")
+    cs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(F.col("l_suppkey").alias("supp"), F.col("o_custkey").alias("cust"))
+        .agg(F.countDistinct("o_orderkey").alias("strength"))
+    )
+    w = Window.partitionBy("supp").orderBy(F.col("strength").desc(), "cust")
+    capped = (
+        cs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= ADJ_K)
+        .select("supp", "cust")
+    )
+    assert "WindowGroupLimit" in executed_plan(capped)

@@ -46,6 +46,24 @@ MULTI_JOB = {
     "x7_interval_overlap_sweep": "endpoint aggregate + calendar cumulative "
     "window localCheckpoint as a prior bounded job (≤ span-days rows); "
     "both broadcast lookups read the one ExistingRDD",
+    "x4_bpe_merge_train": "word-count + per-round pair-count/argmax rounds "
+    "run as prior jobs (one (l,r,cnt) row to the driver per round); the "
+    "result plan unions the checkpointed per-round merge rows",
+    "x9_label_propagation": "edge build + per-round label vectors "
+    "localCheckpoint as prior jobs; the plan shows the LAST (lazy) "
+    "Pregel round over ExistingRDD scans",
+    "x9_kcore_peel": "edge build + per-round peeled snapshots "
+    "localCheckpoint as prior jobs; the plan unions the three 1-row "
+    "cascade aggregates over ExistingRDD scans",
+    "x9_jaccard_neighbors": "capped adjacency localCheckpoints as a prior "
+    "job (feeds degrees + both wedge sides); the |nodes| pre-flight "
+    "count is a bounded job",
+    "x8_k_anonymity": "the one rollup pass localCheckpoints as a prior "
+    "job (|groups|-bounded); the plan shows the three level tables as "
+    "broadcast ExistingRDD scans onto the single row scan",
+    "w_compact_small_files": "the staging and compaction writes run as "
+    "prior jobs; the plan aggregates the re-read compacted copy joined "
+    "to the O(#partitions) disk-listing frame",
 }
 
 #: Scale-suite-only queries too heavy for the bench loop whose plan is

@@ -212,6 +212,12 @@ QUERIES = [
     "x4_domain_rollup",
     "x8_domain_caps",
     "mm_pair_cosine_filter",
+    "x1_url_dedup",
+    "x9_label_propagation",
+    "w_compact_small_files",
+    "x9_kcore_peel",
+    "x8_k_anonymity",
+    "x9_jaccard_neighbors",
 ]
 
 #: Viral boilerplate for the skew replica: untagged (shared verbatim

@@ -22,7 +22,7 @@ Reference parity: no graph ops in the reference (440-line pandas ETL);
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -528,3 +528,239 @@ def x9_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_suppliers"),
         F.min("node").alias("min_node"),
     )
+
+
+# ----------------------------------------------------------------------
+# k-core peeling (round 10): the graph-sparsification kernel — iterative
+# degree-threshold peeling with the removal CASCADE made visible
+# ----------------------------------------------------------------------
+#: peel threshold (chosen so the cascade is non-trivial on the trade
+#: graph: degrees are ~sf-invariant — per-customer distinct suppliers
+#: and per-supplier customer fan-in are ratios of the TPC-H generators,
+#: not totals — so the same K cascades at every sf)
+KCORE_K = 48
+#: peel rounds (unrolled in the oracle; loop here)
+KCORE_ROUNDS = 3
+
+
+def _kcore_oracle() -> str:
+    """``KCORE_ROUNDS``-unrolled DuckDB twin: per round, keep nodes
+    with surviving degree >= K, then keep edges with BOTH endpoints
+    kept; emit one stats row per round."""
+    ctes, stats = [], []
+    prev = "e0"
+    for i in range(1, KCORE_ROUNDS + 1):
+        ctes.append(
+            f""", k{i} AS (
+      SELECT src FROM (SELECT src, COUNT(*) AS d FROM {prev} GROUP BY src)
+      WHERE d >= {KCORE_K}
+    ), e{i} AS (
+      SELECT t.src, t.dst FROM {prev} t
+      JOIN k{i} a ON t.src = a.src JOIN k{i} b ON t.dst = b.src
+    )"""
+        )
+        stats.append(
+            f"""SELECT {i} AS round,
+           CAST(COUNT(DISTINCT src) AS BIGINT) AS n_nodes,
+           CAST(COUNT(DISTINCT CASE WHEN src < {SUPP_OFFSET} THEN src END)
+                AS BIGINT) AS n_customers,
+           CAST(COUNT(DISTINCT CASE WHEN src >= {SUPP_OFFSET} THEN src END)
+                AS BIGINT) AS n_suppliers,
+           CAST(COUNT(*) AS BIGINT) AS n_edges
+    FROM e{i}"""
+        )
+        prev = f"e{i}"
+    return (
+        f"WITH e0 AS ({_edges_sql()}){''.join(ctes)}\n    "
+        + "\n    UNION ALL ".join(stats)
+    )
+
+
+@query("x9_kcore_peel", oracle=_kcore_oracle())
+def x9_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling over the customer↔supplier trade graph: per round
+    drop every node whose surviving degree is below ``KCORE_K``, then
+    drop edges that lost an endpoint — the standard sparsification /
+    community-seed kernel (Batagelj-Zaversnik), here with the removal
+    CASCADE itself as the output (one stats row per round: surviving
+    nodes by type + edges), because on a bipartite trade graph the
+    interesting signal IS the cascade — customers peel first, supplier
+    degrees collapse, and at K=48 the graph empties by round 3 at
+    sf0.01 while K=46 fixpoints after one round. Node counts are
+    nodes-with-surviving-edges (COUNT DISTINCT src on the symmetric
+    edge list), identical on both engines. Reference scope: no graph
+    ops in the reference; §2.10 extension tier.
+
+    Scale shape — same Pregel discipline as x9_label_propagation: the
+    edge list localCheckpoints once and per round is filtered by TWO
+    semi-joins against the |nodes|-bounded keep set (broadcast under
+    PR_BROADCAST_NODES; keyed-shuffle fallback past it), then
+    checkpointed so the next round's degree count reads the shrunken
+    list, never the lineage. Per-round stats are 1-row aggregates
+    UNIONed lazily — nothing data-sized reaches the driver."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    base = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + SUPP_OFFSET).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = base.unionAll(
+        base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    n = edges.select("src").distinct().count()  # bounded pre-flight job
+    small = n <= PR_BROADCAST_NODES
+    rounds = []
+    for i in range(1, KCORE_ROUNDS + 1):
+        keep = (
+            edges.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= KCORE_K)
+            .select("src")
+        )
+        keep = F.broadcast(keep) if small else keep
+        edges = (
+            edges.join(keep, "src", "semi")
+            .join(keep.withColumnRenamed("src", "dst"), "dst", "semi")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+        rounds.append(
+            edges.agg(
+                F.lit(i).alias("round"),
+                F.countDistinct("src").alias("n_nodes"),
+                F.countDistinct(
+                    F.when(F.col("src") < SUPP_OFFSET, F.col("src"))
+                ).alias("n_customers"),
+                F.countDistinct(
+                    F.when(F.col("src") >= SUPP_OFFSET, F.col("src"))
+                ).alias("n_suppliers"),
+                F.count(F.lit(1)).alias("n_edges"),
+            )
+        )
+    out = rounds[0]
+    for r in rounds[1:]:
+        out = out.unionAll(r)
+    return out
+
+
+# ----------------------------------------------------------------------
+# Neighborhood-Jaccard node similarity (round 10): the link-prediction
+# primitive — which customers trade with the same suppliers?
+# ----------------------------------------------------------------------
+#: per-supplier adjacency cap: keep the K strongest customer links
+#: (order-count DESC, custkey tiebreak) before the wedge join, so pair
+#: volume is ≤ |suppliers|·K²/2 — LINEAR in suppliers at any corpus
+#: size — instead of Σ deg², which on a trade graph (supplier degree
+#: ~450 at every sf, a generator ratio) is quadratic blowup. Same
+#: rationale as EDGE_K on x9_triangle_count.
+ADJ_K = 30
+#: emitted pairs (TakeOrderedAndProject, never a global sort)
+JACC_TOPN = 100
+
+
+@query(
+    "x9_jaccard_neighbors",
+    oracle=f"""
+    WITH cs AS (
+      SELECT l_suppkey AS supp, o_custkey AS cust,
+             COUNT(DISTINCT o_orderkey) AS strength
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY 1, 2
+    ), capped AS (
+      SELECT supp, cust FROM (
+        SELECT supp, cust,
+               ROW_NUMBER() OVER (PARTITION BY supp
+                                  ORDER BY strength DESC, cust) AS rn
+        FROM cs
+      ) WHERE rn <= {ADJ_K}
+    ), deg AS (
+      SELECT cust, COUNT(*) AS d FROM capped GROUP BY cust
+    ), pairs AS (
+      SELECT a.cust AS c1, b.cust AS c2, COUNT(*) AS inter
+      FROM capped a JOIN capped b
+        ON a.supp = b.supp AND a.cust < b.cust
+      GROUP BY 1, 2
+    )
+    SELECT c1, c2, CAST(inter AS BIGINT) AS inter,
+           CAST(d1.d + d2.d - inter AS BIGINT) AS union_size,
+           CAST(inter * 1000000 // (d1.d + d2.d - inter) AS BIGINT)
+             AS jacc_ppm
+    FROM pairs JOIN deg d1 ON pairs.c1 = d1.cust
+               JOIN deg d2 ON pairs.c2 = d2.cust
+    ORDER BY jacc_ppm DESC, c1, c2 LIMIT {JACC_TOPN}
+    """,
+)
+def x9_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood-Jaccard customer similarity — the link-prediction /
+    recommendation primitive (who trades with the same suppliers?):
+    J(c1,c2) = |S(c1)∩S(c2)| / |S(c1)∪S(c2)| over CAPPED supplier
+    adjacency lists (top-``ADJ_K`` customers per supplier by
+    shared-order strength, custkey tiebreak — see ADJ_K for why the
+    cap, not the raw lists, is the only shape that survives scale),
+    emitted as the top-``JACC_TOPN`` pairs in integer ppm with full
+    deterministic ordering. Degrees are memberships in the SAME capped
+    lists, so ∩/∪ are consistent and the score is exact for the capped
+    graph — the documented sketch-variant semantics, like
+    x9_triangle_count's support-capped graph. Reference scope: no
+    graph ops in the reference; §2.10 extension tier.
+
+    Scale shape: strength build is one partial-aggregated (supp,cust)
+    exchange; the cap rewrites to WindowGroupLimit (per-task top-K
+    heap BEFORE the supp exchange); the wedge self-join is equi-keyed
+    on supp over lists bounded at K rows each (pair volume
+    |suppliers|·K²/2, linear in suppliers); the |customers|-row degree
+    table broadcasts back under PR_BROADCAST_NODES (keyed fallback
+    past it); the final top-N is TakeOrderedAndProject. Plan-gated:
+    WindowGroupLimit present, no cartesian, TakeOrdered result."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(
+            F.col("l_suppkey").alias("supp"),
+            F.col("o_custkey").alias("cust"),
+        )
+        .agg(F.countDistinct("o_orderkey").alias("strength"))
+    )
+    w = Window.partitionBy("supp").orderBy(F.col("strength").desc(), "cust")
+    capped = (
+        cs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= ADJ_K)
+        .select("supp", "cust")
+        .localCheckpoint(eager=True)  # feeds deg + BOTH wedge sides
+    )
+    deg = capped.groupBy("cust").agg(F.count(F.lit(1)).alias("d"))
+    n = capped.select("cust").distinct().count()  # bounded pre-flight
+    small = n <= PR_BROADCAST_NODES
+    b = capped.select(F.col("supp"), F.col("cust").alias("c2"))
+    pairs = (
+        capped.select("supp", F.col("cust").alias("c1"))
+        .join(b, "supp")
+        .filter(F.col("c1") < F.col("c2"))
+        .groupBy("c1", "c2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    d1 = deg.select(F.col("cust").alias("c1"), F.col("d").alias("dd1"))
+    d2 = deg.select(F.col("cust").alias("c2"), F.col("d").alias("dd2"))
+    scored = (
+        pairs.join(F.broadcast(d1) if small else d1, "c1")
+        .join(F.broadcast(d2) if small else d2, "c2")
+        .select(
+            "c1",
+            "c2",
+            F.col("inter").cast("long").alias("inter"),
+            (F.col("dd1") + F.col("dd2") - F.col("inter"))
+            .cast("long")
+            .alias("union_size"),
+            F.expr("inter * 1000000 DIV (dd1 + dd2 - inter)")
+            .cast("long")
+            .alias("jacc_ppm"),
+        )
+    )
+    return scored.orderBy(
+        F.col("jacc_ppm").desc(), "c1", "c2"
+    ).limit(JACC_TOPN)

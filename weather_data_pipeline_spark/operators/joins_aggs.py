@@ -1417,3 +1417,120 @@ def ext_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         crow("lineitem_quantity_positive", "lineitem", F.col("v")),
     )
     return o_rows.unionByName(ev_rows).unionByName(li_rows)
+
+
+# ----------------------------------------------------------------------
+# k-anonymity generalization audit (round 10): the privacy-tier
+# companion to ext_dq_audit and x4_pii_redact
+# ----------------------------------------------------------------------
+#: minimum group size a quasi-identifier combination must reach
+ANON_K = 5
+
+
+@query(
+    "x8_k_anonymity",
+    oracle=f"""
+    WITH qi AS (
+      SELECT c_mktsegment AS seg, c_nationkey AS nat,
+             CAST(FLOOR(CAST(c_acctbal AS DOUBLE) / 1000) AS BIGINT)
+               AS bal_bucket
+      FROM customer
+    ), sized AS (
+      SELECT seg, nat, bal_bucket,
+             COUNT(*) OVER (PARTITION BY seg, nat, bal_bucket) AS g0,
+             COUNT(*) OVER (PARTITION BY seg, nat) AS g1,
+             COUNT(*) OVER (PARTITION BY seg) AS g2
+      FROM qi
+    ), assigned AS (
+      SELECT CASE WHEN g0 >= {ANON_K} THEN 0
+                  WHEN g1 >= {ANON_K} THEN 1
+                  WHEN g2 >= {ANON_K} THEN 2 ELSE 3 END AS anon_level,
+             CASE WHEN g0 >= {ANON_K}
+                    THEN concat(seg, '|', nat, '|', bal_bucket)
+                  WHEN g1 >= {ANON_K} THEN concat(seg, '|', nat)
+                  WHEN g2 >= {ANON_K} THEN seg ELSE '*' END AS gen_key
+      FROM sized
+    )
+    SELECT anon_level, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT gen_key) AS BIGINT) AS n_groups
+    FROM assigned GROUP BY anon_level
+    """,
+)
+def x8_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity minimal-generalization audit over the customer
+    table: quasi-identifiers (mktsegment, nationkey, acctbal//1000)
+    form a 3-step generalization ladder — full QI triple, drop the
+    balance bucket, drop nation too — and every row is assigned the
+    LEAST general level whose group reaches ``ANON_K`` members (level
+    3 = would need suppression). Output: rows and distinct generalized
+    groups per level — the release-readiness report a curation
+    pipeline runs before publishing user-adjacent tables (Sweeney
+    2002; the one-pass audit, not the NP-hard optimal recoding).
+    Level-1/2 assigned-subgroup sizes can legitimately dip below K
+    (only sub-K level-0 leftovers land there) — that re-check is the
+    iterative full algorithm; this rung is the profiling pass that
+    feeds it. The balance bucket floors an exact-decimal-to-double
+    division identically on both engines. Reference scope: no privacy
+    ops in the reference; §2.10 curation extension tier.
+
+    Scale shape: ONE rollup aggregate computes all three ladder-level
+    group sizes in a single scan + one partial-aggregated exchange
+    keyed on the FULL triple (never the 5-value segment key — a
+    segment-keyed window plan caps parallelism at |segments| at 100
+    TB), the |groups|-bounded result localCheckpoints once so the
+    three grouping_id level filters read the materialization rather
+    than re-running the scan+Expand subtree per level, and each level
+    table broadcasts back onto the row scan (3 broadcast joins, no
+    row-sized shuffle; plan-gated 1 scan). Synthetic QIs are
+    never NULL, so rollup's NULL-as-subtotal encoding is unambiguous;
+    a NULLable deployment would first coalesce to sentinel values."""
+    cust = load_table(spark, sf_dir, "customer")
+    qi = cust.select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_nationkey").alias("nat"),
+        F.floor(F.col("c_acctbal").cast("double") / 1000)
+        .cast("long")
+        .alias("bal_bucket"),
+    )
+    # |groups|-bounded (≤ |seg|·|nat|·|buckets| rows) — materialize the
+    # ONE rollup pass so the three level filters below read it instead
+    # of re-running the scan+Expand subtree per level (the ext_dq_audit
+    # triple-scan anti-pattern, measured 4 scans/3 Expands lazy)
+    sizes = (
+        qi.rollup("seg", "nat", "bal_bucket")
+        .agg(F.count(F.lit(1)).alias("g"), F.grouping_id().alias("gid"))
+        .localCheckpoint(eager=True)
+    )
+    g0 = sizes.filter(F.col("gid") == 0).select(
+        "seg", "nat", "bal_bucket", F.col("g").alias("g0")
+    )
+    g1 = sizes.filter(F.col("gid") == 1).select(
+        "seg", "nat", F.col("g").alias("g1")
+    )
+    g2 = sizes.filter(F.col("gid") == 3).select(
+        "seg", F.col("g").alias("g2")
+    )
+    assigned = (
+        qi.join(F.broadcast(g0), ["seg", "nat", "bal_bucket"])
+        .join(F.broadcast(g1), ["seg", "nat"])
+        .join(F.broadcast(g2), ["seg"])
+        .select(
+            F.when(F.col("g0") >= ANON_K, 0)
+            .when(F.col("g1") >= ANON_K, 1)
+            .when(F.col("g2") >= ANON_K, 2)
+            .otherwise(3)
+            .alias("anon_level"),
+            F.when(
+                F.col("g0") >= ANON_K,
+                F.concat_ws("|", "seg", "nat", "bal_bucket"),
+            )
+            .when(F.col("g1") >= ANON_K, F.concat_ws("|", "seg", "nat"))
+            .when(F.col("g2") >= ANON_K, F.col("seg"))
+            .otherwise(F.lit("*"))
+            .alias("gen_key"),
+        )
+    )
+    return assigned.groupBy("anon_level").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("gen_key").alias("n_groups"),
+    )

@@ -264,3 +264,139 @@ def w_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("total_value"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+# ----------------------------------------------------------------------
+# Small-file compaction (round 10): the operational layout op every
+# streaming-ingested 100 TB lake runs nightly
+# ----------------------------------------------------------------------
+#: staged fragmentation: one file per (date, event_id % BUCKETS)
+COMPACT_STAGE_BUCKETS = 7
+#: compaction target: writer rolls a new file every R records
+COMPACT_MAX_RECORDS = 500
+
+
+@query(
+    "w_compact_small_files",
+    oracle=f"""
+    WITH ev AS (
+      SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS event_date,
+             event_id, value
+      FROM events
+    )
+    SELECT event_date,
+           COUNT(*) AS n_rows,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS total_value,
+           CAST(COUNT(DISTINCT event_id % {COMPACT_STAGE_BUCKETS})
+                AS BIGINT) AS n_files_before,
+           CAST((COUNT(*) + {COMPACT_MAX_RECORDS} - 1)
+                // {COMPACT_MAX_RECORDS} AS BIGINT) AS n_files_after
+    FROM ev GROUP BY event_date
+    """,
+)
+def w_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the nightly layout job of every
+    streaming-ingested lake (micro-batches leave O(batches × keys)
+    tiny files; scan throughput at 100 TB dies on file-open overhead
+    and footer reads long before bytes): the events table is staged
+    into a deliberately fragmented two-level layout (one parquet file
+    per (event_date, event_id % {COMPACT_STAGE_BUCKETS}) — a
+    `repartition` on the full key set puts each key in exactly one
+    task, so the file count per date is the SQL-predictable distinct
+    bucket count), then compacted to one task per date with the writer
+    rolling at ``COMPACT_MAX_RECORDS`` records — so the compacted
+    count is exactly ceil(rows/R). BOTH file counts in the result are
+    LISTED FROM DISK, not computed — the oracle's arithmetic twin
+    only matches if the physical layout actually is what the plan
+    promises — and the row/value aggregates re-read the COMPACTED
+    copy, proving content and types survive the rewrite. Reference
+    scope: no analog (the reference writes one parquet per run,
+    weather_etl.py:92-106); operational extension tier next to
+    w_orc_roundtrip.
+
+    Scale shape: both rewrites are single-exchange repartitions keyed
+    on the output partitioning (never a coalesce(1) — one task per
+    DATE, dates parallelize); the disk listing is O(#partition dirs)
+    driver metadata, exactly what a real compaction planner reads from
+    the table manifest. At 100 TB the same job runs per-partition
+    (WHERE event_date = ...) under a catalog transaction; nothing here
+    is full-table-bound except the synthetic staging."""
+    import os
+
+    from ..sources.testdata import load_table
+    from ..streaming.jobs import SCRATCH
+
+    slug = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    frag = os.path.join(SCRATCH, f"compact_stage_{slug}")
+    compacted = os.path.join(SCRATCH, f"compact_out_{slug}")
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.to_date("ts").alias("event_date"),
+            "event_id",
+            "user_id",
+            "event_type",
+            "ts",
+            "value",
+        )
+        .withColumn(
+            "bucket", F.pmod("event_id", F.lit(COMPACT_STAGE_BUCKETS))
+        )
+    )
+    (
+        ev.repartition("event_date", "bucket")
+        .write.mode("overwrite")
+        .partitionBy("event_date", "bucket")
+        .parquet(frag)
+    )
+    (
+        spark.read.parquet(frag)
+        .drop("bucket")
+        .repartition("event_date")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", COMPACT_MAX_RECORDS)
+        .partitionBy("event_date")
+        .parquet(compacted)
+    )
+
+    def _files_per_date(root: str) -> dict[str, int]:
+        out: dict[str, int] = {}
+        for dirpath, _dirs, files in os.walk(root):
+            n = sum(1 for f in files if f.endswith(".parquet"))
+            if not n:
+                continue
+            for part in dirpath.split(os.sep):
+                if part.startswith("event_date="):
+                    d = part.split("=", 1)[1]
+                    out[d] = out.get(d, 0) + n
+        return out
+
+    before = _files_per_date(frag)
+    after = _files_per_date(compacted)
+    listing = spark.createDataFrame(
+        [
+            (d, before.get(d, 0), after.get(d, 0))
+            for d in sorted(set(before) | set(after))
+        ],
+        "event_date string, n_files_before long, n_files_after long",
+    ).select(
+        F.col("event_date").cast("date").alias("event_date"),
+        "n_files_before",
+        "n_files_after",
+    )
+    agg = (
+        spark.read.parquet(compacted)
+        .groupBy(F.col("event_date").cast("date").alias("event_date"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"),
+                2,
+            ).alias("total_value"),
+        )
+    )
+    return agg.join(F.broadcast(listing), "event_date").select(
+        "event_date", "n_rows", "total_value", "n_files_before", "n_files_after"
+    )

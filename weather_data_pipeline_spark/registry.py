@@ -253,7 +253,20 @@ _R8_WINDOW_ROTATED_OUT: tuple[str, ...] = (
 #: stays empty. (Freshness, as opposed to coverage, rotates separately:
 #: the 8 r4-checked rows named in the window comment above head the
 #: r11 staleness rotation.)
-_R10_QUEUE: set[str] = set()
+#: Round-10 late additions: landed AFTER the r10 driver window was
+#: locked to the VERDICT r9 ask-#1 staleness rotation (displacing six
+#: stale slots would undo that ask), so they head the r11 rotation
+#: together with the 8 remaining r4 rows noted on _PRIORITY. Each was
+#: hash-checked against its DuckDB oracle by the in-session
+#: parity/verify sweeps the round it landed.
+_R10_QUEUE: set[str] = {
+    "x1_url_dedup",
+    "x9_label_propagation",
+    "x9_kcore_peel",
+    "x9_jaccard_neighbors",
+    "x8_k_anonymity",
+    "w_compact_small_files",
+}
 
 
 def _prioritized(d: dict[str, object]) -> dict[str, object]:
