@@ -160,6 +160,7 @@ HEADLINE = [
     "x9_kcore_peel",
     "x8_k_anonymity",
     "x9_jaccard_neighbors",
+    "mm_scene_cuts",
 ]
 
 

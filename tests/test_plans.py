@@ -1749,3 +1749,49 @@ def test_jaccard_neighbors_cap_is_window_group_limit(spark):
         .select("supp", "cust")
     )
     assert "WindowGroupLimit" in executed_plan(capped)
+
+
+def test_scene_cuts_zero_exchanges(spark):
+    """Scene-cut detection is one Arrow-batched mapInPandas pass: zero
+    exchanges, exactly one Python stage, one pruned scan."""
+    from weather_data_pipeline_spark.plans.inspect import executed_plan
+
+    df = _Q["mm_scene_cuts"](spark, SF)
+    plan = executed_plan(df)
+    assert "Exchange" not in plan
+    assert plan.count("MapInPandas") == 1
+    assert plan.count("Scan parquet") == 1
+
+
+def test_compacted_layout_partition_prunes(spark):
+    """The compaction rung's output layout must actually serve the
+    queries compaction exists for: a date-filtered read of the
+    compacted copy shows PartitionFilters on event_date and scans ONE
+    date's files, not the table."""
+    import os
+
+    from weather_data_pipeline_spark.operators.weather_queries import (
+        w_compact_small_files,
+    )
+    from weather_data_pipeline_spark.plans.inspect import executed_plan
+    from weather_data_pipeline_spark.streaming.jobs import SCRATCH
+    from pyspark.sql import functions as F
+
+    w_compact_small_files(spark, SF).collect()  # materialize the layout
+    slug = os.path.basename(os.path.normpath(SF))
+    compacted = os.path.join(SCRATCH, f"compact_out_{slug}")
+    dates = sorted(
+        p.split("=", 1)[1]
+        for p in os.listdir(compacted)
+        if p.startswith("event_date=")
+    )
+    assert len(dates) > 1
+    df = spark.read.parquet(compacted).filter(
+        F.col("event_date") == dates[0]
+    )
+    plan = executed_plan(df)
+    assert "PartitionFilters" in plan and "event_date" in plan
+    # pruned scan reads exactly the one partition's rows
+    one = df.count()
+    total = spark.read.parquet(compacted).count()
+    assert 0 < one < total

@@ -218,6 +218,7 @@ QUERIES = [
     "x9_kcore_peel",
     "x8_k_anonymity",
     "x9_jaccard_neighbors",
+    "mm_scene_cuts",
 ]
 
 #: Viral boilerplate for the skew replica: untagged (shared verbatim

@@ -588,7 +588,8 @@ def x9_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     degrees collapse, and at K=48 the graph empties by round 3 at
     sf0.01 while K=46 fixpoints after one round. Node counts are
     nodes-with-surviving-edges (COUNT DISTINCT src on the symmetric
-    edge list), identical on both engines. Reference scope: no graph
+    edge list) and n_edges counts DIRECTED rows of that symmetric list
+    (2× the undirected count), identical on both engines. Reference scope: no graph
     ops in the reference; §2.10 extension tier.
 
     Scale shape — same Pregel discipline as x9_label_propagation: the

@@ -52,7 +52,13 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode them anyway); meta carries the typed per-media fields every
     real pipeline tracks.
     """
-    doc = load_table(spark, sf_dir, "documents")
+    return media_frame(load_table(spark, sf_dir, "documents"))
+
+
+def media_frame(doc: DataFrame) -> DataFrame:
+    """The media synth as a frame-level transform (pure per-row
+    expressions), so the streaming ingest twin applies the identical
+    payload construction to a documents STREAM per micro-batch."""
     mt = F.element_at(
         F.array(*[F.lit(m) for m in _MEDIA_TYPES]),
         (F.col("doc_id") % 3 + 1).cast("int"),
@@ -1041,4 +1047,131 @@ def mm_pair_cosine_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(
             F.col("pair_cos").between(MM_PAIR_COS_MIN, MM_PAIR_COS_MAX)
         )
+    )
+
+
+# ----------------------------------------------------------------------
+# Scene-cut detection (round 10): the video-curation segmentation
+# primitive — frame-diff energy over the opaque payload
+# ----------------------------------------------------------------------
+#: bytes per analysis frame (the "pixels" of one synthetic frame)
+SCENE_FRAME = 16
+#: L1 inter-frame difference above which a frame starts a new scene
+#: (payload bytes are ASCII text here, per-position |Δ| ~30 → frame
+#: diffs center a few hundred; 600 splits the distribution so both
+#: cut and non-cut transitions occur)
+SCENE_THRESH = 600
+
+_SCENE_SCHEMA = (
+    "doc_id long, n_frames long, n_cuts long, max_diff long, "
+    "first_cut_frame long"
+)
+
+
+def _scene_cut_batches(it: Iterator) -> Iterator:
+    """mapInPandas worker: payload bytes after the 4-byte ftyp magic,
+    windowed into complete ``SCENE_FRAME``-byte frames; inter-frame L1
+    difference (Σ|b_j − b_{j−1}| over aligned positions, integer-exact)
+    marks a cut where it exceeds ``SCENE_THRESH``. Docs with zero
+    complete frames emit no row (the oracle's generate_series(1,0)
+    convention shared with mm_audio_energy)."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in it:
+        out = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            arr = np.frombuffer(bytes(payload), dtype=np.uint8)[4:]
+            nf = arr.size // SCENE_FRAME
+            if nf == 0:
+                continue
+            fr = (
+                arr[: nf * SCENE_FRAME]
+                .reshape(nf, SCENE_FRAME)
+                .astype(np.int64)
+            )
+            if nf > 1:
+                d = np.abs(np.diff(fr, axis=0)).sum(axis=1)
+                cuts = d > SCENE_THRESH
+                n_cuts = int(cuts.sum())
+                max_diff = int(d.max())
+                first = int(np.argmax(cuts)) + 1 if n_cuts else -1
+            else:
+                n_cuts, max_diff, first = 0, 0, -1
+            out.append((int(doc_id), nf, n_cuts, max_diff, first))
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "doc_id",
+                "n_frames",
+                "n_cuts",
+                "max_diff",
+                "first_cut_frame",
+            ],
+        )
+
+
+_SCENE_ORACLE = f"""
+    WITH v AS (
+      SELECT doc_id, hex(encode(text)) AS hx
+      FROM documents WHERE doc_id % 3 = 2
+    ), b AS (
+      SELECT doc_id,
+             CAST((i - 1) // {SCENE_FRAME} AS BIGINT) AS frame,
+             CAST((i - 1) % {SCENE_FRAME} AS BIGINT) AS pos,
+             (strpos('0123456789ABCDEF', substr(hx, 2 * i - 1, 1)) - 1) * 16
+             + (strpos('0123456789ABCDEF', substr(hx, 2 * i, 1)) - 1) AS byte
+      FROM v, UNNEST(generate_series(
+        1, (length(hx) // 2 // {SCENE_FRAME}) * {SCENE_FRAME})) t(i)
+    ), nf AS (
+      SELECT doc_id, CAST(COUNT(DISTINCT frame) AS BIGINT) AS n_frames
+      FROM b GROUP BY doc_id
+    ), d AS (
+      SELECT b2.doc_id, b2.frame, SUM(ABS(b2.byte - b1.byte)) AS diff
+      FROM b b2 JOIN b b1
+        ON b1.doc_id = b2.doc_id AND b1.frame = b2.frame - 1
+       AND b1.pos = b2.pos
+      GROUP BY b2.doc_id, b2.frame
+    ), agg AS (
+      SELECT doc_id,
+             SUM(CASE WHEN diff > {SCENE_THRESH} THEN 1 ELSE 0 END)
+               AS n_cuts,
+             MAX(diff) AS max_diff,
+             MIN(CASE WHEN diff > {SCENE_THRESH} THEN frame END)
+               AS first_cut
+      FROM d GROUP BY doc_id
+    )
+    SELECT nf.doc_id, nf.n_frames,
+           CAST(COALESCE(agg.n_cuts, 0) AS BIGINT) AS n_cuts,
+           CAST(COALESCE(agg.max_diff, 0) AS BIGINT) AS max_diff,
+           CAST(COALESCE(agg.first_cut, -1) AS BIGINT) AS first_cut_frame
+    FROM nf LEFT JOIN agg ON nf.doc_id = agg.doc_id
+    """
+
+
+@query("mm_scene_cuts", oracle=_SCENE_ORACLE)
+def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over the opaque video payload — the
+    segmentation primitive of every video-curation pipeline (shot
+    boundaries gate frame sampling, caption alignment, and clip-level
+    dedup): window the byte stream after the ftyp magic into complete
+    ``SCENE_FRAME``-byte frames, compute consecutive-frame L1
+    difference (integer-exact), and report per clip the frame count,
+    cuts above ``SCENE_THRESH``, the sharpest transition, and the first
+    cut's frame index (−1 when none). The corpus has no true video, so
+    payload bytes play the frame role — a real pipeline swaps ONLY the
+    kernel's ``frombuffer`` line for a codec's luma planes (schema,
+    batching, Arrow transfer, and plan shape are the production ones;
+    same stub discipline as mm_audio_energy). The oracle recomputes
+    the identical byte arithmetic from the source text via
+    hex(encode(...)). Reference scope: no media ops in the reference;
+    multimodal extension tier.
+
+    Scale shape: ZERO shuffles — one Arrow-batched mapInPandas pass,
+    the frame explode the oracle needs never materializes (np.diff
+    over the reshaped window matrix inside the kernel), one row out
+    per clip. Embarrassingly parallel at any corpus size."""
+    m = media_table(spark, sf_dir)
+    return m.filter(F.col("media_type") == "video/mp4").mapInPandas(
+        _scene_cut_batches, schema=_SCENE_SCHEMA
     )

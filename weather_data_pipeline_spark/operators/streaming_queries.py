@@ -478,3 +478,22 @@ def s_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "view_id",
         F.col("v_ts").cast("timestamp_ntz").alias("v_ts"),
     )
+
+
+from .multimodal import _SCENE_ORACLE  # noqa: E402
+
+
+@query("s_scene_cuts_stream", oracle=_SCENE_ORACLE)
+def s_scene_cuts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``mm_scene_cuts`` — shot-boundary detection as
+    the first ingest stage of a video pipeline, and the multimodal
+    tier's first CONNECTOR-level twin: the media payload synth and the
+    Arrow frame-diff kernel are both stateless per-row/per-batch
+    transforms, applied per micro-batch with no watermark or state.
+    Oracle = the batch rung's oracle verbatim (the kernel is a pure
+    per-clip function, so the drained sink equals the batch scan
+    exactly — stream-batch parity on frame counts, cut counts, and
+    first-cut indices)."""
+    sink = f"s_scenes_{uuid.uuid4().hex[:8]}"
+    jobs.streaming_scene_cuts(jobs.stream_documents(spark, sf_dir), sink)
+    return spark.table(sink)

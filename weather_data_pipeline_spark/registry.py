@@ -266,6 +266,8 @@ _R10_QUEUE: set[str] = {
     "x9_jaccard_neighbors",
     "x8_k_anonymity",
     "w_compact_small_files",
+    "mm_scene_cuts",
+    "s_scene_cuts_stream",
 }
 
 

@@ -643,3 +643,32 @@ def streaming_html_extract(source: DataFrame, sink_table: str) -> None:
         .outputMode("append"),
         f"htmlx-{sink_table}",
     )
+
+
+def streaming_scene_cuts(source: DataFrame, sink_table: str) -> None:
+    """Scene-cut detection at INGEST time — the stream twin of
+    ``mm_scene_cuts`` and the multimodal tier's first connector-level
+    twin: the media synth is pure per-row expressions
+    (``operators.multimodal.media_frame``) and the frame-diff kernel is
+    a stateless Arrow ``mapInPandas`` pass, so both drop into the
+    micro-batch plan unchanged — no watermark, no state store. A video
+    pipeline segments clips before storing them (cuts gate frame
+    sampling and clip dedup), so the drained sink must equal the batch
+    scan row-for-row (stream-batch parity on the full kernel)."""
+    from ..operators.multimodal import (
+        _SCENE_SCHEMA,
+        _scene_cut_batches,
+        media_frame,
+    )
+
+    cuts = (
+        media_frame(source)
+        .filter(F.col("media_type") == "video/mp4")
+        .mapInPandas(_scene_cut_batches, schema=_SCENE_SCHEMA)
+    )
+    run_to_completion(
+        cuts.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("append"),
+        f"scenecuts-{sink_table}",
+    )
