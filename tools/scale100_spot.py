@@ -50,6 +50,13 @@ SPOT_CEILINGS = {
     # measured linear slope and far below any quadratic signature
     "x2_containment_capped": 22.0,
     "x2_ngram_jaccard_capped": 32.0,
+    # round-10 bounded rungs: single-exchange scan-bound dedup key
+    # build, |groups|-bounded rollup audit, zero-exchange Arrow kernel,
+    # |domains|-bounded rollup — all designed read-bandwidth-or-flatter
+    "x1_url_dedup": 6.0,
+    "x8_k_anonymity": 8.0,
+    "mm_scene_cuts": 9.0,
+    "x4_domain_rollup": 6.0,
 }
 
 SPOT = list(SPOT_CEILINGS)
