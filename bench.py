@@ -161,6 +161,7 @@ HEADLINE = [
     "x8_k_anonymity",
     "x9_jaccard_neighbors",
     "mm_scene_cuts",
+    "x2_minhash_band_tuning",
 ]
 
 

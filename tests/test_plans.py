@@ -1657,6 +1657,9 @@ def test_url_dedup_single_scan_one_exchange(spark):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "InPandas" not in plan and "BatchEvalPython" not in plan
     assert has_partial_aggregation(df)
+    # column pruning reaches the scan: the synthetic URL derives from
+    # doc_id alone, so the scan must read exactly that one column
+    assert "ReadSchema: struct<doc_id:bigint>" in plan
 
 
 def test_label_propagation_round_shape(spark):
@@ -1795,3 +1798,18 @@ def test_compacted_layout_partition_prunes(spark):
     one = df.count()
     total = spark.read.parquet(compacted).count()
     assert 0 < one < total
+
+
+def test_band_tuning_no_corpus_rescans(spark):
+    """The band-tuning sweep computes signatures and the strong set
+    ONCE (checkpointed): the returned 3-row plan reads only checkpoint
+    RDDs — zero parquet scans, no cartesian, partial-aggregated
+    counts per config."""
+    from weather_data_pipeline_spark.plans.inspect import executed_plan
+
+    df = _Q["x2_minhash_band_tuning"](spark, SF)
+    plan = executed_plan(df)
+    assert "Scan parquet" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Union" in plan
+    assert has_partial_aggregation(df)

@@ -219,6 +219,7 @@ QUERIES = [
     "x8_k_anonymity",
     "x9_jaccard_neighbors",
     "mm_scene_cuts",
+    "x2_minhash_band_tuning",
 ]
 
 #: Viral boilerplate for the skew replica: untagged (shared verbatim

@@ -637,11 +637,21 @@ def x2_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: one narrow scan computes all {MINHASH_K} mins map-side (gram
     arrays never explode through a shuffle — the groupBy carries one row
     per doc with K running minima), then a single stack() to long form."""
-    doc = fan_out(load_table(spark, sf_dir, "documents"))
+    mins = _minhash_wide(fan_out(load_table(spark, sf_dir, "documents")))
+    stack_expr = "stack({}, {}) as (sig_idx, minhash)".format(
+        MINHASH_K, ", ".join(f"{i}L, h{i}" for i in range(MINHASH_K))
+    )
+    return mins.selectExpr("doc_id", stack_expr)
+
+
+def _minhash_wide(doc: DataFrame) -> DataFrame:
+    """(doc_id, h0..h{K-1}) portable MinHash minima — one narrow scan,
+    all K mins computed map-side; shared by the signature rung and the
+    band-tuning sweep."""
     sh = shingle_arrays(doc, 3).select(
         "doc_id", F.explode("grams").alias("s")
     )
-    mins = sh.groupBy("doc_id").agg(
+    return sh.groupBy("doc_id").agg(
         *[
             F.min(
                 F.conv(
@@ -653,10 +663,6 @@ def x2_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(MINHASH_K)
         ]
     )
-    stack_expr = "stack({}, {}) as (sig_idx, minhash)".format(
-        MINHASH_K, ", ".join(f"{i}L, h{i}" for i in range(MINHASH_K))
-    )
-    return mins.selectExpr("doc_id", stack_expr)
 
 
 #: banding for the portable LSH: MINHASH_K/MINHASH_BAND_ROWS bands
@@ -2469,3 +2475,170 @@ def x1_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_copies"),
         F.min("doc_id").alias("keeper_doc_id"),
     )
+
+
+# ----------------------------------------------------------------------
+# LSH band tuning (round 10): the parameter-selection sweep every
+# MinHash deployment runs before committing (b, r)
+# ----------------------------------------------------------------------
+#: rows-per-band configurations swept (bands = MINHASH_K // rows); the
+#: S-curve threshold s* ≈ (1/b)^(1/r) moves from ~0.35 (r=2) through
+#: ~0.71 (r=4) to ~0.92 (r=8) across the sweep, so recall/candidate
+#: volume trade visibly on any corpus
+BAND_TUNING_ROWS = (2, 4, 8)
+
+
+def _band_tuning_oracle() -> str:
+    """Per-config band/candidate CTEs over the SAME portable hx
+    signatures, scored against the exact strong-pair set."""
+    blocks, stats = [], []
+    for r in BAND_TUNING_ROWS:
+        nb = MINHASH_K // r
+        blocks.append(
+            f""", bands{r} AS (
+      SELECT doc_id, sig_idx // {r} AS band,
+             md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY sig_idx))
+               AS band_key
+      FROM hx GROUP BY doc_id, sig_idx // {r}
+    ), cand{r} AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands{r} a JOIN bands{r} b
+        ON a.band = b.band AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ), stat{r} AS (
+      SELECT CAST({r} AS BIGINT) AS band_rows,
+             CAST({nb} AS BIGINT) AS n_bands,
+             (SELECT COUNT(*) FROM cand{r}) AS n_candidates,
+             (SELECT COUNT(*) FROM strong) AS n_strong,
+             (SELECT COUNT(*) FROM strong s JOIN cand{r} c
+               ON s.doc_a = c.doc_a AND s.doc_b = c.doc_b) AS n_captured
+    )"""
+        )
+        stats.append(
+            f"""SELECT band_rows, n_bands, n_candidates, n_strong, n_captured,
+           CASE WHEN n_strong = 0 THEN 1000000
+                ELSE n_captured * 1000000 // n_strong END AS recall_ppm,
+           CASE WHEN n_candidates = 0 THEN 1000000
+                ELSE n_captured * 1000000 // n_candidates END
+             AS precision_ppm
+    FROM stat{r}"""
+        )
+    return f"""
+    WITH {_JACCARD_CTES},
+    hx AS (
+      SELECT doc_id, CAST(g.i AS BIGINT) AS sig_idx,
+             MIN(CAST(('0x' || substr(md5(CAST(g.i AS VARCHAR) || '#' || shingle),
+                                      1, 15)) AS BIGINT)) AS minhash
+      FROM sh, UNNEST(generate_series(0, {MINHASH_K - 1})) AS g(i)
+      GROUP BY doc_id, g.i
+    ),
+    strong AS (
+      SELECT doc_a, doc_b FROM dup_pairs WHERE jaccard >= {STRONG_JACCARD}
+    ){"".join(blocks)}
+    {" UNION ALL ".join(stats)}
+    """
+
+
+@query("x2_minhash_band_tuning", oracle=_band_tuning_oracle())
+def x2_minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH band-tuning sweep — the design step every MinHash deployment
+    runs before freezing (bands, rows): for each rows-per-band config
+    over the SAME portable 16-permutation signatures, build the banded
+    candidate set and score it against the EXACT strong-pair set
+    (raw-shingle Jaccard ≥ {STRONG_JACCARD}), emitting candidate
+    volume, recall, and precision in integer ppm — one row per config,
+    the measured S-curve the (1/b)^(1/r) folklore approximates.
+    Oracle-exact end-to-end (md5 permutations and band keys replay in
+    SQL; same discipline as x2_minhash_lsh_portable). Reference scope:
+    no dedup in the reference; §2.10 X2 ladder's tuning rung.
+
+    Scale shape: signatures compute ONCE (map-side minima, one
+    (doc_id) exchange) and localCheckpoint; each config derives its
+    band keys from the wide row WITHOUT re-reading the corpus (stack →
+    equi-join on (band, band_key) → distinct — the LSH rung's exact
+    plan), and the strong set computes once and semi-joins each
+    candidate set. A tuning sweep runs on a SAMPLE corpus by design —
+    its output sizes the production (b, r); the low-r configs' fatter
+    candidate sets are the measurement, not an accident."""
+    doc = fan_out(load_table(spark, sf_dir, "documents"))
+    mins = _minhash_wide(doc).localCheckpoint(eager=True)
+    sh = shingle_arrays(doc, 3).select(
+        "doc_id",
+        F.size("grams").alias("n"),
+        F.explode("grams").alias("shingle"),
+    )
+    s = sh.select("doc_id", "n", F.xxhash64("shingle").alias("h"))
+    a = s.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"), "h")
+    b = s.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"), "h")
+    jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    strong = (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .filter(F.round(jac, 6) >= STRONG_JACCARD)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    n_s = strong.agg(F.count(F.lit(1)).alias("n_strong"))
+    rows = []
+    for r in BAND_TUNING_ROWS:
+        nb = MINHASH_K // r
+        band_cols = [
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"h{bi * r + j}").cast("string")
+                        for j in range(r)
+                    ],
+                )
+            ).alias(f"bk{bi}")
+            for bi in range(nb)
+        ]
+        long = mins.select("doc_id", *band_cols).selectExpr(
+            "doc_id",
+            "stack({}, {}) as (band, band_key)".format(
+                nb, ", ".join(f"{bi}L, bk{bi}" for bi in range(nb))
+            ),
+        )
+        aa = long.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
+        bb = long.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
+        cands = (
+            aa.join(bb, ["band", "band_key"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        n_c = cands.agg(F.count(F.lit(1)).alias("n_candidates"))
+        n_cap = strong.join(cands, ["doc_a", "doc_b"], "left_semi").agg(
+            F.count(F.lit(1)).alias("n_captured")
+        )
+        rows.append(
+            n_c.crossJoin(n_s)
+            .crossJoin(n_cap)
+            .select(
+                F.lit(r).cast("long").alias("band_rows"),
+                F.lit(nb).cast("long").alias("n_bands"),
+                F.col("n_candidates").cast("long").alias("n_candidates"),
+                F.col("n_strong").cast("long").alias("n_strong"),
+                F.col("n_captured").cast("long").alias("n_captured"),
+                F.expr(
+                    "CASE WHEN n_strong = 0 THEN 1000000"
+                    " ELSE n_captured * 1000000 DIV n_strong END"
+                )
+                .cast("long")
+                .alias("recall_ppm"),
+                F.expr(
+                    "CASE WHEN n_candidates = 0 THEN 1000000"
+                    " ELSE n_captured * 1000000 DIV n_candidates END"
+                )
+                .cast("long")
+                .alias("precision_ppm"),
+            )
+        )
+    out = rows[0]
+    for rdf in rows[1:]:
+        out = out.unionAll(rdf)
+    return out

@@ -268,6 +268,7 @@ _R10_QUEUE: set[str] = {
     "w_compact_small_files",
     "mm_scene_cuts",
     "s_scene_cuts_stream",
+    "x2_minhash_band_tuning",
 }
 
 
