@@ -162,6 +162,8 @@ HEADLINE = [
     "x9_jaccard_neighbors",
     "mm_scene_cuts",
     "x2_minhash_band_tuning",
+    "x4_code_detect",
+    "x6_backtest_folds",
 ]
 
 

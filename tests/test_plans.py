@@ -1813,3 +1813,30 @@ def test_band_tuning_no_corpus_rescans(spark):
     assert "CartesianProduct" not in plan
     assert "Union" in plan
     assert has_partial_aggregation(df)
+
+
+def test_code_detect_zero_exchanges(spark):
+    """Code-vs-prose detection is all scan-side codegen: zero
+    exchanges, no Python stage, one pruned scan."""
+    from weather_data_pipeline_spark.plans.inspect import executed_plan
+
+    df = _Q["x4_code_detect"](spark, SF)
+    plan = executed_plan(df)
+    assert "Exchange" not in plan
+    assert "InPandas" not in plan and "BatchEvalPython" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_backtest_folds_single_pass(spark):
+    """Backtest folds: one scan + the fold fan-out collapsing into a
+    partial-aggregated exchange, bounds broadcast, no window, no
+    per-fold rescan."""
+    from weather_data_pipeline_spark.plans.inspect import executed_plan
+
+    df = _Q["x6_backtest_folds"](spark, SF)
+    plan = executed_plan(df)
+    assert plan.count("Scan parquet") <= 2  # events + the 1-row bounds agg
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert has_partial_aggregation(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan

@@ -220,6 +220,8 @@ QUERIES = [
     "x9_jaccard_neighbors",
     "mm_scene_cuts",
     "x2_minhash_band_tuning",
+    "x4_code_detect",
+    "x6_backtest_folds",
 ]
 
 #: Viral boilerplate for the skew replica: untagged (shared verbatim

@@ -2537,3 +2537,125 @@ def x6_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# Expanding-window backtest folds (round 10): the time-series
+# cross-validation split the forecast rungs (O27-O29) presuppose
+# ----------------------------------------------------------------------
+#: number of expanding-window folds; the day span splits into
+#: FOLDS + 1 equal integer slices, fold i training on slices [0, i)
+#: and testing on slice i — the standard walk-forward protocol that
+#: never leaks future rows into training
+BACKTEST_FOLDS = 3
+
+
+@query(
+    "x6_backtest_folds",
+    oracle=f"""
+    WITH d AS (
+      SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, value FROM events
+    ), bounds AS (
+      SELECT MIN(day) AS d0,
+             date_diff('day', MIN(day), MAX(day)) + 1 AS span
+      FROM d
+    ), idx AS (
+      SELECT date_diff('day', d0, day) AS i, value, span FROM d CROSS JOIN bounds
+    ), folds AS (
+      SELECT f.fold,
+             CAST(f.fold * span // {BACKTEST_FOLDS + 1} AS BIGINT) AS cut_lo,
+             CAST((f.fold + 1) * span // {BACKTEST_FOLDS + 1} AS BIGINT)
+               AS cut_hi,
+             i, value
+      FROM idx, UNNEST(generate_series(1, {BACKTEST_FOLDS})) AS f(fold)
+    )
+    SELECT CAST(fold AS BIGINT) AS fold,
+           cut_lo AS train_days, cut_hi - cut_lo AS test_days,
+           CAST(SUM(CASE WHEN i < cut_lo THEN 1 ELSE 0 END) AS BIGINT)
+             AS train_rows,
+           CAST(SUM(CASE WHEN i >= cut_lo AND i < cut_hi THEN 1 ELSE 0 END)
+                AS BIGINT) AS test_rows,
+           ROUND(CAST(SUM(CASE WHEN i >= cut_lo AND i < cut_hi
+                               THEN CAST(value AS DECIMAL(18,2)) END)
+                      AS DOUBLE), 2) AS test_value
+    FROM folds GROUP BY fold, cut_lo, cut_hi
+    """,
+)
+def x6_backtest_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expanding-window backtest folds — the walk-forward
+    cross-validation protocol behind every honest time-series model
+    eval (the random splits of O27 leak the future into training;
+    forecast models need TEMPORAL holdouts): the event-day span splits
+    into ``BACKTEST_FOLDS + 1`` equal integer slices and fold i trains
+    on everything before cut i, tests on slice i — one row per fold
+    with train/test row counts, day widths, and the test-slice value
+    total (decimal-exact). Cut points are pure integer arithmetic on
+    (min_day, span), so fold membership is engine- and
+    partitioning-exact. Reference scope: the reference's eval is a
+    random holdout (weather_etl.py:131); temporal-CV extension tier.
+
+    Scale shape: ONE scan + one partial-aggregated (fold, cuts)
+    exchange — the fold assignment is a conditional-aggregate fan-out
+    over a BACKTEST_FOLDS-wide generated array (|folds| ≪ |rows|, so
+    the explode multiplies rows only inside the map side where the
+    partial agg immediately collapses them), with the 2-column bounds
+    row broadcast. No window, no per-fold rescan."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "value"
+    )
+    bounds = ev.agg(
+        F.min("day").alias("d0"),
+        (F.datediff(F.max("day"), F.min("day")) + 1).alias("span"),
+    )
+    idx = ev.join(F.broadcast(bounds)).select(
+        F.datediff("day", "d0").alias("i"), "value", "span"
+    )
+    folds = idx.select(
+        "i",
+        "value",
+        "span",
+        F.explode(
+            F.sequence(F.lit(1), F.lit(BACKTEST_FOLDS))
+        ).alias("fold"),
+    ).select(
+        F.col("fold").cast("long").alias("fold"),
+        F.expr(f"fold * span DIV {BACKTEST_FOLDS + 1}")
+        .cast("long")
+        .alias("cut_lo"),
+        F.expr(f"(fold + 1) * span DIV {BACKTEST_FOLDS + 1}")
+        .cast("long")
+        .alias("cut_hi"),
+        "i",
+        "value",
+    )
+    return folds.groupBy("fold", "cut_lo", "cut_hi").agg(
+        F.sum(F.when(F.col("i") < F.col("cut_lo"), 1).otherwise(0))
+        .cast("long")
+        .alias("train_rows"),
+        F.sum(
+            F.when(
+                (F.col("i") >= F.col("cut_lo"))
+                & (F.col("i") < F.col("cut_hi")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("test_rows"),
+        F.round(
+            F.sum(
+                F.when(
+                    (F.col("i") >= F.col("cut_lo"))
+                    & (F.col("i") < F.col("cut_hi")),
+                    F.col("value").cast("decimal(18,2)"),
+                )
+            ).cast("double"),
+            2,
+        ).alias("test_value"),
+    ).select(
+        "fold",
+        F.col("cut_lo").alias("train_days"),
+        (F.col("cut_hi") - F.col("cut_lo")).alias("test_days"),
+        "train_rows",
+        "test_rows",
+        "test_value",
+    )

@@ -3189,3 +3189,107 @@ def x8_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("domain_rank") <= DOMAIN_DOC_CAP)
         .select("doc_id", "domain", "domain_rank")
     )
+
+
+# ----------------------------------------------------------------------
+# Code-vs-prose detection (round 10): the pretraining curation signal
+# that routes documents to code/prose-specific cleaning pipelines
+# ----------------------------------------------------------------------
+#: code-score threshold (per-mille of weighted markers per word)
+CODE_SCORE_PM = 60
+
+#: synthetic code decoration: documents carry no code, so 1/4 of docs
+#: are wrapped in a deterministic code-shaped preamble (def header,
+#: braces, semicolons) the detector must separate from the prose rest —
+#: the same synth-payload discipline as the URL and media rungs
+_CODE_TEXT_SPARK = (
+    "CASE WHEN doc_id % 4 = 0 THEN concat("
+    "'def fn', CAST(doc_id AS STRING), '(x) {\\n"
+    "  y = x + 1;\\n  return y;\\n}\\n', text) ELSE text END"
+)
+_CODE_TEXT_DUCK = (
+    "CASE WHEN doc_id % 4 = 0 THEN concat("
+    "'def fn', CAST(doc_id AS VARCHAR), '(x) {', chr(10),"
+    "'  y = x + 1;', chr(10), '  return y;', chr(10), '}', chr(10), text)"
+    " ELSE text END"
+)
+
+
+@query(
+    "x4_code_detect",
+    oracle=f"""
+    WITH c AS (
+      SELECT doc_id, {_CODE_TEXT_DUCK} AS s FROM documents
+    ), f AS (
+      SELECT doc_id,
+             len(s) - len(replace(s, '{{', ''))
+               + len(s) - len(replace(s, '}}', '')) AS n_braces,
+             len(s) - len(replace(s, ';', '')) AS n_semi,
+             (len(s) - len(replace(s, 'def ', ''))) // 4 AS n_def,
+             len(string_split(s, ' ')) AS n_words
+      FROM c
+    )
+    SELECT doc_id, CAST(n_braces AS BIGINT) AS n_braces,
+           CAST(n_semi AS BIGINT) AS n_semi,
+           CAST(n_def AS BIGINT) AS n_def,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST((3 * n_braces + 2 * n_semi + 5 * n_def) * 1000 // n_words
+                AS BIGINT) AS code_score_pm,
+           (3 * n_braces + 2 * n_semi + 5 * n_def) * 1000
+             >= {CODE_SCORE_PM} * n_words AS is_code
+    FROM f
+    """,
+)
+def x4_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose detection — the curation router every mixed
+    pretraining corpus needs (code routes to code-specific cleaning
+    and its own mixture weight; prose to the C4/Gopher funnel):
+    integer marker densities (braces, semicolons, ``def `` headers)
+    per word, a weighted per-mille score, and the keep-band decision
+    in cross-multiplied integer form so it is engine-exact — the same
+    heuristic family as fastText's code detector, with the learned
+    weights replaced by fixed ones (swap in x4_hashed_linear_score's
+    machinery for a learned router). Marker counts use the
+    length-difference idiom (len(s) − len(replace(s, m, ''))), all
+    JVM built-ins. Reference scope: no text ops in the reference;
+    §2.10 X4 extension tier.
+
+    Scale shape: ZERO exchanges — every feature and the decision are
+    scan-side codegen expressions; embarrassingly parallel at any
+    corpus size (plan-gated like x4_html_extract)."""
+    doc = load_table(spark, sf_dir, "documents")
+    s = F.expr(_CODE_TEXT_SPARK)
+    d = doc.select("doc_id", s.alias("s"))
+    nb = (
+        F.length("s")
+        - F.length(F.replace(F.col("s"), F.lit("{")))
+        + F.length("s")
+        - F.length(F.replace(F.col("s"), F.lit("}")))
+    )
+    ns = F.length("s") - F.length(F.replace(F.col("s"), F.lit(";")))
+    nd = (
+        F.length("s") - F.length(F.replace(F.col("s"), F.lit("def ")))
+    ) / F.lit(4)
+    d = d.select(
+        "doc_id",
+        nb.cast("long").alias("n_braces"),
+        ns.cast("long").alias("n_semi"),
+        nd.cast("long").alias("n_def"),
+        F.size(F.split("s", " ")).cast("long").alias("n_words"),
+    )
+    score = (
+        3 * F.col("n_braces") + 2 * F.col("n_semi") + 5 * F.col("n_def")
+    ) * 1000
+    return d.select(
+        "doc_id",
+        "n_braces",
+        "n_semi",
+        "n_def",
+        "n_words",
+        F.expr(
+            "(3 * n_braces + 2 * n_semi + 5 * n_def) * 1000 DIV n_words"
+        )
+        .cast("long")
+        .alias("code_score_pm"),
+        (score >= CODE_SCORE_PM * F.col("n_words")).alias("is_code"),
+    )

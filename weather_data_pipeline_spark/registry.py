@@ -269,6 +269,8 @@ _R10_QUEUE: set[str] = {
     "mm_scene_cuts",
     "s_scene_cuts_stream",
     "x2_minhash_band_tuning",
+    "x4_code_detect",
+    "x6_backtest_folds",
 }
 
 
