@@ -694,3 +694,139 @@ def test_interval_ladder_matches_brute_force(spark, tmp_path):
         assert got_pairs[k] == (n, sq), ("pairs", k)
         assert got_sweep[k] == (n, sq), ("sweep", k)
         assert got_cov[k] == (n, cov), ("coverage", k)
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization: idempotence + crafted edge cases. A canonical
+# URL must re-canonicalize to ITSELF (fragments, www, default ports and
+# utm params are gone; param order is sorted) — the property the
+# crawl-frontier dedup key rests on: if canon were not a fixpoint, two
+# fetches of the same canonical URL could land in different groups.
+# ---------------------------------------------------------------------------
+
+
+def test_url_canonicalization_idempotent_and_edges(spark):
+    from pyspark.sql import functions as F
+
+    from weather_data_pipeline_spark.operators.dedup import (
+        with_canonical_url,
+    )
+
+    raw = [
+        "HTTPS://www.News.Example.COM:443/articles/7/?utm_source=f&id=7#s",
+        "https://news.example.com/articles/7?id=7&utm_campaign=x",
+        "http://Example.com:80/a?z=2&a=1",
+        "http://example.com:8080/a",  # non-default port SURVIVES
+        "https://example.com/",  # root slash survives
+        "https://example.com/x?utm_a=1&utm_b=2",  # all params dropped
+        "ftp://Mixed.Case.Host/Path/",  # unknown scheme: no port rule
+    ]
+    df = spark.createDataFrame([(u,) for u in raw], "url string")
+    once = with_canonical_url(df).select(
+        F.col("url"), F.col("canonical_url").alias("c1")
+    )
+    twice = with_canonical_url(
+        once.select("url", F.col("c1").alias("url_c"), F.col("c1"))
+        .withColumnRenamed("url", "url_orig")
+        .withColumnRenamed("url_c", "url")
+    ).select("url_orig", "c1", F.col("canonical_url").alias("c2"))
+    rows = {r["url_orig"]: (r["c1"], r["c2"]) for r in twice.collect()}
+    for u, (c1, c2) in rows.items():
+        assert c1 == c2, f"not a fixpoint: {u} -> {c1} -> {c2}"
+    c = {u: rows[u][0] for u in rows}
+    # the two decorated forms of article 7 collapse to one key
+    assert c[raw[0]] == c[raw[1]] == "https://news.example.com/articles/7?id=7"
+    assert c["http://Example.com:80/a?z=2&a=1"] == "http://example.com/a?a=1&z=2"
+    assert c["http://example.com:8080/a"] == "http://example.com:8080/a"
+    assert c["https://example.com/"] == "https://example.com/"
+    assert c["https://example.com/x?utm_a=1&utm_b=2"] == "https://example.com/x"
+
+
+# ---------------------------------------------------------------------------
+# Scene-cut kernel: the vectorized numpy windowing/diff must match a
+# plain-python reference on arbitrary payloads (frame truncation, the
+# zero-frame skip convention, first-cut indexing, tie behavior at the
+# threshold).
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.binary(min_size=0, max_size=130),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_scene_cut_kernel_matches_reference(payloads):
+    import pandas as pd
+
+    from weather_data_pipeline_spark.operators.multimodal import (
+        SCENE_FRAME,
+        SCENE_THRESH,
+        _scene_cut_batches,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(range(len(payloads))),
+            "payload": [b"\x66\x74\x79\x70" + p for p in payloads],
+        }
+    )
+    got = {
+        int(r.doc_id): (
+            int(r.n_frames),
+            int(r.n_cuts),
+            int(r.max_diff),
+            int(r.first_cut_frame),
+        )
+        for out in _scene_cut_batches(iter([pdf]))
+        for r in out.itertuples()
+    }
+    for doc_id, p in enumerate(payloads):
+        nf = len(p) // SCENE_FRAME
+        if nf == 0:
+            assert doc_id not in got
+            continue
+        frames = [
+            list(p[j * SCENE_FRAME : (j + 1) * SCENE_FRAME])
+            for j in range(nf)
+        ]
+        diffs = [
+            sum(abs(a - b) for a, b in zip(frames[j], frames[j - 1]))
+            for j in range(1, nf)
+        ]
+        cuts = [j + 1 for j, d in enumerate(diffs) if d > SCENE_THRESH]
+        expect = (
+            nf,
+            len(cuts),
+            max(diffs) if diffs else 0,
+            cuts[0] if cuts else -1,
+        )
+        assert got[doc_id] == expect, (doc_id, got[doc_id], expect)
+
+
+# ---------------------------------------------------------------------------
+# Backtest folds: the integer cut points must tile the span without
+# gaps, overlaps, or future leakage for ANY span — the non-leakage
+# property the walk-forward protocol exists for.
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(min_value=1, max_value=5000))
+def test_backtest_fold_cuts_monotone_no_leak(span):
+    from weather_data_pipeline_spark.operators.sessionize import (
+        BACKTEST_FOLDS,
+    )
+
+    cuts = [
+        (i * span) // (BACKTEST_FOLDS + 1)
+        for i in range(BACKTEST_FOLDS + 2)
+    ]
+    assert cuts[0] == 0 and cuts[-1] == span
+    for lo, hi in zip(cuts, cuts[1:]):
+        assert lo <= hi  # slices tile: no overlap, no gap
+    # train window of fold i ends exactly where its test window starts
+    for i in range(1, BACKTEST_FOLDS + 1):
+        assert cuts[i] <= cuts[i + 1]

@@ -2430,51 +2430,63 @@ def x1_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     one exchange."""
     doc = load_table(spark, sf_dir, "documents")
     d = doc.select("doc_id").withColumn("url", F.expr(_RAW_URL_SPARK))
-    nofrag = F.substring_index("url", "#", 1)
-    d = d.withColumn("scheme", F.lower(F.substring_index(nofrag, "://", 1)))
-    d = d.withColumn("rest", F.substring_index(nofrag, "://", -1))
-    hostport = F.substring_index("rest", "/", 1)
-    d = d.withColumn("hostport", hostport).withColumn(
-        "path_q", F.expr("substring(rest, length(hostport) + 1)")
+    canon = with_canonical_url(d).select("doc_id", "canonical_url")
+    return canon.groupBy("canonical_url").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("doc_id").alias("keeper_doc_id"),
+    )
+
+
+def with_canonical_url(d: DataFrame) -> DataFrame:
+    """Add ``canonical_url`` to a frame carrying a ``url`` column — the
+    crawl canonical rules as pure scan-side built-ins (see
+    x1_url_dedup). Factored out so properties (idempotence: a canonical
+    URL re-canonicalizes to itself) are testable over arbitrary URLs,
+    not just the rung's synth corpus."""
+    d = d.withColumn("_nofrag", F.substring_index("url", "#", 1))
+    d = d.withColumn(
+        "_scheme", F.lower(F.substring_index("_nofrag", "://", 1))
+    )
+    d = d.withColumn("_rest", F.substring_index("_nofrag", "://", -1))
+    d = d.withColumn(
+        "_hostport", F.substring_index("_rest", "/", 1)
+    ).withColumn(
+        "_path_q", F.expr("substring(_rest, length(_hostport) + 1)")
     )
     host = F.regexp_replace(
-        F.lower(F.substring_index("hostport", ":", 1)), r"^www\.", ""
+        F.lower(F.substring_index("_hostport", ":", 1)), r"^www\.", ""
     )
     port = F.expr(
-        "CASE WHEN contains(hostport, ':')"
-        "          AND NOT (scheme = 'https'"
-        "                   AND substring_index(hostport, ':', -1) = '443')"
-        "          AND NOT (scheme = 'http'"
-        "                   AND substring_index(hostport, ':', -1) = '80')"
-        "     THEN concat(':', substring_index(hostport, ':', -1))"
+        "CASE WHEN contains(_hostport, ':')"
+        "          AND NOT (_scheme = 'https'"
+        "                   AND substring_index(_hostport, ':', -1) = '443')"
+        "          AND NOT (_scheme = 'http'"
+        "                   AND substring_index(_hostport, ':', -1) = '80')"
+        "     THEN concat(':', substring_index(_hostport, ':', -1))"
         "     ELSE '' END"
     )
     path = F.expr(
-        "CASE WHEN substring_index(path_q, '?', 1) = '/' THEN '/'"
-        "     ELSE regexp_replace(substring_index(path_q, '?', 1),"
+        "CASE WHEN substring_index(_path_q, '?', 1) = '/' THEN '/'"
+        "     ELSE regexp_replace(substring_index(_path_q, '?', 1),"
         "                         '/$', '') END"
     )
     qry = F.expr(
         "array_join(array_sort(filter(split("
-        "  CASE WHEN contains(path_q, '?')"
-        "       THEN substring_index(path_q, '?', -1) ELSE '' END, '&'),"
+        "  CASE WHEN contains(_path_q, '?')"
+        "       THEN substring_index(_path_q, '?', -1) ELSE '' END, '&'),"
         "  x -> x != '' AND x NOT LIKE 'utm_%')), '&')"
     )
-    canon = d.select(
-        "doc_id",
+    return d.withColumn(
+        "canonical_url",
         F.concat(
-            F.col("scheme"),
+            F.col("_scheme"),
             F.lit("://"),
             host,
             port,
             path,
             F.when(qry != "", F.concat(F.lit("?"), qry)).otherwise(""),
-        ).alias("canonical_url"),
-    )
-    return canon.groupBy("canonical_url").agg(
-        F.count(F.lit(1)).alias("n_copies"),
-        F.min("doc_id").alias("keeper_doc_id"),
-    )
+        ),
+    ).drop("_nofrag", "_scheme", "_rest", "_hostport", "_path_q")
 
 
 # ----------------------------------------------------------------------
