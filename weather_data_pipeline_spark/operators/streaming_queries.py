@@ -497,3 +497,66 @@ def s_scene_cuts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = f"s_scenes_{uuid.uuid4().hex[:8]}"
     jobs.streaming_scene_cuts(jobs.stream_documents(spark, sf_dir), sink)
     return spark.table(sink)
+
+
+from .dedup import _RAW_URL_DUCK, _RAW_URL_SPARK  # noqa: E402
+
+
+@query(
+    "s_url_dedup_stream",
+    oracle=f"""
+    WITH raw AS (
+      SELECT doc_id, {_RAW_URL_DUCK} AS url FROM documents
+    ), parts AS (
+      SELECT doc_id,
+             lower(split_part(split_part(url, '#', 1), '://', 1)) AS scheme,
+             split_part(split_part(url, '#', 1), '://', 2) AS rest
+      FROM raw
+    ), hp AS (
+      SELECT doc_id, scheme,
+             split_part(rest, '/', 1) AS hostport,
+             substr(rest, len(split_part(rest, '/', 1)) + 1) AS path_q
+      FROM parts
+    ), comps AS (
+      SELECT doc_id, scheme,
+             regexp_replace(lower(split_part(hostport, ':', 1)),
+                            '^www\\.', '') AS host,
+             CASE WHEN contains(hostport, ':')
+                       AND NOT (scheme = 'https'
+                                AND split_part(hostport, ':', 2) = '443')
+                       AND NOT (scheme = 'http'
+                                AND split_part(hostport, ':', 2) = '80')
+                  THEN ':' || split_part(hostport, ':', 2) ELSE '' END
+               AS port,
+             CASE WHEN split_part(path_q, '?', 1) = '/' THEN '/'
+                  ELSE regexp_replace(split_part(path_q, '?', 1),
+                                      '/$', '') END AS path,
+             array_to_string(list_sort(list_filter(
+               string_split(CASE WHEN contains(path_q, '?')
+                                 THEN split_part(path_q, '?', 2)
+                                 ELSE '' END, '&'),
+               x -> x <> '' AND NOT x LIKE 'utm_%')), '&') AS query
+      FROM hp
+    )
+    SELECT DISTINCT scheme || '://' || host || port || path
+             || CASE WHEN query <> '' THEN '?' || query ELSE '' END
+             AS canonical_url
+    FROM comps
+    """,
+)
+def s_url_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``x1_url_dedup`` at its real deployment point,
+    the crawl frontier: raw decorated URLs canonicalize scan-side per
+    micro-batch and ``dropDuplicates`` keys the state store on the
+    canonical string (first-seen wins; state carries one row per page
+    identity, never the decorated variants). Oracle = the batch
+    DISTINCT canonical set — every output column is canonical-key-
+    determined, so the check is value-exact despite free arrival
+    order (the s_dedup_stream discipline, with the canonical key
+    replacing the content digest)."""
+    sink = f"s_urldd_{uuid.uuid4().hex[:8]}"
+    src = jobs.stream_documents(spark, sf_dir).select(
+        "doc_id"
+    ).withColumn("url", F.expr(_RAW_URL_SPARK))
+    jobs.streaming_url_dedup(src, sink)
+    return spark.table(sink)

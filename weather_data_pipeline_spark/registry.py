@@ -271,6 +271,7 @@ _R10_QUEUE: set[str] = {
     "x2_minhash_band_tuning",
     "x4_code_detect",
     "x6_backtest_folds",
+    "s_url_dedup_stream",
 }
 
 

@@ -672,3 +672,31 @@ def streaming_scene_cuts(source: DataFrame, sink_table: str) -> None:
         .outputMode("append"),
         f"scenecuts-{sink_table}",
     )
+
+
+def streaming_url_dedup(source: DataFrame, sink_table: str) -> None:
+    """URL-canonicalization dedup at the CRAWL FRONTIER — the stream
+    twin of ``x1_url_dedup`` and the op's real deployment point (a
+    frontier dedups fetch candidates as they arrive, before any fetch
+    is spent): the canonical rules are pure per-row expressions
+    (``operators.dedup.with_canonical_url``), so they run scan-side
+    per micro-batch, and ``dropDuplicates`` keys the state store on
+    the CANONICAL string — state carries one canonical URL per page
+    identity, never the raw decorated variants (the same
+    state-payload discipline as streaming_dedup's 16-byte digests).
+    Output columns are canonical-key-determined, so the drained sink
+    equals the batch distinct canonical set exactly even though which
+    raw variant arrives first is order-dependent."""
+    from ..operators.dedup import with_canonical_url
+
+    deduped = (
+        with_canonical_url(source)
+        .select("canonical_url")
+        .dropDuplicates(["canonical_url"])
+    )
+    run_to_completion(
+        deduped.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("append"),
+        f"urldedup-{sink_table}",
+    )
