@@ -172,6 +172,33 @@ def _sf_from_dir(path: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
+def build_payload(
+    times: dict[str, float],
+    medians: dict[str, float],
+    stdevs: dict[str, float],
+    runs: int,
+    sf: float,
+) -> dict:
+    """The emitted JSON object. ``queries_median`` is deliberately the
+    LAST key: the driver's BENCH_r{N} tail truncates the line to its
+    final dict, and medians are the round-over-round comparable
+    numbers, stdevs aren't (VERDICT r9 ask #2). Key order is a
+    CONTRACT — pinned by tests/test_bench_contract.py — because any
+    new key or serializer reorder silently flips the driver tail back
+    to a non-comparable dict (ADVICE r10). Add new keys BEFORE
+    queries_median."""
+    return {
+        "metric": "headline_queries_total",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "queries_stdev": stdevs,
+        "runs": runs,
+        "sf": sf,
+        "queries_median": medians,
+    }
+
+
 def main() -> None:
     spark = (
         SparkSession.builder.master(f"local[{CPUS}]")
@@ -215,20 +242,7 @@ def main() -> None:
 
     print(
         json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(times.values()), 3),
-                "unit": "sec",
-                "queries": times,
-                "queries_stdev": stdevs,
-                "runs": runs,
-                "sf": _sf_from_dir(SF_DIR),
-                # LAST dict on purpose: the driver's BENCH_r{N} tail
-                # truncates to the final dict in this line — medians are
-                # the round-over-round comparable numbers, stdevs aren't
-                # (VERDICT r9 ask #2).
-                "queries_median": medians,
-            }
+            build_payload(times, medians, stdevs, runs, _sf_from_dir(SF_DIR))
         )
     )
 

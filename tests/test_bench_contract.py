@@ -1,0 +1,47 @@
+"""The bench.py emit contract (ADVICE r10): the driver's BENCH_r{N}
+tail truncates the emitted JSON line to its FINAL dict, so
+round-over-round comparability depends on ``queries_median`` being the
+physically last key. Pin that here — a new key appended after it, a
+key reorder, or a serializer change fails loudly instead of silently
+flipping the driver tail back to a non-comparable dict (the r8/r9
+stdev-tail incident, VERDICT r9 ask #2)."""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+
+
+def _load_bench():
+    spec = importlib.util.spec_from_file_location(
+        "bench", "/root/repo/bench.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_queries_median_is_last_key_in_payload():
+    bench = _load_bench()
+    payload = bench.build_payload(
+        times={"q1": 1.0}, medians={"q1": 1.1}, stdevs={"q1": 0.1},
+        runs=5, sf=0.1,
+    )
+    assert list(payload)[-1] == "queries_median"
+    # json.dumps preserves insertion order — the serialized line's last
+    # dict literal must be the medians (what the driver tail captures)
+    line = json.dumps(payload)
+    last_open = line.rindex("{")
+    assert json.loads(line[last_open:].rstrip("}") + "}") == {"q1": 1.1}
+    assert line.index('"queries_median"') < last_open
+
+
+def test_payload_main_uses_builder():
+    """main() must emit through build_payload — a hand-rolled dict in
+    main would bypass the ordering contract this file pins."""
+    import re
+
+    src = open("/root/repo/bench.py").read()
+    body = src[src.index("def main"):]
+    assert "build_payload(" in body
+    assert not re.search(r'"queries_median"\s*:', body)

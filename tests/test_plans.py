@@ -1587,20 +1587,43 @@ def test_holt_winters_kernel_plan(spark):
 
 
 def test_bpe_merge_train_zero_parquet_rescans(spark):
-    """The BPE training loop's returned merge table unions six
-    TakeOrdered arms over checkpointed dictionary snapshots — the
-    corpus is scanned exactly once INSIDE the loop (word count), so
-    the result plan must contain zero parquet scans, no cartesian, and
-    a partial-aggregated pair count per arm."""
+    """The BPE training loop collects ONE argmax row per round and
+    assembles the merge table driver-side (ADVICE r10: returning the
+    TakeOrdered arms re-executed every round's argmax at collect) —
+    the corpus is scanned exactly once INSIDE the loop (word count),
+    so the RESULT plan must be a pure local relation: zero parquet
+    scans, zero exchanges, zero jobs at collect."""
     from weather_data_pipeline_spark.plans.inspect import executed_plan
 
     df = _Q["x4_bpe_merge_train"](spark, SF)
     plan = executed_plan(df)
     assert "Scan parquet" not in plan
-    assert "CartesianProduct" not in plan
-    assert plan.count("TakeOrderedAndProject") == 6
-    assert "Union" in plan
-    assert has_partial_aggregation(df)
+    assert "Exchange" not in plan
+    assert "TakeOrderedAndProject" not in plan  # not re-executed
+    rows = df.collect()
+    assert len(rows) == 6
+    assert [r["merge_rank"] for r in rows] == list(range(1, 7))
+
+
+def test_bpe_merge_train_empty_corpus_returns_typed_empty(spark):
+    """Degenerate corpus (no text) → the empty merge TABLE, same
+    schema, no IndexError (ADVICE r10)."""
+    from weather_data_pipeline_spark.operators.text_analysis import (
+        x4_bpe_merge_train,
+    )
+
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [], schema="doc_id long, text string, lang string"
+        ).write.parquet(os.path.join(d, "documents.parquet"))
+        out = x4_bpe_merge_train(spark, d)
+        assert out.columns == [
+            "merge_rank", "lft", "rgt", "merged", "pair_n"
+        ]
+        assert out.count() == 0
 
 
 def test_domain_rollup_single_scan_partial_agg(spark):

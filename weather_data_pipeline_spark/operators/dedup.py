@@ -818,8 +818,18 @@ def x2_minhash_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate set must capture ≥ LSH_RECALL_FLOOR of the TRUE strong
     pairs (exact raw-shingle Jaccard ≥ STRONG_JACCARD, whose count
     DuckDB recomputes exactly). The exact strong-pair count rides along
-    so the row is a real value check, not a bare boolean."""
-    doc = fan_out(load_table(spark, sf_dir, "documents"))
+    so the row is a real value check, not a bare boolean. The exact
+    strong-set build is the Σ df² raw-shingle join, so it routes
+    through ``_gate_uncapped`` like every other uncapped rung
+    (VERDICT r10): past MAX_UNCAPPED_DOCS a recall audit runs on a
+    bounded deterministic sample instead."""
+    doc = _gate_uncapped(
+        fan_out(load_table(spark, sf_dir, "documents")),
+        "x2_minhash_lsh_recall",
+        sf_dir,
+        alt="a bounded deterministic sample (e.g. pmod(xxhash64(doc_id),"
+        " k) = 0) — recall estimates need only a sample of strong pairs",
+    )
     sh = shingle_arrays(doc, 3).select(
         "doc_id",
         F.size("grams").alias("n"),
@@ -2079,7 +2089,13 @@ def x1_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     global (doc_id, pos) order, encoded as the scalar doc_id·2³²+pos
     (shiftleft — pos is a token index, bounded far below 2³² by the
     JVM string-length ceiling, so no doc can bleed into the next
-    doc_id's key range) so both engines rank occurrences identically
+    doc_id's key range; doc_id itself must stay BELOW 2³¹, the
+    testdata id space — past it shiftleft(doc_id, 32) wraps the long
+    silently while the oracle's doc_id·2³² raises an overflow, so the
+    engines diverge rather than agree — a wider id space needs a
+    (doc_id, pos) STRUCT min, which DuckDB and Spark both order
+    lexically, at the cost of a fatter window buffer; ADVICE r10)
+    so both engines rank occurrences identically
     without relying on struct comparison. A token is excised iff covered by at least one
     non-first duplicated window; surviving tokens reassemble in
     position order into the cleaned text, fingerprinted for the
@@ -2571,8 +2587,19 @@ def x2_minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan), and the strong set computes once and semi-joins each
     candidate set. A tuning sweep runs on a SAMPLE corpus by design —
     its output sizes the production (b, r); the low-r configs' fatter
-    candidate sets are the measurement, not an accident."""
-    doc = fan_out(load_table(spark, sf_dir, "documents"))
+    candidate sets are the measurement, not an accident. Nothing used
+    to ENFORCE the sample, so the strong-set build below (the same
+    Σ df² raw-shingle join every uncapped rung gates) now routes
+    through ``_gate_uncapped`` (VERDICT r10): past MAX_UNCAPPED_DOCS
+    the rung refuses and tells the caller to sweep on a bounded
+    deterministic sample — the (b, r) decision only needs one."""
+    doc = _gate_uncapped(
+        fan_out(load_table(spark, sf_dir, "documents")),
+        "x2_minhash_band_tuning",
+        sf_dir,
+        alt="a bounded deterministic sample (e.g. pmod(xxhash64(doc_id),"
+        " k) = 0) — the (b, r) decision only needs one",
+    )
     mins = _minhash_wide(doc).localCheckpoint(eager=True)
     sh = shingle_arrays(doc, 3).select(
         "doc_id",

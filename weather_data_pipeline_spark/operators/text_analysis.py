@@ -2929,8 +2929,14 @@ def x4_bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     in x3_ivf_kmeans_topk. The merge application is a JVM ``aggregate``
     fold per dict row (greedy left-to-right, provably equivalent to
     the scan-replace form since merged = l||r can never equal l). The
-    returned plan unions the six TakeOrdered arms over checkpointed
-    dict snapshots — ZERO parquet re-scans (plan-gated)."""
+    returned merge table is assembled driver-side from the ≤ k
+    collected argmax rows (three fields each, already on the driver —
+    re-returning the TakeOrdered arms would re-execute every round's
+    argmax at collect, doubling the work; ADVICE r10) into one local
+    relation: the result plan touches NO parquet and launches NO jobs
+    (plan-gated), and an empty/degenerate corpus — zero words, or
+    every word a single symbol — returns the EMPTY typed table
+    instead of raising."""
     doc = load_table(spark, sf_dir, "documents")
     chars = F.expr(
         "concat(transform(sequence(1, length(w)), i -> substring(w, i, 1)),"
@@ -2950,7 +2956,7 @@ def x4_bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         " slice(syms, 2, size(syms) - 1),"
         " (a, b) -> named_struct('l', a, 'r', b))"
     )
-    arms = []
+    merges: list[tuple] = []
     for rank in range(1, BPE_MERGE_ROUNDS + 1):
         stats = (
             cur.filter(F.size("syms") >= 2)
@@ -2960,16 +2966,10 @@ def x4_bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         top_df = stats.orderBy(F.col("cnt").desc(), "l", "r").limit(1)
         row = top_df.first()  # one 3-field row per round, nothing more
-        if row is None:  # corpus fully merged before K rounds — done
+        if row is None:  # corpus fully merged (or empty) before K — done
             break
-        arms.append(
-            top_df.select(
-                F.lit(rank).cast("long").alias("merge_rank"),
-                F.col("l").alias("lft"),
-                F.col("r").alias("rgt"),
-                F.concat("l", "r").alias("merged"),
-                F.col("cnt").cast("long").alias("pair_n"),
-            )
+        merges.append(
+            (rank, row["l"], row["r"], row["l"] + row["r"], int(row["cnt"]))
         )
         if rank == BPE_MERGE_ROUNDS:
             break  # last round's dict update would be dead work
@@ -3000,10 +3000,11 @@ def x4_bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("syms"),
         ).localCheckpoint(eager=True)
 
-    out = arms[0]
-    for a in arms[1:]:
-        out = out.unionByName(a)
-    return out
+    return spark.createDataFrame(
+        merges,
+        schema="merge_rank long, lft string, rgt string,"
+        " merged string, pair_n long",
+    )
 
 
 # ----------------------------------------------------------------------

@@ -250,10 +250,16 @@ def w_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..sources.testdata import load_table
 
-    # Deterministic per-sf_dir path (overwrite mode handles reruns) so
-    # repeated bench/verify sweeps reuse one directory instead of
-    # accumulating unbounded uuid-named scratch copies.
-    slug = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    # Deterministic per-(sf_dir, session) path (overwrite mode handles
+    # reruns) so repeated bench/verify sweeps within a session reuse one
+    # directory instead of accumulating unbounded uuid-named copies,
+    # while two CONCURRENT sessions (bench loop + verify sweep) write
+    # disjoint paths instead of deleting each other mid-read (ADVICE
+    # r10) — the applicationId is unique per SparkSession.
+    slug = (
+        f"{os.path.basename(os.path.normpath(sf_dir)) or 'sf'}"
+        f"_{spark.sparkContext.applicationId}"
+    )
     path = os.path.join(SCRATCH, f"orc_roundtrip_{slug}")
     load_table(spark, sf_dir, "events").write.mode("overwrite").orc(path)
     ev = spark.read.orc(path)
@@ -327,7 +333,15 @@ def w_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.testdata import load_table
     from ..streaming.jobs import SCRATCH
 
-    slug = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    # Per-session scratch: keyed on (sf_dir slug, applicationId) so a
+    # bench loop and a verify sweep running CONCURRENTLY never rewrite
+    # each other's directory mid-read (ADVICE r10), while repeated runs
+    # within one session still reuse a single path instead of
+    # accumulating uuid-named copies.
+    slug = (
+        f"{os.path.basename(os.path.normpath(sf_dir)) or 'sf'}"
+        f"_{spark.sparkContext.applicationId}"
+    )
     frag = os.path.join(SCRATCH, f"compact_stage_{slug}")
     compacted = os.path.join(SCRATCH, f"compact_out_{slug}")
 
