@@ -1863,3 +1863,21 @@ def test_backtest_folds_single_pass(spark):
     assert "CartesianProduct" not in plan
     assert has_partial_aggregation(df)
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+
+
+def test_semdedup_keep_bucket_equi_no_cartesian(spark):
+    """SemDeDup keep policy: the dominance join must be bucket-EQUI
+    (cross-cluster pairs never form — pair work is Σ|cluster|², the
+    SemDeDup bound), never a cartesian/nested-loop; the assignment
+    kernel runs once behind the csim localCheckpoint, so the result
+    plan re-reads the checkpoint, not the Python stage."""
+    from weather_data_pipeline_spark.plans.inspect import executed_plan
+
+    df = _Q["x2_semdedup_keep"](spark, SF)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "InPandas" not in plan  # both join sides read the checkpoint
+    rows = df.collect()
+    kept = [r for r in rows if r["is_kept"]]
+    assert 0 < len(kept) < len(rows)  # decision boundary exercised

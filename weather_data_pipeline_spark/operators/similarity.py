@@ -1500,6 +1500,147 @@ def x2_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# SemDeDup keep policy (round 11, VERDICT r10 ask #6): within-cluster
+# cosine ceiling, centroid-nearest survivor
+# ----------------------------------------------------------------------
+#: within-cluster cosine above which a pair is a semantic duplicate —
+#: the SemDeDup epsilon (Abbas et al. 2023 sweep 0.94-0.96 on CLIP
+#: embeddings; the synthetic table's intra-cluster sims sit far lower,
+#: so the ceiling is placed where both keeps AND drops occur and the
+#: decision boundary is exercised)
+SEMDEDUP_COS_CEIL = 0.35
+
+_SEMDEDUP_DUCK_CSIM = _DUCK_COS.format(a="a.embedding", b="c.centroid")
+_SEMDEDUP_DUCK_PAIR = _DUCK_COS.format(a="u.embedding", b="v.embedding")
+
+
+@query(
+    "x2_semdedup_keep",
+    oracle=f"""
+    WITH {_DUCK_CENTROIDS},
+    csim AS (
+      SELECT a.vec_id, a.bucket, a.embedding,
+             ROUND({_SEMDEDUP_DUCK_CSIM}, 6) AS c_sim
+      FROM assigned a JOIN cents c ON c.label = a.bucket
+    ), drops AS (
+      SELECT DISTINCT v.vec_id
+      FROM csim v JOIN csim u
+        ON u.bucket = v.bucket AND u.vec_id <> v.vec_id
+       AND ROUND({_SEMDEDUP_DUCK_PAIR}, 6) >= {SEMDEDUP_COS_CEIL}
+       AND (u.c_sim > v.c_sim
+            OR (u.c_sim = v.c_sim AND u.vec_id < v.vec_id))
+    )
+    SELECT c.vec_id, CAST(c.bucket AS BIGINT) AS cluster, c.c_sim,
+           (d.vec_id IS NULL) AS is_kept
+    FROM csim c LEFT JOIN drops d ON d.vec_id = c.vec_id
+    """,
+)
+def x2_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup KEEP decision (Abbas et al. 2023, public): the curation
+    ladder's semantic-dedup POLICY rung — ``x2_semantic_dedup`` labels
+    the clusters, ``x8_cluster_balance`` quotas them; this rung decides
+    WHICH member of each semantic-duplicate group survives. Every
+    vector is coarse-quantized to its nearest centroid (the IVF
+    assignment, reused verbatim); within a cluster, any pair with
+    cosine ≥ {SEMDEDUP_COS_CEIL} is a semantic duplicate, and the
+    member NEARER the centroid wins (the most-representative-survivor
+    variant; ties break on vec_id) — a vector is dropped iff some
+    same-cluster vector above the ceiling beats it. The dominance rule
+    is pairwise and order-free, so it is deterministic and replays
+    exactly in SQL — unlike the paper's greedy sequential scan, whose
+    keep set depends on visit order. Output carries the rounded
+    centroid-sim (the keep-priority score) so the row is a value
+    check, not a bare boolean — same discipline as
+    mm_pair_cosine_filter's rounded pair_cos.
+
+    Scale shape: centroid build + collect is k-bounded
+    (build_centroids — map-side combine past the measured crossover);
+    assignment is ONE corpus scan through the broadcast-argmax Arrow
+    kernel, never a shuffle; the dominance join is bucket-equi
+    (plan-gated: no cross-cluster pairs, no cartesian), so pair work
+    is Σ|cluster|² — bounded by the quantizer's balance, the
+    SemDeDup design itself (k grows with the corpus keeping clusters
+    ~constant; a pathological all-one-cluster corpus degrades to the
+    gated exact rung's regime and should raise k, not this ceiling).
+    csim is localCheckpoint-ed so the self-join reads the assignment
+    once instead of re-running the Python stage per side."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+        "label",
+    ).cache()
+    n_corpus = base.count()
+    rows = build_centroids(base, "label", n_corpus).collect()
+    rows.sort(key=lambda r: r["label"])  # argmax first-hit = lowest label
+    c_labels = np.array([r["label"] for r in rows], dtype=np.int64)
+    c_mat = np.array([r["centroid"] for r in rows], dtype=np.float64)
+    bc = spark.sparkContext.broadcast(
+        (c_labels, c_mat, _seq_self_norms(c_mat))
+    )
+    assigned = base.select("vec_id", "embedding").mapInPandas(
+        _assign_fn(bc),
+        schema="vec_id long, embedding array<double>, bucket long",
+    )
+    base.unpersist()
+    cents = spark.createDataFrame(
+        [(int(l), [float(x) for x in m]) for l, m in zip(c_labels, c_mat)],
+        schema="bucket long, centroid array<double>",
+    )
+    csim = (
+        assigned.join(F.broadcast(cents), "bucket")
+        .select(
+            "vec_id",
+            "bucket",
+            "embedding",
+            F.round(cosine(F.col("embedding"), F.col("centroid")), 6).alias(
+                "c_sim"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    v = csim.select(
+        F.col("vec_id").alias("v_id"),
+        F.col("bucket").alias("v_bucket"),
+        F.col("embedding").alias("v_emb"),
+        F.col("c_sim").alias("v_csim"),
+    )
+    u = csim.select(
+        F.col("vec_id").alias("u_id"),
+        F.col("bucket").alias("u_bucket"),
+        F.col("embedding").alias("u_emb"),
+        F.col("c_sim").alias("u_csim"),
+    )
+    pair_cos = F.round(cosine(F.col("u_emb"), F.col("v_emb")), 6)
+    dominated = (
+        v.join(
+            u,
+            (F.col("u_bucket") == F.col("v_bucket"))
+            & (F.col("u_id") != F.col("v_id"))
+            & (pair_cos >= SEMDEDUP_COS_CEIL)
+            & (
+                (F.col("u_csim") > F.col("v_csim"))
+                | (
+                    (F.col("u_csim") == F.col("v_csim"))
+                    & (F.col("u_id") < F.col("v_id"))
+                )
+            ),
+            "left_semi",
+        )
+        .select(F.col("v_id").alias("d_id"))
+        .distinct()
+    )
+    return csim.join(
+        dominated, csim.vec_id == dominated.d_id, "left"
+    ).select(
+        "vec_id",
+        F.col("bucket").cast("long").alias("cluster"),
+        "c_sim",
+        F.col("d_id").isNull().alias("is_kept"),
+    )
+
+
+# ----------------------------------------------------------------------
 # Maximum-inner-product search (MIPS) — the recommendation-scoring twin
 # ----------------------------------------------------------------------
 @query(
