@@ -321,3 +321,80 @@ def test_stream_left_join_ns_unit(spark, tmp_path):
     # the matched row's timestamps round-trip the ns→µs conversion
     row = spark.table(sink).filter(F.col("purchase_id") == 2).collect()[0]
     assert int(row["p_ts"].timestamp() * 1e6) == (base + hour // 2) // 1000
+
+
+def test_minhash_dedup_stream_multibatch_order_free(spark, tmp_path):
+    """Stream-batch parity for the near-dup frontier twin ACROSS
+    micro-batches, with arrival order deliberately different from
+    doc_id order: documents split into three files by doc_id % 3
+    (maxFilesPerTrigger=1 → three triggers, each interleaving the id
+    range), drained registry must equal the batch min-per-band-key
+    wins, and the derived keeper set must equal the batch keeper set —
+    the mergeable-min state contract (min(state ∪ batch) =
+    min(history)) that makes the decision arrival-order-free."""
+    import glob
+    import os
+    import shutil
+
+    from weather_data_pipeline_spark.operators.dedup import (
+        MINHASH_BAND_ROWS,
+        MINHASH_K,
+        minhash_band_keys,
+    )
+    from weather_data_pipeline_spark.streaming import jobs
+
+    sf = "/root/testdata/sf0.001"
+    doc = spark.read.parquet(f"{sf}/documents.parquet")
+
+    src = str(tmp_path / "docs_src")
+    os.makedirs(src)
+    for i in range(3):
+        tmp = str(tmp_path / "_tmp")
+        doc.filter(F.pmod("doc_id", F.lit(3)) == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dest = os.path.join(src, f"b{i}.parquet")
+        shutil.move(part, dest)
+        os.utime(dest, (1_700_000_000 + 100 * i,) * 2)
+
+    stream = (
+        spark.readStream.schema(doc.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    state = str(tmp_path / "state")
+    jobs.streaming_minhash_dedup(stream, state)
+
+    st = jobs.read_state(spark, state)
+    got_state = sorted(tuple(r) for r in st.collect())
+
+    batch_wins = (
+        minhash_band_keys(doc)
+        .groupBy("band", "band_key")
+        .agg(F.min(F.struct("doc_id", "n_chars")).alias("w"))
+        .select("band", "band_key", "w.doc_id", "w.n_chars")
+    )
+    want_state = sorted(tuple(r) for r in batch_wins.collect())
+    assert got_state == want_state
+    assert len(got_state) > 0
+
+    n_bands = MINHASH_K // MINHASH_BAND_ROWS
+    got_keep = sorted(
+        r["doc_id"]
+        for r in st.groupBy("doc_id")
+        .count()
+        .filter(F.col("count") == n_bands)
+        .collect()
+    )
+    want_keep = sorted(
+        r["doc_id"]
+        for r in batch_wins.groupBy("doc_id")
+        .count()
+        .filter(F.col("count") == n_bands)
+        .collect()
+    )
+    assert got_keep == want_keep
+    # near-dups exist in the synthetic corpus: some docs must be dropped
+    n_banded = minhash_band_keys(doc).select("doc_id").distinct().count()
+    assert 0 < len(got_keep) < n_banded

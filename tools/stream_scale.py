@@ -113,6 +113,61 @@ def _state_dir_count(ckpt: str) -> int:
     return len(glob.glob(os.path.join(ckpt, "state", "0", "*")))
 
 
+def _minhash_frontier(spark: SparkSession) -> dict:
+    """State growth of the near-dup frontier twin (VERDICT r10 ask #3):
+    drain streaming_minhash_dedup at 1x and 10x documents, measuring
+    wall time, registry rows (one per DISTINCT band key — the state
+    bound: ∝ distinct content regions, NOT docs × bands when dups
+    exist), and the derived keeper count."""
+    from pyspark.sql import functions as F
+
+    from weather_data_pipeline_spark.operators.dedup import (
+        MINHASH_BAND_ROWS,
+        MINHASH_K,
+    )
+    from weather_data_pipeline_spark.schemas import TESTDATA
+    from weather_data_pipeline_spark.streaming import jobs
+
+    n_bands = MINHASH_K // MINHASH_BAND_ROWS
+    # untimed warmup drain (throwaway state): pays the one-time Python
+    # worker + band-key codegen startup so 1x and 10x compare steady
+    # states (same discipline as the running-totals section)
+    dw = os.path.join(WORK, "docs_warm")
+    _copy_events(dw, os.path.join(BASE, "documents.parquet"))
+    jobs.streaming_minhash_dedup(
+        spark.readStream.schema(TESTDATA["documents"])
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(dw),
+        os.path.join(WORK, "mh_state_warm"),
+    )
+    res: dict = {}
+    for tag, root in (("1x", BASE), ("10x", SCALE_DIR)):
+        d = os.path.join(WORK, f"docs{tag}")
+        _copy_events(d, os.path.join(root, "documents.parquet"))
+        src = (
+            spark.readStream.schema(TESTDATA["documents"])
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(d)
+        )
+        state = os.path.join(WORK, f"mh_state_{tag}")
+        t0 = time.perf_counter()
+        jobs.streaming_minhash_dedup(src, state)
+        res[f"t_{tag}"] = round(time.perf_counter() - t0, 3)
+        st = jobs.read_state(spark, state)
+        res[f"registry_rows_{tag}"] = st.count()
+        res[f"keepers_{tag}"] = (
+            st.groupBy("doc_id")
+            .count()
+            .filter(F.col("count") == n_bands)
+            .count()
+        )
+    res["ratio"] = round(res["t_10x"] / res["t_1x"], 2)
+    res["registry_ratio"] = round(
+        res["registry_rows_10x"] / max(res["registry_rows_1x"], 1), 2
+    )
+    return res
+
+
 def main() -> None:
     if os.path.isdir(WORK):
         shutil.rmtree(WORK)
@@ -167,6 +222,7 @@ def main() -> None:
         "t_incremental": t_inc,
         "state_incremental": s_inc,
     }
+    out["minhash_frontier"] = _minhash_frontier(spark)
     print(json.dumps(out))
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "BENCH_STREAM_SCALE.json"), "w") as f:

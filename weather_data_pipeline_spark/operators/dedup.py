@@ -758,6 +758,38 @@ def x2_minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def minhash_band_keys(doc: DataFrame) -> DataFrame:
+    """(doc_id, n_chars, band, band_key): the portable banded-LSH key set
+    of each bandable doc (≥ 3 words — shorter docs have no shingles, no
+    signature, no keys), the ``x2_minhash_lsh_portable`` key derivation
+    factored out so the streaming frontier twin
+    (streaming/jobs.streaming_minhash_dedup) incrementalizes EXACTLY the
+    keys the batch rung joins on. One narrow scan: all {K} minima compute
+    map-side, banding is a projection; ``n_chars`` joins back on doc_id
+    (co-partitioned with the signature groupBy output)."""
+    mins = _minhash_wide(doc)
+    n_bands = MINHASH_K // MINHASH_BAND_ROWS
+    band_cols = []
+    for b in range(n_bands):
+        cols = [
+            F.col(f"h{i}").cast("string")
+            for i in range(b * MINHASH_BAND_ROWS, (b + 1) * MINHASH_BAND_ROWS)
+        ]
+        band_cols.append(f"{b}L")
+        band_cols.append(f"bk{b}")
+        mins = mins.withColumn(f"bk{b}", F.md5(F.concat_ws(",", *cols)))
+    bands = mins.selectExpr(
+        "doc_id",
+        "stack({}, {}) as (band, band_key)".format(
+            n_bands, ", ".join(band_cols)
+        ),
+    )
+    return bands.join(
+        doc.select("doc_id", F.length("text").cast("long").alias("n_chars")),
+        "doc_id",
+    )
+
+
 @query("x2_minhash_lsh")
 def x2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash LSH candidate pairs (pyspark.ml): shingle → sparse vector →

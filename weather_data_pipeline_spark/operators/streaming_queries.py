@@ -560,3 +560,61 @@ def s_url_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("url", F.expr(_RAW_URL_SPARK))
     jobs.streaming_url_dedup(src, sink)
     return spark.table(sink)
+
+
+from .dedup import (  # noqa: E402
+    MINHASH_BAND_ROWS as _MH_R,
+    MINHASH_K as _MH_K,
+    _MINHASH_HX_CTE,
+)
+
+_MH_BANDS = _MH_K // _MH_R
+
+
+@query(
+    "s_minhash_dedup_stream",
+    oracle=f"""
+    WITH {_MINHASH_HX_CTE},
+    bands AS (
+      SELECT doc_id, sig_idx // {_MH_R} AS band,
+             md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY sig_idx))
+               AS band_key
+      FROM hx GROUP BY doc_id, sig_idx // {_MH_R}
+    ), wins AS (
+      SELECT band, band_key, MIN(doc_id) AS keeper
+      FROM bands GROUP BY band, band_key
+    )
+    SELECT w.keeper AS doc_id,
+           CAST(length(d.text) AS BIGINT) AS n_chars
+    FROM wins w JOIN documents d ON d.doc_id = w.keeper
+    GROUP BY w.keeper, length(d.text)
+    HAVING COUNT(*) = {_MH_BANDS}
+    """,
+)
+def s_minhash_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming NEAR-dup twin (VERDICT r10 ask #3) — the X2 tier's
+    crawl-frontier shape, completing the ladder the X1 twins started
+    (content digest ``s_dedup_stream``, canonical URL
+    ``s_url_dedup_stream``; a real frontier dedups FUZZILY at ingest):
+    per micro-batch the portable MinHash band keys probe-and-merge
+    into a growing (band, band_key) → min-doc registry
+    (jobs.streaming_minhash_dedup — mergeable-min state, so the
+    drained registry is arrival-order-free), and the keeper set
+    derives from the final state alone: a doc survives iff it holds
+    all {_MH_BANDS} of its band keys, i.e. NO band collides with a
+    lower-id doc. Oracle = the batch banded keeper set on the same
+    portable signatures (md5 permutations replay in SQL — the
+    x2_minhash_lsh_portable discipline); n_chars rides along so the
+    row is a value check, not a bare id list. Docs under 3 words have
+    no shingles hence no keys on either engine (the batch rungs'
+    convention)."""
+    state = os.path.join(jobs.SCRATCH, f"mhdd_{uuid.uuid4().hex[:8]}")
+    src = jobs.stream_documents(spark, sf_dir)
+    jobs.streaming_minhash_dedup(src, state)
+    st = jobs.read_state(spark, state)
+    return (
+        st.groupBy("doc_id", "n_chars")
+        .agg(F.count(F.lit(1)).alias("n_won"))
+        .filter(F.col("n_won") == _MH_BANDS)
+        .select("doc_id", "n_chars")
+    )

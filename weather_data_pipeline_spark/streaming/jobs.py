@@ -700,3 +700,62 @@ def streaming_url_dedup(source: DataFrame, sink_table: str) -> None:
         .outputMode("append"),
         f"urldedup-{sink_table}",
     )
+
+
+def streaming_minhash_dedup(
+    source: DataFrame, state_path: str, checkpoint: str | None = None
+) -> None:
+    """MinHash NEAR-dup dedup at the crawl frontier (VERDICT r10 ask
+    #3) — the X2 tier's first streaming twin: per micro-batch, the
+    portable banded-LSH keys of the batch's docs
+    (``operators.dedup.minhash_band_keys`` — the batch rung's exact key
+    derivation) merge into a growing band-key REGISTRY keyed on
+    (band, band_key), keeping the MIN-doc_id holder per key. Min is
+    MERGEABLE state — min(state ∪ batch) = min(history), the
+    s_topk_stream discipline — so the drained registry is
+    arrival-order-FREE and a batch oracle replays it exactly; state
+    carries one (band, band_key, keeper, n_chars) row per DISTINCT
+    band key, never documents and never candidate pairs (state size ∝
+    distinct content regions, the crawl-frontier bound measured in
+    BENCH_STREAM_SCALE.json). The keep decision derives at drain: a
+    doc survives iff it holds ALL of its bands' keys — the frontier's
+    drop-on-any-band-collision policy with crawl-id order standing in
+    for arrival order (what makes the keeper set deterministic under
+    availableNow's free micro-batching; a literal first-ARRIVED
+    registry is the same plan with min over an ingest stamp). Snapshot
+    writes use the write-new-then-flip protocol of
+    incremental_latest_per_key, so readers never observe a torn
+    state."""
+    from ..operators.dedup import minhash_band_keys
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        s = batch.sparkSession
+        keys = minhash_band_keys(batch)
+        version = _state_version(state_path)
+        if version is not None:
+            prev = s.read.parquet(os.path.join(state_path, version))
+            merged = prev.unionByName(keys.select(prev.columns))
+        else:
+            merged = keys.select("band", "band_key", "doc_id", "n_chars")
+        out = (
+            merged.groupBy("band", "band_key")
+            .agg(F.min(F.struct("doc_id", "n_chars")).alias("w"))
+            .select(
+                "band",
+                "band_key",
+                F.col("w.doc_id").alias("doc_id"),
+                F.col("w.n_chars").alias("n_chars"),
+            )
+        )
+        new_version = f"v{batch_id}-{uuid.uuid4().hex[:8]}"
+        out.write.parquet(os.path.join(state_path, new_version))
+        tmp = os.path.join(state_path, f"_VERSION.{new_version}")
+        with open(tmp, "w") as f:
+            f.write(new_version)
+        os.replace(tmp, os.path.join(state_path, "_VERSION"))  # atomic flip
+
+    run_to_completion(
+        source.writeStream.foreachBatch(merge).outputMode("update"),
+        "minhash-dedup-state",
+        checkpoint,
+    )
