@@ -164,6 +164,8 @@ HEADLINE = [
     "x2_minhash_band_tuning",
     "x4_code_detect",
     "x6_backtest_folds",
+    # round-11 additions
+    "x2_semdedup_keep",
 ]
 
 

@@ -93,75 +93,79 @@ _PRIORITY: tuple[str, ...] = (
     "o15_latest_per_key",  # flagship (also entry())
     "w_corrupt_quarantine",  # r2 hash-fail regression pin
     "x6_session_windows",  # r2 hash-fail regression pin
-    # --- round-10 additions (4): driver-checked the round they land ---
-    "x4_bpe_merge_train",
-    "x4_domain_rollup",
-    "x8_domain_caps",
-    "mm_pair_cosine_filter",
-    # --- round-10 STALENESS rotation (43; VERDICT r9 ask #1): drawn
-    # oldest-first from the r1-r4 union tier. The 51-query stale tier
-    # splits 45 oracle-bearing + 6 rows-only (the closed
-    # engine-specific set — band twins carry their value checks; the
-    # all-50-slots-oracle-bearing rule keeps them out of the window
-    # permanently, by design). 43 slots take all 10 r1 + all 25 r3 +
-    # 2 of 10 r4 oracle-bearing rows; the remaining 8 r4 rows
-    # (ext_window_first_last, w_city_encode, x4_doc_stats,
-    # x4_fingerprint, x4_lang_id_heuristic, x4_lang_stats,
-    # x4_rolling_fingerprint, x4_token_count) head the r11 rotation.
-    # Six slots go to family representatives the stale tier lacks
-    # (x1/x2/x7/x9/ext_cdc/ext_cogroup — family coverage pinned by
+    # --- round-11 additions (2): driver-checked the round they land ---
+    "x2_semdedup_keep",
+    "s_minhash_dedup_stream",
+    # --- round-11 COVERAGE rotation (12; VERDICT r10 ask #1): the 12
+    # round-10 rungs that landed after the r10 window locked — each was
+    # hash-checked by in-session parity/verify sweeps in r10 and r11,
+    # but has never held a driver CORRECTNESS row. With these in-window
+    # the declared rotation queue (_R11_QUEUE) is EMPTY: zero
+    # verification debt, and every registered query has a driver row
+    # from the r1-r11 union.
+    "x1_url_dedup",
+    "x9_label_propagation",
+    "x9_kcore_peel",
+    "x9_jaccard_neighbors",
+    "x8_k_anonymity",
+    "w_compact_small_files",
+    "mm_scene_cuts",
+    "s_scene_cuts_stream",
+    "x2_minhash_band_tuning",
+    "x4_code_detect",
+    "x6_backtest_folds",
+    "s_url_dedup_stream",
+    # --- round-11 STALENESS rotation (33): the 8 remaining r4 rows
+    # (completing the r9-r11 sweep of everything last checked r1-r4),
+    # then the r5 tier oldest-first. The r5 tier holds 21 oracle-bearing
+    # rows; 20 fit — x3_ivf_topk_nprobe2 is the one left for r12
+    # (parameter variant of x3_ivf_topk, which is r10-green, and of the
+    # recall shape x3_ivf_recall_eval, r8-green — the same precedent as
+    # the r7 restructure's two-variant deferral). Five slots go to
+    # family representatives the stale tiers lack (coverage pinned by
     # test_first_50_slots_cover_survey_operators), each the
-    # OLDEST-checked oracle-bearing member of its family. Rotated OUT:
-    # the 43 r9-window queries not re-listed here — all r9-green,
-    # their rows stand in the r1-r9 union.
-    # family representatives (6):
-    "x1_exact_dedup",  # r6
-    "x2_decontaminate",  # r5
-    "x7_asof_join",  # r6
-    "x9_degree_hist",  # r8
-    "ext_cdc_merge",  # r9 (sole CDC query)
-    "ext_cogroup_pandas",  # r9 (sole cogroup query)
-    # stalest tier — last driver-checked round 1 (10):
-    "ext_intersect",
-    "ext_join_anti",
-    "ext_join_full_outer",
-    "ext_join_left_outer",
-    "ext_scalar_subquery",
-    "ext_string_funcs",
-    "ext_union_distinct",
-    "ext_unpivot",
-    "o15_latest_per_key_agg",
-    "x5_from_json_struct",
-    # last driver-checked round 3 (25):
-    "ext_q18_large_orders",
-    "ext_rollup",
-    "ext_window_ranks",
-    "mm_type_rollup",
-    "o11_rename",
-    "o12_projection",
-    "o13_filter_eq",
-    "o14_rank_filter_topk",
-    "o16_union_all",
-    "o18_column_zip",
-    "o19_parse_nonpadded_hour",
-    "o20_epoch_roundtrip",
-    "o21_ts_to_string",
-    "o22_epoch_shift_day",
-    "o24_map_encode",
-    "o25_map_decode",
-    "o26_date_math",
-    "o8_json_serialize",
-    "o9_nested_flatten",
-    "s_dedup_stream",
-    "s_stream_stream_join",
-    "x3_ivf_topk",
-    "x3_lsh_candidate_pairs",
-    "x4_term_frequency",
-    "x6_gap_fill_locf",
-    # last driver-checked round 4 (2; the frame-spec window shapes —
-    # the least like anything else in-window):
-    "ext_window_range_frame",
-    "ext_window_running_sum",
+    # OLDEST-checked oracle-bearing member of its family:
+    # x5_json_extract_agg (r6), ext_q1_pricing_summary (r6),
+    # x7_temporal_join (r7), and the sole-member CDC/cogroup reps
+    # (r10-green, in-window every round by the family rule).
+    # Rotated OUT: the 43 r10-window staleness rows — all r10-green,
+    # their rows stand in the union.
+    # last driver-checked round 4 (8):
+    "ext_window_first_last",
+    "w_city_encode",
+    "x4_doc_stats",
+    "x4_fingerprint",
+    "x4_lang_id_heuristic",
+    "x4_lang_stats",
+    "x4_rolling_fingerprint",
+    "x4_token_count",
+    # family representatives (5):
+    "x5_json_extract_agg",  # r6
+    "ext_q1_pricing_summary",  # r6
+    "x7_temporal_join",  # r7
+    "ext_cdc_merge",  # r10 (sole CDC query)
+    "ext_cogroup_pandas",  # r10 (sole cogroup query)
+    # last driver-checked round 5 (20 of 21):
+    "ext_pandas_udaf_grouped",
+    "ext_python_udtf",
+    "mm_decode_features",
+    "mm_frame_sample",
+    "mm_resize_thumbnail",
+    "s_session_window_stream",
+    "s_tumbling_hourly_stream",
+    "s_weather_latest_stream",
+    "w_flatten_stage",
+    "x2_dup_components_star",
+    "x2_minhash_lsh_portable",
+    "x2_minhash_portable",
+    "x2_ngram_jaccard_capped",
+    "x2_simhash_portable",
+    "x3_lsh_buckets",
+    "x3_quantize_int8",
+    "x4_repetition_score",
+    "x6_session_stats_per_user",
+    "x6_tumbling_hourly",
+    "x8_sequence_packing",
 )
 
 #: The pre-round-9 window, kept for the union math in
@@ -248,31 +252,13 @@ _R8_WINDOW_ROTATED_OUT: tuple[str, ...] = (
 #: tests/test_entry.py::test_driver_union_vs_registry computes the gap
 #: from the CORRECTNESS_r0*.json files and asserts it equals EXACTLY
 #: this set, so the backlog can never silently grow past one round's
-#: rotation capacity again. Empty since round 8 (zero verification
-#: debt); the four round-10 additions sit in the r10 window, so it
-#: stays empty. (Freshness, as opposed to coverage, rotates separately:
-#: the 8 r4-checked rows named in the window comment above head the
-#: r11 staleness rotation.)
-#: Round-10 late additions: landed AFTER the r10 driver window was
-#: locked to the VERDICT r9 ask-#1 staleness rotation (displacing six
-#: stale slots would undo that ask), so they head the r11 rotation
-#: together with the 8 remaining r4 rows noted on _PRIORITY. Each was
-#: hash-checked against its DuckDB oracle by the in-session
-#: parity/verify sweeps the round it landed.
-_R10_QUEUE: set[str] = {
-    "x1_url_dedup",
-    "x9_label_propagation",
-    "x9_kcore_peel",
-    "x9_jaccard_neighbors",
-    "x8_k_anonymity",
-    "w_compact_small_files",
-    "mm_scene_cuts",
-    "s_scene_cuts_stream",
-    "x2_minhash_band_tuning",
-    "x4_code_detect",
-    "x6_backtest_folds",
-    "s_url_dedup_stream",
-}
+#: rotation capacity again. EMPTY in round 11 (zero verification debt):
+#: the 12 round-10 late additions rotated into the r11 window (VERDICT
+#: r10 ask #1), the two round-11 additions registered straight into it,
+#: and every other query holds a row in the r1-r10 union. Round-11 late
+#: additions (if any land after this window locks) go here and head the
+#: r12 rotation, per the standing convention.
+_R11_QUEUE: set[str] = set()
 
 
 def _prioritized(d: dict[str, object]) -> dict[str, object]:
