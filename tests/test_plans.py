@@ -1703,17 +1703,20 @@ def test_label_propagation_round_shape(spark):
 
 
 def test_kcore_peel_no_rescans(spark):
-    """k-core peeling: per-round edge snapshots are checkpointed, so
-    the returned 3-row cascade plan reads only checkpoint RDDs — zero
-    parquet rescans, no cartesian, partial-aggregated stats."""
+    """k-core peeling: per-round stats collect eagerly as ONE row each
+    (round 11 — the lazily-unioned form pinned every round's edge
+    snapshot until collect, OOMing the 100-copy spot check), so the
+    returned 3-row cascade is a pure local relation: zero parquet
+    scans, zero exchanges, no re-execution at collect."""
     from weather_data_pipeline_spark.plans.inspect import executed_plan
 
     df = _Q["x9_kcore_peel"](spark, SF)
     plan = executed_plan(df)
     assert "Scan parquet" not in plan
+    assert "Exchange" not in plan
     assert "CartesianProduct" not in plan
-    assert "Union" in plan
-    assert has_partial_aggregation(df)
+    rows = df.collect()
+    assert [r["round"] for r in rows] == [1, 2, 3]
 
 
 def test_k_anonymity_rollup_broadcast_plan(spark):

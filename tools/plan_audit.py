@@ -48,13 +48,15 @@ MULTI_JOB = {
     "both broadcast lookups read the one ExistingRDD",
     "x4_bpe_merge_train": "word-count + per-round pair-count/argmax rounds "
     "run as prior jobs (one (l,r,cnt) row to the driver per round); the "
-    "result plan unions the checkpointed per-round merge rows",
+    "result plan is a pure local relation of the collected merge rows "
+    "(round 11, ADVICE r10 — no re-execution at collect)",
     "x9_label_propagation": "edge build + per-round label vectors "
     "localCheckpoint as prior jobs; the plan shows the LAST (lazy) "
     "Pregel round over ExistingRDD scans",
     "x9_kcore_peel": "edge build + per-round peeled snapshots "
-    "localCheckpoint as prior jobs; the plan unions the three 1-row "
-    "cascade aggregates over ExistingRDD scans",
+    "localCheckpoint as prior jobs with their 1-row stats collected "
+    "eagerly (round 11 — bounds resident snapshots at ~2); the result "
+    "plan is a pure local relation of the cascade rows",
     "x9_jaccard_neighbors": "capped adjacency localCheckpoints as a prior "
     "job (feeds degrees + both wedge sides); the |nodes| pre-flight "
     "count is a bounded job",
@@ -64,6 +66,10 @@ MULTI_JOB = {
     "w_compact_small_files": "the staging and compaction writes run as "
     "prior jobs; the plan aggregates the re-read compacted copy joined "
     "to the O(#partitions) disk-listing frame",
+    "x2_semdedup_keep": "centroid build + k-bounded collect and the "
+    "assignment/csim localCheckpoint run as prior jobs; the plan is the "
+    "bucket-equi dominance join over ExistingRDD scans of the one "
+    "checkpoint",
 }
 
 #: Scale-suite-only queries too heavy for the bench loop whose plan is

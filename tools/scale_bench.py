@@ -222,6 +222,7 @@ QUERIES = [
     "x2_minhash_band_tuning",
     "x4_code_detect",
     "x6_backtest_folds",
+    "x2_semdedup_keep",
 ]
 
 #: Viral boilerplate for the skew replica: untagged (shared verbatim

@@ -597,8 +597,14 @@ def x9_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     semi-joins against the |nodes|-bounded keep set (broadcast under
     PR_BROADCAST_NODES; keyed-shuffle fallback past it), then
     checkpointed so the next round's degree count reads the shrunken
-    list, never the lineage. Per-round stats are 1-row aggregates
-    UNIONed lazily — nothing data-sized reaches the driver."""
+    list, never the lineage. Per-round stats collect EAGERLY as ONE
+    row each (round 11 — the lazily-unioned form pinned EVERY round's
+    edge snapshot until the final collect, so resident checkpoint
+    blocks grew with KCORE_ROUNDS × |edges| and OOMed the 100-copy
+    spot check; eager stats drop each superseded snapshot for the
+    ContextCleaner, bounding residency at ~2 snapshots), and the
+    returned merge table is a local relation of those K rows —
+    nothing data-sized reaches the driver either way."""
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     base = (
@@ -614,7 +620,7 @@ def x9_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     n = edges.select("src").distinct().count()  # bounded pre-flight job
     small = n <= PR_BROADCAST_NODES
-    rounds = []
+    rounds: list[tuple] = []
     for i in range(1, KCORE_ROUNDS + 1):
         keep = (
             edges.groupBy("src")
@@ -629,23 +635,22 @@ def x9_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("src", "dst")
             .localCheckpoint(eager=True)
         )
-        rounds.append(
-            edges.agg(
-                F.lit(i).alias("round"),
-                F.countDistinct("src").alias("n_nodes"),
-                F.countDistinct(
-                    F.when(F.col("src") < SUPP_OFFSET, F.col("src"))
-                ).alias("n_customers"),
-                F.countDistinct(
-                    F.when(F.col("src") >= SUPP_OFFSET, F.col("src"))
-                ).alias("n_suppliers"),
-                F.count(F.lit(1)).alias("n_edges"),
-            )
-        )
-    out = rounds[0]
-    for r in rounds[1:]:
-        out = out.unionAll(r)
-    return out
+        row = edges.agg(  # one 5-field row per round, nothing more
+            F.countDistinct("src").alias("n_nodes"),
+            F.countDistinct(
+                F.when(F.col("src") < SUPP_OFFSET, F.col("src"))
+            ).alias("n_customers"),
+            F.countDistinct(
+                F.when(F.col("src") >= SUPP_OFFSET, F.col("src"))
+            ).alias("n_suppliers"),
+            F.count(F.lit(1)).alias("n_edges"),
+        ).first()
+        rounds.append((i, *row))
+    return spark.createDataFrame(
+        rounds,
+        schema="round int, n_nodes long, n_customers long,"
+        " n_suppliers long, n_edges long",
+    )
 
 
 # ----------------------------------------------------------------------
