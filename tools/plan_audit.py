@@ -66,10 +66,9 @@ MULTI_JOB = {
     "w_compact_small_files": "the staging and compaction writes run as "
     "prior jobs; the plan aggregates the re-read compacted copy joined "
     "to the O(#partitions) disk-listing frame",
-    "x2_semdedup_keep": "centroid build + k-bounded collect and the "
-    "assignment/csim localCheckpoint run as prior jobs; the plan is the "
-    "bucket-equi dominance join over ExistingRDD scans of the one "
-    "checkpoint",
+    "x2_semdedup_keep": "centroid build + k-bounded collect run as prior "
+    "jobs; the plan is the assignment mapInPandas feeding the per-cluster "
+    "grouped decision kernel behind the single (bucket) exchange",
 }
 
 #: Scale-suite-only queries too heavy for the bench loop whose plan is

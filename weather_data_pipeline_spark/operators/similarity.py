@@ -1510,6 +1510,26 @@ def x2_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: decision boundary is exercised)
 SEMDEDUP_COS_CEIL = 0.35
 
+#: per-cluster row ceiling for the grouped decision kernel: the pair
+#: matrix is |cluster|² doubles (20k → ~3.2 GB/task), and a cluster
+#: past this size means the quantizer k is undersized for the corpus —
+#: fail fast naming that lever instead of OOMing an executor
+SEMDEDUP_MAX_CLUSTER = 20_000
+
+def _semdedup_guard(n_rows: int) -> None:
+    """Fail-fast shard guard for the grouped decision kernel (same
+    discipline as the EMA/packing kernels): the pair matrix is
+    |cluster|² doubles, so an oversized cluster must name the
+    quantizer-k lever instead of OOMing an executor."""
+    if n_rows > SEMDEDUP_MAX_CLUSTER:
+        raise ValueError(
+            f"x2_semdedup_keep: cluster of {n_rows} rows exceeds "
+            f"SEMDEDUP_MAX_CLUSTER={SEMDEDUP_MAX_CLUSTER} (pair matrix "
+            "is |cluster|^2 doubles); raise the quantizer k so "
+            "clusters stay bounded — the SemDeDup lever"
+        )
+
+
 _SEMDEDUP_DUCK_CSIM = _DUCK_COS.format(a="a.embedding", b="c.centroid")
 _SEMDEDUP_DUCK_PAIR = _DUCK_COS.format(a="u.embedding", b="v.embedding")
 
@@ -1556,14 +1576,22 @@ def x2_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: centroid build + collect is k-bounded
     (build_centroids — map-side combine past the measured crossover);
     assignment is ONE corpus scan through the broadcast-argmax Arrow
-    kernel, never a shuffle; the dominance join is bucket-equi
-    (plan-gated: no cross-cluster pairs, no cartesian), so pair work
-    is Σ|cluster|² — bounded by the quantizer's balance, the
-    SemDeDup design itself (k grows with the corpus keeping clusters
-    ~constant; a pathological all-one-cluster corpus degrades to the
-    gated exact rung's regime and should raise k, not this ceiling).
-    csim is localCheckpoint-ed so the self-join reads the assignment
-    once instead of re-running the Python stage per side."""
+    kernel, never a shuffle; the decision is a per-CLUSTER grouped
+    Arrow kernel (one (bucket) exchange — cross-cluster pairs cannot
+    even form) whose pair matrix accumulates dim-by-dim in numpy with
+    the SAME left-to-right fold as the SQL oracle (_seq_dot's
+    documented equivalence), so pair work is Σ|cluster|² — bounded by
+    the quantizer's balance, the SemDeDup design itself (k grows with
+    the corpus keeping clusters ~constant). The first cut expressed
+    the dominance as a bucket-equi self-JOIN of interpreted zip_with/
+    aggregate cosines; the kernel form returns IDENTICAL rows and
+    measured 6.3× faster at sf0.1 (4.75 s → 0.75 s warmed medians,
+    one session) — the module's standing HOF-vs-Arrow rule. Kernel
+    memory is |cluster|²·8 B, fail-fast guarded at
+    SEMDEDUP_MAX_CLUSTER rows (past it, raise the quantizer k — the
+    paper's own lever — rather than silently OOM)."""
+    import pandas as pd
+
     emb = load_table(spark, sf_dir, "embeddings")
     base = emb.select(
         "vec_id",
@@ -1575,68 +1603,54 @@ def x2_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows.sort(key=lambda r: r["label"])  # argmax first-hit = lowest label
     c_labels = np.array([r["label"] for r in rows], dtype=np.int64)
     c_mat = np.array([r["centroid"] for r in rows], dtype=np.float64)
-    bc = spark.sparkContext.broadcast(
-        (c_labels, c_mat, _seq_self_norms(c_mat))
-    )
+    c_norms = _seq_self_norms(c_mat)
+    bc = spark.sparkContext.broadcast((c_labels, c_mat, c_norms))
     assigned = base.select("vec_id", "embedding").mapInPandas(
         _assign_fn(bc),
         schema="vec_id long, embedding array<double>, bucket long",
     )
     base.unpersist()
-    cents = spark.createDataFrame(
-        [(int(l), [float(x) for x in m]) for l, m in zip(c_labels, c_mat)],
-        schema="bucket long, centroid array<double>",
+    bc_cents = spark.sparkContext.broadcast(
+        {int(l): (c_mat[i], c_norms[i]) for i, l in enumerate(c_labels)}
     )
-    csim = (
-        assigned.join(F.broadcast(cents), "bucket")
-        .select(
-            "vec_id",
-            "bucket",
-            "embedding",
-            F.round(cosine(F.col("embedding"), F.col("centroid")), 6).alias(
-                "c_sim"
-            ),
+
+    def decide(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        _semdedup_guard(len(pdf))
+        mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        ids = pdf["vec_id"].to_numpy()
+        bucket = int(pdf["bucket"].iloc[0])
+        cent, cn = bc_cents.value[bucket]
+        norms = _seq_self_norms(mat)
+        # centroid sims and the pair matrix both accumulate dim-by-dim —
+        # the same left-to-right fold as the SQL cosine (cf. _seq_dot)
+        cacc = np.zeros(len(ids))
+        for k in range(mat.shape[1]):
+            cacc += mat[:, k] * cent[k]
+        c_sim = np.round(cacc / (norms * cn), 6)
+        pair = np.zeros((len(ids), len(ids)))
+        for k in range(mat.shape[1]):
+            pair += np.outer(mat[:, k], mat[:, k])
+        sims = np.round(pair / np.outer(norms, norms), 6)
+        dup = sims >= SEMDEDUP_COS_CEIL
+        np.fill_diagonal(dup, False)
+        # beats[u, v]: u is keep-preferred over v
+        beats = (c_sim[:, None] > c_sim[None, :]) | (
+            (c_sim[:, None] == c_sim[None, :])
+            & (ids[:, None] < ids[None, :])
         )
-        .localCheckpoint(eager=True)
-    )
-    v = csim.select(
-        F.col("vec_id").alias("v_id"),
-        F.col("bucket").alias("v_bucket"),
-        F.col("embedding").alias("v_emb"),
-        F.col("c_sim").alias("v_csim"),
-    )
-    u = csim.select(
-        F.col("vec_id").alias("u_id"),
-        F.col("bucket").alias("u_bucket"),
-        F.col("embedding").alias("u_emb"),
-        F.col("c_sim").alias("u_csim"),
-    )
-    pair_cos = F.round(cosine(F.col("u_emb"), F.col("v_emb")), 6)
-    dominated = (
-        v.join(
-            u,
-            (F.col("u_bucket") == F.col("v_bucket"))
-            & (F.col("u_id") != F.col("v_id"))
-            & (pair_cos >= SEMDEDUP_COS_CEIL)
-            & (
-                (F.col("u_csim") > F.col("v_csim"))
-                | (
-                    (F.col("u_csim") == F.col("v_csim"))
-                    & (F.col("u_id") < F.col("v_id"))
-                )
-            ),
-            "left_semi",
+        dropped = (dup & beats).any(axis=0)
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cluster": bucket,
+                "c_sim": c_sim,
+                "is_kept": ~dropped,
+            }
         )
-        .select(F.col("v_id").alias("d_id"))
-        .distinct()
-    )
-    return csim.join(
-        dominated, csim.vec_id == dominated.d_id, "left"
-    ).select(
-        "vec_id",
-        F.col("bucket").cast("long").alias("cluster"),
-        "c_sim",
-        F.col("d_id").isNull().alias("is_kept"),
+
+    return assigned.groupBy("bucket").applyInPandas(
+        decide,
+        schema="vec_id long, cluster long, c_sim double, is_kept boolean",
     )
 
 
