@@ -1898,3 +1898,36 @@ def test_semdedup_kernel_cluster_guard():
     sim._semdedup_guard(sim.SEMDEDUP_MAX_CLUSTER)  # at the ceiling: fine
     with pytest.raises(ValueError, match="raise the quantizer k"):
         sim._semdedup_guard(sim.SEMDEDUP_MAX_CLUSTER + 1)
+
+
+def test_keyframe_extract_zero_shuffles_and_tiling(spark):
+    """Keyframe extraction: one Arrow pass, zero exchanges, one pruned
+    scan — and the emitted scenes TILE each clip exactly (scene 0
+    starts at frame 0, lengths sum to the cut detector's frame count,
+    per-scene keyframe is 2*SCENE_FRAME hex chars)."""
+    from collections import defaultdict
+
+    from weather_data_pipeline_spark.operators.multimodal import SCENE_FRAME
+    from weather_data_pipeline_spark.plans.inspect import executed_plan
+
+    df = _Q["mm_keyframe_extract"](spark, SF)
+    plan = executed_plan(df)
+    assert "Exchange" not in plan
+    assert plan.count("Scan parquet") == 1
+    assert "InPandas" in plan
+
+    cuts = {
+        r["doc_id"]: r["n_frames"]
+        for r in _Q["mm_scene_cuts"](spark, SF).collect()
+    }
+    per_doc = defaultdict(list)
+    for r in df.collect():
+        per_doc[r["doc_id"]].append(r)
+        assert len(r["keyframe_hex"]) == 2 * SCENE_FRAME
+    assert set(per_doc) == set(cuts)
+    for doc_id, rows in per_doc.items():
+        rows.sort(key=lambda r: r["scene_idx"])
+        assert rows[0]["start_frame"] == 0
+        assert sum(r["scene_len"] for r in rows) == cuts[doc_id]
+        for a, b in zip(rows, rows[1:]):
+            assert b["start_frame"] == a["start_frame"] + a["scene_len"]

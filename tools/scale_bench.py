@@ -223,6 +223,7 @@ QUERIES = [
     "x4_code_detect",
     "x6_backtest_folds",
     "x2_semdedup_keep",
+    "mm_keyframe_extract",
 ]
 
 #: Viral boilerplate for the skew replica: untagged (shared verbatim

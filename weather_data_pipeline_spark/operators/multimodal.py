@@ -1175,3 +1175,137 @@ def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.filter(F.col("media_type") == "video/mp4").mapInPandas(
         _scene_cut_batches, schema=_SCENE_SCHEMA
     )
+
+
+# ----------------------------------------------------------------------
+# Keyframe extraction (round 11): scenes → representative frames, the
+# step between shot segmentation and caption/embedding models
+# ----------------------------------------------------------------------
+_KEYFRAME_SCHEMA = (
+    "doc_id long, scene_idx long, start_frame long, scene_len long, "
+    "keyframe_hex string"
+)
+
+
+def _keyframe_batches(it: Iterator) -> Iterator:
+    """mapInPandas worker: same framing as ``_scene_cut_batches``; a
+    scene starts at frame 0 and after every cut, the keyframe is the
+    scene's FIRST frame, emitted as its byte-exact hex (16 bytes → 32
+    uppercase hex chars, matching DuckDB's hex())."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in it:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            arr = np.frombuffer(bytes(payload), dtype=np.uint8)[4:]
+            nf = arr.size // SCENE_FRAME
+            if nf == 0:
+                continue
+            fr = (
+                arr[: nf * SCENE_FRAME]
+                .reshape(nf, SCENE_FRAME)
+                .astype(np.int64)
+            )
+            starts = [0]
+            if nf > 1:
+                d = np.abs(np.diff(fr, axis=0)).sum(axis=1)
+                starts += [int(i) + 1 for i in np.nonzero(d > SCENE_THRESH)[0]]
+            for si, st in enumerate(starts):
+                end = starts[si + 1] if si + 1 < len(starts) else nf
+                kb = arr[st * SCENE_FRAME : (st + 1) * SCENE_FRAME]
+                rows.append(
+                    (
+                        int(doc_id),
+                        si,
+                        st,
+                        end - st,
+                        kb.tobytes().hex().upper(),
+                    )
+                )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id",
+                "scene_idx",
+                "start_frame",
+                "scene_len",
+                "keyframe_hex",
+            ],
+        )
+
+
+_KEYFRAME_ORACLE = f"""
+    WITH v AS (
+      SELECT doc_id, hex(encode(text)) AS hx
+      FROM documents WHERE doc_id % 3 = 2
+    ), nf AS (
+      SELECT doc_id,
+             CAST(length(hx) // 2 // {SCENE_FRAME} AS BIGINT) AS n_frames
+      FROM v
+    ), b AS (
+      SELECT doc_id,
+             CAST((i - 1) // {SCENE_FRAME} AS BIGINT) AS frame,
+             CAST((i - 1) % {SCENE_FRAME} AS BIGINT) AS pos,
+             (strpos('0123456789ABCDEF', substr(hx, 2 * i - 1, 1)) - 1) * 16
+             + (strpos('0123456789ABCDEF', substr(hx, 2 * i, 1)) - 1) AS byte
+      FROM v, UNNEST(generate_series(
+        1, (length(hx) // 2 // {SCENE_FRAME}) * {SCENE_FRAME})) t(i)
+    ), d AS (
+      SELECT b2.doc_id, b2.frame, SUM(ABS(b2.byte - b1.byte)) AS diff
+      FROM b b2 JOIN b b1
+        ON b1.doc_id = b2.doc_id AND b1.frame = b2.frame - 1
+       AND b1.pos = b2.pos
+      GROUP BY b2.doc_id, b2.frame
+    ), starts AS (
+      SELECT doc_id, CAST(0 AS BIGINT) AS start_frame
+      FROM nf WHERE n_frames >= 1
+      UNION ALL
+      SELECT doc_id, frame FROM d WHERE diff > {SCENE_THRESH}
+    ), ordered AS (
+      SELECT doc_id, start_frame,
+             ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY start_frame) - 1 AS scene_idx,
+             LEAD(start_frame) OVER (
+               PARTITION BY doc_id ORDER BY start_frame) AS nxt
+      FROM starts
+    )
+    SELECT o.doc_id,
+           CAST(o.scene_idx AS BIGINT) AS scene_idx,
+           o.start_frame,
+           CAST(COALESCE(o.nxt, nf.n_frames) - o.start_frame AS BIGINT)
+             AS scene_len,
+           substr(v.hx, CAST(o.start_frame * {2 * SCENE_FRAME} + 1
+                             AS BIGINT), {2 * SCENE_FRAME}) AS keyframe_hex
+    FROM ordered o
+    JOIN nf ON nf.doc_id = o.doc_id
+    JOIN v ON v.doc_id = o.doc_id
+    """
+
+
+@query("mm_keyframe_extract", oracle=_KEYFRAME_ORACLE)
+def mm_keyframe_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyframe extraction — the step between shot segmentation and
+    every per-scene model (captioning, CLIP embedding, clip-level
+    dedup all consume ONE representative frame per scene, not the
+    stream): scenes are the segments ``mm_scene_cuts`` bounds (a new
+    scene at frame 0 and after every cut), the keyframe is each
+    scene's first frame, and the row carries (scene_idx, start_frame,
+    scene_len, keyframe bytes as hex) — the byte-exact fingerprint
+    makes the row a value check of exactly WHICH frame was selected,
+    not just how many (the mm_scene_cuts hex-oracle discipline; the
+    oracle re-derives frame bytes from the source text and slices the
+    same 32 hex chars). A real pipeline swaps the ``frombuffer`` line
+    for codec luma planes and emits the frame tensor next to the hex.
+    Reference scope: no media ops in the reference; multimodal
+    extension tier.
+
+    Scale shape: ZERO shuffles — the same single Arrow-batched
+    ``mapInPandas`` pass as the cut detector (scene segmentation and
+    keyframe slicing share one reshape), a few rows out per clip.
+    Embarrassingly parallel at any corpus size; the oracle's window
+    over start frames never exists in the Spark plan."""
+    m = media_table(spark, sf_dir)
+    return m.filter(F.col("media_type") == "video/mp4").mapInPandas(
+        _keyframe_batches, schema=_KEYFRAME_SCHEMA
+    )

@@ -252,13 +252,17 @@ _R8_WINDOW_ROTATED_OUT: tuple[str, ...] = (
 #: tests/test_entry.py::test_driver_union_vs_registry computes the gap
 #: from the CORRECTNESS_r0*.json files and asserts it equals EXACTLY
 #: this set, so the backlog can never silently grow past one round's
-#: rotation capacity again. EMPTY in round 11 (zero verification debt):
-#: the 12 round-10 late additions rotated into the r11 window (VERDICT
-#: r10 ask #1), the two round-11 additions registered straight into it,
-#: and every other query holds a row in the r1-r10 union. Round-11 late
-#: additions (if any land after this window locks) go here and head the
-#: r12 rotation, per the standing convention.
-_R11_QUEUE: set[str] = set()
+#: rotation capacity again. The 12 round-10 late additions rotated into
+#: the r11 window (VERDICT r10 ask #1), the two early round-11
+#: additions registered straight into it, and every other query holds a
+#: row in the r1-r10 union. Round-11 LATE additions (landed after this
+#: window locked) sit here and head the r12 rotation together with
+#: x3_ivf_topk_nprobe2 (the one r5-tier row the staleness rotation
+#: couldn't fit); each was hash-checked by the in-session parity/verify
+#: sweeps the round it landed.
+_R11_QUEUE: set[str] = {
+    "mm_keyframe_extract",
+}
 
 
 def _prioritized(d: dict[str, object]) -> dict[str, object]:
