@@ -1931,3 +1931,23 @@ def test_keyframe_extract_zero_shuffles_and_tiling(spark):
         assert sum(r["scene_len"] for r in rows) == cuts[doc_id]
         for a, b in zip(rows, rows[1:]):
             assert b["start_frame"] == a["start_frame"] + a["scene_len"]
+
+
+def test_bloom_prefilter_broadcast_no_false_negatives(spark):
+    """Bloom prefilter: the position-set filter BROADCASTS into the
+    probe join (never a shuffled join on positions), the build is
+    partial-aggregated, and the no-false-negative contract holds on
+    every row — a registry member's positions are all registered by
+    construction, so in_registry ⇒ bloom_flagged; false positives
+    exist at the deliberately small M (the collision path is real)."""
+    from weather_data_pipeline_spark.plans.inspect import executed_plan
+
+    df = _Q["x1_bloom_prefilter"](spark, SF)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert has_partial_aggregation(df)
+    rows = df.collect()
+    assert all(r["bloom_flagged"] for r in rows if r["in_registry"])
+    assert any(r["bloom_flagged"] and not r["in_registry"] for r in rows)
+    assert any(not r["bloom_flagged"] for r in rows)

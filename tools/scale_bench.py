@@ -224,6 +224,7 @@ QUERIES = [
     "x6_backtest_folds",
     "x2_semdedup_keep",
     "mm_keyframe_extract",
+    "x1_bloom_prefilter",
 ]
 
 #: Viral boilerplate for the skew replica: untagged (shared verbatim

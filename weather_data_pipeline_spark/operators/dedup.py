@@ -2713,3 +2713,128 @@ def x2_minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     for rdf in rows[1:]:
         out = out.unionAll(rdf)
     return out
+
+
+# ----------------------------------------------------------------------
+# Portable Bloom prefilter (round 11): approximate digest membership —
+# the cheap gate in front of the exact contamination-confirm join
+# ----------------------------------------------------------------------
+#: Bloom geometry. M is deliberately SMALL so the collision path is
+#: real at test scale (sf0.01: registry ~170 digests -> ~500 positions,
+#: fill ~0.22, fp ~1e-2 -> a few false flags next to the ~170 true
+#: members; at sf0.1 the same M saturates, fill ~0.91 -- the
+#: undersized-filter failure mode made VISIBLE, which is the lesson:
+#: production sizes m ~ 10 bits per registry digest with k ~ 7, and
+#: only the constants change, never the plan). K hash functions are
+#: md5-prefix ints of "{i}#{digest}" (the portable-minhash hash-family
+#: discipline), so BOTH engines derive bit-identical positions and the
+#: flag column itself is oracle-exact -- no band twin needed.
+BLOOM_M = 2048
+BLOOM_K = 3
+
+_BLOOM_POS_DUCK = (
+    "CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || '#' || digest), 1, 15))"
+    f" AS BIGINT) % {BLOOM_M}"
+)
+
+
+def _bloom_pos_cols() -> list:
+    """K portable hash positions of the ``digest`` column."""
+    return [
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{i}#"), F.col("digest"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long")
+            % BLOOM_M
+        ).alias(f"p{i}")
+        for i in range(BLOOM_K)
+    ]
+
+
+@query(
+    "x1_bloom_prefilter",
+    oracle=f"""
+    WITH reg AS (
+      SELECT DISTINCT md5(text) AS digest
+      FROM documents WHERE doc_id % 3 = 0
+    ), rpos AS (
+      SELECT DISTINCT {_BLOOM_POS_DUCK} AS p
+      FROM reg, UNNEST(generate_series(0, {BLOOM_K - 1})) t(i)
+    ), probe AS (
+      SELECT doc_id, md5(text) AS digest FROM documents
+    ), ppos AS (
+      SELECT doc_id, {_BLOOM_POS_DUCK} AS p
+      FROM probe, UNNEST(generate_series(0, {BLOOM_K - 1})) t(i)
+    ), hits AS (
+      SELECT doc_id, COUNT(*) AS h
+      FROM ppos JOIN rpos USING (p) GROUP BY doc_id
+    )
+    SELECT pr.doc_id,
+           (pr.digest IN (SELECT digest FROM reg)) AS in_registry,
+           (COALESCE(h.h, 0) = {BLOOM_K}) AS bloom_flagged
+    FROM probe pr LEFT JOIN hits h ON h.doc_id = pr.doc_id
+    """,
+)
+def x1_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered digest membership -- the cheap approximate
+    gate every 100 TB decontamination / cross-corpus exact-dedup join
+    hides behind (probe the eval-set registry BEFORE paying the full
+    digest join; Bloom 1970): registry docs (doc_id % 3 = 0 -- an
+    overlapping split, because contamination IS self-overlap: eval
+    sets are drawn from the same pool the training corpus crawls)
+    register BLOOM_K portable hash positions per distinct content
+    digest; every corpus doc probes, and is FLAGGED iff all its
+    positions are present. Ground truth rides along so the row shows
+    exactly where the filter over- but never under-approximates: no
+    false negatives BY CONSTRUCTION (members' positions are all
+    registered -- pinned in tests), false positives real at this
+    deliberately small M and absorbed by the exact confirm join the
+    flag gates. Spark's injected runtime bloom filters cover the
+    single-query join-prune case (ext_bloom_join_prune); THIS rung
+    materializes the filter as DATA -- the position set -- so it
+    persists across jobs, the eval-registry shape. The engine-native
+    ``bloom_filter_agg`` is not SQL-exposed in this build; the
+    relational form is portable AND oracle-exact -- the flag column
+    itself hash-checks, no band twin needed.
+
+    Scale shape: the filter build aggregates the registry to
+    <= min(K*|reg|, M) position ints (one partial-agg distinct -- the
+    materialized filter is corpus-size-INDEPENDENT past fill, exactly
+    why Bloom wins at 100 TB) and broadcasts into the probe join; the
+    probe is one scan + a K-rows-per-doc projection + one doc_id
+    partial-agg. The truth check is a broadcast join on the distinct
+    registry digests -- |reg|-bounded, the exact confirm the
+    prefilter exists to make rare."""
+    doc = load_table(spark, sf_dir, "documents")
+    reg = (
+        doc.filter(F.col("doc_id") % 3 == 0)
+        .select(F.md5("text").alias("digest"))
+        .distinct()
+    )
+    rpos = (
+        reg.select(F.explode(F.array(*_bloom_pos_cols())).alias("p"))
+        .distinct()
+    )
+    probe = doc.select("doc_id", F.md5("text").alias("digest"))
+    hits = (
+        probe.select(
+            "doc_id", F.explode(F.array(*_bloom_pos_cols())).alias("p")
+        )
+        .join(F.broadcast(rpos), "p")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("h"))
+    )
+    truth = probe.join(
+        F.broadcast(reg.select(F.col("digest").alias("r_digest"))),
+        probe.digest == F.col("r_digest"),
+        "left",
+    ).select("doc_id", F.col("r_digest").isNotNull().alias("in_registry"))
+    return truth.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "in_registry",
+        (F.coalesce(F.col("h"), F.lit(0)) == BLOOM_K).alias("bloom_flagged"),
+    )

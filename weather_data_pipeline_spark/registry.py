@@ -262,6 +262,7 @@ _R8_WINDOW_ROTATED_OUT: tuple[str, ...] = (
 #: sweeps the round it landed.
 _R11_QUEUE: set[str] = {
     "mm_keyframe_extract",
+    "x1_bloom_prefilter",
 }
 
 
