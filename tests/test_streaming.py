@@ -398,3 +398,56 @@ def test_minhash_dedup_stream_multibatch_order_free(spark, tmp_path):
     # near-dups exist in the synthetic corpus: some docs must be dropped
     n_banded = minhash_band_keys(doc).select("doc_id").distinct().count()
     assert 0 < len(got_keep) < n_banded
+
+
+def test_bloom_register_stream_multibatch_capped_state(spark, tmp_path):
+    """The streaming Bloom registry across shuffled micro-batches:
+    drained position set equals the batch build exactly (set union is
+    mergeable/order-free), and the state can never exceed BLOOM_M rows
+    — the geometry bound that distinguishes this frontier registry
+    from the unbounded exact-digest state."""
+    import glob
+    import os
+    import shutil
+
+    from weather_data_pipeline_spark.operators.dedup import (
+        BLOOM_M,
+        _bloom_pos_cols,
+    )
+    from weather_data_pipeline_spark.streaming import jobs
+
+    sf = "/root/testdata/sf0.001"
+    doc = spark.read.parquet(f"{sf}/documents.parquet")
+
+    src = str(tmp_path / "docs_src")
+    os.makedirs(src)
+    for i in range(3):
+        tmp = str(tmp_path / "_tmp")
+        doc.filter(F.pmod("doc_id", F.lit(3)) == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dest = os.path.join(src, f"b{i}.parquet")
+        shutil.move(part, dest)
+        os.utime(dest, (1_700_000_000 + 100 * i,) * 2)
+
+    stream = (
+        spark.readStream.schema(doc.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    state = str(tmp_path / "state")
+    jobs.streaming_bloom_register(stream, state)
+
+    got = sorted(r["p"] for r in jobs.read_state(spark, state).collect())
+    want = sorted(
+        r["p"]
+        for r in doc.filter(F.col("doc_id") % 3 == 0)
+        .select(F.md5("text").alias("digest"))
+        .distinct()
+        .select(F.explode(F.array(*_bloom_pos_cols())).alias("p"))
+        .distinct()
+        .collect()
+    )
+    assert got == want
+    assert 0 < len(got) <= BLOOM_M

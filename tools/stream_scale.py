@@ -113,6 +113,34 @@ def _state_dir_count(ckpt: str) -> int:
     return len(glob.glob(os.path.join(ckpt, "state", "0", "*")))
 
 
+def _bloom_registry(spark: SparkSession) -> dict:
+    """State bound of the streaming Bloom registry: drain
+    streaming_bloom_register at 1x and 10x — registry rows must stay
+    ≤ BLOOM_M at BOTH scales (the geometry cap; contrast the
+    exact-digest and band registries whose state tracks content)."""
+    from weather_data_pipeline_spark.operators.dedup import BLOOM_M
+    from weather_data_pipeline_spark.schemas import TESTDATA
+    from weather_data_pipeline_spark.streaming import jobs
+
+    res: dict = {"bloom_m": BLOOM_M}
+    for tag, root in (("1x", BASE), ("10x", SCALE_DIR)):
+        d = os.path.join(WORK, f"bloomdocs{tag}")
+        _copy_events(d, os.path.join(root, "documents.parquet"))
+        src = (
+            spark.readStream.schema(TESTDATA["documents"])
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(d)
+        )
+        state = os.path.join(WORK, f"bloom_state_{tag}")
+        t0 = time.perf_counter()
+        jobs.streaming_bloom_register(src, state)
+        res[f"t_{tag}"] = round(time.perf_counter() - t0, 3)
+        res[f"registry_rows_{tag}"] = jobs.read_state(spark, state).count()
+    assert res["registry_rows_1x"] <= BLOOM_M
+    assert res["registry_rows_10x"] <= BLOOM_M
+    return res
+
+
 def _minhash_frontier(spark: SparkSession) -> dict:
     """State growth of the near-dup frontier twin (VERDICT r10 ask #3):
     drain streaming_minhash_dedup at 1x and 10x documents, measuring
@@ -223,6 +251,7 @@ def main() -> None:
         "state_incremental": s_inc,
     }
     out["minhash_frontier"] = _minhash_frontier(spark)
+    out["bloom_registry"] = _bloom_registry(spark)
     print(json.dumps(out))
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "BENCH_STREAM_SCALE.json"), "w") as f:

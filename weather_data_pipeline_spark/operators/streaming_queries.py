@@ -618,3 +618,59 @@ def s_minhash_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_won") == _MH_BANDS)
         .select("doc_id", "n_chars")
     )
+
+
+from .dedup import (  # noqa: E402
+    BLOOM_K as _BLOOM_K,
+    _bloom_pos_cols,
+)
+from ..registry import _ORACLE as _ORACLE_REG  # noqa: E402
+from ..sources.testdata import load_table as _load_table  # noqa: E402
+
+
+@query("s_bloom_prefilter_stream", oracle=_ORACLE_REG["x1_bloom_prefilter"])
+def s_bloom_prefilter_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Bloom-registry twin — the BOUNDED-state frontier
+    shape (VERDICT-r10-ask-#3 family, completing the state-size
+    ladder: exact digests grow forever (s_dedup_stream), the MinHash
+    band registry grows with distinct content
+    (s_minhash_dedup_stream), the Bloom position registry is CAPPED
+    at BLOOM_M rows by geometry alone): registry docs stream in and
+    their portable hash positions set-union into snapshot state
+    (jobs.streaming_bloom_register — union is mergeable, so the
+    drained registry is arrival-order-free); at drain every corpus
+    doc probes the final position set and the output is EXACTLY the
+    batch rung's (flag = all K positions present, ground truth rides
+    along) — oracle reused VERBATIM from x1_bloom_prefilter, the
+    strongest stream-batch parity statement the contract can make."""
+    state = os.path.join(jobs.SCRATCH, f"bloomreg_{uuid.uuid4().hex[:8]}")
+    src = jobs.stream_documents(spark, sf_dir)
+    jobs.streaming_bloom_register(src, state)
+    rpos = jobs.read_state(spark, state)
+    doc = _load_table(spark, sf_dir, "documents")
+    reg = (
+        doc.filter(F.col("doc_id") % 3 == 0)
+        .select(F.md5("text").alias("digest"))
+        .distinct()
+    )
+    probe = doc.select("doc_id", F.md5("text").alias("digest"))
+    hits = (
+        probe.select(
+            "doc_id", F.explode(F.array(*_bloom_pos_cols())).alias("p")
+        )
+        .join(F.broadcast(rpos), "p")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("h"))
+    )
+    truth = probe.join(
+        F.broadcast(reg.select(F.col("digest").alias("r_digest"))),
+        probe.digest == F.col("r_digest"),
+        "left",
+    ).select("doc_id", F.col("r_digest").isNotNull().alias("in_registry"))
+    return truth.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "in_registry",
+        (F.coalesce(F.col("h"), F.lit(0)) == _BLOOM_K).alias(
+            "bloom_flagged"
+        ),
+    )

@@ -263,6 +263,7 @@ _R8_WINDOW_ROTATED_OUT: tuple[str, ...] = (
 _R11_QUEUE: set[str] = {
     "mm_keyframe_extract",
     "x1_bloom_prefilter",
+    "s_bloom_prefilter_stream",
 }
 
 

@@ -759,3 +759,49 @@ def streaming_minhash_dedup(
         "minhash-dedup-state",
         checkpoint,
     )
+
+
+def streaming_bloom_register(
+    source: DataFrame, state_path: str, checkpoint: str | None = None
+) -> None:
+    """Bloom-registry build at the frontier — the streaming twin of
+    ``x1_bloom_prefilter``'s filter-build side, and the BOUNDED-state
+    counterpoint to streaming_dedup: per micro-batch, registry-side
+    docs (doc_id % 3 = 0) contribute their K portable hash positions,
+    set-UNIONed into the state snapshot. Set union is mergeable state
+    (union(state, batch) = union(history) — order-free like the
+    minhash registry's min), and the state can NEVER exceed BLOOM_M
+    rows regardless of stream length: the filter geometry, not the
+    corpus, bounds the store — exactly why a crawl frontier keeps a
+    Bloom registry next to (or instead of) the exact digest set whose
+    state grows forever. Snapshot writes use the write-new-then-flip
+    protocol shared with incremental_latest_per_key."""
+    from ..operators.dedup import _bloom_pos_cols
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        s = batch.sparkSession
+        keys = (
+            batch.filter(F.col("doc_id") % 3 == 0)
+            .select(F.md5("text").alias("digest"))
+            .distinct()
+            .select(F.explode(F.array(*_bloom_pos_cols())).alias("p"))
+            .distinct()
+        )
+        version = _state_version(state_path)
+        if version is not None:
+            prev = s.read.parquet(os.path.join(state_path, version))
+            merged = prev.unionByName(keys).distinct()
+        else:
+            merged = keys
+        new_version = f"v{batch_id}-{uuid.uuid4().hex[:8]}"
+        merged.write.parquet(os.path.join(state_path, new_version))
+        tmp = os.path.join(state_path, f"_VERSION.{new_version}")
+        with open(tmp, "w") as f:
+            f.write(new_version)
+        os.replace(tmp, os.path.join(state_path, "_VERSION"))  # atomic flip
+
+    run_to_completion(
+        source.writeStream.foreachBatch(merge).outputMode("update"),
+        "bloom-register-state",
+        checkpoint,
+    )
