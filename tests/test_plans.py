@@ -1951,3 +1951,39 @@ def test_bloom_prefilter_broadcast_no_false_negatives(spark):
     assert all(r["bloom_flagged"] for r in rows if r["in_registry"])
     assert any(r["bloom_flagged"] and not r["in_registry"] for r in rows)
     assert any(not r["bloom_flagged"] for r in rows)
+
+
+def test_bpe_apply_dict_join_no_per_occurrence_fold(spark):
+    """BPE application: merges fold over the dictionary only; the
+    token volume is touched once by the (occurrence ⇄ dict) equi-join
+    + one doc_id partial agg. The result plan must show a broadcast
+    dict join and partial aggregation, no cartesian — and the output
+    satisfies the segmentation invariants (every doc's token count is
+    at least its word count, strictly fewer tokens than characters+1
+    per word after the EOW marker merges in)."""
+    from weather_data_pipeline_spark.plans.inspect import executed_plan
+
+    df = _Q["x4_bpe_apply"](spark, SF)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert has_partial_aggregation(df)
+    rows = df.collect()
+    assert rows
+    assert all(r["n_tokens"] >= r["n_words"] for r in rows)
+    assert all(len(r["stream_fp"]) == 32 for r in rows)
+    # merges actually fired: some word somewhere encodes to fewer
+    # symbols than chars+1 (the unmerged length)
+    from weather_data_pipeline_spark.operators.text_analysis import (
+        BPE_MERGE_ROUNDS,
+        _bpe_train_chain,
+    )
+
+    dict_df, merges = _bpe_train_chain(
+        load_table(spark, SF, "documents"), BPE_MERGE_ROUNDS, True
+    )
+    assert len(merges) == BPE_MERGE_ROUNDS
+    shr = dict_df.filter(
+        F.size("syms") < F.length("w") + 1
+    ).count()
+    assert shr > 0

@@ -225,6 +225,7 @@ QUERIES = [
     "x2_semdedup_keep",
     "mm_keyframe_extract",
     "x1_bloom_prefilter",
+    "x4_bpe_apply",
 ]
 
 #: Viral boilerplate for the skew replica: untagged (shared verbatim

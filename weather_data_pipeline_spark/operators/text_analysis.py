@@ -2848,6 +2848,83 @@ BPE_MERGE_ROUNDS = 6
 BPE_EOW = "</w>"
 
 
+def _bpe_merge_step(_l: str, _r: str, _m: str):
+    """One learned merge as a greedy left-to-right ``aggregate`` fold
+    step over a symbol array: drop the trailing ``l`` and append the
+    merged symbol whenever (tail == l, next == r)."""
+
+    def step(acc, x):
+        hit = (
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(_l))
+            & (x == F.lit(_r))
+        )
+        return F.when(
+            hit,
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(_m))),
+        ).otherwise(F.concat(acc, F.array(x)))
+
+    return step
+
+
+def _bpe_train_chain(doc, rounds: int, update_last: bool):
+    """The shared BPE training recurrence over the word-frequency
+    DICTIONARY: returns ``(dict_df, merges)`` where ``dict_df`` is
+    (w, n, syms) after the applied merges and ``merges`` is the learned
+    table as driver-side tuples (rank, l, r, merged, cnt). The training
+    rung skips the LAST round's dict update (dead work for learning,
+    ``update_last=False``); the application rung needs the fully-merged
+    dictionary (``update_last=True``) so downstream encoding touches
+    the token volume only through a dict join. Carrying ``w`` through
+    the rounds costs one string column per checkpoint and changes no
+    merge decision (stats aggregate only (n, syms))."""
+    chars = F.expr(
+        "concat(transform(sequence(1, length(w)), i -> substring(w, i, 1)),"
+        f" array('{BPE_EOW}'))"
+    )
+    cur = (
+        doc.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 1)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("w", "n", chars.alias("syms"))
+        .localCheckpoint(eager=True)
+    )
+
+    pairs_expr = F.expr(
+        "zip_with(slice(syms, 1, size(syms) - 1),"
+        " slice(syms, 2, size(syms) - 1),"
+        " (a, b) -> named_struct('l', a, 'r', b))"
+    )
+    merges: list[tuple] = []
+    for rank in range(1, rounds + 1):
+        stats = (
+            cur.filter(F.size("syms") >= 2)
+            .select("n", F.explode(pairs_expr).alias("p"))
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("n").alias("cnt"))
+        )
+        top_df = stats.orderBy(F.col("cnt").desc(), "l", "r").limit(1)
+        row = top_df.first()  # one 3-field row per round, nothing more
+        if row is None:  # corpus fully merged (or empty) before K — done
+            break
+        merges.append(
+            (rank, row["l"], row["r"], row["l"] + row["r"], int(row["cnt"]))
+        )
+        if rank == rounds and not update_last:
+            break  # last round's dict update would be dead work
+        cur = cur.select(
+            "w",
+            "n",
+            F.aggregate(
+                "syms",
+                F.expr("CAST(array() AS array<string>)"),
+                _bpe_merge_step(row["l"], row["r"], row["l"] + row["r"]),
+            ).alias("syms"),
+        ).localCheckpoint(eager=True)
+    return cur, merges
+
+
 def _bpe_train_oracle(k: int) -> str:
     """K-step-unrolled DuckDB twin of the merge-training loop: each
     round is a (stats_i, top_i, words_i) CTE block; the greedy
@@ -2938,72 +3015,126 @@ def x4_bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     every word a single symbol — returns the EMPTY typed table
     instead of raising."""
     doc = load_table(spark, sf_dir, "documents")
-    chars = F.expr(
-        "concat(transform(sequence(1, length(w)), i -> substring(w, i, 1)),"
-        f" array('{BPE_EOW}'))"
-    )
-    cur = (
-        doc.select(F.explode(F.split("text", " ")).alias("w"))
-        .filter(F.length("w") >= 1)
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select("n", chars.alias("syms"))
-        .localCheckpoint(eager=True)
-    )
-
-    pairs_expr = F.expr(
-        "zip_with(slice(syms, 1, size(syms) - 1),"
-        " slice(syms, 2, size(syms) - 1),"
-        " (a, b) -> named_struct('l', a, 'r', b))"
-    )
-    merges: list[tuple] = []
-    for rank in range(1, BPE_MERGE_ROUNDS + 1):
-        stats = (
-            cur.filter(F.size("syms") >= 2)
-            .select("n", F.explode(pairs_expr).alias("p"))
-            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
-            .agg(F.sum("n").alias("cnt"))
-        )
-        top_df = stats.orderBy(F.col("cnt").desc(), "l", "r").limit(1)
-        row = top_df.first()  # one 3-field row per round, nothing more
-        if row is None:  # corpus fully merged (or empty) before K — done
-            break
-        merges.append(
-            (rank, row["l"], row["r"], row["l"] + row["r"], int(row["cnt"]))
-        )
-        if rank == BPE_MERGE_ROUNDS:
-            break  # last round's dict update would be dead work
-        lft, rgt, merged = row["l"], row["r"], row["l"] + row["r"]
-
-        def make_step(_l, _r, _m):
-            def step(acc, x):
-                hit = (
-                    (F.size(acc) > 0)
-                    & (F.element_at(acc, -1) == F.lit(_l))
-                    & (x == F.lit(_r))
-                )
-                return F.when(
-                    hit,
-                    F.concat(
-                        F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(_m))
-                    ),
-                ).otherwise(F.concat(acc, F.array(x)))
-
-            return step
-
-        cur = cur.select(
-            "n",
-            F.aggregate(
-                "syms",
-                F.expr("CAST(array() AS array<string>)"),
-                make_step(lft, rgt, merged),
-            ).alias("syms"),
-        ).localCheckpoint(eager=True)
-
+    _, merges = _bpe_train_chain(doc, BPE_MERGE_ROUNDS, update_last=False)
     return spark.createDataFrame(
         merges,
         schema="merge_rank long, lft string, rgt string,"
         " merged string, pair_n long",
+    )
+
+
+def _bpe_apply_oracle(k: int) -> str:
+    """K-step-unrolled DuckDB twin of train-then-APPLY: the training
+    chain (same CTE blocks as _bpe_train_oracle, with ``w`` carried and
+    the LAST round's dict update included), then the encoding dict
+    joins back onto per-doc word occurrences."""
+    parts = [
+        f"""
+    WITH words0 AS (
+      SELECT w, n,
+             list_append(list_transform(range(1, len(w) + 1),
+                           i -> substr(w, CAST(i AS INTEGER), 1)),
+                         '{BPE_EOW}') AS syms
+      FROM (SELECT w, COUNT(*) AS n
+            FROM (SELECT UNNEST(string_split(text, ' ')) AS w
+                  FROM documents)
+            WHERE len(w) >= 1 GROUP BY w)
+    )"""
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f""", stats{i} AS (
+      SELECT syms[CAST(i AS INTEGER)] AS l,
+             syms[CAST(i AS INTEGER) + 1] AS r, SUM(n) AS cnt
+      FROM words{i - 1}, UNNEST(range(1, len(syms))) AS t(i)
+      GROUP BY 1, 2
+    ), top{i} AS (
+      SELECT l, r, cnt FROM stats{i} ORDER BY cnt DESC, l, r LIMIT 1
+    ), words{i} AS (
+      SELECT w.w, w.n,
+             string_split(list_reduce(list_prepend('', w.syms),
+               (acc, x) -> CASE
+                 WHEN acc = '' THEN x
+                 WHEN (acc = t.l OR suffix(acc, chr(31) || t.l))
+                      AND x = t.r
+                   THEN acc || t.r
+                 ELSE acc || chr(31) || x END), chr(31)) AS syms
+      FROM words{i - 1} w CROSS JOIN top{i} t
+    )"""
+        )
+    parts.append(
+        f""", dict AS (
+      SELECT w, array_to_string(syms, chr(31)) AS enc,
+             CAST(len(syms) AS BIGINT) AS tk
+      FROM words{k}
+    ), occ AS (
+      SELECT doc_id, i AS pos, ws[i] AS w
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           UNNEST(generate_series(1, len(ws))) AS t(i)
+      WHERE len(ws[i]) >= 1
+    )
+    SELECT o.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(d.tk) AS BIGINT) AS n_tokens,
+           md5(string_agg(d.enc, chr(30) ORDER BY o.pos)) AS stream_fp
+    FROM occ o JOIN dict d USING (w)
+    GROUP BY o.doc_id"""
+    )
+    return "".join(parts)
+
+
+@query("x4_bpe_apply", oracle=_bpe_apply_oracle(BPE_MERGE_ROUNDS))
+def x4_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLICATION with the LEARNED merges — closing the
+    tokenizer lifecycle the training rung opens (train → freeze →
+    encode the corpus; x8_tokenize_to_ids applies a FIXED vocab, this
+    rung applies the merges x4_bpe_merge_train just learned from the
+    same corpus): per document, the word stream encodes through all
+    ``BPE_MERGE_ROUNDS`` merges, and the row reports word count,
+    post-merge TOKEN count (the number every budget/packing rung
+    downstream consumes), and an md5 fingerprint of the full encoded
+    symbol stream in document order — the fingerprint pins the exact
+    segmentation, not just its size. Reference scope: no tokenizer in
+    the reference; LLM-data extension tier.
+
+    Scale shape — the classic BPE apply trick, distributed: merges
+    fold over the DISTINCT-WORD dictionary (|vocab| rows,
+    corpus-size-independent for natural text; _bpe_train_chain with
+    update_last=True), and the token volume is touched exactly once
+    by an (occurrence ⇄ dict) equi-join on the word — Catalyst
+    broadcasts the dict at test scale, co-partitioned join at 100 TB
+    — followed by one doc_id partial-agg that assembles counts and
+    the order-exact fingerprint (array_sort over (pos, enc) structs;
+    the oracle's string_agg ORDER BY pos). No per-occurrence folding
+    anywhere: a doc repeating one word a million times costs one
+    dictionary fold plus a million dict-join lookups, never a million
+    merge replays."""
+    doc = load_table(spark, sf_dir, "documents")
+    dict_df, _ = _bpe_train_chain(doc, BPE_MERGE_ROUNDS, update_last=True)
+    enc = dict_df.select(
+        "w",
+        F.array_join("syms", "\x1f").alias("enc"),
+        F.size("syms").cast("long").alias("tk"),
+    )
+    occ = doc.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    ).filter(F.length("w") >= 1)
+    return (
+        occ.join(enc, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("tk").cast("long").alias("n_tokens"),
+            F.md5(
+                F.concat_ws(
+                    "\x1e",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "enc"))),
+                        lambda s: s["enc"],
+                    ),
+                )
+            ).alias("stream_fp"),
+        )
     )
 
 

@@ -264,6 +264,7 @@ _R11_QUEUE: set[str] = {
     "mm_keyframe_extract",
     "x1_bloom_prefilter",
     "s_bloom_prefilter_stream",
+    "x4_bpe_apply",
 }
 
 
