@@ -830,3 +830,101 @@ def test_backtest_fold_cuts_monotone_no_leak(span):
     # train window of fold i ends exactly where its test window starts
     for i in range(1, BACKTEST_FOLDS + 1):
         assert cuts[i] <= cuts[i + 1]
+
+
+# ---------------------------------------------------------------------------
+# Round-11 kernels: keyframe tiling vs a plain-python reference, and the
+# Bloom position family's structural no-false-negative guarantee
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.binary(min_size=0, max_size=130),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_keyframe_kernel_matches_reference(payloads):
+    """The keyframe kernel against a naive python reference under
+    arbitrary payloads: scenes start at 0 and after every cut, tile the
+    clip exactly (no gap/overlap), and each keyframe hex is the byte-
+    exact slice of the scene's first frame — the same crafted-input
+    discipline as the scene-cut kernel above (frame truncation,
+    zero-frame skip, single-frame clips)."""
+    import pandas as pd
+
+    from weather_data_pipeline_spark.operators.multimodal import (
+        SCENE_FRAME,
+        SCENE_THRESH,
+        _keyframe_batches,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(range(len(payloads))),
+            "payload": [b"\x66\x74\x79\x70" + p for p in payloads],
+        }
+    )
+    got = {}
+    for out in _keyframe_batches(iter([pdf])):
+        for r in out.itertuples():
+            got.setdefault(int(r.doc_id), []).append(
+                (int(r.scene_idx), int(r.start_frame),
+                 int(r.scene_len), r.keyframe_hex)
+            )
+    for doc_id, p in enumerate(payloads):
+        nf = len(p) // SCENE_FRAME
+        if nf == 0:
+            assert doc_id not in got
+            continue
+        frames = [
+            list(p[j * SCENE_FRAME : (j + 1) * SCENE_FRAME])
+            for j in range(nf)
+        ]
+        diffs = [
+            sum(abs(a - b) for a, b in zip(frames[j], frames[j - 1]))
+            for j in range(1, nf)
+        ]
+        starts = [0] + [j + 1 for j, d in enumerate(diffs) if d > SCENE_THRESH]
+        expect = []
+        for si, stt in enumerate(starts):
+            end = starts[si + 1] if si + 1 < len(starts) else nf
+            kb = bytes(p[stt * SCENE_FRAME : (stt + 1) * SCENE_FRAME])
+            expect.append((si, stt, end - stt, kb.hex().upper()))
+        rows = sorted(got[doc_id])
+        assert rows == expect, (doc_id, rows, expect)
+        # tiling: lengths sum to nf and starts chain with no gap/overlap
+        assert sum(r[2] for r in rows) == nf
+        for a, b in zip(rows, rows[1:]):
+            assert b[1] == a[1] + a[2]
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    member=st.text(min_size=0, max_size=40),
+    registry=st.lists(st.text(min_size=0, max_size=40), max_size=20),
+)
+def test_bloom_positions_no_false_negative_by_construction(member, registry):
+    """The Bloom family's structural guarantee, on the portable hash
+    family both engines share: a registered digest's K positions are a
+    subset of the registry's position set, so membership always implies
+    a flag — for ANY digest strings, not just the parquet corpus. The
+    python model recomputes the md5-prefix positions exactly as the
+    SQL/Spark expressions do."""
+    import hashlib
+
+    from weather_data_pipeline_spark.operators.dedup import BLOOM_K, BLOOM_M
+
+    def positions(digest: str) -> set:
+        return {
+            int(hashlib.md5(f"{i}#{digest}".encode()).hexdigest()[:15], 16)
+            % BLOOM_M
+            for i in range(BLOOM_K)
+        }
+
+    reg_positions = set().union(*(positions(d) for d in registry + [member]))
+    assert positions(member) <= reg_positions  # member => flagged, always
+    # and every position is a valid bit index
+    assert all(0 <= p < BLOOM_M for p in reg_positions)
