@@ -1987,3 +1987,21 @@ def test_bpe_apply_dict_join_no_per_occurrence_fold(spark):
         F.size("syms") < F.length("w") + 1
     ).count()
     assert shr > 0
+
+
+def test_ivf_nprobe_tuning_monotone_recall(spark):
+    """The nprobe sweep's recall curve must be monotone non-decreasing
+    (lists probed at p ⊂ lists at p' > p, and under the total
+    (rounded sim, vec_id) order a displacing candidate is itself
+    exact-top-k), end at a sane ceiling, and the result plan is a
+    local relation — per-config work ran as prior bounded jobs."""
+    from weather_data_pipeline_spark.plans.inspect import executed_plan
+
+    df = _Q["x3_ivf_nprobe_tuning"](spark, SF)
+    plan = executed_plan(df)
+    assert "Scan parquet" not in plan and "Exchange" not in plan
+    rows = sorted(df.collect(), key=lambda r: r["nprobe"])
+    assert [r["nprobe"] for r in rows] == [1, 2, 4]
+    recalls = [r["recall_ppm"] for r in rows]
+    assert recalls == sorted(recalls)  # monotone in nprobe
+    assert 0 < recalls[0] <= recalls[-1] <= 1_000_000

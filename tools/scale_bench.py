@@ -226,6 +226,7 @@ QUERIES = [
     "mm_keyframe_extract",
     "x1_bloom_prefilter",
     "x4_bpe_apply",
+    "x3_ivf_nprobe_tuning",
 ]
 
 #: Viral boilerplate for the skew replica: untagged (shared verbatim

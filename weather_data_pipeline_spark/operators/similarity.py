@@ -2403,3 +2403,104 @@ def x8_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= BALANCE_QUOTA)
         .select("label", "vec_id", F.col("rnk").cast("long").alias("rnk"), "sim")
     )
+
+
+# ----------------------------------------------------------------------
+# IVF nprobe tuning sweep (round 11): the X3 analog of the MinHash
+# band-tuning sweep — measure the recall curve before freezing nprobe
+# ----------------------------------------------------------------------
+#: probe counts swept (supersets: lists probed at p are a subset of
+#: lists probed at p' > p, so recall is provably monotone — pinned in
+#: tests/test_plans.py)
+IVF_TUNING_NPROBES = (1, 2, 4)
+
+
+def _nprobe_tuning_oracle() -> str:
+    blocks = []
+    for p in IVF_TUNING_NPROBES:
+        cos_q = _DUCK_COS.format(a="e.embedding", b="c.centroid")
+        cos_p = _DUCK_COS.format(a="q.embedding", b="c.embedding")
+        blocks.append(
+            f"""SELECT CAST({p} AS BIGINT) AS nprobe,
+           CAST(COUNT(a.vec_id) AS BIGINT) AS n_hits,
+           CAST(COUNT(a.vec_id) * 1000000
+                // {N_QUERIES * TOP_K} AS BIGINT) AS recall_ppm
+    FROM exact e LEFT JOIN (
+      SELECT query_id, vec_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY ROUND({cos_p}, 6) DESC, c.vec_id) AS rn
+        FROM (
+          SELECT vec_id, embedding, label AS bucket FROM (
+            SELECT e.vec_id, e.embedding, c.label,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY ROUND({cos_q}, 6) DESC, c.label) AS rn
+            FROM embeddings e CROSS JOIN cents c
+            WHERE e.vec_id < {N_QUERIES}
+          ) WHERE rn <= {p}
+        ) q
+        JOIN assigned c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+      ) WHERE rn <= {TOP_K}
+    ) a ON a.query_id = e.query_id AND a.vec_id = e.vec_id"""
+        )
+    exact_cos = _DUCK_COS.format(a="q.embedding", b="c.embedding")
+    return f"""
+    WITH {_DUCK_CENTROIDS},
+    exact AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY ROUND({exact_cos}, 6) DESC, c.vec_id) AS rn
+        FROM (SELECT * FROM embeddings WHERE vec_id < {N_QUERIES}) q
+        CROSS JOIN embeddings c
+        WHERE q.vec_id <> c.vec_id
+      ) WHERE rn <= {TOP_K}
+    )
+    {" UNION ALL ".join(blocks)}
+    """
+
+
+@query("x3_ivf_nprobe_tuning", oracle=_nprobe_tuning_oracle())
+def x3_ivf_nprobe_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF nprobe TUNING sweep — the parameter-selection step every IVF
+    deployment runs before freezing its probe count, as a first-class
+    driver-checked operator (the X3 twin of x2_minhash_band_tuning's
+    (b, r) sweep): for each candidate nprobe over the SAME quantizer,
+    recall@{TOP_K} against the exact scan in integer ppm — the
+    measured recall/cost curve the '95% at nprobe=2' folklore
+    approximates. Lists probed at nprobe p are a SUBSET of those at
+    p' > p, and under the total (rounded sim, vec_id) order a
+    candidate displacing an exact-top-k member from the approx top-k
+    must itself be exact-top-k, so recall is provably MONOTONE
+    non-decreasing in nprobe (pinned in tests) — a broken quantizer or
+    probe join shows up as a violated curve, not just a low number.
+
+    Scale shape: each config is the existing ivf_topk pipeline
+    (k-bounded centroid collect, ONE corpus scan through the
+    broadcast-argmax Arrow kernel, per-query probe join) followed by a
+    |queries|·k-row equi-join against the exact baseline; the sweep's
+    driver traffic is one (hits) count per config, and the returned
+    table is a local relation of the |configs| rows — the tuning
+    output, sized to freeze ONE nprobe for production."""
+    exact = x3_cosine_topk(spark, sf_dir).select(
+        "query_id", F.col("vec_id").alias("e_vec")
+    )
+    rows = []
+    for p in IVF_TUNING_NPROBES:
+        ap = ivf_topk(spark, sf_dir, nprobe=p).select(
+            "query_id", F.col("vec_id").alias("a_vec")
+        )
+        hits = exact.join(
+            ap,
+            (exact.query_id == ap.query_id)
+            & (F.col("e_vec") == F.col("a_vec")),
+        ).count()
+        rows.append(
+            (p, hits, hits * 1_000_000 // (N_QUERIES * TOP_K))
+        )
+    return spark.createDataFrame(
+        rows, schema="nprobe long, n_hits long, recall_ppm long"
+    )

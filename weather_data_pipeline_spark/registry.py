@@ -100,9 +100,9 @@ _PRIORITY: tuple[str, ...] = (
     # round-10 rungs that landed after the r10 window locked — each was
     # hash-checked by in-session parity/verify sweeps in r10 and r11,
     # but has never held a driver CORRECTNESS row. With these in-window
-    # the declared rotation queue (_R11_QUEUE) is EMPTY: zero
-    # verification debt, and every registered query has a driver row
-    # from the r1-r11 union.
+    # the r10 verification debt clears; the round-11 LATE additions
+    # (landed after THIS window locked) are declared in _R11_QUEUE and
+    # head the r12 rotation, per the standing convention.
     "x1_url_dedup",
     "x9_label_propagation",
     "x9_kcore_peel",
@@ -265,6 +265,7 @@ _R11_QUEUE: set[str] = {
     "x1_bloom_prefilter",
     "s_bloom_prefilter_stream",
     "x4_bpe_apply",
+    "x3_ivf_nprobe_tuning",
 }
 
 
