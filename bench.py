@@ -166,6 +166,10 @@ HEADLINE = [
     "x6_backtest_folds",
     # round-11 additions
     "x2_semdedup_keep",
+    "mm_keyframe_extract",
+    "x1_bloom_prefilter",
+    "x4_bpe_apply",
+    "x3_ivf_nprobe_tuning",
 ]
 
 
