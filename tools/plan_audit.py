@@ -73,7 +73,7 @@ MULTI_JOB = {
 
 #: Scale-suite-only queries too heavy for the bench loop whose plan is
 #: still worth recording next to their headline twins.
-EXTRA = ["x7_interval_overlap", "mm_keyframe_extract", "x1_bloom_prefilter"]
+EXTRA = ["x7_interval_overlap"]  # keyframe/bloom rungs now in HEADLINE
 
 
 def main() -> None:
