@@ -2005,3 +2005,26 @@ def test_ivf_nprobe_tuning_monotone_recall(spark):
     recalls = [r["recall_ppm"] for r in rows]
     assert recalls == sorted(recalls)  # monotone in nprobe
     assert 0 < recalls[0] <= recalls[-1] <= 1_000_000
+
+
+def test_audio_silence_trim_zero_shuffles_invariants(spark):
+    """Silence trim: one Arrow pass, zero exchanges, one pruned scan;
+    kept interval is well-formed (inside [0, n_frames), n_kept
+    consistent with the endpoints, and all-silent clips report
+    -1/-1/0)."""
+    from weather_data_pipeline_spark.plans.inspect import executed_plan
+
+    df = _Q["mm_audio_silence_trim"](spark, SF)
+    plan = executed_plan(df)
+    assert "Exchange" not in plan
+    assert plan.count("Scan parquet") == 1
+    assert "InPandas" in plan
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        if r["n_kept"] == 0:
+            assert r["first_loud"] == -1 and r["last_loud"] == -1
+        else:
+            assert 0 <= r["first_loud"] <= r["last_loud"] < r["n_frames"]
+            assert r["n_kept"] == r["last_loud"] - r["first_loud"] + 1
+    assert any(r["n_kept"] < r["n_frames"] for r in rows)  # trims fire

@@ -227,6 +227,7 @@ QUERIES = [
     "x1_bloom_prefilter",
     "x4_bpe_apply",
     "x3_ivf_nprobe_tuning",
+    "mm_audio_silence_trim",
 ]
 
 #: Viral boilerplate for the skew replica: untagged (shared verbatim

@@ -625,6 +625,114 @@ def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# Audio silence trim (round 11): the segmentation-per-modality set —
+# video gets keyframes, audio gets lead/tail silence removal
+# ----------------------------------------------------------------------
+#: per-frame energy below which a frame is silence. Full ASCII-text
+#: frames run ~100k+ (16 bytes × ~90² each); a frame of spaces is
+#: 16·32² ≈ 16k and PARTIAL tail frames scale with their byte count —
+#: the band places full speech above and pads/partials below, so both
+#: trim and keep decisions occur on the synthetic corpus
+AUDIO_SILENCE_ENERGY = 60_000
+
+_TRIM_SCHEMA = (
+    "doc_id long, n_frames long, first_loud long, last_loud long, "
+    "n_kept long"
+)
+
+
+def _audio_trim_batches(batches):
+    """mapInPandas worker: same framing + integer energies as
+    ``_audio_energy_batches``; the trim keeps [first, last] frames with
+    energy ≥ AUDIO_SILENCE_ENERGY (-1/-1/0 when the whole clip is
+    silent)."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        out = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            samples = np.frombuffer(payload, dtype=np.uint8)[4:].astype(
+                np.int64
+            )
+            if samples.size == 0:
+                continue
+            starts = np.arange(0, samples.size, AUDIO_FRAME)
+            energy = np.add.reduceat(samples * samples, starts)
+            loud = np.nonzero(energy >= AUDIO_SILENCE_ENERGY)[0]
+            if loud.size:
+                first, last = int(loud[0]), int(loud[-1])
+                kept = last - first + 1
+            else:
+                first, last, kept = -1, -1, 0
+            out.append((doc_id, len(starts), first, last, kept))
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "doc_id", "n_frames", "first_loud", "last_loud", "n_kept",
+            ],
+        )
+
+
+@query(
+    "mm_audio_silence_trim",
+    oracle=f"""
+    WITH a AS (
+      SELECT doc_id, hex(encode(text)) AS hx
+      FROM documents WHERE doc_id % 3 = 1
+    ), b AS (
+      SELECT doc_id,
+             CAST((i - 1) // {AUDIO_FRAME} AS BIGINT) AS frame,
+             (strpos('0123456789ABCDEF', substr(hx, 2 * i - 1, 1)) - 1) * 16
+             + (strpos('0123456789ABCDEF', substr(hx, 2 * i, 1)) - 1) AS byte
+      FROM a, UNNEST(generate_series(1, length(hx) // 2)) t(i)
+    ), fe AS (
+      SELECT doc_id, frame, SUM(byte * byte) AS energy
+      FROM b GROUP BY doc_id, frame
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(COALESCE(MIN(CASE WHEN energy >= {AUDIO_SILENCE_ENERGY}
+                                  THEN frame END), -1) AS BIGINT)
+             AS first_loud,
+           CAST(COALESCE(MAX(CASE WHEN energy >= {AUDIO_SILENCE_ENERGY}
+                                  THEN frame END), -1) AS BIGINT)
+             AS last_loud,
+           CAST(CASE WHEN MIN(CASE WHEN energy >= {AUDIO_SILENCE_ENERGY}
+                                   THEN frame END) IS NULL THEN 0
+                ELSE MAX(CASE WHEN energy >= {AUDIO_SILENCE_ENERGY}
+                              THEN frame END)
+                     - MIN(CASE WHEN energy >= {AUDIO_SILENCE_ENERGY}
+                                THEN frame END) + 1 END AS BIGINT)
+             AS n_kept
+    FROM fe GROUP BY doc_id
+    """,
+)
+def mm_audio_silence_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading/trailing silence trim — the audio counterpart of
+    keyframe extraction in the per-modality segmentation set (every
+    audio-curation pipeline trims dead air before feature extraction
+    or ASR; dead air wastes tokens and skews duration-normalized
+    stats): frames below ``AUDIO_SILENCE_ENERGY`` at the clip's edges
+    are dropped, and the row reports the kept [first_loud, last_loud]
+    frame interval (-1/-1 and n_kept=0 for an all-silent clip —
+    the drop decision). Interior silence is KEPT by design (pauses are
+    content; edge pads are not) — that asymmetry is what makes this a
+    trim, not a filter. Same integer-exact energy arithmetic as
+    mm_audio_energy; the oracle recomputes it byte-for-byte from the
+    source text. Reference scope: no media ops in the reference;
+    multimodal extension tier.
+
+    Scale shape: ZERO shuffles — one Arrow-batched ``mapInPandas``
+    pass (np.add.reduceat per clip, never a frame explode), one row
+    out per clip. Embarrassingly parallel at any corpus size."""
+    m = media_table(spark, sf_dir)
+    return m.filter(F.col("media_type") == "audio/wav").mapInPandas(
+        _audio_trim_batches, schema=_TRIM_SCHEMA
+    )
+
+
+# ----------------------------------------------------------------------
 # Perceptual-hash image dedup (round 8): the multimodal dedup bridge
 # ----------------------------------------------------------------------
 def _phash_batches(it: Iterator) -> Iterator:

@@ -266,6 +266,7 @@ _R11_QUEUE: set[str] = {
     "s_bloom_prefilter_stream",
     "x4_bpe_apply",
     "x3_ivf_nprobe_tuning",
+    "mm_audio_silence_trim",
 }
 
 
