@@ -196,6 +196,10 @@ def build_payload(
     return {
         "metric": "headline_queries_total",
         "value": round(sum(times.values()), 3),
+        # provenance (VERDICT r11 ask #7): `value` sums the per-query
+        # BEST-OF-n in `queries` (steady-state floor); sum(queries_median)
+        # is higher by construction — compare rounds on queries_median.
+        "value_is": "sum(queries best-of-n); medians sum higher",
         "unit": "sec",
         "queries": times,
         "queries_stdev": stdevs,

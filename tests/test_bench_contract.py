@@ -10,12 +10,13 @@ from __future__ import annotations
 
 import importlib.util
 import json
+from pathlib import Path
+
+BENCH_PY = Path(__file__).resolve().parents[1] / "bench.py"
 
 
 def _load_bench():
-    spec = importlib.util.spec_from_file_location(
-        "bench", "/root/repo/bench.py"
-    )
+    spec = importlib.util.spec_from_file_location("bench", str(BENCH_PY))
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     return mod
@@ -41,7 +42,7 @@ def test_payload_main_uses_builder():
     main would bypass the ordering contract this file pins."""
     import re
 
-    src = open("/root/repo/bench.py").read()
+    src = BENCH_PY.read_text()
     body = src[src.index("def main"):]
     assert "build_payload(" in body
     assert not re.search(r'"queries_median"\s*:', body)

@@ -72,8 +72,15 @@ MULTI_JOB = {
 }
 
 #: Scale-suite-only queries too heavy for the bench loop whose plan is
-#: still worth recording next to their headline twins.
-EXTRA = ["x7_interval_overlap"]  # keyframe/bloom rungs now in HEADLINE
+#: still worth recording next to their headline twins — plus registered
+#: rungs outside HEADLINE whose zero-shuffle claims deserve a PLANS.md
+#: section (ADVICE r11 #4: mm_audio_silence_trim / mm_audio_energy were
+#: test-only).
+EXTRA = [
+    "x7_interval_overlap",  # keyframe/bloom rungs now in HEADLINE
+    "mm_audio_silence_trim",
+    "mm_audio_energy",
+]
 
 
 def main() -> None:

@@ -1540,13 +1540,14 @@ _SEMDEDUP_DUCK_PAIR = _DUCK_COS.format(a="u.embedding", b="v.embedding")
     WITH {_DUCK_CENTROIDS},
     csim AS (
       SELECT a.vec_id, a.bucket, a.embedding,
-             ROUND({_SEMDEDUP_DUCK_CSIM}, 6) AS c_sim
+             FLOOR(({_SEMDEDUP_DUCK_CSIM}) * 1000000) / 1000000.0 AS c_sim
       FROM assigned a JOIN cents c ON c.label = a.bucket
     ), drops AS (
       SELECT DISTINCT v.vec_id
       FROM csim v JOIN csim u
         ON u.bucket = v.bucket AND u.vec_id <> v.vec_id
-       AND ROUND({_SEMDEDUP_DUCK_PAIR}, 6) >= {SEMDEDUP_COS_CEIL}
+       AND FLOOR(({_SEMDEDUP_DUCK_PAIR}) * 1000000) / 1000000.0
+             >= {SEMDEDUP_COS_CEIL}
        AND (u.c_sim > v.c_sim
             OR (u.c_sim = v.c_sim AND u.vec_id < v.vec_id))
     )
@@ -1568,9 +1569,10 @@ def x2_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     same-cluster vector above the ceiling beats it. The dominance rule
     is pairwise and order-free, so it is deterministic and replays
     exactly in SQL — unlike the paper's greedy sequential scan, whose
-    keep set depends on visit order. Output carries the rounded
-    centroid-sim (the keep-priority score) so the row is a value
-    check, not a bare boolean — same discipline as
+    keep set depends on visit order. Output carries the floor-truncated
+    centroid-sim (the keep-priority score; _trunc6 convention so
+    round-half modes can't flip a boundary decision across engines) so
+    the row is a value check, not a bare boolean — same discipline as
     mm_pair_cosine_filter's rounded pair_cos.
 
     Scale shape: centroid build + collect is k-bounded
@@ -1626,11 +1628,16 @@ def x2_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         cacc = np.zeros(len(ids))
         for k in range(mat.shape[1]):
             cacc += mat[:, k] * cent[k]
-        c_sim = np.round(cacc / (norms * cn), 6)
+        # floor-truncate, never round: np.round is half-to-even while
+        # DuckDB ROUND is half-away-from-zero, so an exact .xxxxxx5 sim
+        # at the >= SEMDEDUP_COS_CEIL boundary (or a c_sim tie) could
+        # flip a keep decision per engine — the repo-wide _trunc6
+        # convention (ADVICE r5 #1, ADVICE r11 #2)
+        c_sim = np.floor(cacc / (norms * cn) * 1_000_000) / 1e6
         pair = np.zeros((len(ids), len(ids)))
         for k in range(mat.shape[1]):
             pair += np.outer(mat[:, k], mat[:, k])
-        sims = np.round(pair / np.outer(norms, norms), 6)
+        sims = np.floor(pair / np.outer(norms, norms) * 1_000_000) / 1e6
         dup = sims >= SEMDEDUP_COS_CEIL
         np.fill_diagonal(dup, False)
         # beats[u, v]: u is keep-preferred over v

@@ -93,79 +93,74 @@ _PRIORITY: tuple[str, ...] = (
     "o15_latest_per_key",  # flagship (also entry())
     "w_corrupt_quarantine",  # r2 hash-fail regression pin
     "x6_session_windows",  # r2 hash-fail regression pin
-    # --- round-11 additions (2): driver-checked the round they land ---
-    "x2_semdedup_keep",
-    "s_minhash_dedup_stream",
-    # --- round-11 COVERAGE rotation (12; VERDICT r10 ask #1): the 12
-    # round-10 rungs that landed after the r10 window locked — each was
-    # hash-checked by in-session parity/verify sweeps in r10 and r11,
-    # but has never held a driver CORRECTNESS row. With these in-window
-    # the r10 verification debt clears; the round-11 LATE additions
-    # (landed after THIS window locked) are declared in _R11_QUEUE and
-    # head the r12 rotation, per the standing convention.
-    "x1_url_dedup",
-    "x9_label_propagation",
-    "x9_kcore_peel",
-    "x9_jaccard_neighbors",
-    "x8_k_anonymity",
-    "w_compact_small_files",
-    "mm_scene_cuts",
-    "s_scene_cuts_stream",
-    "x2_minhash_band_tuning",
-    "x4_code_detect",
-    "x6_backtest_folds",
-    "s_url_dedup_stream",
-    # --- round-11 STALENESS rotation (33): the 8 remaining r4 rows
-    # (completing the r9-r11 sweep of everything last checked r1-r4),
-    # then the r5 tier oldest-first. The r5 tier holds 21 oracle-bearing
-    # rows; 20 fit — x3_ivf_topk_nprobe2 is the one left for r12
-    # (parameter variant of x3_ivf_topk, which is r10-green, and of the
-    # recall shape x3_ivf_recall_eval, r8-green — the same precedent as
-    # the r7 restructure's two-variant deferral). Five slots go to
-    # family representatives the stale tiers lack (coverage pinned by
-    # test_first_50_slots_cover_survey_operators), each the
-    # OLDEST-checked oracle-bearing member of its family:
-    # x5_json_extract_agg (r6), ext_q1_pricing_summary (r6),
-    # x7_temporal_join (r7), and the sole-member CDC/cogroup reps
-    # (r10-green, in-window every round by the family rule).
-    # Rotated OUT: the 43 r10-window staleness rows — all r10-green,
-    # their rows stand in the union.
-    # last driver-checked round 4 (8):
-    "ext_window_first_last",
-    "w_city_encode",
-    "x4_doc_stats",
-    "x4_fingerprint",
-    "x4_lang_id_heuristic",
-    "x4_lang_stats",
-    "x4_rolling_fingerprint",
-    "x4_token_count",
-    # family representatives (5):
-    "x5_json_extract_agg",  # r6
-    "ext_q1_pricing_summary",  # r6
-    "x7_temporal_join",  # r7
-    "ext_cdc_merge",  # r10 (sole CDC query)
-    "ext_cogroup_pandas",  # r10 (sole cogroup query)
-    # last driver-checked round 5 (20 of 21):
-    "ext_pandas_udaf_grouped",
-    "ext_python_udtf",
-    "mm_decode_features",
-    "mm_frame_sample",
-    "mm_resize_thumbnail",
-    "s_session_window_stream",
-    "s_tumbling_hourly_stream",
-    "s_weather_latest_stream",
-    "w_flatten_stage",
-    "x2_dup_components_star",
-    "x2_minhash_lsh_portable",
-    "x2_minhash_portable",
-    "x2_ngram_jaccard_capped",
-    "x2_simhash_portable",
-    "x3_lsh_buckets",
-    "x3_quantize_int8",
-    "x4_repetition_score",
-    "x6_session_stats_per_user",
-    "x6_tumbling_hourly",
-    "x8_sequence_packing",
+    # --- round-12 rotation head (7; VERDICT r11 ask #1): the declared
+    # _R11_QUEUE — the six round-11 late additions the driver has never
+    # checked (each hash-matched DuckDB in the r11 in-session 281/281
+    # sweep) — plus x3_ivf_topk_nprobe2, the single r5-stale row the
+    # r11 staleness rotation couldn't fit. With these in-window the
+    # driver union reaches every registered query and nothing is staler
+    # than r6.
+    "x1_bloom_prefilter",
+    "s_bloom_prefilter_stream",
+    "x4_bpe_apply",
+    "x3_ivf_nprobe_tuning",
+    "mm_keyframe_extract",
+    "mm_audio_silence_trim",
+    "x3_ivf_topk_nprobe2",  # last driver-checked r5
+    # --- family representatives (5): sole-member families stay
+    # in-window every round (CDC, cogroup); the x5/x7/x9 reps are each
+    # the OLDEST-driver-checked oracle-bearing member of a family the
+    # r6 staleness tier below doesn't reach (coverage pinned by
+    # test_first_50_slots_cover_survey_operators).
+    "ext_cdc_merge",  # r11 (sole CDC query)
+    "ext_cogroup_pandas",  # r11 (sole cogroup query)
+    "x5_json_keys_profile",  # r7 — oldest x5
+    "x7_asof_join_tolerance",  # r8 — oldest x7
+    "x9_pagerank",  # r8 — oldest x9
+    # --- round-12 STALENESS rotation (35 of the 43 r6-tier rows,
+    # oldest tier remaining). Eight r6 rows defer to r13, each a
+    # parameter/engine variant whose family keeps 3+ fresher in-window
+    # members: x2_tfidf_cosine, x3_pq_codes, x3_pq_adc_topk,
+    # x6_ema_daily, x8_zorder_layout, ext_salted_agg,
+    # ext_window_lag_lead, ext_pandas_udf_scalar (all r6-green in the
+    # union, so no coverage gap — only staleness). Rotated OUT: the 47
+    # r11-window non-pinned rows — all r11-green, their rows stand in
+    # the union.
+    "ext_acd_error_band",
+    "ext_approx_percentile_band",
+    "ext_bucketed_join_agg",
+    "ext_q10_returned_items",
+    "ext_q3_shipping_priority",
+    "mm_metadata_extract",
+    "o27_hash_split",
+    "o27_random_split_invariants",
+    "o28_gbt_holdout_band",
+    "o28_linreg_baseline",
+    "o29_forecast_band",
+    "o7_sql_table_scan",
+    "s_latest_per_key_stream",
+    "s_sliding_hourly_stream",
+    "s_stateful_running_totals",
+    "w_api_source",
+    "w_flagship_latest",
+    "x2_dup_components",
+    "x2_minhash_lsh_recall",
+    "x2_ngram_jaccard",
+    "x2_simhash_invariants",
+    "x3_cosine_topk",
+    "x3_ivf_kmeans_topk",
+    "x3_label_centroids",
+    "x4_bm25_score",
+    "x4_pii_redact",
+    "x4_quality_score",
+    "x4_unigram_logprob",
+    "x6_ohlc_daily",
+    "x6_sliding_windows",
+    "x6_validity_intervals",
+    "x6_zscore_anomaly",
+    "x8_doc_chunking",
+    "x8_stratified_sample",
+    "x8_weighted_sample",
 )
 
 #: The pre-round-9 window, kept for the union math in
@@ -252,22 +247,13 @@ _R8_WINDOW_ROTATED_OUT: tuple[str, ...] = (
 #: tests/test_entry.py::test_driver_union_vs_registry computes the gap
 #: from the CORRECTNESS_r0*.json files and asserts it equals EXACTLY
 #: this set, so the backlog can never silently grow past one round's
-#: rotation capacity again. The 12 round-10 late additions rotated into
-#: the r11 window (VERDICT r10 ask #1), the two early round-11
-#: additions registered straight into it, and every other query holds a
-#: row in the r1-r10 union. Round-11 LATE additions (landed after this
-#: window locked) sit here and head the r12 rotation together with
-#: x3_ivf_topk_nprobe2 (the one r5-tier row the staleness rotation
-#: couldn't fit); each was hash-checked by the in-session parity/verify
-#: sweeps the round it landed.
-_R11_QUEUE: set[str] = {
-    "mm_keyframe_extract",
-    "x1_bloom_prefilter",
-    "s_bloom_prefilter_stream",
-    "x4_bpe_apply",
-    "x3_ivf_nprobe_tuning",
-    "mm_audio_silence_trim",
-}
+#: rotation capacity again. EMPTY as of the r12 rotation: the six
+#: round-11 late additions rotated into the window head (VERDICT r11
+#: ask #1), round-12 additions register straight into the window while
+#: it is still open, and every other query holds a row in the r1-r11
+#: union. Queries landing after the r12 window locks go here and head
+#: the r13 rotation (standing convention).
+_R12_QUEUE: set[str] = set()
 
 
 def _prioritized(d: dict[str, object]) -> dict[str, object]:
