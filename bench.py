@@ -170,6 +170,8 @@ HEADLINE = [
     "x1_bloom_prefilter",
     "x4_bpe_apply",
     "x3_ivf_nprobe_tuning",
+    # round-12 additions
+    "x1_bloom_geometry_tuning",
 ]
 
 

@@ -2028,3 +2028,32 @@ def test_audio_silence_trim_zero_shuffles_invariants(spark):
             assert 0 <= r["first_loud"] <= r["last_loud"] < r["n_frames"]
             assert r["n_kept"] == r["last_loud"] - r["first_loud"] + 1
     assert any(r["n_kept"] < r["n_frames"] for r in rows)  # trims fire
+
+
+def test_bloom_geometry_tuning_curve(spark):
+    """Bloom geometry sweep (VERDICT r11 ask #4): the emitted curve must
+    show the tuning story the rung exists for — (a) ZERO false
+    negatives in EVERY geometry (n_flagged − n_false_pos is exactly the
+    member count, identical across configs: a member's positions are
+    all registered by construction), (b) fill factor strictly
+    decreasing along the m-increasing ladder (the saturation→production
+    axis), and (c) the production-shaped largest geometry admits no
+    false positives at this scale while the deliberately undersized
+    first point admits some — the documented lesson, measured."""
+    from weather_data_pipeline_spark.operators.dedup import BLOOM_GEOMETRIES
+
+    rows = sorted(
+        _Q["x1_bloom_geometry_tuning"](spark, SF).collect(),
+        key=lambda r: (r["m"], r["k"]),
+    )
+    assert len(rows) == len(BLOOM_GEOMETRIES)
+    members = {r["n_flagged"] - r["n_false_pos"] for r in rows}
+    assert len(members) == 1 and members.pop() > 0  # no false negatives
+    by_ladder = sorted(rows, key=lambda r: r["m"])
+    fills = [r["fill_ppm"] for r in by_ladder]
+    assert fills == sorted(fills, reverse=True) and len(set(fills)) == len(
+        fills
+    ), fills
+    assert all(0 < f <= 1_000_000 for f in fills)
+    assert by_ladder[-1]["n_false_pos"] == 0  # production-shaped point
+    assert by_ladder[0]["n_false_pos"] > 0  # undersized point, visible

@@ -264,3 +264,41 @@ def test_scale100_artifact_within_ceilings():
         if qs[n]["ratio"] > ceil
     }
     assert not over, f"100x ratio over rung-class ceiling: {over}"
+
+
+def test_semdedup_guard_fires_in_kernel_on_oversized_cluster(spark):
+    """SEMDEDUP_MAX_CLUSTER exercised END-TO-END against a skewed corpus
+    (VERDICT r11 ask #3), not just as a direct helper call: a celebrity
+    cluster one row past the ceiling must fail fast INSIDE the grouped
+    decision kernel — before the |cluster|² pair matrix allocates — and
+    the surfaced error must name the raise-k lever (the SemDeDup
+    paper's own remedy: grow the quantizer k with the corpus so
+    clusters stay bounded). The measured superlinear signature this
+    guard exists for is tools/semdedup_skew_ab.py's celebrity posture
+    in BENCH_SCALE.json."""
+    import numpy as np
+
+    from weather_data_pipeline_spark.operators import similarity as sim
+
+    n = sim.SEMDEDUP_MAX_CLUSTER + 1
+    dim = 4
+    skewed = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[
+                ((F.col("id") % (d + 7)) + 1.0).cast("double")
+                for d in range(dim)
+            ]
+        ).alias("embedding"),
+        F.lit(0).cast("long").alias("bucket"),
+    )
+    cent = np.ones(dim)
+    bc = spark.sparkContext.broadcast(
+        {0: (cent, float(sim._seq_self_norms(cent[None, :])[0]))}
+    )
+    out = skewed.groupBy("bucket").applyInPandas(
+        sim._semdedup_decide_fn(bc), schema=sim.SEMDEDUP_DECIDE_SCHEMA
+    )
+    with pytest.raises(Exception, match="raise the quantizer k") as ei:
+        out.write.format("noop").mode("overwrite").save()
+    assert "SEMDEDUP_MAX_CLUSTER" in str(ei.value)

@@ -451,3 +451,81 @@ def test_bloom_register_stream_multibatch_capped_state(spark, tmp_path):
     )
     assert got == want
     assert 0 < len(got) <= BLOOM_M
+
+
+def test_ivf_assign_stream_multibatch_mergeable_state(spark, tmp_path):
+    """The streaming IVF cell registry across shuffled micro-batches:
+    the drained (cluster, n_assigned, min_vec, max_vec) state equals
+    the batch assignment on the SAME frozen centroids exactly
+    (count/min/max are mergeable, order-free), and the state is
+    bounded at k cells by index geometry — the Bloom-registry bound
+    with cells for bits."""
+    import glob
+    import os
+    import shutil
+
+    import numpy as np
+
+    from weather_data_pipeline_spark.operators.similarity import (
+        _assign_fn,
+        _seq_self_norms,
+        build_centroids,
+    )
+    from weather_data_pipeline_spark.streaming import jobs
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    base = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+        "label",
+    )
+    rows = build_centroids(base, "label", base.count()).collect()
+    rows.sort(key=lambda r: r["label"])
+    c_labels = np.array([r["label"] for r in rows], dtype=np.int64)
+    c_mat = np.array([r["centroid"] for r in rows], dtype=np.float64)
+    bc = spark.sparkContext.broadcast(
+        (c_labels, c_mat, _seq_self_norms(c_mat))
+    )
+
+    src = str(tmp_path / "emb_src")
+    os.makedirs(src)
+    for i in range(3):
+        tmp = str(tmp_path / "_tmp")
+        emb.filter(F.pmod("vec_id", F.lit(3)) == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dest = os.path.join(src, f"b{i}.parquet")
+        shutil.move(part, dest)
+        os.utime(dest, (1_700_000_000 + 100 * i,) * 2)
+
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    state = str(tmp_path / "state")
+    jobs.streaming_ivf_assign(stream, state, bc)
+
+    got = sorted(
+        tuple(r) for r in jobs.read_state(spark, state)
+        .select("cluster", "n_assigned", "min_vec", "max_vec").collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in base.select("vec_id", "embedding")
+        .mapInPandas(
+            _assign_fn(bc),
+            schema="vec_id long, embedding array<double>, bucket long",
+        )
+        .groupBy(F.col("bucket").alias("cluster"))
+        .agg(
+            F.count(F.lit(1)).alias("n_assigned"),
+            F.min("vec_id").alias("min_vec"),
+            F.max("vec_id").alias("max_vec"),
+        )
+        .collect()
+    )
+    assert got == want
+    assert 0 < len(got) <= len(c_labels)  # k cells bound the store

@@ -196,6 +196,61 @@ def _minhash_frontier(spark: SparkSession) -> dict:
     return res
 
 
+def _ivf_cells(spark: SparkSession) -> dict:
+    """State bound of the streaming IVF cell registry (VERDICT r11 ask
+    #5): drain streaming_ivf_assign at 1x and 10x embeddings over the
+    SAME frozen 1x quantizer — state rows must stay <= k at BOTH
+    scales (the index-geometry cap, the Bloom bound with cells for
+    bits: cells track occupancy, never members; the replica shifts
+    vec_id but NOT label, so the 10x corpus lands in the same k cells
+    with 10x occupancy)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from weather_data_pipeline_spark.operators.similarity import (
+        _seq_self_norms,
+        build_centroids,
+    )
+    from weather_data_pipeline_spark.schemas import TESTDATA
+    from weather_data_pipeline_spark.streaming import jobs
+
+    base = (
+        spark.read.parquet(os.path.join(BASE, "embeddings.parquet"))
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+            "label",
+        )
+    )
+    rows = build_centroids(base, "label", base.count()).collect()
+    rows.sort(key=lambda r: r["label"])
+    c_labels = np.array([r["label"] for r in rows], dtype=np.int64)
+    c_mat = np.array([r["centroid"] for r in rows], dtype=np.float64)
+    bc = spark.sparkContext.broadcast(
+        (c_labels, c_mat, _seq_self_norms(c_mat))
+    )
+    res: dict = {"k_cells": len(c_labels)}
+    for tag, root in (("1x", BASE), ("10x", SCALE_DIR)):
+        d = os.path.join(WORK, f"emb{tag}")
+        _copy_events(d, os.path.join(root, "embeddings.parquet"))
+        src = (
+            spark.readStream.schema(TESTDATA["embeddings"])
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(d)
+        )
+        state = os.path.join(WORK, f"ivf_state_{tag}")
+        t0 = time.perf_counter()
+        jobs.streaming_ivf_assign(src, state, bc)
+        res[f"t_{tag}"] = round(time.perf_counter() - t0, 3)
+        st = jobs.read_state(spark, state)
+        res[f"registry_rows_{tag}"] = st.count()
+        res[f"vectors_{tag}"] = st.agg(F.sum("n_assigned")).collect()[0][0]
+        assert res[f"registry_rows_{tag}"] <= res["k_cells"]
+    res["ratio"] = round(res["t_10x"] / res["t_1x"], 2)
+    return res
+
+
+
 def main() -> None:
     if os.path.isdir(WORK):
         shutil.rmtree(WORK)
@@ -252,6 +307,7 @@ def main() -> None:
     }
     out["minhash_frontier"] = _minhash_frontier(spark)
     out["bloom_registry"] = _bloom_registry(spark)
+    out["ivf_cells"] = _ivf_cells(spark)
     print(json.dumps(out))
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "BENCH_STREAM_SCALE.json"), "w") as f:

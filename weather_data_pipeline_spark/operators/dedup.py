@@ -2738,8 +2738,10 @@ _BLOOM_POS_DUCK = (
 )
 
 
-def _bloom_pos_cols() -> list:
-    """K portable hash positions of the ``digest`` column."""
+def _bloom_pos_cols(m: int = BLOOM_M, k: int = BLOOM_K) -> list:
+    """K portable hash positions of the ``digest`` column under an
+    (m, k) geometry — parametric so the geometry-tuning sweep below
+    can ride the identical hash family."""
     return [
         (
             F.conv(
@@ -2749,9 +2751,9 @@ def _bloom_pos_cols() -> list:
                 16,
                 10,
             ).cast("long")
-            % BLOOM_M
+            % m
         ).alias(f"p{i}")
-        for i in range(BLOOM_K)
+        for i in range(k)
     ]
 
 
@@ -2837,4 +2839,166 @@ def x1_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "in_registry",
         (F.coalesce(F.col("h"), F.lit(0)) == BLOOM_K).alias("bloom_flagged"),
+    )
+
+
+# ----------------------------------------------------------------------
+# Bloom geometry tuning sweep (round 12): the X1 member of the
+# tuning-sweep triple (MinHash bands, IVF nprobe, Bloom m/k)
+# ----------------------------------------------------------------------
+#: (m, k) geometries swept, smallest→largest. The first is the standing
+#: BLOOM_M/BLOOM_K point (deliberately undersized — saturates at sf0.1,
+#: the documented failure mode); the last is production-shaped (~10+
+#: bits per registry digest with k near the ln2·bits optimum), so the
+#: emitted curve shows BOTH the saturation lesson and the geometry a
+#: real deployment would freeze.
+BLOOM_GEOMETRIES: tuple[tuple[int, int], ...] = (
+    (BLOOM_M, BLOOM_K),
+    (8192, 3),
+    (16384, 5),
+    (65536, 7),
+)
+
+
+def _bloom_pos_duck(m: int) -> str:
+    """The DuckDB twin of ``_bloom_pos_cols`` under modulus ``m``."""
+    return (
+        "CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || '#' || digest),"
+        f" 1, 15)) AS BIGINT) % {m}"
+    )
+
+
+def _bloom_geometry_oracle() -> str:
+    blocks = []
+    for m, k in BLOOM_GEOMETRIES:
+        pos = _bloom_pos_duck(m)
+        sfx = f"{m}_{k}"
+        blocks.append(
+            f"""rpos_{sfx} AS (
+      SELECT DISTINCT {pos} AS p
+      FROM reg, UNNEST(generate_series(0, {k - 1})) t(i)
+    ), hits_{sfx} AS (
+      SELECT doc_id, COUNT(*) AS h
+      FROM (
+        SELECT doc_id, {pos} AS p
+        FROM probe, UNNEST(generate_series(0, {k - 1})) t(i)
+      ) pp JOIN rpos_{sfx} USING (p)
+      GROUP BY doc_id
+    ), row_{sfx} AS (
+      SELECT CAST({m} AS BIGINT) AS m, CAST({k} AS BIGINT) AS k,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM rpos_{sfx})
+               AS n_positions,
+             (SELECT COUNT(*) * 1000000 // {m} FROM rpos_{sfx})
+               AS fill_ppm,
+             CAST(COUNT(*) FILTER (COALESCE(h.h, 0) = {k}) AS BIGINT)
+               AS n_flagged,
+             CAST(COUNT(*) FILTER (COALESCE(h.h, 0) = {k} AND NOT pr.mem)
+               AS BIGINT) AS n_false_pos,
+             COUNT(*) FILTER (COALESCE(h.h, 0) = {k} AND NOT pr.mem)
+               * 1000000 // (SELECT n FROM nonmem) AS fp_ppm
+      FROM (SELECT doc_id,
+                   digest IN (SELECT digest FROM reg) AS mem
+            FROM probe) pr
+      LEFT JOIN hits_{sfx} h ON h.doc_id = pr.doc_id
+    )"""
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT * FROM row_{m}_{k}" for m, k in BLOOM_GEOMETRIES
+    )
+    return f"""
+    WITH reg AS (
+      SELECT DISTINCT md5(text) AS digest
+      FROM documents WHERE doc_id % 3 = 0
+    ), probe AS (
+      SELECT doc_id, md5(text) AS digest FROM documents
+    ), nonmem AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM probe
+      WHERE digest NOT IN (SELECT digest FROM reg)
+    ),
+    {", ".join(blocks)}
+    {selects}
+    """
+
+
+@query("x1_bloom_geometry_tuning", oracle=_bloom_geometry_oracle())
+def x1_bloom_geometry_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom GEOMETRY tuning sweep — the parameter-selection step every
+    deployed prefilter runs before freezing (m, k), as a first-class
+    driver-checked operator (completing the tuning-sweep triple:
+    x2_minhash_band_tuning's (b, r), x3_ivf_nprobe_tuning's nprobe,
+    and now Bloom m/k — VERDICT r11 ask #4): for each candidate
+    geometry over the SAME registry (the x1_bloom_prefilter eval-set
+    split, doc_id % 3 = 0) and the SAME portable md5 hash family,
+    measure what the filter would actually do — registered-position
+    count, fill factor in integer ppm, flagged-probe count, and false
+    positives against exact ground truth (false NEGATIVES are
+    impossible by construction in every geometry; members' positions
+    are all registered). The emitted curve makes the undersized-filter
+    lesson MEASURED rather than narrated: the standing
+    (BLOOM_M={BLOOM_M}, k={BLOOM_K}) point saturates at sf0.1
+    (fill → ~0.91, fp_ppm large) while the production-shaped
+    (65536, 7) point sits near zero false positives — the geometry a
+    real 100 TB decontamination gate would freeze, where only these
+    constants change, never the plan.
+
+    Scale shape: the registry digests and the probe projection are
+    computed once and cached (one parquet scan each); per config the
+    filter build is one cached-registry aggregation to
+    <= min(k*|reg|, m) distinct position ints (the materialized
+    filter, corpus-size-INDEPENDENT past fill) broadcast into one
+    cached-probe scan (explode k rows/doc -> position equi-join ->
+    doc_id partial-agg), so the sweep costs |configs| bounded probe
+    passes; driver traffic is three counts per config plus one shared
+    non-member count, and the returned table is a |configs|-row local
+    relation — the tuning output, sized to freeze ONE geometry."""
+    doc = load_table(spark, sf_dir, "documents")
+    reg = (
+        doc.filter(F.col("doc_id") % 3 == 0)
+        .select(F.md5("text").alias("digest"))
+        .distinct()
+        .cache()
+    )
+    probe = doc.select("doc_id", F.md5("text").alias("digest")).cache()
+    n_nonmembers = probe.join(F.broadcast(reg), "digest", "left_anti").count()
+    rows = []
+    for m, k in BLOOM_GEOMETRIES:
+        rpos = (
+            reg.select(F.explode(F.array(*_bloom_pos_cols(m, k))).alias("p"))
+            .distinct()
+        )
+        n_positions = rpos.count()
+        flagged = (
+            probe.select(
+                "doc_id",
+                "digest",
+                F.explode(F.array(*_bloom_pos_cols(m, k))).alias("p"),
+            )
+            .join(F.broadcast(rpos), "p")
+            .groupBy("doc_id", "digest")
+            .agg(F.count(F.lit(1)).alias("h"))
+            .filter(F.col("h") == k)
+        )
+        n_flagged = flagged.count()
+        n_false_pos = flagged.join(
+            F.broadcast(reg), "digest", "left_anti"
+        ).count()
+        rows.append(
+            (
+                m,
+                k,
+                n_positions,
+                n_positions * 1_000_000 // m,
+                n_flagged,
+                n_false_pos,
+                n_false_pos * 1_000_000 // n_nonmembers,
+            )
+        )
+    reg.unpersist()
+    probe.unpersist()
+    return spark.createDataFrame(
+        rows,
+        schema=(
+            "m long, k long, n_positions long, fill_ppm long,"
+            " n_flagged long, n_false_pos long, fp_ppm long"
+        ),
     )

@@ -1530,6 +1530,63 @@ def _semdedup_guard(n_rows: int) -> None:
         )
 
 
+SEMDEDUP_DECIDE_SCHEMA = (
+    "vec_id long, cluster long, c_sim double, is_kept boolean"
+)
+
+
+def _semdedup_decide_fn(bc_cents):
+    """applyInPandas kernel factory: the per-CLUSTER SemDeDup keep
+    decision (module-level so the rung, the skew A/B tool, and the
+    end-to-end guard test all drive the SAME kernel). ``bc_cents`` is
+    the broadcast {bucket: (centroid, norm)} dict. The first act is
+    the |cluster| fail-fast guard — pair-matrix memory is |cluster|²
+    doubles, and the guard must fire BEFORE any allocation."""
+
+    def decide(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        _semdedup_guard(len(pdf))
+        mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        ids = pdf["vec_id"].to_numpy()
+        bucket = int(pdf["bucket"].iloc[0])
+        cent, cn = bc_cents.value[bucket]
+        norms = _seq_self_norms(mat)
+        # centroid sims and the pair matrix both accumulate dim-by-dim —
+        # the same left-to-right fold as the SQL cosine (cf. _seq_dot)
+        cacc = np.zeros(len(ids))
+        for k in range(mat.shape[1]):
+            cacc += mat[:, k] * cent[k]
+        # floor-truncate, never round: np.round is half-to-even while
+        # DuckDB ROUND is half-away-from-zero, so an exact .xxxxxx5 sim
+        # at the >= SEMDEDUP_COS_CEIL boundary (or a c_sim tie) could
+        # flip a keep decision per engine — the repo-wide _trunc6
+        # convention (ADVICE r5 #1, ADVICE r11 #2)
+        c_sim = np.floor(cacc / (norms * cn) * 1_000_000) / 1e6
+        pair = np.zeros((len(ids), len(ids)))
+        for k in range(mat.shape[1]):
+            pair += np.outer(mat[:, k], mat[:, k])
+        sims = np.floor(pair / np.outer(norms, norms) * 1_000_000) / 1e6
+        dup = sims >= SEMDEDUP_COS_CEIL
+        np.fill_diagonal(dup, False)
+        # beats[u, v]: u is keep-preferred over v
+        beats = (c_sim[:, None] > c_sim[None, :]) | (
+            (c_sim[:, None] == c_sim[None, :])
+            & (ids[:, None] < ids[None, :])
+        )
+        dropped = (dup & beats).any(axis=0)
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cluster": bucket,
+                "c_sim": c_sim,
+                "is_kept": ~dropped,
+            }
+        )
+
+    return decide
+
+
 _SEMDEDUP_DUCK_CSIM = _DUCK_COS.format(a="a.embedding", b="c.centroid")
 _SEMDEDUP_DUCK_PAIR = _DUCK_COS.format(a="u.embedding", b="v.embedding")
 
@@ -1592,8 +1649,6 @@ def x2_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     memory is |cluster|²·8 B, fail-fast guarded at
     SEMDEDUP_MAX_CLUSTER rows (past it, raise the quantizer k — the
     paper's own lever — rather than silently OOM)."""
-    import pandas as pd
-
     emb = load_table(spark, sf_dir, "embeddings")
     base = emb.select(
         "vec_id",
@@ -1615,49 +1670,9 @@ def x2_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     bc_cents = spark.sparkContext.broadcast(
         {int(l): (c_mat[i], c_norms[i]) for i, l in enumerate(c_labels)}
     )
-
-    def decide(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        _semdedup_guard(len(pdf))
-        mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-        ids = pdf["vec_id"].to_numpy()
-        bucket = int(pdf["bucket"].iloc[0])
-        cent, cn = bc_cents.value[bucket]
-        norms = _seq_self_norms(mat)
-        # centroid sims and the pair matrix both accumulate dim-by-dim —
-        # the same left-to-right fold as the SQL cosine (cf. _seq_dot)
-        cacc = np.zeros(len(ids))
-        for k in range(mat.shape[1]):
-            cacc += mat[:, k] * cent[k]
-        # floor-truncate, never round: np.round is half-to-even while
-        # DuckDB ROUND is half-away-from-zero, so an exact .xxxxxx5 sim
-        # at the >= SEMDEDUP_COS_CEIL boundary (or a c_sim tie) could
-        # flip a keep decision per engine — the repo-wide _trunc6
-        # convention (ADVICE r5 #1, ADVICE r11 #2)
-        c_sim = np.floor(cacc / (norms * cn) * 1_000_000) / 1e6
-        pair = np.zeros((len(ids), len(ids)))
-        for k in range(mat.shape[1]):
-            pair += np.outer(mat[:, k], mat[:, k])
-        sims = np.floor(pair / np.outer(norms, norms) * 1_000_000) / 1e6
-        dup = sims >= SEMDEDUP_COS_CEIL
-        np.fill_diagonal(dup, False)
-        # beats[u, v]: u is keep-preferred over v
-        beats = (c_sim[:, None] > c_sim[None, :]) | (
-            (c_sim[:, None] == c_sim[None, :])
-            & (ids[:, None] < ids[None, :])
-        )
-        dropped = (dup & beats).any(axis=0)
-        return pd.DataFrame(
-            {
-                "vec_id": ids,
-                "cluster": bucket,
-                "c_sim": c_sim,
-                "is_kept": ~dropped,
-            }
-        )
-
     return assigned.groupBy("bucket").applyInPandas(
-        decide,
-        schema="vec_id long, cluster long, c_sim double, is_kept boolean",
+        _semdedup_decide_fn(bc_cents),
+        schema=SEMDEDUP_DECIDE_SCHEMA,
     )
 
 

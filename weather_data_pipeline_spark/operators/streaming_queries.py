@@ -674,3 +674,56 @@ def s_bloom_prefilter_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bloom_flagged"
         ),
     )
+
+
+import numpy as _np  # noqa: E402
+
+from .similarity import (  # noqa: E402
+    _DUCK_CENTROIDS as _IVF_DUCK_CENTROIDS,
+    _seq_self_norms as _ivf_norms,
+    build_centroids as _ivf_build_centroids,
+)
+
+
+@query(
+    "s_ivf_assign_stream",
+    oracle=f"""
+    WITH {_IVF_DUCK_CENTROIDS}
+    SELECT CAST(bucket AS BIGINT) AS cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_assigned,
+           MIN(vec_id) AS min_vec,
+           MAX(vec_id) AS max_vec
+    FROM assigned GROUP BY bucket
+    """,
+)
+def s_ivf_assign_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming IVF assignment — the X3 similarity tier's frontier
+    twin (VERDICT r11 ask #5; every other extension tier already has
+    one): the online-index shape, where a serving index is built
+    OFFLINE (here: the label-centroid quantizer, collected k-bounded
+    and broadcast — frozen for the stream's lifetime) and arriving
+    vectors fold into a per-cell occupancy registry
+    (jobs.streaming_ivf_assign — count/min/max are mergeable, so the
+    drained registry is arrival-order-free and bounded at k rows by
+    index geometry, the Bloom-registry bound with cells for bits).
+    Oracle = the batch IVF assignment on the SAME centroids
+    (_DUCK_CENTROIDS' assigned CTE — the x1_bloom_prefilter-style
+    verbatim-oracle reuse), aggregated per cell; min/max vec_id ride
+    along so the row is a value check on cell MEMBERSHIP edges, not a
+    bare count."""
+    emb = _load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+        "label",
+    )
+    rows = _ivf_build_centroids(base, "label", base.count()).collect()
+    rows.sort(key=lambda r: r["label"])  # argmax first-hit = lowest label
+    c_labels = _np.array([r["label"] for r in rows], dtype=_np.int64)
+    c_mat = _np.array([r["centroid"] for r in rows], dtype=_np.float64)
+    bc = spark.sparkContext.broadcast((c_labels, c_mat, _ivf_norms(c_mat)))
+    state = os.path.join(jobs.SCRATCH, f"ivfassign_{uuid.uuid4().hex[:8]}")
+    jobs.streaming_ivf_assign(jobs.stream_embeddings(spark, sf_dir), state, bc)
+    return jobs.read_state(spark, state).select(
+        "cluster", "n_assigned", "min_vec", "max_vec"
+    )

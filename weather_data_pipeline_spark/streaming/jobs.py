@@ -88,6 +88,17 @@ def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-stream over the embeddings parquet (the online-index view of
+    an embedding corpus: new vectors arrive continuously and must be
+    folded into a serving index built offline)."""
+    return (
+        spark.readStream.schema(TESTDATA["embeddings"])
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+    )
+
+
 def streaming_dedup(source: DataFrame, sink_table: str) -> None:
     """Streaming exact dedup: first-seen wins per md5(text) — the
     exactly-once ingest gate of a training-data pipeline, as
@@ -803,5 +814,69 @@ def streaming_bloom_register(
     run_to_completion(
         source.writeStream.foreachBatch(merge).outputMode("update"),
         "bloom-register-state",
+        checkpoint,
+    )
+
+
+def streaming_ivf_assign(
+    source: DataFrame, state_path: str, bc, checkpoint: str | None = None
+) -> None:
+    """Online IVF assignment — the X3 tier's frontier twin (VERDICT r11
+    ask #5), completing the streaming ladder (X1 digests/URL/bloom, X2
+    bands, X4 html, mm scene cuts): per micro-batch, arriving vectors
+    are assigned to FROZEN centroids (``bc`` is the broadcast
+    (labels, matrix, norms) triple the batch IVF pipeline builds —
+    the offline index; a real deployment retrains it on a schedule,
+    never per batch) via the same broadcast-argmax Arrow kernel as
+    every batch assignment (operators.similarity._assign_fn), then
+    fold into a per-CELL registry: (cluster, n_assigned, min_vec,
+    max_vec). Count/min/max are all MERGEABLE state — merge(state,
+    batch) = aggregate(history), the s_topk_stream discipline — so
+    the drained registry is arrival-order-FREE and the batch
+    assignment replays it exactly in SQL. State can never exceed k
+    rows regardless of stream length: the index geometry, not the
+    corpus, bounds the store (the Bloom-registry bound with k cells
+    in place of M bits — an online index tracks list occupancy, not
+    members). Snapshot writes use the write-new-then-flip protocol
+    shared with incremental_latest_per_key."""
+    from ..operators.similarity import _assign_fn
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        s = batch.sparkSession
+        cells = (
+            batch.select(
+                "vec_id",
+                F.col("embedding").cast("array<double>").alias("embedding"),
+            )
+            .mapInPandas(
+                _assign_fn(bc),
+                schema="vec_id long, embedding array<double>, bucket long",
+            )
+            .groupBy(F.col("bucket").alias("cluster"))
+            .agg(
+                F.count(F.lit(1)).alias("n_assigned"),
+                F.min("vec_id").alias("min_vec"),
+                F.max("vec_id").alias("max_vec"),
+            )
+        )
+        version = _state_version(state_path)
+        if version is not None:
+            prev = s.read.parquet(os.path.join(state_path, version))
+            cells = prev.unionByName(cells.select(prev.columns))
+        out = cells.groupBy("cluster").agg(
+            F.sum("n_assigned").alias("n_assigned"),
+            F.min("min_vec").alias("min_vec"),
+            F.max("max_vec").alias("max_vec"),
+        )
+        new_version = f"v{batch_id}-{uuid.uuid4().hex[:8]}"
+        out.write.parquet(os.path.join(state_path, new_version))
+        tmp = os.path.join(state_path, f"_VERSION.{new_version}")
+        with open(tmp, "w") as f:
+            f.write(new_version)
+        os.replace(tmp, os.path.join(state_path, "_VERSION"))  # atomic flip
+
+    run_to_completion(
+        source.writeStream.foreachBatch(merge).outputMode("update"),
+        "ivf-assign-state",
         checkpoint,
     )
