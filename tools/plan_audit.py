@@ -69,6 +69,10 @@ MULTI_JOB = {
     "x2_semdedup_keep": "centroid build + k-bounded collect run as prior "
     "jobs; the plan is the assignment mapInPandas feeding the per-cluster "
     "grouped decision kernel behind the single (bucket) exchange",
+    "x1_bloom_geometry_tuning": "per (m, k) config: one cached-registry "
+    "position agg + one cached-probe scan + three bounded counts run as "
+    "prior jobs (13 driver-traffic jobs total); the result plan is the "
+    "|configs|-row local relation of the tuning curve",
 }
 
 #: Scale-suite-only queries too heavy for the bench loop whose plan is
@@ -80,6 +84,7 @@ EXTRA = [
     "x7_interval_overlap",  # keyframe/bloom rungs now in HEADLINE
     "mm_audio_silence_trim",
     "mm_audio_energy",
+    "x1_bloom_geometry_tuning",  # scale-suite-only (13-job sweep)
 ]
 
 

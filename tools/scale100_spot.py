@@ -68,6 +68,17 @@ SPOT_CEILINGS = {
     # 10^3-10^4x here.
     "x9_kcore_peel": 26.0,
     "x9_label_propagation": 9.0,
+    # round-12 (VERDICT r11 ask #2): the heaviest round-11 rungs. The
+    # nprobe sweep multiplies the corpus-scan count by |configs|+1 but
+    # its cost is dominated by the |queries|-bounded exact baseline and
+    # per-config fixed overheads — measured 1.77x at 100x. BPE apply's
+    # occurrence⇄dict equi-join fans out with the replica's growing
+    # vocabulary (per-copy suffix tokens are new word types by
+    # construction) — measured 12.54x, linear-in-vocab, far below any
+    # per-occurrence-folding signature (that form re-scans the corpus
+    # per merge: ~100x+ here).
+    "x3_ivf_nprobe_tuning": 3.0,
+    "x4_bpe_apply": 19.0,
 }
 
 SPOT = list(SPOT_CEILINGS)

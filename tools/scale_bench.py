@@ -228,6 +228,8 @@ QUERIES = [
     "x4_bpe_apply",
     "x3_ivf_nprobe_tuning",
     "mm_audio_silence_trim",
+    # round-12 additions
+    "x1_bloom_geometry_tuning",
 ]
 
 #: Viral boilerplate for the skew replica: untagged (shared verbatim
