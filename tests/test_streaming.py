@@ -529,3 +529,121 @@ def test_ivf_assign_stream_multibatch_mergeable_state(spark, tmp_path):
     )
     assert got == want
     assert 0 < len(got) <= len(c_labels)  # k cells bound the store
+
+
+def test_domain_caps_stream_multibatch_quota_bound(spark, tmp_path):
+    """The streaming domain-quota registry across shuffled micro-batches:
+    the drained keep set equals the batch x8_domain_caps output exactly
+    (per-key top-N is mergeable/order-free), and the state can never
+    exceed |domains| × DOMAIN_DOC_CAP rows — the quota-geometry bound
+    that distinguishes this registry from the raw per-domain row counts
+    it throttles."""
+    import glob
+    import os
+    import shutil
+
+    from weather_data_pipeline_spark import registry
+    from weather_data_pipeline_spark.operators.text_analysis import (
+        DOMAIN_DOC_CAP,
+    )
+    from weather_data_pipeline_spark.streaming import jobs
+
+    sf = "/root/testdata/sf0.001"
+    doc = spark.read.parquet(f"{sf}/documents.parquet")
+
+    src = str(tmp_path / "docs_src")
+    os.makedirs(src)
+    for i in range(3):
+        tmp = str(tmp_path / "_tmp")
+        doc.filter(F.pmod("doc_id", F.lit(3)) == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dest = os.path.join(src, f"b{i}.parquet")
+        shutil.move(part, dest)
+        os.utime(dest, (1_700_000_000 + 100 * i,) * 2)
+
+    stream = (
+        spark.readStream.schema(doc.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    state = str(tmp_path / "state")
+    jobs.streaming_domain_caps(stream, state)
+
+    st = jobs.read_state(spark, state)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("domain").orderBy(
+        F.col("n_chars").desc(), "doc_id"
+    )
+    got = sorted(
+        tuple(r)
+        for r in st.withColumn(
+            "domain_rank", F.row_number().over(w).cast("long")
+        ).select("doc_id", "domain", "domain_rank").collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in registry.queries()["x8_domain_caps"](spark, sf).collect()
+    )
+    assert got == want and got
+    n_domains = st.select("domain").distinct().count()
+    assert st.count() <= n_domains * DOMAIN_DOC_CAP
+
+
+def test_edge_registry_stream_multibatch_distinct_bound(spark, tmp_path):
+    """The streaming edge registry across shuffled micro-batches: the
+    drained distinct-edge set equals the batch build exactly (set union
+    is mergeable/order-free; a re-purchased pair costs nothing), so the
+    derived degree histogram matches the batch rung row-for-row."""
+    import glob
+    import os
+    import shutil
+
+    from weather_data_pipeline_spark import registry
+    from weather_data_pipeline_spark.operators.graph import SUPP_OFFSET
+    from weather_data_pipeline_spark.streaming import jobs
+
+    sf = "/root/testdata/sf0.001"
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+
+    src = str(tmp_path / "li_src")
+    os.makedirs(src)
+    for i in range(3):
+        tmp = str(tmp_path / "_tmp")
+        li.filter(F.pmod("l_orderkey", F.lit(3)) == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dest = os.path.join(src, f"b{i}.parquet")
+        shutil.move(part, dest)
+        os.utime(dest, (1_700_000_000 + 100 * i,) * 2)
+
+    stream = (
+        spark.readStream.schema(li.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    state = str(tmp_path / "state")
+    jobs.streaming_edge_registry(stream, orders, state)
+
+    got_edges = sorted(
+        tuple(r) for r in jobs.read_state(spark, state).collect()
+    )
+    want_edges = sorted(
+        tuple(r)
+        for r in li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + SUPP_OFFSET).alias("dst"),
+        )
+        .distinct()
+        .collect()
+    )
+    assert got_edges == want_edges and got_edges
+    # facts exceed distinct edges: the registry deduplicates arrivals
+    assert len(got_edges) < li.count()

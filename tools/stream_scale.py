@@ -251,6 +251,80 @@ def _ivf_cells(spark: SparkSession) -> dict:
 
 
 
+def _domain_caps_registry(spark: SparkSession) -> dict:
+    """State bound of the streaming domain-quota registry (round 12 —
+    the X8 frontier twin): drain streaming_domain_caps at 1x and 10x
+    documents; state rows must stay <= |domains| x DOMAIN_DOC_CAP at
+    BOTH scales (quota geometry bounds the store even while raw rows
+    per hot domain grow without bound — the hub-stem URL skew routes
+    ~2/3 of docs onto one domain precisely so the cap bites)."""
+    from pyspark.sql import functions as F
+
+    from weather_data_pipeline_spark.operators.text_analysis import (
+        DOMAIN_DOC_CAP,
+    )
+    from weather_data_pipeline_spark.schemas import TESTDATA
+    from weather_data_pipeline_spark.streaming import jobs
+
+    res: dict = {"cap": DOMAIN_DOC_CAP}
+    for tag, root in (("1x", BASE), ("10x", SCALE_DIR)):
+        d = os.path.join(WORK, f"dcdocs{tag}")
+        _copy_events(d, os.path.join(root, "documents.parquet"))
+        src = (
+            spark.readStream.schema(TESTDATA["documents"])
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(d)
+        )
+        state = os.path.join(WORK, f"dc_state_{tag}")
+        t0 = time.perf_counter()
+        jobs.streaming_domain_caps(src, state)
+        res[f"t_{tag}"] = round(time.perf_counter() - t0, 3)
+        st = jobs.read_state(spark, state)
+        res[f"registry_rows_{tag}"] = st.count()
+        res[f"domains_{tag}"] = st.select("domain").distinct().count()
+        assert (
+            res[f"registry_rows_{tag}"]
+            <= res[f"domains_{tag}"] * DOMAIN_DOC_CAP
+        )
+    res["ratio"] = round(res["t_10x"] / res["t_1x"], 2)
+    return res
+
+
+
+def _edge_registry(spark: SparkSession) -> dict:
+    """State bound of the streaming edge registry (round 12 — the X9
+    frontier twin): drain streaming_edge_registry at 1x and 10x
+    lineitem facts; state rows track DISTINCT (customer, supplier)
+    edges, never arriving facts (a re-purchased pair costs nothing —
+    the minhash-registry distinct-content class)."""
+    from weather_data_pipeline_spark.schemas import TESTDATA
+    from weather_data_pipeline_spark.streaming import jobs
+
+    res: dict = {}
+    for tag, root in (("1x", BASE), ("10x", SCALE_DIR)):
+        d = os.path.join(WORK, f"eli{tag}")
+        _copy_events(d, os.path.join(root, "lineitem.parquet"))
+        orders = spark.read.parquet(
+            os.path.join(root, "orders.parquet")
+        ).select("o_orderkey", "o_custkey")
+        src = (
+            spark.readStream.schema(TESTDATA["lineitem"])
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(d)
+        )
+        state = os.path.join(WORK, f"edge_state_{tag}")
+        t0 = time.perf_counter()
+        jobs.streaming_edge_registry(src, orders, state)
+        res[f"t_{tag}"] = round(time.perf_counter() - t0, 3)
+        res[f"registry_rows_{tag}"] = jobs.read_state(spark, state).count()
+    res["ratio"] = round(res["t_10x"] / res["t_1x"], 2)
+    res["registry_ratio"] = round(
+        res["registry_rows_10x"] / max(res["registry_rows_1x"], 1), 2
+    )
+    return res
+
+
+
 def main() -> None:
     if os.path.isdir(WORK):
         shutil.rmtree(WORK)
@@ -308,6 +382,8 @@ def main() -> None:
     out["minhash_frontier"] = _minhash_frontier(spark)
     out["bloom_registry"] = _bloom_registry(spark)
     out["ivf_cells"] = _ivf_cells(spark)
+    out["domain_caps"] = _domain_caps_registry(spark)
+    out["edge_registry"] = _edge_registry(spark)
     print(json.dumps(out))
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "BENCH_STREAM_SCALE.json"), "w") as f:

@@ -727,3 +727,72 @@ def s_ivf_assign_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jobs.read_state(spark, state).select(
         "cluster", "n_assigned", "min_vec", "max_vec"
     )
+
+
+from .text_analysis import DOMAIN_DOC_CAP as _DOM_CAP  # noqa: E402
+
+
+@query("s_domain_caps_stream", oracle=_ORACLE_REG["x8_domain_caps"])
+def s_domain_caps_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming domain-quota twin — the X8 curation tier's frontier
+    shape, the last extension tier without one: docs stream in and the
+    per-domain top-{_DOM_CAP} registry (priority n_chars DESC, doc_id
+    tiebreak — the batch rung's exact order) merges per micro-batch
+    (jobs.streaming_domain_caps; per-key top-N is mergeable, so the
+    drained keep set is arrival-order-free and bounded at
+    |domains| × cap rows by quota geometry). At drain, domain_rank
+    derives from the final ≤|domains|×cap-row state alone — oracle
+    reused VERBATIM from x8_domain_caps, the strongest stream-batch
+    parity statement the contract can make (the
+    s_bloom_prefilter_stream discipline)."""
+    from pyspark.sql.window import Window
+
+    state = os.path.join(jobs.SCRATCH, f"domcaps_{uuid.uuid4().hex[:8]}")
+    jobs.streaming_domain_caps(jobs.stream_documents(spark, sf_dir), state)
+    st = jobs.read_state(spark, state)
+    w = Window.partitionBy("domain").orderBy(
+        F.col("n_chars").desc(), "doc_id"
+    )
+    return st.withColumn(
+        "domain_rank", F.row_number().over(w).cast("long")
+    ).select("doc_id", "domain", "domain_rank")
+
+
+from .graph import SUPP_OFFSET as _SUPP_OFF  # noqa: E402
+
+
+@query("s_degree_hist_stream", oracle=_ORACLE_REG["x9_degree_hist"])
+def s_degree_hist_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming graph twin — the X9 tier's frontier shape, the last
+    extension tier without one: lineitem facts stream in, join the
+    static orders dimension per micro-batch, and the DISTINCT
+    (customer, supplier) edge set accretes as the state registry
+    (jobs.streaming_edge_registry — set union is mergeable, state ∝
+    distinct edges, never arriving facts). The degree distribution
+    derives from the drained registry alone — one endpoint explode +
+    partial-agg count + log2 bucketing, the batch rung's exact shape —
+    so the oracle is x9_degree_hist VERBATIM (the strongest
+    stream-batch parity statement the contract can make)."""
+    state = os.path.join(jobs.SCRATCH, f"edgereg_{uuid.uuid4().hex[:8]}")
+    orders = _load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    jobs.streaming_edge_registry(
+        jobs.stream_lineitem(spark, sf_dir), orders, state
+    )
+    deg = (
+        jobs.read_state(spark, state)
+        .select(F.explode(F.array("src", "dst")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    return deg.groupBy(
+        F.when(F.col("node") >= _SUPP_OFF, "supplier")
+        .otherwise("customer")
+        .alias("node_type"),
+        (F.length(F.bin("d")) - 1).cast("long").alias("log2_bucket"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.min("d").cast("long").alias("min_deg"),
+        F.max("d").cast("long").alias("max_deg"),
+    )

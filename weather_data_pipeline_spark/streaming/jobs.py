@@ -880,3 +880,119 @@ def streaming_ivf_assign(
         "ivf-assign-state",
         checkpoint,
     )
+
+
+def streaming_domain_caps(
+    source: DataFrame, state_path: str, checkpoint: str | None = None
+) -> None:
+    """Per-domain contribution caps at the crawl frontier — the X8
+    curation tier's streaming twin (completing the frontier ladder:
+    X1 digests/URL/bloom, X2 bands, X3 cells, X4 html, mm scene cuts;
+    a real crawl enforces domain quotas at INGEST, not in a nightly
+    batch): per micro-batch, arriving docs' registrable domains are
+    extracted scan-side (operators.text_analysis._with_domain — the
+    batch rung's exact derivation) and the state snapshot keeps at
+    most DOMAIN_DOC_CAP (doc_id, domain, n_chars) rows per domain
+    under the batch rung's priority order (n_chars DESC, doc_id).
+    Per-key top-N under a total order is MERGEABLE state —
+    topN(state ∪ batch) = topN(history), the min/count/set discipline
+    of the sibling registries — so the drained keep set is
+    arrival-order-FREE and the batch oracle replays it VERBATIM.
+    State can never exceed |domains| × DOMAIN_DOC_CAP rows: the quota
+    geometry, not the corpus, bounds the store — exactly the point of
+    capping an over-represented domain whose raw rows grow without
+    bound. Snapshot writes use the write-new-then-flip protocol
+    shared with incremental_latest_per_key."""
+    from pyspark.sql.window import Window
+
+    from ..operators.text_analysis import DOMAIN_DOC_CAP, _with_domain
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        s = batch.sparkSession
+        keys = _with_domain(batch).select("doc_id", "domain", "n_chars")
+        version = _state_version(state_path)
+        if version is not None:
+            prev = s.read.parquet(os.path.join(state_path, version))
+            keys = prev.unionByName(keys.select(prev.columns))
+        w = Window.partitionBy("domain").orderBy(
+            F.col("n_chars").desc(), "doc_id"
+        )
+        out = (
+            keys.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= DOMAIN_DOC_CAP)
+            .drop("rn")
+        )
+        new_version = f"v{batch_id}-{uuid.uuid4().hex[:8]}"
+        out.write.parquet(os.path.join(state_path, new_version))
+        tmp = os.path.join(state_path, f"_VERSION.{new_version}")
+        with open(tmp, "w") as f:
+            f.write(new_version)
+        os.replace(tmp, os.path.join(state_path, "_VERSION"))  # atomic flip
+
+    run_to_completion(
+        source.writeStream.foreachBatch(merge).outputMode("update"),
+        "domain-caps-state",
+        checkpoint,
+    )
+
+
+def stream_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-stream over the lineitem parquet (the arriving-fact view of
+    the trade graph: new line items land continuously and accrete
+    edges)."""
+    return (
+        spark.readStream.schema(TESTDATA["lineitem"])
+        .option("pathGlobFilter", "lineitem.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def streaming_edge_registry(
+    source: DataFrame,
+    orders: DataFrame,
+    state_path: str,
+    checkpoint: str | None = None,
+) -> None:
+    """Distinct-edge registry at the frontier — the X9 graph tier's
+    streaming twin, completing the ladder (every other extension tier
+    already has one): per micro-batch, arriving lineitem facts join
+    the static orders dimension (the stream-static enrichment shape)
+    into (customer, supplier) edges, set-UNIONed into the state
+    snapshot. The distinct edge set is the MINIMAL SUFFICIENT state
+    for every degree-derived statistic — degrees, histograms, and the
+    iterative kernels' inputs all derive from it at drain, so the
+    registry is what a 100 TB graph pipeline actually checkpoints.
+    Set union is mergeable (order-free, the Bloom-registry discipline)
+    and state grows with DISTINCT edges, not with arriving facts — a
+    re-purchased (customer, supplier) pair costs nothing, the same
+    distinct-content bound as the MinHash band registry. Snapshot
+    writes use the write-new-then-flip protocol shared with
+    incremental_latest_per_key."""
+    from ..operators.graph import SUPP_OFFSET
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        s = batch.sparkSession
+        keys = (
+            batch.join(orders, batch.l_orderkey == orders.o_orderkey)
+            .select(
+                F.col("o_custkey").alias("src"),
+                (F.col("l_suppkey") + SUPP_OFFSET).alias("dst"),
+            )
+            .distinct()
+        )
+        version = _state_version(state_path)
+        if version is not None:
+            prev = s.read.parquet(os.path.join(state_path, version))
+            keys = prev.unionByName(keys.select(prev.columns)).distinct()
+        new_version = f"v{batch_id}-{uuid.uuid4().hex[:8]}"
+        keys.write.parquet(os.path.join(state_path, new_version))
+        tmp = os.path.join(state_path, f"_VERSION.{new_version}")
+        with open(tmp, "w") as f:
+            f.write(new_version)
+        os.replace(tmp, os.path.join(state_path, "_VERSION"))  # atomic flip
+
+    run_to_completion(
+        source.writeStream.foreachBatch(merge).outputMode("update"),
+        "edge-registry-state",
+        checkpoint,
+    )
