@@ -2057,3 +2057,38 @@ def test_bloom_geometry_tuning_curve(spark):
     assert all(0 < f <= 1_000_000 for f in fills)
     assert by_ladder[-1]["n_false_pos"] == 0  # production-shaped point
     assert by_ladder[0]["n_false_pos"] > 0  # undersized point, visible
+
+
+def test_countmin_no_underestimate_and_real_collisions(spark):
+    """CMS contract on every emitted row: est_count >= true_count (a
+    cell sums its term's own count plus collisions — underestimate is
+    impossible by construction), and at the deliberately small CMS_W
+    at least one candidate shows a real overestimate (the BLOOM_M
+    lesson applied to frequency: the error path is exercised, not
+    narrated). The estimate read must BROADCAST the <= d*w-row sketch,
+    never shuffle it."""
+    from weather_data_pipeline_spark.operators.text_analysis import (
+        CMS_D,
+        CMS_TOP,
+        CMS_W,
+    )
+
+    df = _Q["x4_countmin_sketch"](spark, SF)
+    rows = df.collect()
+    assert len(rows) == CMS_TOP
+    assert all(r["est_count"] >= r["true_count"] for r in rows)
+    assert all(r["over_ppm"] >= 0 for r in rows)
+    assert any(r["over_ppm"] > 0 for r in rows)
+    # sketch size bound: the cells relation can never exceed d*w rows
+    from weather_data_pipeline_spark.operators.text_analysis import (
+        _cms_pos_structs,
+        cms_term_counts,
+    )
+    from weather_data_pipeline_spark.sources.testdata import load_table
+
+    cells = (
+        cms_term_counts(load_table(spark, SF, "documents"))
+        .select(F.explode(F.array(*_cms_pos_structs())).alias("ip"))
+        .select("ip.i", "ip.p").distinct().count()
+    )
+    assert cells <= CMS_D * CMS_W

@@ -647,3 +647,60 @@ def test_edge_registry_stream_multibatch_distinct_bound(spark, tmp_path):
     assert got_edges == want_edges and got_edges
     # facts exceed distinct edges: the registry deduplicates arrivals
     assert len(got_edges) < li.count()
+
+
+def test_countmin_stream_multibatch_additive_state(spark, tmp_path):
+    """The streaming CMS across shuffled micro-batches: per-batch
+    partial sketches SUM into the running state (the mergeable-summary
+    property CMS exists for), so the drained cells equal the batch
+    sketch exactly, and the state is bounded at d x w rows by sketch
+    geometry regardless of vocabulary."""
+    import glob
+    import os
+    import shutil
+
+    from weather_data_pipeline_spark.operators.text_analysis import (
+        CMS_D,
+        CMS_W,
+        _cms_pos_structs,
+        cms_term_counts,
+    )
+    from weather_data_pipeline_spark.streaming import jobs
+
+    sf = "/root/testdata/sf0.001"
+    doc = spark.read.parquet(f"{sf}/documents.parquet")
+
+    src = str(tmp_path / "docs_src")
+    os.makedirs(src)
+    for i in range(3):
+        tmp = str(tmp_path / "_tmp")
+        doc.filter(F.pmod("doc_id", F.lit(3)) == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dest = os.path.join(src, f"b{i}.parquet")
+        shutil.move(part, dest)
+        os.utime(dest, (1_700_000_000 + 100 * i,) * 2)
+
+    stream = (
+        spark.readStream.schema(doc.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    state = str(tmp_path / "state")
+    jobs.streaming_countmin(stream, state)
+
+    got = sorted(
+        tuple(r) for r in jobs.read_state(spark, state).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in cms_term_counts(doc)
+        .select("n", F.explode(F.array(*_cms_pos_structs())).alias("ip"))
+        .select(F.col("ip.i").alias("i"), F.col("ip.p").alias("p"), "n")
+        .groupBy("i", "p")
+        .agg(F.sum("n").alias("cell"))
+        .collect()
+    )
+    assert got == want
+    assert 0 < len(got) <= CMS_D * CMS_W

@@ -230,6 +230,7 @@ QUERIES = [
     "mm_audio_silence_trim",
     # round-12 additions
     "x1_bloom_geometry_tuning",
+    "x4_countmin_sketch",
 ]
 
 #: Viral boilerplate for the skew replica: untagged (shared verbatim

@@ -796,3 +796,54 @@ def s_degree_hist_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("d").cast("long").alias("min_deg"),
         F.max("d").cast("long").alias("max_deg"),
     )
+
+
+from .text_analysis import (  # noqa: E402
+    CMS_TOP as _CMS_TOP,
+    _cms_pos_structs as _cms_pos,
+    cms_term_counts as _cms_tc,
+)
+
+
+@query("s_countmin_stream", oracle=_ORACLE_REG["x4_countmin_sketch"])
+def s_countmin_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming count-min twin — the sketch CMS was designed to be
+    (cells merge by addition, so per-batch partial sketches SUM into
+    the running state; jobs.streaming_countmin): docs stream in, the
+    d x w cell registry accretes (bounded by sketch geometry alone —
+    the Bloom cap with counters for bits), and at drain the
+    top-{_CMS_TOP} candidates' estimates read from the final sketch
+    against batch-exact truth — oracle reused VERBATIM from
+    x4_countmin_sketch (the s_bloom_prefilter_stream discipline: the
+    stream builds the registry, the drain check replays the batch
+    rung exactly)."""
+    state = os.path.join(jobs.SCRATCH, f"cms_{uuid.uuid4().hex[:8]}")
+    jobs.streaming_countmin(jobs.stream_documents(spark, sf_dir), state)
+    cells = jobs.read_state(spark, state)
+    doc = _load_table(spark, sf_dir, "documents")
+    tc = _cms_tc(doc).withColumnRenamed("n", "true_count")
+    cand = (
+        tc.orderBy(F.col("true_count").desc(), "term")
+        .limit(_CMS_TOP)
+        .select("term", "true_count")
+    )
+    cand_pos = cand.select(
+        "term",
+        "true_count",
+        F.explode(F.array(*_cms_pos())).alias("ip"),
+    ).select(
+        "term", "true_count", F.col("ip.i").alias("i"), F.col("ip.p").alias("p")
+    )
+    return (
+        cand_pos.join(F.broadcast(cells), ["i", "p"])
+        .groupBy("term", "true_count")
+        .agg(F.min("cell").alias("est_count"))
+        .select(
+            "term",
+            F.col("true_count").cast("long").alias("true_count"),
+            F.col("est_count").cast("long").alias("est_count"),
+            F.expr(
+                "(est_count - true_count) * 1000000 DIV true_count"
+            ).cast("long").alias("over_ppm"),
+        )
+    )

@@ -3425,3 +3425,170 @@ def x4_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("code_score_pm"),
         (score >= CODE_SCORE_PM * F.col("n_words")).alias("is_code"),
     )
+
+
+# ----------------------------------------------------------------------
+# Count-min sketch (round 12): the mergeable-frequency member of the
+# sketch tier — Bloom answers membership, HLL cardinality,
+# approx-percentile quantiles; CMS answers "how often", mergeably
+# ----------------------------------------------------------------------
+#: sketch geometry: d hash rows x w columns. w is deliberately small
+#: relative to the corpus vocabulary so collisions are REAL at test
+#: scale and the overestimate column actually exercises (the BLOOM_M
+#: lesson applied to frequency); production sizes w ~ e/eps for an
+#: eps.N additive error bound with d ~ ln(1/delta) rows — only the
+#: constants change, never the plan.
+CMS_D = 4
+CMS_W = 2048
+#: candidate terms whose estimates the rung emits (top by exact
+#: frequency, term tiebreak — the heavy-hitter read path a CMS serves)
+CMS_TOP = 30
+
+_CMS_POS_DUCK = (
+    "CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || '#' || term), 1, 15))"
+    f" AS BIGINT) % {CMS_W}"
+)
+
+
+def _cms_pos_structs() -> list:
+    """CMS_D portable (row, position) pairs of the ``term`` column —
+    the Bloom rungs' md5 hash-family discipline, so both engines
+    derive bit-identical cells and the estimate is oracle-exact."""
+    return [
+        F.struct(
+            F.lit(i).cast("int").alias("i"),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{i}#"), F.col("term"))), 1, 15
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % CMS_W
+            ).alias("p"),
+        )
+        for i in range(CMS_D)
+    ]
+
+
+def cms_term_counts(df: DataFrame) -> DataFrame:
+    """(term, n) — word-TRIGRAM occurrence counts (every instance, not
+    per-doc distinct: frequency sketching counts occurrences). Trigrams
+    because the synthetic corpus has only ~31 distinct unigrams — no
+    collision could ever exercise — while its trigram vocabulary is
+    ~16k at sf0.01, so the sketch's error path is real; n-gram
+    frequency profiling is also the actual CMS deployment in curation
+    (contamination n-grams, boilerplate phrases). JVM-side NGram, the
+    dedup ladder's measured-fastest gram builder."""
+    from pyspark.ml.feature import NGram
+
+    words = df.select(F.split("text", " ").alias("words")).filter(
+        F.size("words") >= 3
+    )
+    grams = NGram(n=3, inputCol="words", outputCol="terms").transform(words)
+    return (
+        grams.select(F.explode("terms").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "x4_countmin_sketch",
+    oracle=f"""
+    WITH t AS (
+      SELECT words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS term
+      FROM (SELECT string_split(text, ' ') AS words FROM documents),
+           UNNEST(generate_series(1, len(words) - 2)) u(i)
+    ), tc AS (
+      SELECT term, COUNT(*) AS true_count FROM t GROUP BY term
+    ), pos AS (
+      SELECT term, true_count, i, {_CMS_POS_DUCK} AS p
+      FROM tc, UNNEST(generate_series(0, {CMS_D - 1})) u(i)
+    ), cells AS (
+      SELECT i, p, CAST(SUM(true_count) AS BIGINT) AS cell
+      FROM pos GROUP BY i, p
+    ), cand AS (
+      SELECT term, true_count FROM (
+        SELECT term, true_count,
+               ROW_NUMBER() OVER (ORDER BY true_count DESC, term) AS rn
+        FROM tc
+      ) WHERE rn <= {CMS_TOP}
+    )
+    SELECT c.term,
+           CAST(c.true_count AS BIGINT) AS true_count,
+           CAST(MIN(ce.cell) AS BIGINT) AS est_count,
+           CAST((MIN(ce.cell) - c.true_count) * 1000000
+                // c.true_count AS BIGINT) AS over_ppm
+    FROM cand c
+    JOIN pos cp ON cp.term = c.term
+    JOIN cells ce ON ce.i = cp.i AND ce.p = cp.p
+    GROUP BY c.term, c.true_count
+    """,
+)
+def x4_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005, public) — the
+    MERGEABLE frequency summary every streaming/distributed counting
+    pipeline keeps where the exact vocabulary groupBy can't fit:
+    completes the sketch tier (Bloom prefilter = membership,
+    approx_count_distinct = cardinality, approx-percentile =
+    quantiles, Misra-Gries heavy hitters = the non-mergeable two-pass
+    exact cousin). Each term hashes to one cell per sketch row
+    (portable md5 family, the Bloom discipline); a cell is the SUM of
+    colliding terms' counts; the estimate is the min over rows —
+    >= true BY CONSTRUCTION (no underestimate, pinned in tests), with
+    the overestimate surfaced in integer ppm against exact truth for
+    the top-{CMS_TOP} terms (the heavy-hitter read path). Terms are word TRIGRAMS
+    (cms_term_counts — the corpus's unigram vocabulary is ~31 terms,
+    collision-free at any w; its ~16k trigrams make the error path
+    real), and CMS_W is deliberately small relative to that vocabulary
+    — the BLOOM_M lesson applied to frequency.
+
+    Scale shape: ONE corpus scan into the term partial-agg
+    (vocabulary-bound, the shuffle every exact counter already pays);
+    the sketch build then fans out d cells per DISTINCT term — the
+    occurrence⇄dict move x4_bpe_apply measured 4.9x, never a
+    per-instance explode — into a <= d*w-row partial-agg (the
+    materialized sketch, corpus-size-INDEPENDENT: exactly why CMS
+    wins at 100 TB, and why its cells merge across executors, days,
+    or streams by plain addition). The estimate read is a
+    |candidates|*d-row broadcast join against the sketch. Reference
+    scope: no analog; LLM-curation extension tier (token-frequency
+    profiling at corpus scale)."""
+    doc = load_table(spark, sf_dir, "documents")
+    tc = cms_term_counts(doc).withColumnRenamed("n", "true_count")
+    pos = tc.select(
+        "term",
+        "true_count",
+        F.explode(F.array(*_cms_pos_structs())).alias("ip"),
+    ).select("term", "true_count", F.col("ip.i").alias("i"), F.col("ip.p").alias("p"))
+    cells = pos.groupBy("i", "p").agg(F.sum("true_count").alias("cell"))
+    # top-N via orderBy+limit, NOT a global row_number window: Spark
+    # compiles this to TakeOrderedAndProject — a per-partition bounded
+    # heap merged on the driver — where the windowed form would sort
+    # the whole vocabulary in ONE partition (total order with the term
+    # tiebreak keeps it deterministic)
+    cand = (
+        tc.orderBy(F.col("true_count").desc(), "term")
+        .limit(CMS_TOP)
+        .select("term", "true_count")
+    )
+    cand_pos = cand.select(
+        "term",
+        "true_count",
+        F.explode(F.array(*_cms_pos_structs())).alias("ip"),
+    ).select("term", "true_count", F.col("ip.i").alias("i"), F.col("ip.p").alias("p"))
+    return (
+        cand_pos.join(cells, ["i", "p"])
+        .groupBy("term", "true_count")
+        .agg(F.min("cell").alias("est_count"))
+        .select(
+            "term",
+            F.col("true_count").cast("long").alias("true_count"),
+            F.col("est_count").cast("long").alias("est_count"),
+            F.expr(
+                "(est_count - true_count) * 1000000 DIV true_count"
+            ).cast("long").alias("over_ppm"),
+        )
+    )

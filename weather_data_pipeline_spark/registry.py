@@ -117,16 +117,19 @@ _PRIORITY: tuple[str, ...] = (
     "x5_json_keys_profile",  # r7 — oldest x5
     "x7_asof_join_tolerance",  # r8 — oldest x7
     "x9_pagerank",  # r8 — oldest x9
-    # --- round-12 additions (4): driver-checked the round they land ---
+    # --- round-12 additions (6): driver-checked the round they land ---
     "x1_bloom_geometry_tuning",
     "s_ivf_assign_stream",
     "s_domain_caps_stream",
     "s_degree_hist_stream",
-    # --- round-12 STALENESS rotation (31 of the 43 r6-tier rows,
-    # oldest tier remaining). Twelve r6 rows defer to r13, each a
+    "x4_countmin_sketch",
+    "s_countmin_stream",
+    # --- round-12 STALENESS rotation (29 of the 43 r6-tier rows,
+    # oldest tier remaining). Fourteen r6 rows defer to r13, each a
     # parameter/engine variant whose family keeps 3+ fresher in-window
     # members: x2_tfidf_cosine, x2_dup_components, x3_pq_codes,
-    # x3_pq_adc_topk, x3_label_centroids, x6_ema_daily, x6_ohlc_daily,
+    # x3_pq_adc_topk, x3_label_centroids, x4_bm25_score,
+    # x4_unigram_logprob, x6_ema_daily, x6_ohlc_daily,
     # x6_sliding_windows, x8_zorder_layout, ext_salted_agg,
     # ext_window_lag_lead, ext_pandas_udf_scalar (all r6-green in the
     # union, so no coverage gap — only staleness). Rotated OUT: the 47 r11-window non-pinned
@@ -153,10 +156,8 @@ _PRIORITY: tuple[str, ...] = (
     "x2_simhash_invariants",
     "x3_cosine_topk",
     "x3_ivf_kmeans_topk",
-    "x4_bm25_score",
     "x4_pii_redact",
     "x4_quality_score",
-    "x4_unigram_logprob",
     "x6_validity_intervals",
     "x6_zscore_anomaly",
     "x8_doc_chunking",

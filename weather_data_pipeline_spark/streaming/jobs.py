@@ -996,3 +996,53 @@ def streaming_edge_registry(
         "edge-registry-state",
         checkpoint,
     )
+
+
+def streaming_countmin(
+    source: DataFrame, state_path: str, checkpoint: str | None = None
+) -> None:
+    """Count-min sketch build at the frontier — the mergeable-frequency
+    registry (the reason CMS exists: cells merge by plain ADDITION, so
+    per-batch partial sketches sum into the running sketch with no
+    rescan — the textbook mergeable summary): per micro-batch, the
+    batch's term counts fan out d cells per DISTINCT term
+    (operators.text_analysis._cms_pos_structs — the batch rung's exact
+    hash family) and ADD into the state snapshot. State can never
+    exceed CMS_D x CMS_W rows regardless of stream length or
+    vocabulary: the sketch geometry, not the corpus, bounds the store
+    (the Bloom-registry bound with counters for bits). Snapshot writes
+    use the write-new-then-flip protocol shared with
+    incremental_latest_per_key."""
+    from ..operators.text_analysis import _cms_pos_structs, cms_term_counts
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        s = batch.sparkSession
+        cells = (
+            cms_term_counts(batch)
+            .select("n", F.explode(F.array(*_cms_pos_structs())).alias("ip"))
+            .select(
+                F.col("ip.i").alias("i"), F.col("ip.p").alias("p"), "n"
+            )
+            .groupBy("i", "p")
+            .agg(F.sum("n").alias("cell"))
+        )
+        version = _state_version(state_path)
+        if version is not None:
+            prev = s.read.parquet(os.path.join(state_path, version))
+            cells = (
+                prev.unionByName(cells.select(prev.columns))
+                .groupBy("i", "p")
+                .agg(F.sum("cell").alias("cell"))
+            )
+        new_version = f"v{batch_id}-{uuid.uuid4().hex[:8]}"
+        cells.write.parquet(os.path.join(state_path, new_version))
+        tmp = os.path.join(state_path, f"_VERSION.{new_version}")
+        with open(tmp, "w") as f:
+            f.write(new_version)
+        os.replace(tmp, os.path.join(state_path, "_VERSION"))  # atomic flip
+
+    run_to_completion(
+        source.writeStream.foreachBatch(merge).outputMode("update"),
+        "countmin-state",
+        checkpoint,
+    )
