@@ -1807,7 +1807,13 @@ def test_compacted_layout_partition_prunes(spark):
     from pyspark.sql import functions as F
 
     w_compact_small_files(spark, SF).collect()  # materialize the layout
-    slug = os.path.basename(os.path.normpath(SF))
+    # mirror the op's (sf slug, applicationId) scratch keying (ADVICE
+    # r10) — the bare-slug path only resolved while stale pre-keying
+    # directories lingered on disk
+    slug = (
+        f"{os.path.basename(os.path.normpath(SF))}"
+        f"_{spark.sparkContext.applicationId}"
+    )
     compacted = os.path.join(SCRATCH, f"compact_out_{slug}")
     dates = sorted(
         p.split("=", 1)[1]
@@ -2092,3 +2098,61 @@ def test_countmin_no_underestimate_and_real_collisions(spark):
         .select("ip.i", "ip.p").distinct().count()
     )
     assert cells <= CMS_D * CMS_W
+
+
+def test_bfs_reach_final_plan_is_checkpoint_rollup(spark):
+    """Multi-source BFS: edge thinning and every per-hop frontier join
+    run as prior jobs behind localCheckpoints, so the returned rollup
+    plan touches NO parquet (node universe and visited vector are both
+    ExistingRDD scans), keeps the reach join equi-keyed, and
+    partial-aggregates the rollup."""
+    from weather_data_pipeline_spark.plans.inspect import executed_plan
+
+    df = _Q["x9_bfs_reach"](spark, SF)
+    plan = executed_plan(df)
+    assert "Scan parquet" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert has_partial_aggregation(df)
+
+
+def test_bfs_reach_invariants(spark):
+    """BFS reach rollup: hop levels bounded by BFS_MAX_HOP (plus -1 for
+    unreached), counts partition the node universe exactly, and the
+    bipartite trade graph forces strict level alternation — even hops
+    are customers-only, odd hops suppliers-only (seeds are customers)."""
+    from weather_data_pipeline_spark.operators.graph import BFS_MAX_HOP
+
+    rows = _Q["x9_bfs_reach"](spark, SF).collect()
+    hops = {r["hop"] for r in rows}
+    assert hops <= {-1} | set(range(BFS_MAX_HOP + 1))
+    assert 0 in hops  # the seed level is never empty
+    for r in rows:
+        assert r["n_customers"] + r["n_suppliers"] == r["n_nodes"]
+        if r["hop"] >= 0:
+            if r["hop"] % 2 == 0:
+                assert r["n_suppliers"] == 0, r
+            else:
+                assert r["n_customers"] == 0, r
+
+
+def test_zipf_fit_plan_and_diagnostic_direction(spark):
+    """Zipf fit: the per-language rank cut must rewrite to
+    WindowGroupLimit (per-task top-K before the lang exchange), moment
+    sums partial-aggregate, and on the template-heavy synthetic corpus
+    the diagnostic must actually fire — negative slope but LOW R²
+    (natural language would fit ln f ≈ a + s·ln r tightly; templates
+    don't, and surfacing that is the rung's job)."""
+    from weather_data_pipeline_spark.plans.inspect import executed_plan
+
+    df = _Q["x4_zipf_fit"](spark, SF)
+    plan = executed_plan(df)
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    assert has_partial_aggregation(df)
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert r["zipf_slope"] < 0
+        assert 0.0 <= r["fit_r2"] <= 1.0
+        assert r["fit_r2"] < 0.5  # template corpus: the fit is poor

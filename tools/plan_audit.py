@@ -73,6 +73,10 @@ MULTI_JOB = {
     "position agg + one cached-probe scan + three bounded counts run as "
     "prior jobs (13 driver-traffic jobs total); the result plan is the "
     "|configs|-row local relation of the tuning curve",
+    "x9_bfs_reach": "edge thinning + per-hop visited vectors "
+    "localCheckpoint as prior jobs (one frontier join + one anti-join "
+    "each, early-stop on empty frontier); the result plan is the rollup "
+    "over the node universe left-joined to the final visited vector",
 }
 
 #: Scale-suite-only queries too heavy for the bench loop whose plan is

@@ -231,6 +231,8 @@ QUERIES = [
     # round-12 additions
     "x1_bloom_geometry_tuning",
     "x4_countmin_sketch",
+    "x9_bfs_reach",
+    "x4_zipf_fit",
 ]
 
 #: Viral boilerplate for the skew replica: untagged (shared verbatim

@@ -3592,3 +3592,121 @@ def x4_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("over_ppm"),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# Zipf rank-frequency fit (round 12): the corpus-naturalness diagnostic
+# ----------------------------------------------------------------------
+#: per-language rank depth for the fit (covers the synthetic corpus's
+#: full vocabulary; on a natural-language corpus the head of the rank
+#: curve is where Zipf holds and where the fit is standard practice)
+ZIPF_TOP = 64
+#: minimum points for a meaningful line (guards the degenerate
+#: zero-variance denominator)
+ZIPF_MIN_TERMS = 3
+
+
+@query(
+    "x4_zipf_fit",
+    oracle=f"""
+    WITH tf AS (
+      SELECT lang, term, COUNT(*) AS n
+      FROM (SELECT lang, unnest(string_split(text, ' ')) AS term
+            FROM documents)
+      GROUP BY lang, term
+    ),
+    ranked AS (
+      SELECT lang, term, n,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY n DESC, term) AS r
+      FROM tf
+    ),
+    pts AS (
+      SELECT lang,
+             CAST(ln(r) AS DECIMAL(28,12)) AS x,
+             CAST(ln(n) AS DECIMAL(28,12)) AS y,
+             CAST(ln(r) * ln(n) AS DECIMAL(28,12)) AS xy,
+             CAST(ln(r) * ln(r) AS DECIMAL(28,12)) AS xx,
+             CAST(ln(n) * ln(n) AS DECIMAL(28,12)) AS yy
+      FROM ranked WHERE r <= {{ZIPF_TOP}}
+    ),
+    agg AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_terms,
+             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(xy) AS DOUBLE) AS sxy,
+             CAST(SUM(xx) AS DOUBLE) AS sxx,
+             CAST(SUM(yy) AS DOUBLE) AS syy
+      FROM pts GROUP BY lang
+    )
+    SELECT lang, n_terms,
+           ROUND((n_terms * sxy - sx * sy)
+                 / (n_terms * sxx - sx * sx), 6) AS zipf_slope,
+           ROUND((n_terms * sxy - sx * sy) * (n_terms * sxy - sx * sy)
+                 / ((n_terms * sxx - sx * sx)
+                    * (n_terms * syy - sy * sy)), 6) AS fit_r2
+    FROM agg WHERE n_terms >= {{ZIPF_MIN_TERMS}}
+    """.replace("{ZIPF_TOP}", str(ZIPF_TOP)).replace(
+        "{ZIPF_MIN_TERMS}", str(ZIPF_MIN_TERMS)
+    ),
+)
+def x4_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Zipf rank-frequency fit — the corpus-naturalness
+    diagnostic (natural language shows ln(freq) ≈ a + s·ln(rank) with
+    s ≈ -1 and high R²; machine-generated or template-heavy text bends
+    the curve, so (slope, R²) per language is a standard corpus-QA
+    gate before training). OLS over the top-``ZIPF_TOP`` terms per
+    language in log-log space, emitting slope and R². Reference scope:
+    no text ops in the reference (440-line pandas ETL); §2.10
+    extension tier.
+
+    Determinism: rank and counts are integers, so every ln() sees
+    bit-identical inputs on both engines; per-row double products cast
+    to DECIMAL(28,12) BEFORE the sums (exact, order-independent — the
+    x4_unigram_logprob discipline), and only the final slope/R²
+    combination runs in double over per-group scalars, rounded to 6.
+
+    Scale shape: term frequency is one partial-aggregated (lang, term)
+    exchange; the per-language top-``ZIPF_TOP`` rank cut rewrites to
+    WindowGroupLimit (per-task top-K heap BEFORE the lang exchange —
+    never a full vocabulary sort); the moment sums partial-aggregate
+    over ≤ TOP rows per language. Output is |languages| rows."""
+    doc = load_table(spark, sf_dir, "documents")
+    tf = (
+        doc.select("lang", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), "term")
+    lr, ln = F.log(F.col("r").cast("double")), F.log(
+        F.col("n").cast("double")
+    )
+    dec = "decimal(28,12)"
+    pts = (
+        tf.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= ZIPF_TOP)
+        .select(
+            "lang",
+            lr.cast(dec).alias("x"),
+            ln.cast(dec).alias("y"),
+            (lr * ln).cast(dec).alias("xy"),
+            (lr * lr).cast(dec).alias("xx"),
+            (ln * ln).cast(dec).alias("yy"),
+        )
+    )
+    agg = pts.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum("xy").cast("double").alias("sxy"),
+        F.sum("xx").cast("double").alias("sxx"),
+        F.sum("yy").cast("double").alias("syy"),
+    )
+    num = F.col("n_terms") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den_x = F.col("n_terms") * F.col("sxx") - F.col("sx") * F.col("sx")
+    den_y = F.col("n_terms") * F.col("syy") - F.col("sy") * F.col("sy")
+    return agg.filter(F.col("n_terms") >= ZIPF_MIN_TERMS).select(
+        "lang",
+        "n_terms",
+        F.round(num / den_x, 6).alias("zipf_slope"),
+        F.round(num * num / (den_x * den_y), 6).alias("fit_r2"),
+    )

@@ -124,15 +124,21 @@ _PRIORITY: tuple[str, ...] = (
     "s_degree_hist_stream",
     "x4_countmin_sketch",
     "s_countmin_stream",
-    # --- round-12 STALENESS rotation (29 of the 43 r6-tier rows,
-    # oldest tier remaining). Fourteen r6 rows defer to r13, each a
+    "x9_bfs_reach",
+    "x4_zipf_fit",
+    # --- round-12 STALENESS rotation (27 of the 43 r6-tier rows,
+    # oldest tier remaining). Sixteen r6 rows defer to r13, each a
     # parameter/engine variant whose family keeps 3+ fresher in-window
     # members: x2_tfidf_cosine, x2_dup_components, x3_pq_codes,
     # x3_pq_adc_topk, x3_label_centroids, x4_bm25_score,
     # x4_unigram_logprob, x6_ema_daily, x6_ohlc_daily,
     # x6_sliding_windows, x8_zorder_layout, ext_salted_agg,
-    # ext_window_lag_lead, ext_pandas_udf_scalar (all r6-green in the
-    # union, so no coverage gap — only staleness). Rotated OUT: the 47 r11-window non-pinned
+    # ext_window_lag_lead, ext_pandas_udf_scalar, x8_weighted_sample,
+    # x8_doc_chunking (all r6-green in the union, so no coverage gap —
+    # only staleness; the two x8 rows deferred when x9_bfs_reach and
+    # x4_zipf_fit landed in-window, their family keeps
+    # x8_stratified_sample fresh plus the four r12 streaming/sketch
+    # x8-adjacent rungs). Rotated OUT: the 47 r11-window non-pinned
     # rows — all r11-green, their rows stand in the union.
     "ext_acd_error_band",
     "ext_approx_percentile_band",
@@ -160,9 +166,7 @@ _PRIORITY: tuple[str, ...] = (
     "x4_quality_score",
     "x6_validity_intervals",
     "x6_zscore_anomaly",
-    "x8_doc_chunking",
     "x8_stratified_sample",
-    "x8_weighted_sample",
 )
 
 #: The pre-round-9 window, kept for the union math in
