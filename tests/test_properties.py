@@ -928,3 +928,70 @@ def test_bloom_positions_no_false_negative_by_construction(member, registry):
     assert positions(member) <= reg_positions  # member => flagged, always
     # and every position is a valid bit index
     assert all(0 <= p < BLOOM_M for p in reg_positions)
+
+
+# ----------------------------------------------------------------------
+# round 12: the BFS kernel vs reference breadth-first search
+# ----------------------------------------------------------------------
+
+bfs_graphs = st.tuples(
+    # directed edges over a small node space (collisions/cycles likely)
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),
+            st.integers(min_value=0, max_value=12),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    # seed nodes (may include nodes absent from the edge list)
+    st.lists(
+        st.integers(min_value=0, max_value=12), min_size=1, max_size=4
+    ),
+    # hop bound, including 0-ish degenerate walks
+    st.integers(min_value=1, max_value=4),
+)
+
+
+def _reference_bfs(edges, seeds, max_hop):
+    """Textbook queue BFS: min hop per reached node."""
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+    hop = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for h in range(1, max_hop + 1):
+        nxt = set()
+        for n in frontier:
+            for d in adj.get(n, ()):
+                if d not in hop:
+                    hop[d] = h
+                    nxt.add(d)
+        if not nxt:
+            break
+        frontier = nxt
+    return sorted(hop.items())
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(bfs_graphs)
+def test_bfs_kernel_matches_reference(spark, graph):
+    """The distributed frontier/anti-join BFS must agree with a queue
+    BFS on arbitrary digraphs — cycles, self-loops, seeds outside the
+    edge list, duplicate edges, early exhaustion — for every hop
+    bound (min-hop semantics: the anti-join must never relabel an
+    already-reached node with a later hop)."""
+    from weather_data_pipeline_spark.operators.graph import bfs_hops
+
+    edges, seeds, max_hop = graph
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    sdf = spark.createDataFrame([(s,) for s in seeds], "node long")
+    got = sorted(
+        (r["node"], r["hop"])
+        for r in bfs_hops(sdf, edf, max_hop).collect()
+    )
+    assert got == _reference_bfs(edges, set(seeds), max_hop)

@@ -79,6 +79,14 @@ SPOT_CEILINGS = {
     # per merge: ~100x+ here).
     "x3_ivf_nprobe_tuning": 3.0,
     "x4_bpe_apply": 19.0,
+    # round-12: the fourth iterative graph kernel. Per-hop work grows
+    # with the 100x edge list (frontier joins + anti-joins over the
+    # checkpointed symmetric edges) while fixed per-round costs
+    # amortize — measured 8.72x on an idle box, between label-prop
+    # (4.78x, one exchange/round) and kcore (17.09x, cascade
+    # re-aggregation). A transitive-closure or uncapped-path
+    # signature would read 10^2-10^3x here.
+    "x9_bfs_reach": 13.0,
 }
 
 SPOT = list(SPOT_CEILINGS)

@@ -851,6 +851,44 @@ def _bfs_oracle() -> str:
     """
 
 
+def bfs_hops(seeds: DataFrame, edges: DataFrame, max_hop: int) -> DataFrame:
+    """Hop-bounded multi-source BFS kernel: ``seeds`` is a (node)
+    frame, ``edges`` a directed (src, dst) frame (pass both directions
+    for an undirected walk); returns (node, hop) with the MINIMUM hop
+    per reached node. Each hop: one frontier⋈edges equi-join (frontier
+    broadcasts under ``PR_BROADCAST_NODES``, keyed shuffle past it),
+    one |V|-bounded DISTINCT, one anti-join against the visited
+    vector; visited localCheckpoints per round (truncated lineage) and
+    the early-stop probe counts an already-materialized ≤|V|-row
+    frontier. Extracted from the query body so hypothesis can drive it
+    on arbitrary graphs against a reference BFS."""
+    visited = seeds.select("node").distinct().withColumn(
+        "hop", F.lit(0)
+    ).localCheckpoint(eager=True)
+    frontier = visited.select("node")
+    small_graph = True  # |V| probed below per round via the frontier count
+    for h in range(1, max_hop + 1):
+        nxt = (
+            edges.join(
+                F.broadcast(frontier.withColumnRenamed("node", "src"))
+                if small_graph
+                else frontier.withColumnRenamed("node", "src"),
+                "src",
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hop", F.lit(h))
+        )
+        visited = visited.unionAll(nxt).localCheckpoint(eager=True)
+        frontier = visited.filter(F.col("hop") == h).select("node")
+        n_new = frontier.count()  # ≤|V| rows, already materialized
+        if n_new == 0:
+            break
+        small_graph = n_new <= PR_BROADCAST_NODES
+    return visited
+
+
 @query("x9_bfs_reach", oracle=_bfs_oracle())
 def x9_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-source hop-bounded BFS over the strength-thinned trade
@@ -909,28 +947,7 @@ def x9_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("src").alias("node"))
         .distinct()
     )
-    visited = seeds.withColumn("hop", F.lit(0)).localCheckpoint(eager=True)
-    frontier = visited.select("node")
-    small_graph = True  # |V| probed below per round via the frontier count
-    for h in range(1, BFS_MAX_HOP + 1):
-        nxt = (
-            edges.join(
-                F.broadcast(frontier.withColumnRenamed("node", "src"))
-                if small_graph
-                else frontier.withColumnRenamed("node", "src"),
-                "src",
-            )
-            .select(F.col("dst").alias("node"))
-            .distinct()
-            .join(visited.select("node"), "node", "left_anti")
-            .withColumn("hop", F.lit(h))
-        )
-        visited = visited.unionAll(nxt).localCheckpoint(eager=True)
-        frontier = visited.filter(F.col("hop") == h).select("node")
-        n_new = frontier.count()  # ≤|V| rows, already materialized
-        if n_new == 0:
-            break
-        small_graph = n_new <= PR_BROADCAST_NODES
+    visited = bfs_hops(seeds, edges, BFS_MAX_HOP)
     reach = nodes.join(visited, "node", "left").select(
         "node", F.coalesce(F.col("hop"), F.lit(-1)).alias("hop")
     )
