@@ -866,7 +866,9 @@ def bfs_hops(seeds: DataFrame, edges: DataFrame, max_hop: int) -> DataFrame:
         "hop", F.lit(0)
     ).localCheckpoint(eager=True)
     frontier = visited.select("node")
-    small_graph = True  # |V| probed below per round via the frontier count
+    # probe the SEED count too (bounded job over the materialized
+    # checkpoint) — a web-scale origin set must not broadcast blindly
+    small_graph = visited.count() <= PR_BROADCAST_NODES
     for h in range(1, max_hop + 1):
         nxt = (
             edges.join(
