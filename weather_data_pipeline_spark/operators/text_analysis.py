@@ -3641,9 +3641,12 @@ ZIPF_MIN_TERMS = 3
     SELECT lang, n_terms,
            ROUND((n_terms * sxy - sx * sy)
                  / (n_terms * sxx - sx * sx), 6) AS zipf_slope,
-           ROUND((n_terms * sxy - sx * sy) * (n_terms * sxy - sx * sy)
-                 / ((n_terms * sxx - sx * sx)
-                    * (n_terms * syy - sy * sy)), 6) AS fit_r2
+           CASE WHEN n_terms * syy - sy * sy = 0 THEN NULL
+                ELSE ROUND((n_terms * sxy - sx * sy)
+                           * (n_terms * sxy - sx * sy)
+                           / ((n_terms * sxx - sx * sx)
+                              * (n_terms * syy - sy * sy)), 6)
+           END AS fit_r2
     FROM agg WHERE n_terms >= {{ZIPF_MIN_TERMS}}
     """.replace("{ZIPF_TOP}", str(ZIPF_TOP)).replace(
         "{ZIPF_MIN_TERMS}", str(ZIPF_MIN_TERMS)
@@ -3708,5 +3711,8 @@ def x4_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "n_terms",
         F.round(num / den_x, 6).alias("zipf_slope"),
-        F.round(num * num / (den_x * den_y), 6).alias("fit_r2"),
+        # all-equal counts → zero y-variance → R² is 0/0: both engines
+        # return NULL deterministically instead of a NaN/inf divergence
+        F.when(den_y != 0, F.round(num * num / (den_x * den_y), 6))
+        .alias("fit_r2"),
     )
