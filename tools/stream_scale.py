@@ -325,6 +325,43 @@ def _edge_registry(spark: SparkSession) -> dict:
 
 
 
+def _countmin_sketch(spark: SparkSession) -> dict:
+    """State bound of the streaming count-min sketch (round 12 — the
+    mergeable-frequency registry): drain streaming_countmin at 1x and
+    10x documents; state is CAPPED at CMS_D x CMS_W rows by sketch
+    geometry alone — the counter analog of the Bloom registry's
+    bit-position cap — while the tracked occurrence mass grows with
+    the stream."""
+    from weather_data_pipeline_spark.operators.text_analysis import (
+        CMS_D,
+        CMS_W,
+    )
+    from weather_data_pipeline_spark.schemas import TESTDATA
+    from weather_data_pipeline_spark.streaming import jobs
+
+    res: dict = {"cells_cap": CMS_D * CMS_W}
+    for tag, root in (("1x", BASE), ("10x", SCALE_DIR)):
+        d = os.path.join(WORK, f"cmdocs{tag}")
+        _copy_events(d, os.path.join(root, "documents.parquet"))
+        src = (
+            spark.readStream.schema(TESTDATA["documents"])
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(d)
+        )
+        state = os.path.join(WORK, f"cm_state_{tag}")
+        t0 = time.perf_counter()
+        jobs.streaming_countmin(src, state)
+        res[f"t_{tag}"] = round(time.perf_counter() - t0, 3)
+        st = jobs.read_state(spark, state)
+        res[f"registry_rows_{tag}"] = st.count()
+        assert res[f"registry_rows_{tag}"] <= CMS_D * CMS_W
+    res["ratio"] = round(res["t_10x"] / res["t_1x"], 2)
+    res["registry_ratio"] = round(
+        res["registry_rows_10x"] / max(res["registry_rows_1x"], 1), 2
+    )
+    return res
+
+
 def main() -> None:
     if os.path.isdir(WORK):
         shutil.rmtree(WORK)
@@ -384,6 +421,7 @@ def main() -> None:
     out["ivf_cells"] = _ivf_cells(spark)
     out["domain_caps"] = _domain_caps_registry(spark)
     out["edge_registry"] = _edge_registry(spark)
+    out["countmin_cells"] = _countmin_sketch(spark)
     print(json.dumps(out))
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "BENCH_STREAM_SCALE.json"), "w") as f:
