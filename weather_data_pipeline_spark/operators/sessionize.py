@@ -2694,7 +2694,7 @@ THEILSEN_MIN_DAYS = 3
     ),
     med AS (
       SELECT user_id, CAST(MAX(n) AS BIGINT) AS n_pairs,
-             ROUND(AVG(slope), 6) AS ts_slope
+             FLOOR(AVG(slope) * 1000000) / 1000000.0 AS ts_slope
       FROM ranked
       WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
       GROUP BY user_id
@@ -2775,7 +2775,14 @@ def x6_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(
             F.max("n").cast("long").alias("n_pairs"),
-            F.round(F.avg("slope"), 6).alias("ts_slope"),
+            # floor-truncation, not ROUND: the sf0.1 sweep caught two
+            # users whose middle-rank average lands on a .5e-6 boundary
+            # where the engines' round-half conventions split — the
+            # repo-wide _trunc6 discipline (ADVICE r5/r11); FLOOR of
+            # the same IEEE double is engine-exact
+            (F.floor(F.avg("slope") * F.lit(1e6)) / F.lit(1e6)).alias(
+                "ts_slope"
+            ),
         )
     )
     days = daily.groupBy("user_id").agg(

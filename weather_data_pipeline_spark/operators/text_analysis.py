@@ -3639,13 +3639,15 @@ ZIPF_MIN_TERMS = 3
       FROM pts GROUP BY lang
     )
     SELECT lang, n_terms,
-           ROUND((n_terms * sxy - sx * sy)
-                 / (n_terms * sxx - sx * sx), 6) AS zipf_slope,
+           FLOOR((n_terms * sxy - sx * sy)
+                 / (n_terms * sxx - sx * sx) * 1000000) / 1000000.0
+             AS zipf_slope,
            CASE WHEN n_terms * syy - sy * sy = 0 THEN NULL
-                ELSE ROUND((n_terms * sxy - sx * sy)
+                ELSE FLOOR((n_terms * sxy - sx * sy)
                            * (n_terms * sxy - sx * sy)
                            / ((n_terms * sxx - sx * sx)
-                              * (n_terms * syy - sy * sy)), 6)
+                              * (n_terms * syy - sy * sy)) * 1000000)
+                     / 1000000.0
            END AS fit_r2
     FROM agg WHERE n_terms >= {{ZIPF_MIN_TERMS}}
     """.replace("{ZIPF_TOP}", str(ZIPF_TOP)).replace(
@@ -3710,9 +3712,16 @@ def x4_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.filter(F.col("n_terms") >= ZIPF_MIN_TERMS).select(
         "lang",
         "n_terms",
-        F.round(num / den_x, 6).alias("zipf_slope"),
+        # floor-truncation, not ROUND — same round-half hazard class
+        # the sf0.1 sweep caught in x6_theil_sen (the _trunc6 rule)
+        (F.floor(num / den_x * F.lit(1e6)) / F.lit(1e6)).alias(
+            "zipf_slope"
+        ),
         # all-equal counts → zero y-variance → R² is 0/0: both engines
         # return NULL deterministically instead of a NaN/inf divergence
-        F.when(den_y != 0, F.round(num * num / (den_x * den_y), 6))
-        .alias("fit_r2"),
+        F.when(
+            den_y != 0,
+            F.floor(num * num / (den_x * den_y) * F.lit(1e6))
+            / F.lit(1e6),
+        ).alias("fit_r2"),
     )
