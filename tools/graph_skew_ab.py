@@ -103,6 +103,7 @@ def main() -> int:
     tune(spark)
     orders = _with_celebrity(load_table(spark, BASE, "orders"))
     li = load_table(spark, BASE, "lineitem")
+    cust = load_table(spark, BASE, "customer")
     if not os.path.isdir(D1):
         orders.write.mode("overwrite").parquet(f"{D1}/orders.parquet")
         li.write.mode("overwrite").parquet(f"{D1}/lineitem.parquet")
@@ -110,6 +111,23 @@ def main() -> int:
         o10, l10 = _replicate(orders, li)
         o10.write.mode("overwrite").parquet(f"{D10}/orders.parquet")
         l10.write.mode("overwrite").parquet(f"{D10}/lineitem.parquet")
+    # customer replicas (round 12, for the BFS seed join) — written
+    # separately so pre-existing orders/lineitem replica dirs from an
+    # earlier run still gain the table
+    if not os.path.isdir(f"{D1}/customer.parquet"):
+        cust.write.mode("overwrite").parquet(f"{D1}/customer.parquet")
+    if not os.path.isdir(f"{D10}/customer.parquet"):
+        c10 = _union(
+            [
+                cust
+                if i == 0
+                else cust.withColumn(
+                    "c_custkey", F.col("c_custkey") + i * K_CUST
+                )
+                for i in range(COPIES)
+            ]
+        )
+        c10.write.mode("overwrite").parquet(f"{D10}/customer.parquet")
     qs = registry.queries()
     notes = {
         "x9_label_propagation": (
@@ -122,6 +140,14 @@ def main() -> int:
             "same celebrity replica: degree count over src=1 combines "
             "map-side before the exchange; the two keep-set semi-joins "
             "broadcast - no hot reducer"
+        ),
+        "x9_bfs_reach": (
+            "same celebrity replica: the hot node survives the "
+            "strength thinning with ~10x'd degree and fans the "
+            "frontier out to the grown supplier universe in one hop - "
+            "the frontier join broadcasts (skew-immune) and the dst "
+            "DISTINCT partial-aggregates map-side, so no hot reducer; "
+            "degradation tracks edge volume, not hot-node degree"
         ),
     }
     out = {}
