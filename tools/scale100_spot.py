@@ -87,6 +87,16 @@ SPOT_CEILINGS = {
     # re-aggregation). A transitive-closure or uncapped-path
     # signature would read 10^2-10^3x here.
     "x9_bfs_reach": 13.0,
+    # round-12 structural-bound trio: count-min's d-cell fan-out runs
+    # over the DISTINCT vocab after the partial agg (measured 4.87x —
+    # token-count pass tracks read bandwidth, sketch work is
+    # geometry-bound); the Zipf fit cuts to top-K per language before
+    # any moment math (1.41x — vocab-bound); Theil–Sen's pair volume
+    # is |users|·days² with days calendar-fixed, so 100x users reads
+    # 2.64x (a per-event pair join would read ~10^4x).
+    "x4_countmin_sketch": 8.0,
+    "x4_zipf_fit": 3.0,
+    "x6_theil_sen": 5.0,
 }
 
 SPOT = list(SPOT_CEILINGS)
