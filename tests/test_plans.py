@@ -2175,3 +2175,27 @@ def test_theil_sen_plan_and_median_invariants(spark):
     assert rows
     for r in rows:
         assert r["n_pairs"] == r["n_days"] * (r["n_days"] - 1) // 2
+
+
+def test_acf_lags_plan_and_bounds(spark):
+    """ACF: the lag fan-out must be the tiny broadcast values relation
+    (a 2-row BroadcastNestedLoop is the deliberate shape — never a
+    data-sized cartesian), the lag join equi-keyed, aggregates
+    partial; per (user, lag) row the available-case pair count is
+    bounded by n_days - 1 (the max observed day has no a-side partner;
+    gappy series can exceed the contiguous n_days - lag bound) and the
+    ACF by |1| (floor-trunc slack)."""
+    from weather_data_pipeline_spark.plans.inspect import executed_plan
+
+    df = _Q["x6_acf_lags"](spark, SF)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # the 2-row lags
+    assert "SortMergeJoin" not in plan
+    assert has_partial_aggregation(df)
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert r["n_pairs"] <= r["n_days"] - 1
+        if r["acf"] is not None:
+            assert -1.000001 <= r["acf"] <= 1.000001

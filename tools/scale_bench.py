@@ -234,6 +234,7 @@ QUERIES = [
     "x9_bfs_reach",
     "x4_zipf_fit",
     "x6_theil_sen",
+    "x6_acf_lags",
 ]
 
 #: Viral boilerplate for the skew replica: untagged (shared verbatim

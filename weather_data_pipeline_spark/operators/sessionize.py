@@ -2793,3 +2793,148 @@ def x6_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_days") >= THEILSEN_MIN_DAYS)
         .select("user_id", "n_days", "n_pairs", "ts_slope")
     )
+
+
+# ----------------------------------------------------------------------
+# autocorrelation function (round 12): the seasonality detector
+# ----------------------------------------------------------------------
+#: lags profiled: adjacent-day persistence and the weekly cycle
+ACF_LAGS = (1, 7)
+#: minimum days per series (a 2-point series has no lag-7 pairs and a
+#: degenerate variance)
+ACF_MIN_DAYS = 10
+
+
+@query(
+    "x6_acf_lags",
+    oracle=f"""
+    WITH daily AS (
+      SELECT user_id,
+             datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+             CAST(SUM(CAST(value AS DECIMAL(28,12))) AS DOUBLE)
+               / COUNT(*) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE)
+               / COUNT(*) AS mean_v
+      FROM daily GROUP BY user_id
+    ),
+    dev AS (
+      SELECT d.user_id, d.d, d.v - s.mean_v AS e, s.n_days
+      FROM daily d JOIN stats s ON s.user_id = d.user_id
+      WHERE s.n_days >= {ACF_MIN_DAYS}
+    ),
+    denom AS (
+      SELECT user_id, MAX(n_days) AS n_days,
+             CAST(SUM(CAST(e * e AS DECIMAL(28,12))) AS DOUBLE) AS ss
+      FROM dev GROUP BY user_id
+    ),
+    lagged AS (
+      SELECT a.user_id, l.lag,
+             CAST(SUM(CAST(a.e * b.e AS DECIMAL(28,12))) AS DOUBLE)
+               AS sp,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM dev a
+      JOIN (VALUES {", ".join(f"({k})" for k in ACF_LAGS)}) AS l(lag)
+        ON TRUE
+      JOIN dev b ON b.user_id = a.user_id AND b.d = a.d + l.lag
+      GROUP BY a.user_id, l.lag
+    )
+    SELECT g.user_id, g.lag, d.n_days, g.n_pairs,
+           CASE WHEN d.ss = 0 THEN NULL
+                ELSE FLOOR(g.sp / d.ss * 1000000) / 1000000.0
+           END AS acf
+    FROM lagged g JOIN denom d ON d.user_id = g.user_id
+    """,
+)
+def x6_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user autocorrelation at lags {1, 7} — the seasonality
+    detector the smoothing ladder presupposes (a material lag-7 ACF is
+    WHY Holt–Winters carries a 7-slot seasonal component; lag-1 is the
+    persistence every forecast baseline exploits). Available-case
+    estimator over the daily-mean series: calendar-lag equi-join, so
+    gap days simply contribute no pair (documented semantics — the
+    estimator of record for irregularly-observed series). Reference
+    scope: no time-series diagnostics in the reference; §2.10 tier.
+
+    Determinism: daily means and the per-series mean are exact DECIMAL
+    sums; deviations and their products are per-row IEEE doubles
+    DECIMAL-cast BEFORE the sums (order-independent); the ACF ratio is
+    one double division floor-truncated to 6 (the repo-wide _trunc6
+    rule), and a zero-variance series returns NULL identically on both
+    engines.
+
+    Scale shape: ONE (user, day) partial-agg exchange caps everything
+    downstream — the per-series mean and denominator ride the same
+    user keying, the lag join is equi-keyed on (user, day+k) over
+    calendar-bounded series (≤ days rows each), and the lag fan-out is
+    a |ACF_LAGS|-row broadcast values relation expanded map-side. At
+    100 TB the volume is |users| · days · |lags| — linear in users."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+        .alias("d"),
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("v")
+    )
+    stats = daily.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        (
+            F.sum(F.col("v").cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_v"),
+    )
+    dev = (
+        daily.join(stats, "user_id")
+        .filter(F.col("n_days") >= ACF_MIN_DAYS)
+        .select(
+            "user_id",
+            "d",
+            (F.col("v") - F.col("mean_v")).alias("e"),
+            "n_days",
+        )
+    )
+    denom = dev.groupBy("user_id").agg(
+        F.max("n_days").alias("n_days"),
+        F.sum((F.col("e") * F.col("e")).cast("decimal(28,12)"))
+        .cast("double")
+        .alias("ss"),
+    )
+    lags = spark.createDataFrame([(k,) for k in ACF_LAGS], "lag int")
+    a = dev.select("user_id", "d", F.col("e").alias("ea"))
+    b = dev.select(
+        F.col("user_id").alias("ub"),
+        F.col("d").alias("db"),
+        F.col("e").alias("eb"),
+    )
+    lagged = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            (F.col("ub") == F.col("user_id"))
+            & (F.col("db") == F.col("d") + F.col("lag")),
+        )
+        .groupBy("user_id", "lag")
+        .agg(
+            F.sum((F.col("ea") * F.col("eb")).cast("decimal(28,12)"))
+            .cast("double")
+            .alias("sp"),
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        )
+    )
+    return lagged.join(denom, "user_id").select(
+        "user_id",
+        "lag",
+        "n_days",
+        "n_pairs",
+        F.when(
+            F.col("ss") != 0,
+            F.floor(F.col("sp") / F.col("ss") * F.lit(1e6)) / F.lit(1e6),
+        ).alias("acf"),
+    )

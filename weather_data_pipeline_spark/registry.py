@@ -254,13 +254,14 @@ _R8_WINDOW_ROTATED_OUT: tuple[str, ...] = (
 #: tests/test_entry.py::test_driver_union_vs_registry computes the gap
 #: from the CORRECTNESS_r0*.json files and asserts it equals EXACTLY
 #: this set, so the backlog can never silently grow past one round's
-#: rotation capacity again. EMPTY as of the r12 rotation: the six
-#: round-11 late additions rotated into the window head (VERDICT r11
-#: ask #1), round-12 additions register straight into the window while
-#: it is still open, and every other query holds a row in the r1-r11
-#: union. Queries landing after the r12 window locks go here and head
-#: the r13 rotation (standing convention).
-_R12_QUEUE: set[str] = set()
+#: rotation capacity again. As of the r12 rotation: the six round-11
+#: late additions rotated into the window head (VERDICT r11 ask #1),
+#: nine round-12 additions registered straight into the window while
+#: it was open, and every other query holds a row in the r1-r11
+#: union. Queries landing after the r12 window locked go here and
+#: head the r13 rotation (standing convention) — currently the one
+#: late ACF rung (swept green at all three SFs in-session).
+_R12_QUEUE: set[str] = {"x6_acf_lags"}
 
 
 def _prioritized(d: dict[str, object]) -> dict[str, object]:
