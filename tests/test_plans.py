@@ -2175,6 +2175,52 @@ def test_theil_sen_plan_and_median_invariants(spark):
     assert rows
     for r in rows:
         assert r["n_pairs"] == r["n_days"] * (r["n_days"] - 1) // 2
+    # (a) the median must lie inside each user's pair-slope range —
+    # recomputed independently from the daily rollup (ADVICE r12 #1).
+    # ts_slope is floor-truncated to 1e-6, so allow that slack low.
+    from pyspark.sql import functions as F
+
+    from weather_data_pipeline_spark.sources.testdata import load_table
+
+    daily = (
+        load_table(spark, SF, "events")
+        .groupBy(
+            "user_id",
+            F.datediff(
+                F.to_date("ts"), F.lit("1970-01-01").cast("date")
+            ).alias("d"),
+        )
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("v")
+        )
+    )
+    a = daily.select("user_id", F.col("d").alias("d1"), F.col("v").alias("v1"))
+    b = daily.select("user_id", F.col("d").alias("d2"), F.col("v").alias("v2"))
+    bounds = {
+        r["user_id"]: (r["lo"], r["hi"])
+        for r in (
+            a.join(b, "user_id")
+            .filter(F.col("d1") < F.col("d2"))
+            .groupBy("user_id")
+            .agg(
+                F.min(
+                    (F.col("v2") - F.col("v1"))
+                    / (F.col("d2") - F.col("d1")).cast("double")
+                ).alias("lo"),
+                F.max(
+                    (F.col("v2") - F.col("v1"))
+                    / (F.col("d2") - F.col("d1")).cast("double")
+                ).alias("hi"),
+            )
+            .collect()
+        )
+    }
+    for r in rows:
+        lo, hi = bounds[r["user_id"]]
+        assert lo - 1e-6 <= r["ts_slope"] <= hi, (r["user_id"], lo, hi)
 
 
 def test_acf_lags_plan_and_bounds(spark):

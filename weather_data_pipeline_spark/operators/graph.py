@@ -883,6 +883,8 @@ def bfs_hops(seeds: DataFrame, edges: DataFrame, max_hop: int) -> DataFrame:
             .withColumn("hop", F.lit(h))
         )
         visited = visited.unionAll(nxt).localCheckpoint(eager=True)
+        if h == max_hop:
+            break  # final hop: the early-stop probe's result is unused
         frontier = visited.filter(F.col("hop") == h).select("node")
         n_new = frontier.count()  # ≤|V| rows, already materialized
         if n_new == 0:

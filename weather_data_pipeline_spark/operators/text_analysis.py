@@ -3628,7 +3628,7 @@ ZIPF_MIN_TERMS = 3
              CAST(ln(r) * ln(n) AS DECIMAL(28,12)) AS xy,
              CAST(ln(r) * ln(r) AS DECIMAL(28,12)) AS xx,
              CAST(ln(n) * ln(n) AS DECIMAL(28,12)) AS yy
-      FROM ranked WHERE r <= {{ZIPF_TOP}}
+      FROM ranked WHERE r <= {ZIPF_TOP}
     ),
     agg AS (
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_terms,
@@ -3649,10 +3649,8 @@ ZIPF_MIN_TERMS = 3
                               * (n_terms * syy - sy * sy)) * 1000000)
                      / 1000000.0
            END AS fit_r2
-    FROM agg WHERE n_terms >= {{ZIPF_MIN_TERMS}}
-    """.replace("{ZIPF_TOP}", str(ZIPF_TOP)).replace(
-        "{ZIPF_MIN_TERMS}", str(ZIPF_MIN_TERMS)
-    ),
+    FROM agg WHERE n_terms >= {ZIPF_MIN_TERMS}
+    """,
 )
 def x4_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language Zipf rank-frequency fit — the corpus-naturalness
