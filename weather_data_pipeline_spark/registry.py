@@ -93,81 +93,80 @@ _PRIORITY: tuple[str, ...] = (
     "o15_latest_per_key",  # flagship (also entry())
     "w_corrupt_quarantine",  # r2 hash-fail regression pin
     "x6_session_windows",  # r2 hash-fail regression pin
-    # --- round-12 rotation head (7; VERDICT r11 ask #1): the declared
-    # _R11_QUEUE — the six round-11 late additions the driver has never
-    # checked (each hash-matched DuckDB in the r11 in-session 281/281
-    # sweep) — plus x3_ivf_topk_nprobe2, the single r5-stale row the
-    # r11 staleness rotation couldn't fit. With these in-window the
-    # driver union reaches every registered query and nothing is staler
-    # than r6.
-    "x1_bloom_prefilter",
-    "s_bloom_prefilter_stream",
-    "x4_bpe_apply",
-    "x3_ivf_nprobe_tuning",
-    "mm_keyframe_extract",
-    "mm_audio_silence_trim",
-    "x3_ivf_topk_nprobe2",  # last driver-checked r5
+    # --- round-13 rotation head (18; VERDICT r12 ask #1): the declared
+    # _R12_QUEUE — x6_acf_lags, the single rung the driver has never
+    # checked (registered after the r12 window locked; swept green at
+    # all three SFs in-session) — plus ALL seventeen r6-stale rows the
+    # r12 staleness rotation deferred. With these in-window the driver
+    # union reaches every registered query and nothing is staler than
+    # r7.
+    "x6_acf_lags",
+    "ext_pandas_udf_scalar",
+    "ext_salted_agg",
+    "ext_window_lag_lead",
+    "x2_dup_components",
+    "x2_tfidf_cosine",
+    "x3_label_centroids",
+    "x3_pq_adc_topk",
+    "x3_pq_codes",
+    "x4_bm25_score",
+    "x4_unigram_logprob",
+    "x6_ema_daily",
+    "x6_ohlc_daily",
+    "x6_sliding_windows",
+    "x6_zscore_anomaly",
+    "x8_doc_chunking",
+    "x8_weighted_sample",
+    "x8_zorder_layout",
     # --- family representatives (5): sole-member families stay
     # in-window every round (CDC, cogroup); the x5/x7/x9 reps are each
     # the OLDEST-driver-checked oracle-bearing member of a family the
-    # r6 staleness tier below doesn't reach (coverage pinned by
+    # r7 staleness tier below doesn't reach (coverage pinned by
     # test_first_50_slots_cover_survey_operators).
-    "ext_cdc_merge",  # r11 (sole CDC query)
-    "ext_cogroup_pandas",  # r11 (sole cogroup query)
-    "x5_json_keys_profile",  # r7 — oldest x5
-    "x7_asof_join_tolerance",  # r8 — oldest x7
-    "x9_pagerank",  # r8 — oldest x9
-    # --- round-12 additions (6): driver-checked the round they land ---
-    "x1_bloom_geometry_tuning",
-    "s_ivf_assign_stream",
-    "s_domain_caps_stream",
-    "s_degree_hist_stream",
-    "x4_countmin_sketch",
-    "s_countmin_stream",
-    "x9_bfs_reach",
-    "x4_zipf_fit",
-    "x6_theil_sen",
-    # --- round-12 STALENESS rotation (26 of the 43 r6-tier rows,
-    # oldest tier remaining). Seventeen r6 rows defer to r13, each a
-    # parameter/engine variant whose family keeps 3+ fresher in-window
-    # members: x2_tfidf_cosine, x2_dup_components, x3_pq_codes,
-    # x3_pq_adc_topk, x3_label_centroids, x4_bm25_score,
-    # x4_unigram_logprob, x6_ema_daily, x6_ohlc_daily,
-    # x6_sliding_windows, x8_zorder_layout, ext_salted_agg,
-    # ext_window_lag_lead, ext_pandas_udf_scalar, x8_weighted_sample,
-    # x8_doc_chunking, x6_zscore_anomaly (all r6-green in the union,
-    # so no coverage gap — only staleness; the last three deferred as
-    # x9_bfs_reach, x4_zipf_fit and x6_theil_sen landed in-window —
-    # their families keep x8_stratified_sample and the
-    # session/validity/backtest x6 rows fresh). Rotated OUT: the 47
-    # r11-window non-pinned
-    # rows — all r11-green, their rows stand in the union.
-    "ext_acd_error_band",
-    "ext_approx_percentile_band",
-    "ext_bucketed_join_agg",
-    "ext_q10_returned_items",
-    "ext_q3_shipping_priority",
-    "mm_metadata_extract",
-    "o27_hash_split",
-    "o27_random_split_invariants",
-    "o28_gbt_holdout_band",
-    "o28_linreg_baseline",
-    "o29_forecast_band",
-    "o7_sql_table_scan",
-    "s_latest_per_key_stream",
-    "s_sliding_hourly_stream",
-    "s_stateful_running_totals",
-    "w_api_source",
-    "w_flagship_latest",
-    "x2_minhash_lsh_recall",
-    "x2_ngram_jaccard",
-    "x2_simhash_invariants",
-    "x3_cosine_topk",
-    "x3_ivf_kmeans_topk",
-    "x4_pii_redact",
-    "x4_quality_score",
-    "x6_validity_intervals",
-    "x8_stratified_sample",
+    "ext_cdc_merge",  # r12 (sole CDC query)
+    "ext_cogroup_pandas",  # r12 (sole cogroup query)
+    "x5_schema_evolution_read",  # r8 — oldest x5
+    "x7_asof_nearest",  # r8 — oldest x7
+    "x9_triangle_count",  # r9 — oldest x9
+    # --- round-13 STALENESS rotation (24 of the 40 r7-tier rows, the
+    # oldest tier remaining; oldest-first, family coverage preserved).
+    # Sixteen r7 rows defer to r14, each a parameter/engine variant
+    # whose family keeps 3+ fresher in-window members:
+    # ext_incremental_agg, x4_bigram_logprob, x4_heavy_hitters,
+    # x4_perplexity_buckets, x4_token_normalize, x4_vocab_coverage,
+    # x6_funnel_stages, x6_holt_smoothing, x6_interval_merge,
+    # x6_mad_outliers, x6_retention_cohorts, x6_rfm_scores,
+    # x8_budget_select, x8_epoch_shuffle, x8_length_buckets,
+    # x8_oversample_minority (all r7-green in the union, so no coverage
+    # gap — only staleness). Rotated OUT: the 47 r12-window non-pinned
+    # rows — all r12-green, their rows stand in the union. Round-13
+    # additions displace this tail's newest members as they land
+    # (standing convention: additions are driver-checked the round they
+    # land).
+    "ext_q4_order_priority",
+    "ext_q6_revenue_delta",
+    "ext_q7_volume_shipping",
+    "ext_q8_market_share",
+    "ext_q12_shipping_delay",
+    "ext_q13_cust_distribution",
+    "ext_q14_promo_revenue",
+    "ext_q15_top_supplier",
+    "ext_q17_small_qty_revenue",
+    "ext_q19_disjunctive_revenue",
+    "ext_q21_waiting_supplier",
+    "ext_q22_dormant_customers",
+    "mm_audio_energy",
+    "s_funnel_stream",
+    "s_topk_stream",
+    "x1_intradoc_line_dedup",
+    "x1_line_dedup",
+    "x2_dedup_keep_best",
+    "x2_semantic_dedup",
+    "x3_ivf_pq_topk",
+    "x3_knn_classify",
+    "x3_mips_topk",
+    "x4_corpus_profile",
+    "x4_gopher_filter",
 )
 
 #: The pre-round-9 window, kept for the union math in
@@ -258,10 +257,13 @@ _R8_WINDOW_ROTATED_OUT: tuple[str, ...] = (
 #: late additions rotated into the window head (VERDICT r11 ask #1),
 #: nine round-12 additions registered straight into the window while
 #: it was open, and every other query holds a row in the r1-r11
-#: union. Queries landing after the r12 window locked go here and
-#: head the r13 rotation (standing convention) — currently the one
-#: late ACF rung (swept green at all three SFs in-session).
-_R12_QUEUE: set[str] = {"x6_acf_lags"}
+#: union. As of the r13 rotation: the late ACF rung rotated into the
+#: window head (VERDICT r12 ask #1), round-13 additions register
+#: straight into the window while it is open, and every other query
+#: holds a row in the r1-r12 union — the queue is EMPTY. Queries
+#: landing after the r13 window locks go here and head the r14
+#: rotation (standing convention).
+_R13_QUEUE: set[str] = set()
 
 
 def _prioritized(d: dict[str, object]) -> dict[str, object]:
