@@ -203,19 +203,34 @@ def build_payload(
     CONTRACT — pinned by tests/test_bench_contract.py — because any
     new key or serializer reorder silently flips the driver tail back
     to a non-comparable dict (ADVICE r10). Add new keys BEFORE
-    queries_median."""
+    queries_median.
+
+    Committed-reading convention (VERDICT r12 ask #6): when several
+    same-code readings are taken in a round, the committed
+    BENCH_LOCAL_r{N} is the reading whose sum(queries_median) is the
+    MEDIAN of the readings — never the latest — and all readings'
+    sums are recorded in ``readings_median_totals`` (set the
+    SPARK_GRAFT_BENCH_READINGS env var to the comma-separated sums
+    when emitting the committed run)."""
+    readings = [
+        float(x)
+        for x in os.environ.get("SPARK_GRAFT_BENCH_READINGS", "").split(",")
+        if x.strip()
+    ]
     return {
         "metric": "headline_queries_total",
         "value": round(sum(times.values()), 3),
         # provenance (VERDICT r11 ask #7): `value` sums the per-query
         # BEST-OF-n in `queries` (steady-state floor); sum(queries_median)
         # is higher by construction — compare rounds on queries_median.
-        "value_is": "sum(queries best-of-n); medians sum higher",
+        "value_is": "sum(queries best-of-n); medians sum higher; "
+        "committed file is the MEDIAN-of-readings run (r12 ask #6)",
         "unit": "sec",
         "queries": times,
         "queries_stdev": stdevs,
         "runs": runs,
         "sf": sf,
+        "readings_median_totals": readings,
         "queries_median": medians,
     }
 
