@@ -995,3 +995,40 @@ def test_bfs_kernel_matches_reference(spark, graph):
         for r in bfs_hops(sdf, edf, max_hop).collect()
     )
     assert got == _reference_bfs(edges, set(seeds), max_hop)
+
+
+def test_zipf_fit_green_path_on_zipfian_table(spark):
+    """Both branches of the Zipf naturalness gate must be pinned
+    (VERDICT r12 ask #4). The FIRING branch is pinned on the template
+    corpus by tests/test_plans.py::
+    test_zipf_fit_plan_and_diagnostic_direction (slope<0, R²<0.5);
+    here the GREEN branch: a genuinely Zipf-distributed term table —
+    counts n(r) = floor(C / r^s) for s in {0.9, 1.0, 1.1} — run
+    through the SAME extracted fit must recover slope ≈ −s with a
+    near-perfect log-log fit (floor() quantization keeps it off 1.0),
+    proving a natural corpus would PASS the gate the synthetic corpus
+    fails."""
+    from weather_data_pipeline_spark.operators.text_analysis import (
+        ZIPF_TOP,
+        zipf_fit_from_tf,
+    )
+
+    C = 1_000_000
+    rows = [
+        (f"zipf_s{int(s * 10)}", f"t{r:03d}", int(C / r**s))
+        for s in (0.9, 1.0, 1.1)
+        for r in range(1, ZIPF_TOP + 1)
+    ]
+    tf = spark.createDataFrame(rows, "lang string, term string, n long")
+    got = {r["lang"]: r for r in zipf_fit_from_tf(tf).collect()}
+    assert set(got) == {"zipf_s9", "zipf_s10", "zipf_s11"}
+    for s, lang in ((0.9, "zipf_s9"), (1.0, "zipf_s10"), (1.1, "zipf_s11")):
+        r = got[lang]
+        assert r["n_terms"] == ZIPF_TOP
+        # floor(C/r^s) quantization perturbs the exact power law only
+        # at the tail, so the fitted slope sits within 2% of −s
+        assert abs(r["zipf_slope"] - (-s)) < 0.02 * s, (lang, r)
+        assert r["fit_r2"] is not None and r["fit_r2"] > 0.999, (lang, r)
+        # and the green branch of the gate the query documents: a
+        # natural corpus clears the R² < 0.5 diagnostic with room
+        assert r["fit_r2"] >= 0.5

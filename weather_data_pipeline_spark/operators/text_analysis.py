@@ -3679,6 +3679,17 @@ def x4_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "term")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    return zipf_fit_from_tf(tf)
+
+
+def zipf_fit_from_tf(tf: DataFrame) -> DataFrame:
+    """The Zipf OLS fit over a (lang, term, n) term-frequency relation —
+    extracted from the query body so BOTH branches of the naturalness
+    gate are testable (VERDICT r12 ask #4): the firing branch on the
+    template corpus (tests/test_plans.py::
+    test_zipf_fit_plan_and_diagnostic_direction pins slope<0, R²<0.5)
+    and the green branch on a genuinely Zipf-distributed table
+    (tests/test_properties.py pins slope≈−1, high R²)."""
     w = Window.partitionBy("lang").orderBy(F.col("n").desc(), "term")
     lr, ln = F.log(F.col("r").cast("double")), F.log(
         F.col("n").cast("double")
