@@ -44,10 +44,21 @@ SPOT_CEILINGS = {
     "x4_hashed_linear_score": 9.0,
     "x1_substring_spans": 11.0,
     "x1_exact_dedup_hash": 4.0,
-    # capped dedup rungs: linear in the (duplicate-heavy by
-    # construction) replica's pair volume — the DF-cap guarantee is
-    # "linear, never quadratic", so the ceiling sits above the
-    # measured linear slope and far below any quadratic signature
+    # capped dedup rungs: linear in the replica's pair volume — the
+    # DF-cap guarantee is "linear, never quadratic". DIAGNOSED round 13
+    # (VERDICT r12 ask #2, tools/capped_pair_diag.py →
+    # PAIR_VOLUME_100X.json): every volume counter is EXACTLY 100.0x at
+    # 100 copies — posting rows 260k→26.0M, post-cap survivors
+    # 10.9k→1.09M, pair-join work Σ C(df,2) 18.5k→1.85M, candidate
+    # pairs 18.4k→1.84M — because per-token copy tagging replicates
+    # each posting list with its df UNCHANGED (no cross-copy pairs, no
+    # df addition toward the cap). So the bound is the designed
+    # Σ_h C(min(df_h, DF_CAP), 2) ≤ |survivor postings|·(DF_CAP−1)/2,
+    # linear in docs; the 20.28x/13.1x wall ratios are that linear work
+    # on 32 fixed cores with a near-saturated 1x leg (the scan rungs'
+    # ~5x reflects fixed-cost amortization their overhead-dominated 1x
+    # legs leave on the table, not a better slope). Not cap-saturation,
+    # not a join-volume leak — ceiling-gated like BFS/kcore.
     "x2_containment_capped": 22.0,
     "x2_ngram_jaccard_capped": 32.0,
     # round-10 bounded rungs: single-exchange scan-bound dedup key
