@@ -2245,3 +2245,50 @@ def test_acf_lags_plan_and_bounds(spark):
         assert r["n_pairs"] <= r["n_days"] - 1
         if r["acf"] is not None:
             assert -1.000001 <= r["acf"] <= 1.000001
+
+
+def test_sssp_final_plan_is_checkpoint_rollup(spark):
+    """Weighted SSSP: the strength-weighted edge build and every
+    relaxation round run as prior jobs behind localCheckpoints, so the
+    returned rollup plan touches NO parquet, keeps the reach join
+    equi-keyed, and partial-aggregates the rollup (the x9_bfs_reach
+    plan discipline carried to the weighted kernel)."""
+    from weather_data_pipeline_spark.plans.inspect import executed_plan
+
+    df = _Q["x9_sssp_weighted"](spark, SF)
+    plan = executed_plan(df)
+    assert "Scan parquet" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert has_partial_aggregation(df)
+
+
+def test_sssp_invariants_and_bfs_consistency(spark):
+    """SSSP reach rollup: costs are bounded by rounds x max edge cost
+    (ceil(SSSP_COST_NUM / BFS_MIN_ORDERS) per edge, plus -1 for
+    unreached), counts partition the node universe, seeds (dist 0) are
+    customers-only, and — since a path of <= R edges is reachable
+    regardless of weights — the set of nodes reached within
+    SSSP_MAX_ROUNDS relaxations must be EXACTLY the set x9_bfs_reach
+    reaches within the same number of hops (the two rollups must agree
+    on reached/unreached totals)."""
+    from weather_data_pipeline_spark.operators.graph import (
+        BFS_MIN_ORDERS,
+        SSSP_COST_NUM,
+        SSSP_MAX_ROUNDS,
+    )
+
+    rows = _Q["x9_sssp_weighted"](spark, SF).collect()
+    max_edge_cost = -(-SSSP_COST_NUM // BFS_MIN_ORDERS)
+    dists = {r["dist"] for r in rows}
+    assert 0 in dists  # the seed level is never empty
+    for r in rows:
+        assert -1 <= r["dist"] <= SSSP_MAX_ROUNDS * max_edge_cost
+        assert r["n_customers"] + r["n_suppliers"] == r["n_nodes"]
+        if r["dist"] == 0:
+            assert r["n_suppliers"] == 0, r
+    bfs = _Q["x9_bfs_reach"](spark, SF).collect()
+    sssp_reached = sum(r["n_nodes"] for r in rows if r["dist"] >= 0)
+    bfs_reached = sum(r["n_nodes"] for r in bfs if r["hop"] >= 0)
+    assert sssp_reached == bfs_reached
+    assert sum(r["n_nodes"] for r in rows) == sum(r["n_nodes"] for r in bfs)

@@ -1032,3 +1032,92 @@ def test_zipf_fit_green_path_on_zipfian_table(spark):
         # and the green branch of the gate the query documents: a
         # natural corpus clears the R² < 0.5 diagnostic with room
         assert r["fit_r2"] >= 0.5
+
+
+# ----------------------------------------------------------------------
+# round 13: the weighted SSSP kernel vs reference Bellman–Ford/Dijkstra
+# ----------------------------------------------------------------------
+
+sssp_graphs = st.tuples(
+    # weighted directed edges over a small node space (cycles, parallel
+    # edges with different weights, zero-weight edges all likely)
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),
+            st.integers(min_value=0, max_value=12),
+            st.integers(min_value=0, max_value=9),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    # seed nodes (may include nodes absent from the edge list)
+    st.lists(
+        st.integers(min_value=0, max_value=12), min_size=1, max_size=4
+    ),
+    # round bound, including bounds far below convergence
+    st.integers(min_value=1, max_value=4),
+)
+
+
+def _reference_bounded_bf(edges, seeds, rounds):
+    """Textbook full Bellman–Ford, ``rounds`` relaxation sweeps: the
+    exact min cost over paths of ≤ rounds edges."""
+    dist = {s: 0 for s in seeds}
+    for _ in range(rounds):
+        nxt = dict(dist)
+        for s, d, w in edges:
+            if s in dist and (d not in nxt or dist[s] + w < nxt[d]):
+                nxt[d] = dist[s] + w
+        dist = nxt
+    return sorted(dist.items())
+
+
+def _reference_dijkstra(edges, seeds):
+    """Heap Dijkstra: converged multi-source shortest distances."""
+    import heapq
+
+    adj = {}
+    for s, d, w in edges:
+        adj.setdefault(s, []).append((d, w))
+    dist = {}
+    heap = [(0, s) for s in set(seeds)]
+    heapq.heapify(heap)
+    while heap:
+        d, n = heapq.heappop(heap)
+        if n in dist:
+            continue
+        dist[n] = d
+        for m, w in adj.get(n, ()):
+            if m not in dist:
+                heapq.heappush(heap, (d + w, m))
+    return sorted(dist.items())
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(sssp_graphs)
+def test_sssp_kernel_matches_reference(spark, graph):
+    """The delta-relaxation SSSP must agree with FULL Bellman–Ford at
+    every round bound (the bounded-propagation semantics the oracle
+    unrolls), and with heap Dijkstra once the bound covers the
+    shortest-path diameter (13 nodes → 12 edges suffices) — on
+    arbitrary weighted digraphs: cycles, parallel edges, zero weights,
+    seeds outside the edge list (VERDICT r12 ask #5)."""
+    from weather_data_pipeline_spark.operators.graph import sssp_rounds
+
+    edges, seeds, rounds = graph
+    edf = spark.createDataFrame(edges, "src long, dst long, w long")
+    sdf = spark.createDataFrame([(s,) for s in seeds], "node long")
+    got = sorted(
+        (r["node"], r["dist"])
+        for r in sssp_rounds(sdf, edf, rounds).collect()
+    )
+    assert got == _reference_bounded_bf(edges, set(seeds), rounds)
+    converged = sorted(
+        (r["node"], r["dist"])
+        for r in sssp_rounds(sdf, edf, 12).collect()
+    )
+    assert converged == _reference_dijkstra(edges, seeds)

@@ -77,6 +77,11 @@ MULTI_JOB = {
     "localCheckpoint as prior jobs (one frontier join + one anti-join "
     "each, early-stop on empty frontier); the result plan is the rollup "
     "over the node universe left-joined to the final visited vector",
+    "x9_sssp_weighted": "weighted edge build + per-round dist vectors "
+    "localCheckpoint as prior jobs (one frontier join + one candidate "
+    "min + one full-outer merge each, early-stop on empty improved "
+    "set); the result plan is the rollup over the node universe "
+    "left-joined to the final dist vector",
 }
 
 #: Scale-suite-only queries too heavy for the bench loop whose plan is

@@ -235,6 +235,8 @@ QUERIES = [
     "x4_zipf_fit",
     "x6_theil_sen",
     "x6_acf_lags",
+    # round-13 additions
+    "x9_sssp_weighted",
 ]
 
 #: Viral boilerplate for the skew replica: untagged (shared verbatim

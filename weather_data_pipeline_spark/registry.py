@@ -166,7 +166,8 @@ _PRIORITY: tuple[str, ...] = (
     "x3_knn_classify",
     "x3_mips_topk",
     "x4_corpus_profile",
-    "x4_gopher_filter",
+    # --- round-13 additions: driver-checked the round they land ---
+    "x9_sssp_weighted",
 )
 
 #: The pre-round-9 window, kept for the union math in
