@@ -90,6 +90,14 @@ SPOT_CEILINGS = {
     # per merge: ~100x+ here).
     "x3_ivf_nprobe_tuning": 3.0,
     "x4_bpe_apply": 19.0,
+    # round-13: the fifth iterative graph kernel (weighted SSSP). Same
+    # rounds x (|E| + |V|) class as BFS, but each round pays a
+    # full-outer merge of the whole dist vector (BFS's visited union is
+    # append-only) and the improved frontier STAYS large under weights
+    # (cheaper paths keep relaxing nodes BFS would have frozen), so the
+    # measured 22.78x sits between kcore's cascade (17.09x) and the
+    # ceiling here; a closure/quadratic signature would read 10^2-10^3x.
+    "x9_sssp_weighted": 30.0,
     # round-12: the fourth iterative graph kernel. Per-hop work grows
     # with the 100x edge list (frontier joins + anti-joins over the
     # checkpointed symmetric edges) while fixed per-round costs
