@@ -178,6 +178,7 @@ HEADLINE = [
     "x6_acf_lags",
     # round-13 additions
     "x9_sssp_weighted",
+    "x2_decontaminate_containment",
     # x1_bloom_geometry_tuning is scale-suite-only: ~6.5 s/run warmed
     # (4 configs x 3 bounded counts = 13 sequential driver-traffic
     # jobs — the sweep's inherent shape), too heavy for the 5-pass

@@ -2292,3 +2292,30 @@ def test_sssp_invariants_and_bfs_consistency(spark):
     bfs_reached = sum(r["n_nodes"] for r in bfs if r["hop"] >= 0)
     assert sssp_reached == bfs_reached
     assert sum(r["n_nodes"] for r in rows) == sum(r["n_nodes"] for r in bfs)
+
+
+def test_decontaminate_containment_broadcasts_eval_side(spark):
+    """Containment-protocol decontamination (VERDICT r12 ask #3): the
+    benchmark side must BROADCAST into the shingle join — the training
+    corpus streams past it with no data-sized shuffle before the
+    per-pair partial aggregation — and per flagged row the containment
+    must be a valid fraction with the integer threshold respected."""
+    from weather_data_pipeline_spark.operators.dedup import (
+        DECON_CONT_DEN,
+        DECON_CONT_NUM,
+    )
+    from weather_data_pipeline_spark.plans.inspect import executed_plan
+
+    df = _Q["x2_decontaminate_containment"](spark, SF)
+    plan = executed_plan(df)
+    assert has_broadcast_join(df)
+    assert has_partial_aggregation(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    rows = df.collect()
+    assert rows  # the synthetic corpus has cross-split near-dups
+    thresh = DECON_CONT_NUM / DECON_CONT_DEN
+    for r in rows:
+        assert r["n_eval_hits"] >= 1
+        # floor-trunc slack low; containment can reach exactly 1.0
+        assert thresh - 1e-6 <= r["max_containment"] <= 1.0

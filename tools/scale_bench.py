@@ -237,6 +237,7 @@ QUERIES = [
     "x6_acf_lags",
     # round-13 additions
     "x9_sssp_weighted",
+    "x2_decontaminate_containment",
 ]
 
 #: Viral boilerplate for the skew replica: untagged (shared verbatim

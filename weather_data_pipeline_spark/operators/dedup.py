@@ -386,6 +386,100 @@ def x2_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: containment-protocol decontamination threshold (cross-multiplied
+#: integers, no float in the filter): flag when shared shingles cover
+#: at least NUM/DEN of the EVAL doc's distinct shingles — the
+#: GPT-3/Gopher overlap-fraction protocol (overlap is measured relative
+#: to the benchmark item, so a long training doc quoting a whole eval
+#: question is flagged even though the quote is a tiny fraction of the
+#: TRAINING doc — the case an absolute shared-count test underweights).
+DECON_CONT_NUM = 1
+DECON_CONT_DEN = 2
+
+
+@query(
+    "x2_decontaminate_containment",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+      FROM w, UNNEST(generate_series(1, len(words) - 2)) AS t(i)
+    ), ev_n AS (
+      SELECT doc_id, COUNT(*) AS n_ev FROM sh
+      WHERE doc_id % 7 = 0 GROUP BY doc_id
+    ), hits AS (
+      SELECT tr.doc_id AS train_doc, ev.doc_id AS eval_doc,
+             COUNT(*) AS shared
+      FROM (SELECT * FROM sh WHERE doc_id % 7 <> 0) tr
+      JOIN (SELECT * FROM sh WHERE doc_id % 7 = 0) ev
+        ON tr.shingle = ev.shingle
+      GROUP BY 1, 2
+    ), flagged AS (
+      SELECT h.train_doc, h.shared, e.n_ev
+      FROM hits h JOIN ev_n e ON e.doc_id = h.eval_doc
+      WHERE h.shared * {DECON_CONT_DEN} >= {DECON_CONT_NUM} * e.n_ev
+    )
+    SELECT train_doc AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_eval_hits,
+           FLOOR(MAX(shared / n_ev) * 1000000) / 1000000.0
+             AS max_containment
+    FROM flagged GROUP BY train_doc
+    """,
+)
+def x2_decontaminate_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment-protocol benchmark decontamination (VERDICT r12 ask
+    #3) — the GPT-3/Gopher dedup-against-test rule: flag a training
+    document when its shared distinct 3-gram shingles cover at least
+    ``DECON_CONT_NUM/DECON_CONT_DEN`` of an eval document's shingles.
+    The fraction is relative to the EVAL side, complementing
+    ``x2_decontaminate``'s absolute shared-count rule (a verbatim quote
+    of a short benchmark item is caught here regardless of how long the
+    training doc is). Stand-in eval membership is ``doc_id % 7 = 0``;
+    in production this side is the benchmark file.
+
+    Plan shape: the eval side (postings WITH the per-doc shingle count
+    inlined, so no second lookup join) is tiny by construction — in
+    production a few thousand benchmark items vs a trillion-doc corpus
+    — and is broadcast EXPLICITLY: the training corpus streams past it
+    with zero data-sized shuffles before the per-pair partial
+    aggregation (plan-gated: the shingle join must be a broadcast hash
+    join). Threshold compares via cross-multiplied integers; the only
+    float is the reported max_containment, one IEEE division of
+    identical integers floor-truncated at 1e-6 on both engines. Raw
+    shingle strings join (not xxhash64) so the oracle is value-exact."""
+    doc = fan_out(load_table(spark, sf_dir, "documents"))
+    sh = shingle_arrays(doc, 3)
+    tr = sh.filter(F.col("doc_id") % 7 != 0).select(
+        F.col("doc_id").alias("train_doc"),
+        F.explode("grams").alias("shingle"),
+    )
+    ev = sh.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("eval_doc"),
+        F.size("grams").alias("n_ev"),
+        F.explode("grams").alias("shingle"),
+    )
+    hits = (
+        tr.join(F.broadcast(ev), "shingle")
+        .groupBy("train_doc", "eval_doc")
+        .agg(
+            F.count(F.lit(1)).alias("shared"),
+            F.max("n_ev").alias("n_ev"),
+        )
+    )
+    flagged = hits.filter(
+        F.col("shared") * DECON_CONT_DEN >= DECON_CONT_NUM * F.col("n_ev")
+    )
+    return flagged.groupBy(F.col("train_doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_eval_hits"),
+        (
+            F.floor(F.max(F.col("shared") / F.col("n_ev")) * F.lit(1e6))
+            / F.lit(1e6)
+        ).alias("max_containment"),
+    )
+
+
 #: convergence safety bound for min-label propagation (graph diameter of
 #: near-dup clusters; dup groups are clique-ish, so real diameters are tiny)
 _MAX_CC_ITERS = 50
