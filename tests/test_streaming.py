@@ -704,3 +704,69 @@ def test_countmin_stream_multibatch_additive_state(spark, tmp_path):
     )
     assert got == want
     assert 0 < len(got) <= CMS_D * CMS_W
+
+
+def test_decontaminate_stream_multibatch_stateless(spark, tmp_path):
+    """Stream-batch parity for the decontamination frontier twin ACROSS
+    micro-batches with arrival order different from doc_id order:
+    training docs split into three files by doc_id % 3
+    (maxFilesPerTrigger=1 → three triggers), benchmark side static. A
+    doc's shingles arrive whole with the doc, so each batch's flags
+    are complete and the appended union must equal the batch kernel on
+    the full corpus — the statelessness contract (zero stream state,
+    order-free by construction)."""
+    import glob
+    import os
+    import shutil
+
+    from weather_data_pipeline_spark.operators.dedup import (
+        decontaminate_containment_flags,
+        shingle_arrays,
+    )
+    from weather_data_pipeline_spark.streaming import jobs
+
+    sf = "/root/testdata/sf0.001"
+    doc = spark.read.parquet(f"{sf}/documents.parquet")
+
+    src = str(tmp_path / "docs_src")
+    os.makedirs(src)
+    for i in range(3):
+        tmp = str(tmp_path / "_tmp")
+        doc.filter(F.pmod("doc_id", F.lit(3)) == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dest = os.path.join(src, f"b{i}.parquet")
+        shutil.move(part, dest)
+        os.utime(dest, (1_700_000_000 + 100 * i,) * 2)
+
+    ev = shingle_arrays(doc.filter(F.col("doc_id") % 7 == 0), 3).select(
+        F.col("doc_id").alias("eval_doc"),
+        F.size("grams").alias("n_ev"),
+        F.explode("grams").alias("shingle"),
+    )
+    stream = (
+        spark.readStream.schema(doc.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    sink = str(tmp_path / "flags")
+    jobs.streaming_decontaminate(stream, ev, sink)
+
+    got = sorted(
+        tuple(r)
+        for r in spark.read.schema(
+            "doc_id long, n_eval_hits long, max_containment double"
+        )
+        .parquet(sink)
+        .collect()
+    )
+    tr = shingle_arrays(doc.filter(F.col("doc_id") % 7 != 0), 3).select(
+        F.col("doc_id").alias("train_doc"),
+        F.explode("grams").alias("shingle"),
+    )
+    want = sorted(
+        tuple(r) for r in decontaminate_containment_flags(tr, ev).collect()
+    )
+    assert got == want
+    assert len(got) > 0  # the synthetic corpus has cross-split near-dups

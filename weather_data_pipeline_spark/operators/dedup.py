@@ -460,6 +460,19 @@ def x2_decontaminate_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("grams").alias("n_ev"),
         F.explode("grams").alias("shingle"),
     )
+    return decontaminate_containment_flags(tr, ev)
+
+
+def decontaminate_containment_flags(tr: DataFrame, ev: DataFrame) -> DataFrame:
+    """The containment-decontamination kernel, shared by the batch rung
+    and the streaming twin's per-batch step: exploded training postings
+    (train_doc, shingle) against eval postings carrying the per-doc
+    shingle count inline (eval_doc, n_ev, shingle). The eval side
+    broadcasts (tiny by construction); output is one row per flagged
+    training doc. Each training doc's shingles live entirely in its own
+    rows, so the kernel is complete over ANY subset of training docs —
+    the property that makes the streaming twin stateless per
+    micro-batch."""
     hits = (
         tr.join(F.broadcast(ev), "shingle")
         .groupBy("train_doc", "eval_doc")

@@ -847,3 +847,34 @@ def s_countmin_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("over_ppm"),
         )
     )
+
+
+@query(
+    "s_decontaminate_stream",
+    oracle=_ORACLE_REG["x2_decontaminate_containment"],
+)
+def s_decontaminate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming decontamination twin — the X2 dedup tier's ingest-side
+    frontier for the dedup-against-test protocol: the training corpus
+    streams in (jobs.stream_documents) while the benchmark side is the
+    frozen static relation it is in production, shingled once and
+    broadcast into every micro-batch's check. Stateless per batch (a
+    doc's shingles arrive with the doc — see jobs.streaming_
+    decontaminate), so stream state is ZERO rows regardless of corpus
+    size; the drained append sink must equal the batch rung exactly —
+    oracle reused VERBATIM from x2_decontaminate_containment."""
+    from .dedup import shingle_arrays as _shingles
+
+    sink = os.path.join(jobs.SCRATCH, f"deconflags_{uuid.uuid4().hex[:8]}")
+    doc = _load_table(spark, sf_dir, "documents")
+    ev = _shingles(doc.filter(F.col("doc_id") % 7 == 0), 3).select(
+        F.col("doc_id").alias("eval_doc"),
+        F.size("grams").alias("n_ev"),
+        F.explode("grams").alias("shingle"),
+    )
+    jobs.streaming_decontaminate(
+        jobs.stream_documents(spark, sf_dir), ev, sink
+    )
+    return spark.read.schema(
+        "doc_id long, n_eval_hits long, max_containment double"
+    ).parquet(sink)

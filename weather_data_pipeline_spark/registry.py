@@ -128,14 +128,14 @@ _PRIORITY: tuple[str, ...] = (
     "x5_schema_evolution_read",  # r8 — oldest x5
     "x7_asof_nearest",  # r8 — oldest x7
     "x9_triangle_count",  # r9 — oldest x9
-    # --- round-13 STALENESS rotation (22 of the 40 r7-tier rows, the
+    # --- round-13 STALENESS rotation (21 of the 40 r7-tier rows, the
     # oldest tier remaining; oldest-first, family coverage preserved).
-    # Eighteen r7 rows defer to r14 (x4_corpus_profile and
-    # x4_gopher_filter displaced by the round-13 additions below), each
+    # Nineteen r7 rows defer to r14 (x4_corpus_profile, x4_gopher_filter
+    # and x3_mips_topk displaced by the round-13 additions below), each
     # a parameter/engine variant
     # whose family keeps 3+ fresher in-window members:
-    # ext_incremental_agg, x4_bigram_logprob, x4_corpus_profile,
-    # x4_gopher_filter, x4_heavy_hitters,
+    # ext_incremental_agg, x3_mips_topk, x4_bigram_logprob,
+    # x4_corpus_profile, x4_gopher_filter, x4_heavy_hitters,
     # x4_perplexity_buckets, x4_token_normalize, x4_vocab_coverage,
     # x6_funnel_stages, x6_holt_smoothing, x6_interval_merge,
     # x6_mad_outliers, x6_retention_cohorts, x6_rfm_scores,
@@ -167,10 +167,10 @@ _PRIORITY: tuple[str, ...] = (
     "x2_semantic_dedup",
     "x3_ivf_pq_topk",
     "x3_knn_classify",
-    "x3_mips_topk",
     # --- round-13 additions: driver-checked the round they land ---
     "x9_sssp_weighted",
     "x2_decontaminate_containment",
+    "s_decontaminate_stream",
 )
 
 #: The pre-round-9 window, kept for the union math in

@@ -1046,3 +1046,41 @@ def streaming_countmin(
         "countmin-state",
         checkpoint,
     )
+
+
+def streaming_decontaminate(
+    source: DataFrame, ev: DataFrame, sink_dir: str
+) -> None:
+    """Benchmark decontamination at INGEST time — the stream twin of
+    ``x2_decontaminate_containment``: training documents stream in and
+    each micro-batch's docs are shingled and checked against the
+    STATIC broadcast benchmark postings (the deployment shape — the
+    benchmark file is frozen; the corpus grows). A training doc's
+    shingles arrive whole with the doc, so its flags are complete
+    within its batch — the kernel is STATELESS per micro-batch (no
+    watermark, no state store; the only cross-batch artifact is the
+    append-only flags sink). foreachBatch is AT-LEAST-ONCE: a crash
+    between the sink append and the checkpoint commit could duplicate
+    a batch's flags on restart; the availableNow drain used here
+    commits per batch, and a production job would key the sink by
+    batch_id partition and overwrite (idempotent re-append)."""
+    from ..operators.dedup import (
+        decontaminate_containment_flags,
+        shingle_arrays,
+    )
+
+    def flag(batch: DataFrame, batch_id: int) -> None:
+        tr = shingle_arrays(
+            batch.filter(F.col("doc_id") % 7 != 0), 3
+        ).select(
+            F.col("doc_id").alias("train_doc"),
+            F.explode("grams").alias("shingle"),
+        )
+        decontaminate_containment_flags(tr, ev).write.mode(
+            "append"
+        ).parquet(sink_dir)
+
+    run_to_completion(
+        source.writeStream.foreachBatch(flag).outputMode("update"),
+        "decon-stream",
+    )
