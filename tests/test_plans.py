@@ -2319,3 +2319,35 @@ def test_decontaminate_containment_broadcasts_eval_side(spark):
         assert r["n_eval_hits"] >= 1
         # floor-trunc slack low; containment can reach exactly 1.0
         assert thresh - 1e-6 <= r["max_containment"] <= 1.0
+
+
+def test_stl_decompose_plan_and_reconstruction(spark):
+    """STL-lite decomposition: no cartesian/BNL anywhere (the trend is
+    a RANGE-frame window, never a self-join), aggregates partial; per
+    row the emitted components must reconstruct the daily value within
+    the stacked floor-trunc slack (each of trend/seasonal/remainder
+    gives up < 1e-6), and per user the centered seasonal indices must
+    sum to ~0 (within one microunit per weekday from the floor)."""
+    import collections
+
+    from weather_data_pipeline_spark.operators.sessionize import STL_PERIOD
+    from weather_data_pipeline_spark.plans.inspect import executed_plan
+
+    df = _Q["x6_stl_decompose"](spark, SF)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert has_partial_aggregation(df)
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        resid = r["v_daily"] - (r["trend"] + r["seasonal"] + r["remainder"])
+        assert -1e-9 <= resid < 3e-6, r  # float-eps slack on the Python sum
+    per_user_wd = collections.defaultdict(dict)
+    for r in rows:
+        per_user_wd[r["user_id"]][r["d"] % STL_PERIOD] = r["seasonal"]
+    for u, wd in per_user_wd.items():
+        # ≥14 observed days need not cover all 7 weekdays (gappy
+        # series); centering is over the OBSERVED weekday means
+        assert 1 <= len(wd) <= STL_PERIOD
+        assert abs(sum(wd.values())) <= len(wd) * 1e-6 + 1e-9, u

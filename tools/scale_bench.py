@@ -238,6 +238,7 @@ QUERIES = [
     # round-13 additions
     "x9_sssp_weighted",
     "x2_decontaminate_containment",
+    "x6_stl_decompose",
 ]
 
 #: Viral boilerplate for the skew replica: untagged (shared verbatim

@@ -2938,3 +2938,186 @@ def x6_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("sp") / F.col("ss") * F.lit(1e6)) / F.lit(1e6),
         ).alias("acf"),
     )
+
+
+# ----------------------------------------------------------------------
+# seasonal decomposition (round 13): what the ACF rung detects, split out
+# ----------------------------------------------------------------------
+#: centered moving-average half-window for the trend (±3 days = the
+#: classical 7-term MA matching the weekly period)
+STL_HALF_WINDOW = 3
+#: weekly period for the seasonal component
+STL_PERIOD = 7
+#: minimum observed days per series (two full weeks, so every weekday
+#: can be observed and the MA has interior support)
+STL_MIN_DAYS = 14
+
+
+@query(
+    "x6_stl_decompose",
+    oracle=f"""
+    WITH daily AS (
+      SELECT user_id,
+             datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+             CAST(FLOOR(CAST(SUM(CAST(value AS DECIMAL(28,12))) AS DOUBLE)
+                        / COUNT(*) * 1000000) AS BIGINT) AS vq
+      FROM events GROUP BY 1, 2
+    ),
+    days AS (
+      SELECT user_id, COUNT(*) AS n_days FROM daily GROUP BY user_id
+    ),
+    keep AS (
+      SELECT a.user_id, a.d, a.vq FROM daily a
+      JOIN days y ON y.user_id = a.user_id
+      WHERE y.n_days >= {STL_MIN_DAYS}
+    ),
+    tr AS (
+      SELECT user_id, d, CAST(vq AS DOUBLE) / 1000000.0 AS vd,
+             CAST(SUM(vq) OVER w AS DOUBLE)
+               / (COUNT(*) OVER w) / 1000000.0 AS trend
+      FROM keep
+      WINDOW w AS (PARTITION BY user_id ORDER BY d
+                   RANGE BETWEEN {STL_HALF_WINDOW} PRECEDING
+                         AND {STL_HALF_WINDOW} FOLLOWING)
+    ),
+    dev AS (
+      SELECT user_id, d, vd, trend,
+             CAST(FLOOR((vd - trend) * 1000000) AS BIGINT) AS eq
+      FROM tr
+    ),
+    wd AS (
+      SELECT user_id, d % {STL_PERIOD} AS wday,
+             CAST(FLOOR(CAST(SUM(eq) AS DOUBLE) / COUNT(*)) AS BIGINT)
+               AS smq
+      FROM dev GROUP BY 1, 2
+    ),
+    ctr AS (
+      SELECT user_id, SUM(smq) AS ssum, COUNT(*) AS cnt
+      FROM wd GROUP BY user_id
+    )
+    SELECT t.user_id, t.d,
+           t.vd AS v_daily,
+           FLOOR(t.trend * 1000000) / 1000000.0 AS trend,
+           FLOOR(CAST(w.smq AS DOUBLE)
+                 - CAST(c.ssum AS DOUBLE) / c.cnt) / 1000000.0
+             AS seasonal,
+           FLOOR((t.vd - t.trend
+                  - FLOOR(CAST(w.smq AS DOUBLE)
+                          - CAST(c.ssum AS DOUBLE) / c.cnt) / 1000000.0)
+                 * 1000000) / 1000000.0 AS remainder
+    FROM dev t
+    JOIN wd w ON w.user_id = t.user_id AND w.wday = t.d % {STL_PERIOD}
+    JOIN ctr c ON c.user_id = t.user_id
+    """,
+)
+def x6_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition (STL-lite) of each
+    user's daily series — the operator the ACF rung motivates: once
+    lag-7 autocorrelation says "weekly cycle", this SPLITS the series
+    into trend (centered ±``STL_HALF_WINDOW``-day available-case moving
+    average), seasonal (per-weekday mean deviation, centered on the
+    weekday-mean average) and remainder — the decomposition behind
+    anomaly detection on deseasonalized telemetry and the Holt–Winters
+    seasonal slots. Available-case everywhere (gap days contribute no
+    term — the irregular-series estimator of record, the x6_acf_lags
+    convention). Reference scope: no time-series ops in the reference
+    (440-line pandas ETL); §2.10 extension tier.
+
+    Determinism — the INTEGER-MICROUNIT scheme, introduced by this rung
+    after its first draft exposed a NEW cross-engine hazard: casting a
+    DERIVED double (a mean with a /7-style repeating expansion) to
+    DECIMAL(28,12) hit an exact 1e-12 rounding tie that Spark (HALF_UP
+    on the exact expansion) and DuckDB resolved differently. The repo's
+    decimal-cast discipline is safe for RAW table doubles but not for
+    computed divisions, so this rung never casts a derived double to
+    decimal: every derived quantity is floor-quantized to integer
+    microunits (floor of bit-identical doubles is always bit-identical)
+    and all aggregation is exact BIGINT summation (order-independent by
+    arithmetic, not by rounding convention); the only float ops are
+    single divisions/subtractions of identical inputs, and emits
+    floor-truncate at 1e-6.
+
+    Scale shape: ONE (user, day) partial-agg exchange caps everything —
+    the trend is a RANGE-frame window riding the user partitioning
+    (≤ 2·HALF+1 values per frame, no self-join), the weekday and
+    centering aggregates are |users|·7- and |users|-row BIGINT
+    partial-agg exchanges, and the final assembly is two user-keyed
+    equi-joins of those bounded relations. At 100 TB the volume is
+    |users| · days — linear in users, the only growing dimension."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+        .alias("d"),
+    ).agg(
+        F.floor(
+            F.sum(F.col("value").cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1))
+            * F.lit(1e6)
+        ).alias("vq")
+    )
+    days = daily.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_days")
+    )
+    keep = (
+        daily.join(days, "user_id")
+        .filter(F.col("n_days") >= STL_MIN_DAYS)
+        .select("user_id", "d", "vq")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rangeBetween(-STL_HALF_WINDOW, STL_HALF_WINDOW)
+    )
+    dev = keep.select(
+        "user_id",
+        "d",
+        (F.col("vq").cast("double") / F.lit(1e6)).alias("vd"),
+        (
+            F.sum("vq").over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+            / F.lit(1e6)
+        ).alias("trend"),
+    ).withColumn(
+        "eq", F.floor((F.col("vd") - F.col("trend")) * F.lit(1e6))
+    )
+    wd = dev.groupBy(
+        "user_id", (F.col("d") % STL_PERIOD).alias("wday")
+    ).agg(
+        F.floor(
+            F.sum("eq").cast("double") / F.count(F.lit(1))
+        ).alias("smq")
+    )
+    ctr = wd.groupBy("user_id").agg(
+        F.sum("smq").alias("ssum"), F.count(F.lit(1)).alias("cnt")
+    )
+    seasonal = (
+        F.floor(
+            F.col("smq").cast("double")
+            - F.col("ssum").cast("double") / F.col("cnt")
+        )
+        / F.lit(1e6)
+    )
+
+    def trunc6(c):
+        return F.floor(c * F.lit(1e6)) / F.lit(1e6)
+
+    return (
+        dev.join(
+            wd,
+            (wd.user_id == dev.user_id)
+            & (F.col("wday") == F.col("d") % STL_PERIOD),
+        )
+        .drop(wd.user_id)
+        .join(ctr, "user_id")
+        .select(
+            "user_id",
+            "d",
+            F.col("vd").alias("v_daily"),
+            trunc6(F.col("trend")).alias("trend"),
+            seasonal.alias("seasonal"),
+            trunc6(
+                F.col("vd") - F.col("trend") - seasonal
+            ).alias("remainder"),
+        )
+    )
