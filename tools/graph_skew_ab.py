@@ -149,9 +149,20 @@ def main() -> int:
             "DISTINCT partial-aggregates map-side, so no hot reducer; "
             "degradation tracks edge volume, not hot-node degree"
         ),
+        "x9_sssp_weighted": (
+            "same celebrity replica: the hot node's strength-weighted "
+            "edges give it CHEAP links to a ~10x'd supplier universe, "
+            "so the improved frontier routes heavily through it - the "
+            "frontier join broadcasts (skew-immune), the candidate min "
+            "and full-outer dist merge partial-aggregate/key on node, "
+            "so no hot reducer; degradation tracks edge volume"
+        ),
     }
     out = {}
+    filters = sys.argv[1:]
     for name, note in notes.items():
+        if filters and not any(f in name for f in filters):
+            continue
         t1 = _time(qs, name, spark, D1)
         t10 = _time(qs, name, spark, D10)
         out[f"{name}_celebrity"] = {
