@@ -2351,3 +2351,32 @@ def test_stl_decompose_plan_and_reconstruction(spark):
         # series); centering is over the OBSERVED weekday means
         assert 1 <= len(wd) <= STL_PERIOD
         assert abs(sum(wd.values())) <= len(wd) * 1e-6 + 1e-9, u
+
+
+def test_rank_fusion_plan_and_rrf_bounds(spark):
+    """RRF hybrid retrieval: the lexical arm's query shingles must
+    BROADCAST into the corpus-postings join (never a data-sized
+    shuffle on the query side), aggregates partial, no cartesian on
+    the Spark side (the dense arm's query matrix rides a driver
+    broadcast into mapInPandas); per fused row the RRF score must
+    equal what its arm count permits: 1/(K+TOP_K) ≤ rrf ≤ n_arms/(K+1),
+    with n_arms ∈ {1, 2}."""
+    from weather_data_pipeline_spark.operators.similarity import (
+        RRF_K,
+        TOP_K,
+    )
+    from weather_data_pipeline_spark.plans.inspect import executed_plan
+
+    df = _Q["x3_rank_fusion"](spark, SF)
+    plan = executed_plan(df)
+    assert has_broadcast_join(df)
+    assert has_partial_aggregation(df)
+    assert "CartesianProduct" not in plan
+    rows = df.collect()
+    assert rows
+    assert any(r["n_arms"] == 2 for r in rows)  # the arms do agree somewhere
+    for r in rows:
+        assert r["n_arms"] in (1, 2)
+        lo = 1.0 / (RRF_K + TOP_K) - 1e-6
+        hi = r["n_arms"] / (RRF_K + 1.0)
+        assert lo <= r["rrf"] <= hi, r

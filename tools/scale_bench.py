@@ -239,6 +239,7 @@ QUERIES = [
     "x9_sssp_weighted",
     "x2_decontaminate_containment",
     "x6_stl_decompose",
+    "x3_rank_fusion",
 ]
 
 #: Viral boilerplate for the skew replica: untagged (shared verbatim

@@ -2526,3 +2526,150 @@ def x3_ivf_nprobe_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, schema="nprobe long, n_hits long, recall_ppm long"
     )
+
+
+# ----------------------------------------------------------------------
+# Reciprocal-rank fusion (round 13): the hybrid-retrieval combiner
+# ----------------------------------------------------------------------
+#: the RRF smoothing constant (Cormack et al. 2009's k=60, the value
+#: every hybrid-retrieval system ships with)
+RRF_K = 60
+
+
+@query(
+    "x3_rank_fusion",
+    oracle=f"""
+    WITH dense AS (
+      SELECT query_id, vec_id AS doc_id, rn AS r FROM (
+        SELECT q.vec_id AS query_id, c.vec_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY ROUND({_DUCK_COS.format(a='q.embedding', b='c.embedding')}, 6) DESC,
+                          c.vec_id) AS rn
+        FROM (SELECT * FROM embeddings WHERE vec_id < {N_QUERIES}) q
+        CROSS JOIN embeddings c
+        WHERE q.vec_id <> c.vec_id
+      ) WHERE rn <= {TOP_K}
+    ),
+    w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+      FROM w, UNNEST(generate_series(1, len(words) - 2)) AS t(i)
+    ),
+    n AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT qs.doc_id AS query_id, cs.doc_id AS doc_id, COUNT(*) AS i
+      FROM (SELECT * FROM sh WHERE doc_id < {N_QUERIES}) qs
+      JOIN sh cs ON qs.shingle = cs.shingle AND qs.doc_id <> cs.doc_id
+      GROUP BY 1, 2
+    ),
+    lex AS (
+      SELECT query_id, doc_id, r FROM (
+        SELECT i.query_id, i.doc_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY i.query_id
+                 ORDER BY CAST(i.i AS DOUBLE)
+                          / (nq.n + nc.n - i.i) DESC, i.doc_id) AS r
+        FROM inter i
+        JOIN n nq ON nq.doc_id = i.query_id
+        JOIN n nc ON nc.doc_id = i.doc_id
+      ) WHERE r <= {TOP_K}
+    )
+    SELECT query_id, doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_arms,
+           FLOOR(SUM(1.0 / ({RRF_K} + r)) * 1000000) / 1000000.0 AS rrf
+    FROM (SELECT * FROM dense UNION ALL SELECT * FROM lex)
+    GROUP BY query_id, doc_id
+    """,
+)
+def x3_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of a dense and a sparse retrieval arm —
+    the standard hybrid-search combiner (RRF, Cormack et al. 2009:
+    score = Σ_arms 1/(k + rank), robust to incomparable score scales,
+    which is exactly why every dense+lexical stack uses it). Arm 1 is
+    the brute-force cosine top-``TOP_K`` (the x3_cosine_topk kernel,
+    vec_id < ``N_QUERIES`` as queries); arm 2 ranks corpus documents
+    by distinct-3-gram Jaccard against the query's aligned document
+    (vec_id = doc_id in the testdata contract). Output is every fused
+    candidate with its arm count and RRF score. Reference scope: no
+    retrieval ops in the reference (440-line pandas ETL); §2.10 tier.
+
+    Determinism: both arm rankings carry total orders (rounded-sim /
+    exact-rational Jaccard, doc_id tiebreak), so ranks are integers;
+    the RRF sum adds ≤2 identical doubles and floor-truncates at 1e-6.
+
+    Scale shape: the dense arm is the cosine rung's plan (queries
+    broadcast, corpus scanned once, per-query WindowGroupLimit); the
+    lexical arm broadcasts the |queries| docs' shingles into one
+    corpus-postings equi-join and partial-aggregates the ≤
+    |docs|·|queries| intersections; the fusion is one (query, doc)
+    partial agg over ≤ 2·|queries|·TOP_K rank rows. At 100 TB the
+    corpus is scanned twice (once per arm) and nothing data-sized
+    shuffles unkeyed."""
+    from .dedup import shingle_arrays
+
+    dense = (
+        x3_cosine_topk(spark, sf_dir)
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("sim").desc(), F.col("vec_id")
+                )
+            ),
+        )
+        .select("query_id", F.col("vec_id").alias("doc_id"), "r")
+    )
+    doc = load_table(spark, sf_dir, "documents")
+    sh = shingle_arrays(doc, 3).select(
+        "doc_id", F.size("grams").alias("n"), F.explode("grams").alias("shingle")
+    )
+    qs = sh.filter(F.col("doc_id") < N_QUERIES).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("n").alias("nq"),
+        "shingle",
+    )
+    inter = (
+        sh.join(F.broadcast(qs), "shingle")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("i"),
+            F.max("nq").alias("nq"),
+            F.max("n").alias("nc"),
+        )
+    )
+    lex = (
+        inter.withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    (
+                        F.col("i").cast("double")
+                        / (F.col("nq") + F.col("nc") - F.col("i"))
+                    ).desc(),
+                    "doc_id",
+                )
+            ),
+        )
+        .filter(F.col("r") <= TOP_K)
+        .select("query_id", "doc_id", "r")
+    )
+    return (
+        dense.unionByName(lex)
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_arms"),
+            (
+                F.floor(
+                    F.sum(F.lit(1.0) / (F.lit(RRF_K) + F.col("r")))
+                    * F.lit(1e6)
+                )
+                / F.lit(1e6)
+            ).alias("rrf"),
+        )
+    )
