@@ -90,6 +90,18 @@ SPOT_CEILINGS = {
     # per merge: ~100x+ here).
     "x3_ivf_nprobe_tuning": 3.0,
     "x4_bpe_apply": 19.0,
+    # round-13 broadcast-arm trio: containment decontamination streams
+    # the 100x corpus's postings past the (fixed, copy-0) broadcast
+    # benchmark side — measured 10.39x, tracking the posting volume
+    # like the other capped-dedup rungs with a near-saturated 1x leg;
+    # RRF fusion scans the corpus once per arm against fixed broadcast
+    # query sets (4.74x — read-bandwidth class); STL decomposition is
+    # |users|·days linear with a RANGE-frame window riding the user
+    # partitioning (5.9x). A pair-quadratic or per-query-rescan
+    # signature would read 10^2-10^3x on each.
+    "x2_decontaminate_containment": 16.0,
+    "x3_rank_fusion": 8.0,
+    "x6_stl_decompose": 9.0,
     # round-13: the fifth iterative graph kernel (weighted SSSP). Same
     # rounds x (|E| + |V|) class as BFS, but each round pays a
     # full-outer merge of the whole dist vector (BFS's visited union is
