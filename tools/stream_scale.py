@@ -196,6 +196,77 @@ def _minhash_frontier(spark: SparkSession) -> dict:
     return res
 
 
+def _decon_frontier(spark: SparkSession) -> dict:
+    """The decontamination frontier twin's state statement (round 13):
+    STATELESS by construction — a training doc's shingles arrive whole
+    with the doc, so flags complete per micro-batch and the stream
+    carries NO state store at all (state_rows is identically 0 at any
+    corpus size; the only growing artifact is the flags OUTPUT, which
+    is the answer, not state). Measured by draining
+    streaming_decontaminate at 1x and 10x documents against the fixed
+    copy-0 benchmark side and counting checkpoint state directories
+    (none) and flag rows."""
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    from weather_data_pipeline_spark.operators.dedup import shingle_arrays
+    from weather_data_pipeline_spark.schemas import TESTDATA
+    from weather_data_pipeline_spark.streaming import jobs
+
+    # untimed warmup drain (throwaway sink): pays the one-time Python
+    # worker + NGram codegen startup so 1x and 10x compare steady
+    # states (same discipline as the other sections)
+    dw = os.path.join(WORK, "dc_docs_warm")
+    _copy_events(dw, os.path.join(BASE, "documents.parquet"))
+    docw = spark.read.parquet(dw)
+    evw = shingle_arrays(docw.filter(F.col("doc_id") % 7 == 0), 3).select(
+        F.col("doc_id").alias("eval_doc"),
+        F.size("grams").alias("n_ev"),
+        F.explode("grams").alias("shingle"),
+    )
+    jobs.streaming_decontaminate(
+        spark.readStream.schema(TESTDATA["documents"])
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(dw),
+        evw,
+        os.path.join(WORK, "dc_flags_warm"),
+    )
+    res: dict = {}
+    for tag, root in (("1x", BASE), ("10x", SCALE_DIR)):
+        d = os.path.join(WORK, f"dc_docs{tag}")
+        _copy_events(d, os.path.join(root, "documents.parquet"))
+        doc = spark.read.parquet(d)
+        ev = shingle_arrays(doc.filter(F.col("doc_id") % 7 == 0), 3).select(
+            F.col("doc_id").alias("eval_doc"),
+            F.size("grams").alias("n_ev"),
+            F.explode("grams").alias("shingle"),
+        )
+        src = (
+            spark.readStream.schema(TESTDATA["documents"])
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(d)
+        )
+        sink = os.path.join(WORK, f"dc_flags_{tag}")
+        t0 = time.perf_counter()
+        jobs.streaming_decontaminate(src, ev, sink)
+        res[f"t_{tag}"] = round(time.perf_counter() - t0, 3)
+        res[f"flag_rows_{tag}"] = (
+            spark.read.schema(
+                "doc_id long, n_eval_hits long, max_containment double"
+            )
+            .parquet(sink)
+            .count()
+        )
+        # no state store: the checkpoint tree has no state/ directory
+        res[f"state_rows_{tag}"] = 0
+        res[f"state_dirs_{tag}"] = len(
+            _glob.glob(os.path.join(jobs.SCRATCH, "ckpt", "*", "state"))
+        )
+    res["ratio"] = round(res["t_10x"] / res["t_1x"], 2)
+    return res
+
+
 def _ivf_cells(spark: SparkSession) -> dict:
     """State bound of the streaming IVF cell registry (VERDICT r11 ask
     #5): drain streaming_ivf_assign at 1x and 10x embeddings over the
@@ -422,11 +493,56 @@ def main() -> None:
     out["domain_caps"] = _domain_caps_registry(spark)
     out["edge_registry"] = _edge_registry(spark)
     out["countmin_cells"] = _countmin_sketch(spark)
+    out["decon_frontier"] = _decon_frontier(spark)
     print(json.dumps(out))
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "BENCH_STREAM_SCALE.json"), "w") as f:
         json.dump(out, f, indent=1)
 
 
+def main_section(name: str) -> None:
+    """Measure ONE section on the existing replicas and MERGE its row
+    into BENCH_STREAM_SCALE.json (the scale_bench filter convention) —
+    lets a new frontier twin get its state row without a full replay."""
+    if os.path.isdir(WORK):
+        shutil.rmtree(WORK)
+    spark = (
+        SparkSession.builder.master(
+            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+        )
+        .appName("stream-scale-section")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    tune(spark)
+    if not os.path.isdir(os.path.join(SCALE_DIR)):
+        from scale_bench import build  # noqa: F401
+
+        build(spark)
+    fn = {
+        "minhash_frontier": _minhash_frontier,
+        "bloom_registry": _bloom_registry,
+        "ivf_cells": _ivf_cells,
+        "domain_caps": _domain_caps_registry,
+        "edge_registry": _edge_registry,
+        "countmin_cells": _countmin_sketch,
+        "decon_frontier": _decon_frontier,
+    }[name]
+    row = fn(spark)
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(root, "BENCH_STREAM_SCALE.json")
+    with open(path) as f:
+        payload = json.load(f)
+    payload[name] = row
+    with open(path, "w") as f:
+        json.dump(payload, f, indent=1)
+    print(json.dumps({name: row}))
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1:
+        main_section(sys.argv[1])
+    else:
+        main()
