@@ -2380,3 +2380,25 @@ def test_rank_fusion_plan_and_rrf_bounds(spark):
         lo = 1.0 / (RRF_K + TOP_K) - 1e-6
         hi = r["n_arms"] / (RRF_K + 1.0)
         assert lo <= r["rrf"] <= hi, r
+
+
+def test_cdc_chunk_dedup_plan_is_narrow_until_df(spark):
+    """CDC chunk dedup: boundary detection, span assembly and chunk
+    hashing are ONE narrow per-doc projection — the only exchanges are
+    the chunk-hash df groupBy, its join back, and the per-doc rollup;
+    no cartesian, aggregates partial. Rollup invariants: dup_chunks ≤
+    n_chunks and ppm within [0, 1e6]."""
+    from weather_data_pipeline_spark.plans.inspect import executed_plan
+
+    df = _Q["x1_cdc_chunk_dedup"](spark, SF)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert has_partial_aggregation(df)
+    assert num_shuffles(df) <= 4
+    rows = df.collect()
+    assert rows
+    assert any(r["dup_chunks"] > 0 for r in rows)  # corpus has near-dups
+    for r in rows:
+        assert 0 <= r["dup_chunks"] <= r["n_chunks"]
+        assert 0 <= r["dup_token_ppm"] <= 1_000_000

@@ -1121,3 +1121,40 @@ def test_sssp_kernel_matches_reference(spark, graph):
         for r in sssp_rounds(sdf, edf, 12).collect()
     )
     assert converged == _reference_dijkstra(edges, seeds)
+
+
+def test_cdc_chunking_insertion_stable(spark):
+    """The defining CDC property (round 13): boundaries depend only on
+    the local CDC_W-token window, so inserting one token re-hashes
+    only the chunks overlapping the edit while every later chunk's
+    hash SURVIVES (a fixed-size blocker would invalidate all of them).
+    Built docs: 200 deterministic pseudo-random tokens vs the same
+    with one token inserted mid-doc. Also pins the partition
+    invariant: each doc's chunk lengths sum to its token count."""
+    from weather_data_pipeline_spark.operators.dedup import cdc_chunks
+
+    rng_tokens = [f"w{(i * 2654435761) % 997:03d}" for i in range(200)]
+    original = " ".join(rng_tokens)
+    edited = " ".join(rng_tokens[:100] + ["INSERTED"] + rng_tokens[100:])
+    doc = spark.createDataFrame(
+        [(0, original), (1, edited)], "doc_id long, text string"
+    )
+    rows = cdc_chunks(doc).collect()
+    by_doc = {0: [], 1: []}
+    for r in rows:
+        by_doc[r["doc_id"]].append(r)
+    # partition invariant: chunks tile the token sequence exactly
+    assert sum(r["clen"] for r in by_doc[0]) == 200
+    assert sum(r["clen"] for r in by_doc[1]) == 201
+    h0 = [r["ch"] for r in by_doc[0]]
+    h1 = [r["ch"] for r in by_doc[1]]
+    shared = set(h0) & set(h1)
+    # the edit can disturb at most the chunks whose boundary windows
+    # overlap the insertion point; everything before AND after must
+    # re-synchronize — require the overwhelming majority shared
+    assert len(shared) >= len(h0) - 3, (len(h0), len(h1), len(shared))
+    # and chunks strictly after the edit survive in ORDER (suffix
+    # stability, the shift-invalidation fixed-size blocks cannot give)
+    tail0 = [h for h in h0 if h in shared]
+    tail1 = [h for h in h1 if h in shared]
+    assert tail0[-3:] == tail1[-3:]

@@ -240,6 +240,7 @@ QUERIES = [
     "x2_decontaminate_containment",
     "x6_stl_decompose",
     "x3_rank_fusion",
+    "x1_cdc_chunk_dedup",
 ]
 
 #: Viral boilerplate for the skew replica: untagged (shared verbatim

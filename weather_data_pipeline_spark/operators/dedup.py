@@ -3109,3 +3109,156 @@ def x1_bloom_geometry_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
             " n_flagged long, n_false_pos long, fp_ppm long"
         ),
     )
+
+
+# ----------------------------------------------------------------------
+# Content-defined chunking dedup (round 13): the storage-layer dedup class
+# ----------------------------------------------------------------------
+#: boundary-decision window in tokens (the rolling context a CDC cutter
+#: hashes; FastCDC uses a byte window — tokens here, same math)
+CDC_W = 4
+#: boundary divisor: a position ends a chunk when its window hash ≡ 0
+#: (mod CDC_DIV), giving expected chunk length ≈ CDC_DIV tokens
+CDC_DIV = 16
+
+
+def cdc_chunks(doc: DataFrame) -> DataFrame:
+    """The CDC cutter as one narrow projection: (doc_id, text) →
+    (doc_id, n, clen, ch) with one row per content-defined chunk.
+    Extracted from the rung so the DEFINING property — insertion
+    stability: editing one token re-hashes only the chunks overlapping
+    the edit's boundary window, never shifting later chunks — is
+    directly testable on constructed documents
+    (tests/test_properties.py::test_cdc_chunking_insertion_stable)."""
+    toks = F.split("text", " ")
+    th = F.transform(
+        toks,
+        lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long"),
+    )
+    base = doc.select("doc_id", F.size(toks).alias("n"), th.alias("th"))
+    fold = lambda arr: F.aggregate(  # noqa: E731
+        arr,
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * F.lit(_SPAN_BASE) + h) % F.lit(_SPAN_MOD),
+    )
+    bounds = F.filter(
+        F.sequence(F.lit(CDC_W), F.col("n")),
+        lambda i: fold(F.slice(F.col("th"), i - CDC_W + 1, F.lit(CDC_W)))
+        % CDC_DIV
+        == 0,
+    )
+    with_b = base.filter(F.col("n") >= 1).select(
+        "doc_id", "n", "th", bounds.alias("bs")
+    )
+    starts = F.concat(
+        F.array(F.lit(1)), F.transform("bs", lambda b: b + 1)
+    )
+    ends = F.concat(F.col("bs"), F.array(F.col("n")))
+    spans = F.filter(
+        F.zip_with(
+            starts, ends, lambda s, e: F.struct(s.alias("s"), e.alias("e"))
+        ),
+        lambda c: c.s <= c.e,
+    )
+    return (
+        with_b.select("doc_id", "n", "th", F.explode(spans).alias("c"))
+        .select(
+            "doc_id",
+            "n",
+            (F.col("c.e") - F.col("c.s") + 1).alias("clen"),
+            fold(
+                F.slice(
+                    F.col("th"), F.col("c.s"), F.col("c.e") - F.col("c.s") + 1
+                )
+            ).alias("ch"),
+        )
+    )
+
+
+@query(
+    "x1_cdc_chunk_dedup",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n,
+             list_transform(string_split(text, ' '),
+               w -> CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT)) AS th
+      FROM documents
+    ), b AS (
+      SELECT doc_id, i
+      FROM t, UNNEST(generate_series({CDC_W}, n)) AS g(i)
+      WHERE list_reduce(
+              list_prepend(CAST(0 AS BIGINT),
+                           list_slice(th, i - {CDC_W} + 1, i)),
+              (acc, h) -> (acc * {_SPAN_BASE} + h) % {_SPAN_MOD})
+            % {CDC_DIV} = 0
+    ), maxb AS (
+      SELECT doc_id, MAX(i) AS mb FROM b GROUP BY doc_id
+    ), spans AS (
+      SELECT doc_id,
+             COALESCE(LAG(i) OVER (PARTITION BY doc_id ORDER BY i), 0) + 1
+               AS s,
+             i AS e
+      FROM b
+      UNION ALL
+      SELECT t.doc_id, COALESCE(m.mb, 0) + 1 AS s, t.n AS e
+      FROM t LEFT JOIN maxb m ON m.doc_id = t.doc_id
+    ), chunks AS (
+      SELECT sp.doc_id, sp.s, sp.e,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                            list_slice(t.th, sp.s, sp.e)),
+               (acc, h) -> (acc * {_SPAN_BASE} + h) % {_SPAN_MOD}) AS ch
+      FROM spans sp JOIN t ON t.doc_id = sp.doc_id
+      WHERE sp.s <= sp.e
+    ), df AS (
+      SELECT ch, COUNT(*) AS df FROM chunks GROUP BY ch
+    )
+    SELECT c.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN df.df > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS dup_chunks,
+           CAST(SUM(CASE WHEN df.df > 1 THEN c.e - c.s + 1 ELSE 0 END)
+                * 1000000 // MAX(t.n) AS BIGINT) AS dup_token_ppm
+    FROM chunks c JOIN df USING (ch) JOIN t ON t.doc_id = c.doc_id
+    GROUP BY c.doc_id
+    """,
+)
+def x1_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup — the STORAGE-layer dedup class
+    (FastCDC/LBFS lineage) the exact/fuzzy ladder lacked: chunk
+    boundaries are declared wherever the ``CDC_W``-token rolling hash
+    ≡ 0 (mod ``CDC_DIV``), so boundaries depend only on LOCAL content —
+    insert one token and only the surrounding chunk's hash changes,
+    where fixed-size blocks would shift-invalidate every later block
+    (the property snapshot/dataset-version dedup is built on). Chunks
+    are hashed with the same portable Rabin–Karp fold (md5-prefix token
+    hashes — oracle-exact, the x1_substring_spans machinery) and
+    deduped corpus-wide; output per doc: chunk count, chunks whose
+    content appears elsewhere, and duplicated-token coverage in ppm
+    (integer cross-multiplied — no float anywhere). Reference scope: no
+    dedup ops in the reference (440-line pandas ETL); §2.10 tier.
+
+    Scale shape: boundary detection, span assembly and chunk hashing
+    are ONE narrow per-doc projection (higher-order filter/transform
+    over the token-hash array — token hashes materialize once behind
+    the Generate boundary, the _span_exploded discipline); the only
+    exchanges are the |chunks|-row df groupBy and the per-doc rollup.
+    At 100 TB: chunk volume ≈ tokens/CDC_DIV rows, the df build is a
+    partial-aggregated hash exchange, and a hot (boilerplate) chunk is
+    a count, never a pair join — the Σdf² blowup class cannot occur."""
+    chunks = cdc_chunks(load_table(spark, sf_dir, "documents"))
+    df = chunks.groupBy("ch").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        chunks.join(df, "ch")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum((F.col("df") > 1).cast("int"))
+            .cast("long")
+            .alias("dup_chunks"),
+            F.expr(
+                "CAST(SUM(CASE WHEN df > 1 THEN clen ELSE 0 END)"
+                " * 1000000 DIV MAX(n) AS LONG)"
+            ).alias("dup_token_ppm"),
+        )
+    )
