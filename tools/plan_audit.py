@@ -77,6 +77,9 @@ MULTI_JOB = {
     "localCheckpoint as prior jobs (one frontier join + one anti-join "
     "each, early-stop on empty frontier); the result plan is the rollup "
     "over the node universe left-joined to the final visited vector",
+    "x3_rank_fusion": "the dense arm's query-vector collect (N_QUERIES "
+    "rows) runs as a prior bounded job (the x3_cosine_topk kernel); the "
+    "plan shows both arms' rank windows feeding the fusion partial agg",
     "x9_sssp_weighted": "weighted edge build + per-round dist vectors "
     "localCheckpoint as prior jobs (one frontier join + one candidate "
     "min + one full-outer merge each, early-stop on empty improved "
