@@ -102,6 +102,12 @@ SPOT_CEILINGS = {
     "x2_decontaminate_containment": 16.0,
     "x3_rank_fusion": 8.0,
     "x6_stl_decompose": 9.0,
+    # CDC chunking: the narrow per-doc cutter tracks token volume and
+    # the df exchange carries ~tokens/CDC_DIV chunk rows — measured
+    # 9.52x, the posting-volume class next to substring spans (6.79x);
+    # a pair-join signature is impossible by construction (dedup is a
+    # count per chunk hash, never a join on it).
+    "x1_cdc_chunk_dedup": 14.0,
     # round-13: the fifth iterative graph kernel (weighted SSSP). Same
     # rounds x (|E| + |V|) class as BFS, but each round pays a
     # full-outer merge of the whole dist vector (BFS's visited union is
