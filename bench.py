@@ -182,6 +182,7 @@ HEADLINE = [
     "x6_stl_decompose",
     "x3_rank_fusion",
     "x1_cdc_chunk_dedup",
+    "x3_mmr_diversify",
     # x1_bloom_geometry_tuning is scale-suite-only: ~6.5 s/run warmed
     # (4 configs x 3 bounded counts = 13 sequential driver-traffic
     # jobs — the sweep's inherent shape), too heavy for the 5-pass

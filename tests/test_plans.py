@@ -2402,3 +2402,37 @@ def test_cdc_chunk_dedup_plan_is_narrow_until_df(spark):
     for r in rows:
         assert 0 <= r["dup_chunks"] <= r["n_chunks"]
         assert 0 <= r["dup_token_ppm"] <= 1_000_000
+
+
+def test_mmr_diversify_reorders_but_preserves_candidates(spark):
+    """MMR (round 13): rank-1 must be the pure-relevance argmax per
+    query (the greedy seed), the selected set must equal the cosine
+    top-K candidate set (with |cand| = K, MMR permutes membership
+    never changes), and the permutation must actually BITE on this
+    corpus — near-dup embeddings exist, so at least one query's MMR
+    order must differ from relevance order (8/10 do at sf0.01)."""
+    import collections
+
+    from weather_data_pipeline_spark.operators.similarity import (
+        TOP_K,
+        x3_cosine_topk,
+    )
+
+    mmr_rows = _Q["x3_mmr_diversify"](spark, SF).collect()
+    rel = collections.defaultdict(list)
+    for r in x3_cosine_topk(spark, SF).collect():
+        rel[r["query_id"]].append((r["sim"], -r["vec_id"]))
+    by_q = collections.defaultdict(dict)
+    for r in mmr_rows:
+        by_q[r["query_id"]][r["mmr_rank"]] = r["doc_id"]
+    assert set(by_q) == set(rel)
+    reordered = 0
+    for q, picks in by_q.items():
+        assert sorted(picks) == list(range(1, TOP_K + 1))
+        docs_rel = [int(-k) for _, k in sorted(rel[q], reverse=True)]
+        assert picks[1] == docs_rel[0]  # greedy seed = max relevance
+        docs_mmr = [picks[i] for i in range(1, TOP_K + 1)]
+        assert set(docs_mmr) == set(docs_rel)
+        if docs_mmr != docs_rel:
+            reordered += 1
+    assert reordered > 0

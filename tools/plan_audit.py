@@ -80,6 +80,9 @@ MULTI_JOB = {
     "x3_rank_fusion": "the dense arm's query-vector collect (N_QUERIES "
     "rows) runs as a prior bounded job (the x3_cosine_topk kernel); the "
     "plan shows both arms' rank windows feeding the fusion partial agg",
+    "x3_mmr_diversify": "cosine-arm candidates + within-query pair sims "
+    "collect as prior bounded jobs (|queries|*K and |queries|*K^2 rows "
+    "by construction); the result is the greedy walk's local relation",
     "x9_sssp_weighted": "weighted edge build + per-round dist vectors "
     "localCheckpoint as prior jobs (one frontier join + one candidate "
     "min + one full-outer merge each, early-stop on empty improved "

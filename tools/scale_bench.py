@@ -241,6 +241,7 @@ QUERIES = [
     "x6_stl_decompose",
     "x3_rank_fusion",
     "x1_cdc_chunk_dedup",
+    "x3_mmr_diversify",
 ]
 
 #: Viral boilerplate for the skew replica: untagged (shared verbatim

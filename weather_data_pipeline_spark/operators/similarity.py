@@ -2673,3 +2673,181 @@ def x3_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rrf"),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# Maximal marginal relevance (round 13): the retrieval diversifier
+# ----------------------------------------------------------------------
+#: relevance/diversity trade-off (Carbonell & Goldstein 1998; 0.7 is
+#: the common relevance-leaning default)
+MMR_LAMBDA = 0.7
+
+
+def _mmr_oracle() -> str:
+    """``TOP_K``-unrolled greedy MMR as chained CTEs: step 1 takes max
+    relevance; step i penalizes each remaining candidate by its max
+    similarity to the already-selected set. All similarities are
+    rounded to 6 before any scoring on BOTH engines, so the greedy
+    walk sees identical inputs; FLOOR-trunc at emit."""
+    cos = _DUCK_COS.format(a="q.embedding", b="c.embedding")
+    pcos = _DUCK_COS.format(a="x.embedding", b="y.embedding")
+    steps, finals = [], ["SELECT query_id, 1 AS mmr_rank, doc_id,"
+                         " FLOOR(sc * 1000000) / 1000000.0 AS mmr FROM s1"]
+    for i in range(2, TOP_K + 1):
+        steps.append(f""",
+    pen{i} AS (
+      SELECT c.query_id, c.doc_id, c.rel, MAX(p.ps) AS pen
+      FROM cand c
+      JOIN pair p ON p.query_id = c.query_id AND p.a = c.doc_id
+      JOIN sel{i - 1} s ON s.query_id = p.query_id AND s.doc_id = p.b
+      WHERE NOT EXISTS (SELECT 1 FROM sel{i - 1} x
+                        WHERE x.query_id = c.query_id
+                          AND x.doc_id = c.doc_id)
+      GROUP BY 1, 2, 3
+    ),
+    s{i} AS (
+      SELECT query_id, doc_id, sc FROM (
+        SELECT query_id, doc_id,
+               {MMR_LAMBDA} * rel - {round(1 - MMR_LAMBDA, 10)} * pen AS sc,
+               ROW_NUMBER() OVER (
+                 PARTITION BY query_id
+                 ORDER BY {MMR_LAMBDA} * rel
+                          - {round(1 - MMR_LAMBDA, 10)} * pen DESC,
+                          doc_id) AS rn
+        FROM pen{i}
+      ) WHERE rn = 1
+    ),
+    sel{i} AS (
+      SELECT query_id, doc_id FROM sel{i - 1}
+      UNION ALL SELECT query_id, doc_id FROM s{i}
+    )""")
+        finals.append(
+            f"SELECT query_id, {i} AS mmr_rank, doc_id,"
+            f" FLOOR(sc * 1000000) / 1000000.0 AS mmr FROM s{i}"
+        )
+    return f"""
+    WITH cand AS (
+      SELECT query_id, vec_id AS doc_id, rel FROM (
+        SELECT q.vec_id AS query_id, c.vec_id,
+               ROUND({cos}, 6) AS rel,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY ROUND({cos}, 6) DESC, c.vec_id) AS rn
+        FROM (SELECT * FROM embeddings WHERE vec_id < {N_QUERIES}) q
+        CROSS JOIN embeddings c
+        WHERE q.vec_id <> c.vec_id
+      ) WHERE rn <= {TOP_K}
+    ),
+    cv AS (
+      SELECT c.query_id, c.doc_id, e.embedding
+      FROM cand c JOIN embeddings e ON e.vec_id = c.doc_id
+    ),
+    pair AS (
+      SELECT x.query_id, x.doc_id AS a, y.doc_id AS b,
+             ROUND({pcos}, 6) AS ps
+      FROM cv x JOIN cv y
+        ON x.query_id = y.query_id AND x.doc_id <> y.doc_id
+    ),
+    s1 AS (
+      SELECT query_id, doc_id, rel AS sc FROM (
+        SELECT query_id, doc_id, rel,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY rel DESC, doc_id) AS rn
+        FROM cand
+      ) WHERE rn = 1
+    ),
+    sel1 AS (SELECT query_id, doc_id FROM s1)
+    {"".join(steps)}
+    {" UNION ALL ".join(finals)}
+    """
+
+
+@query("x3_mmr_diversify", oracle=_mmr_oracle())
+def x3_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal marginal relevance re-ranking of the cosine top-K — the
+    standard retrieval DIVERSIFIER (Carbonell & Goldstein 1998; the
+    redundancy control every RAG pipeline bolts onto raw top-k): pick
+    the most relevant candidate first, then greedily take
+    argmax(λ·rel(q,d) − (1−λ)·max_{s∈S} sim(d,s)) so near-duplicate
+    hits cannot crowd the result list. Candidates are the
+    x3_cosine_topk arm; candidate-pair similarities compute once in
+    one tiny within-query join. Reference scope: no retrieval ops in
+    the reference (440-line pandas ETL); §2.10 extension tier.
+
+    Determinism: every similarity is rounded to 6 BEFORE any scoring
+    (the cosine rung's cross-engine contract), the greedy argmax
+    carries a doc_id tiebreak, λ-arithmetic is single IEEE ops on
+    identical inputs, and emitted scores floor-truncate at 1e-6. The
+    greedy walk itself runs driver-side over the COLLECTED candidate
+    table — bounded at |queries|·TOP_K rows BY CONSTRUCTION (the
+    x4_bpe_merge_train / x3_ivf_nprobe_tuning bounded-collect
+    precedent): at 100 TB the corpus scan lives inside the cosine arm;
+    what reaches the driver never exceeds queries × K.
+
+    Scale shape: one corpus scan (the cosine arm), one ≤(|q|·K)²-row
+    within-query pair join, one bounded collect; the result is a
+    |queries|·K-row local relation."""
+    cand = (
+        x3_cosine_topk(spark, sf_dir)
+        .select("query_id", F.col("vec_id").alias("doc_id"),
+                F.col("sim").alias("rel"))
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    cv = cand.join(emb, "doc_id").select("query_id", "doc_id", "v")
+    x = cv.select("query_id", F.col("doc_id").alias("a"), F.col("v").alias("va"))
+    y = cv.select("query_id", F.col("doc_id").alias("b"), F.col("v").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda p, q: p * q),
+        F.lit(0.0),
+        lambda acc, z: acc + z,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, z: acc + z * z)
+    )
+    pairs = (
+        x.join(y, "query_id")
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            "query_id", "a", "b",
+            F.round(dot / (norm(F.col("va")) * norm(F.col("vb"))), 6)
+            .alias("ps"),
+        )
+    )
+    crows = cand.collect()  # |queries|·TOP_K rows by construction
+    prows = pairs.collect()  # ≤ |queries|·TOP_K² rows
+    rel = {(r["query_id"], r["doc_id"]): r["rel"] for r in crows}
+    ps = {(r["query_id"], r["a"], r["b"]): r["ps"] for r in prows}
+    by_q: dict = {}
+    for (q, d), r in rel.items():
+        by_q.setdefault(q, []).append((d, r))
+    out = []
+    for q, cands in sorted(by_q.items()):
+        selected: list = []
+        remaining = dict(cands)
+        for rank in range(1, TOP_K + 1):
+            if not remaining:
+                break
+            if not selected:
+                best = max(remaining.items(), key=lambda kv: (kv[1], -kv[0]))
+                sc = best[1]
+            else:
+                scored = {
+                    d: MMR_LAMBDA * r
+                    - round(1 - MMR_LAMBDA, 10)
+                    * max(ps[(q, d, s)] for s in selected)
+                    for d, r in remaining.items()
+                }
+                best = max(scored.items(), key=lambda kv: (kv[1], -kv[0]))
+                sc = best[1]
+            d = best[0]
+            import math
+
+            out.append((q, rank, d, math.floor(sc * 1e6) / 1e6))
+            selected.append(d)
+            del remaining[d]
+    return spark.createDataFrame(
+        out, schema="query_id long, mmr_rank long, doc_id long, mmr double"
+    )

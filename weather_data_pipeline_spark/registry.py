@@ -128,15 +128,15 @@ _PRIORITY: tuple[str, ...] = (
     "x5_schema_evolution_read",  # r8 — oldest x5
     "x7_asof_nearest",  # r8 — oldest x7
     "x9_triangle_count",  # r9 — oldest x9
-    # --- round-13 STALENESS rotation (18 of the 40 r7-tier rows, the
+    # --- round-13 STALENESS rotation (17 of the 40 r7-tier rows, the
     # oldest tier remaining; oldest-first, family coverage preserved).
-    # Twenty-two r7 rows defer to r14 (x4_corpus_profile,
-    # x4_gopher_filter, x3_mips_topk, x2_semantic_dedup, x3_knn_classify
-    # and x3_ivf_pq_topk displaced by the round-13 additions below),
-    # each a parameter/engine variant
+    # Twenty-three r7 rows defer to r14 (x4_corpus_profile,
+    # x4_gopher_filter, x3_mips_topk, x2_semantic_dedup,
+    # x3_knn_classify, x3_ivf_pq_topk and x2_dedup_keep_best displaced
+    # by the round-13 additions below), each a parameter/engine variant
     # whose family keeps 3+ fresher in-window members:
-    # ext_incremental_agg, x2_semantic_dedup, x3_ivf_pq_topk,
-    # x3_knn_classify, x3_mips_topk, x4_bigram_logprob,
+    # ext_incremental_agg, x2_dedup_keep_best, x2_semantic_dedup,
+    # x3_ivf_pq_topk, x3_knn_classify, x3_mips_topk, x4_bigram_logprob,
     # x4_corpus_profile, x4_gopher_filter, x4_heavy_hitters,
     # x4_perplexity_buckets, x4_token_normalize, x4_vocab_coverage,
     # x6_funnel_stages, x6_holt_smoothing, x6_interval_merge,
@@ -165,7 +165,6 @@ _PRIORITY: tuple[str, ...] = (
     "s_topk_stream",
     "x1_intradoc_line_dedup",
     "x1_line_dedup",
-    "x2_dedup_keep_best",
     # --- round-13 additions: driver-checked the round they land ---
     "x9_sssp_weighted",
     "x2_decontaminate_containment",
@@ -173,6 +172,7 @@ _PRIORITY: tuple[str, ...] = (
     "x6_stl_decompose",
     "x3_rank_fusion",
     "x1_cdc_chunk_dedup",
+    "x3_mmr_diversify",
 )
 
 #: The pre-round-9 window, kept for the union math in
