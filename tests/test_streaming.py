@@ -770,3 +770,55 @@ def test_decontaminate_stream_multibatch_stateless(spark, tmp_path):
     )
     assert got == want
     assert len(got) > 0  # the synthetic corpus has cross-split near-dups
+
+
+def test_cdc_registry_stream_multibatch_additive_counts(spark, tmp_path):
+    """The CDC chunk registry across shuffled micro-batches: counts
+    merge by ADDITION, so the drained registry must equal the batch
+    corpus-wide chunk df exactly (any arrival order / batching), and
+    the derived per-doc dedup report must equal the batch kernel's.
+    Split documents into three files by doc_id % 3 with
+    maxFilesPerTrigger=1 → three triggers interleaving the id range."""
+    import glob
+    import os
+    import shutil
+
+    from weather_data_pipeline_spark.operators.dedup import cdc_chunks
+    from weather_data_pipeline_spark.streaming import jobs
+
+    sf = "/root/testdata/sf0.001"
+    doc = spark.read.parquet(f"{sf}/documents.parquet")
+
+    src = str(tmp_path / "docs_src")
+    os.makedirs(src)
+    for i in range(3):
+        tmp = str(tmp_path / "_tmp")
+        doc.filter(F.pmod("doc_id", F.lit(3)) == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dest = os.path.join(src, f"b{i}.parquet")
+        shutil.move(part, dest)
+        os.utime(dest, (1_700_000_000 + 100 * i,) * 2)
+
+    stream = (
+        spark.readStream.schema(doc.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    state = str(tmp_path / "state")
+    jobs.streaming_cdc_registry(stream, state)
+
+    got = sorted(
+        (r["ch"], r["df"]) for r in jobs.read_state(spark, state).collect()
+    )
+    want = sorted(
+        (r["ch"], r["df"])
+        for r in cdc_chunks(doc.select("doc_id", "text"))
+        .groupBy("ch")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .collect()
+    )
+    assert got == want
+    assert len(got) > 0
+    assert any(df > 1 for _, df in got)  # dup chunks exist in the corpus

@@ -196,6 +196,50 @@ def _minhash_frontier(spark: SparkSession) -> dict:
     return res
 
 
+def _cdc_registry(spark: SparkSession) -> dict:
+    """State growth of the CDC chunk registry (round 13): rows =
+    |distinct chunk hashes| — the content-novelty growth class (the
+    minhash-registry bound): re-ingested duplicate content only
+    increments counters, so state tracks distinct chunks, not arrival
+    volume. Measured by draining streaming_cdc_registry at 1x and 10x
+    documents (the 10x replica per-token-tags copies, so distinct
+    chunks grow ~10x — real 10x-novel data's behavior)."""
+    from weather_data_pipeline_spark.schemas import TESTDATA
+    from weather_data_pipeline_spark.streaming import jobs
+
+    # untimed warmup drain (throwaway state): one-time Python worker +
+    # NGram/fold codegen startup
+    dw = os.path.join(WORK, "cdc_docs_warm")
+    _copy_events(dw, os.path.join(BASE, "documents.parquet"))
+    jobs.streaming_cdc_registry(
+        spark.readStream.schema(TESTDATA["documents"])
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(dw),
+        os.path.join(WORK, "cdc_state_warm"),
+    )
+    res: dict = {}
+    for tag, root in (("1x", BASE), ("10x", SCALE_DIR)):
+        d = os.path.join(WORK, f"cdc_docs{tag}")
+        _copy_events(d, os.path.join(root, "documents.parquet"))
+        src = (
+            spark.readStream.schema(TESTDATA["documents"])
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(d)
+        )
+        state = os.path.join(WORK, f"cdc_state_{tag}")
+        t0 = time.perf_counter()
+        jobs.streaming_cdc_registry(src, state)
+        res[f"t_{tag}"] = round(time.perf_counter() - t0, 3)
+        st = jobs.read_state(spark, state)
+        res[f"registry_rows_{tag}"] = st.count()
+        res[f"dup_chunks_{tag}"] = st.filter("df > 1").count()
+    res["ratio"] = round(res["t_10x"] / res["t_1x"], 2)
+    res["registry_ratio"] = round(
+        res["registry_rows_10x"] / max(res["registry_rows_1x"], 1), 2
+    )
+    return res
+
+
 def _decon_frontier(spark: SparkSession) -> dict:
     """The decontamination frontier twin's state statement (round 13):
     STATELESS by construction — a training doc's shingles arrive whole
@@ -494,6 +538,7 @@ def main() -> None:
     out["edge_registry"] = _edge_registry(spark)
     out["countmin_cells"] = _countmin_sketch(spark)
     out["decon_frontier"] = _decon_frontier(spark)
+    out["cdc_registry"] = _cdc_registry(spark)
     print(json.dumps(out))
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "BENCH_STREAM_SCALE.json"), "w") as f:
@@ -529,6 +574,7 @@ def main_section(name: str) -> None:
         "edge_registry": _edge_registry,
         "countmin_cells": _countmin_sketch,
         "decon_frontier": _decon_frontier,
+        "cdc_registry": _cdc_registry,
     }[name]
     row = fn(spark)
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

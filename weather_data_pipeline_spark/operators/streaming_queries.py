@@ -878,3 +878,44 @@ def s_decontaminate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(
         "doc_id long, n_eval_hits long, max_containment double"
     ).parquet(sink)
+
+
+@query(
+    "s_cdc_chunk_stream",
+    oracle=_ORACLE_REG["x1_cdc_chunk_dedup"],
+)
+def s_cdc_chunk_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC chunk-registry twin — the X1 exact-dedup tier's
+    STORAGE-layer frontier: documents stream in, each micro-batch's
+    content-defined chunks ADD their counts into the registry
+    (jobs.streaming_cdc_registry — counts merge by addition, so the
+    drained registry is the batch corpus-wide chunk df under any
+    arrival order; CDC boundaries are local, so a doc cuts identically
+    whenever it arrives). At drain every corpus doc re-chunks once and
+    joins the registry's final counts — the per-doc dedup report is
+    EXACTLY the batch rung's (oracle reused VERBATIM from
+    x1_cdc_chunk_dedup, the Bloom-twin parity statement). State rows =
+    |distinct chunks| — grows with content novelty, never with
+    re-ingested duplicate volume (BENCH_STREAM_SCALE `cdc_registry`)."""
+    from .dedup import cdc_chunks as _cdc_chunks
+
+    state = os.path.join(jobs.SCRATCH, f"cdcreg_{uuid.uuid4().hex[:8]}")
+    jobs.streaming_cdc_registry(jobs.stream_documents(spark, sf_dir), state)
+    reg = jobs.read_state(spark, state)
+    chunks = _cdc_chunks(
+        _load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    return (
+        chunks.join(F.broadcast(reg), "ch")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum((F.col("df") > 1).cast("int"))
+            .cast("long")
+            .alias("dup_chunks"),
+            F.expr(
+                "CAST(SUM(CASE WHEN df > 1 THEN clen ELSE 0 END)"
+                " * 1000000 DIV MAX(n) AS LONG)"
+            ).alias("dup_token_ppm"),
+        )
+    )

@@ -128,14 +128,16 @@ _PRIORITY: tuple[str, ...] = (
     "x5_schema_evolution_read",  # r8 — oldest x5
     "x7_asof_nearest",  # r8 — oldest x7
     "x9_triangle_count",  # r9 — oldest x9
-    # --- round-13 STALENESS rotation (17 of the 40 r7-tier rows, the
+    # --- round-13 STALENESS rotation (16 of the 40 r7-tier rows, the
     # oldest tier remaining; oldest-first, family coverage preserved).
-    # Twenty-three r7 rows defer to r14 (x4_corpus_profile,
+    # Twenty-four r7 rows defer to r14 (x4_corpus_profile,
     # x4_gopher_filter, x3_mips_topk, x2_semantic_dedup,
-    # x3_knn_classify, x3_ivf_pq_topk and x2_dedup_keep_best displaced
-    # by the round-13 additions below), each a parameter/engine variant
+    # x3_knn_classify, x3_ivf_pq_topk, x2_dedup_keep_best and
+    # ext_q22_dormant_customers displaced by the round-13 additions
+    # below), each a parameter/engine variant
     # whose family keeps 3+ fresher in-window members:
-    # ext_incremental_agg, x2_dedup_keep_best, x2_semantic_dedup,
+    # ext_incremental_agg, ext_q22_dormant_customers,
+    # x2_dedup_keep_best, x2_semantic_dedup,
     # x3_ivf_pq_topk, x3_knn_classify, x3_mips_topk, x4_bigram_logprob,
     # x4_corpus_profile, x4_gopher_filter, x4_heavy_hitters,
     # x4_perplexity_buckets, x4_token_normalize, x4_vocab_coverage,
@@ -159,7 +161,6 @@ _PRIORITY: tuple[str, ...] = (
     "ext_q17_small_qty_revenue",
     "ext_q19_disjunctive_revenue",
     "ext_q21_waiting_supplier",
-    "ext_q22_dormant_customers",
     "mm_audio_energy",
     "s_funnel_stream",
     "s_topk_stream",
@@ -173,6 +174,7 @@ _PRIORITY: tuple[str, ...] = (
     "x3_rank_fusion",
     "x1_cdc_chunk_dedup",
     "x3_mmr_diversify",
+    "s_cdc_chunk_stream",
 )
 
 #: The pre-round-9 window, kept for the union math in

@@ -1084,3 +1084,51 @@ def streaming_decontaminate(
         source.writeStream.foreachBatch(flag).outputMode("update"),
         "decon-stream",
     )
+
+
+def streaming_cdc_registry(
+    source: DataFrame, state_path: str, checkpoint: str | None = None
+) -> None:
+    """Content-defined-chunk registry at INGEST time — the storage-dedup
+    frontier (the stream twin of ``x1_cdc_chunk_dedup``'s corpus-wide
+    chunk-frequency build): each micro-batch's documents are cut with
+    the SAME CDC boundaries (operators.dedup.cdc_chunks — boundaries
+    depend only on local content, so a doc chunks identically whenever
+    it arrives) and the batch's per-chunk-hash counts ADD into the
+    state snapshot — counts are mergeable by plain addition (the
+    count-min merge discipline, keyed by chunk hash instead of fixed
+    cells), so the drained registry equals the batch corpus-wide df
+    exactly under ANY arrival order or batching. State grows with
+    DISTINCT chunk content (the minhash-registry growth class, bounded
+    by corpus novelty, never by arrival volume — re-ingested dup
+    content only increments counters). Snapshot writes use the
+    write-new-then-flip protocol shared with incremental_latest_per_key."""
+    from ..operators.dedup import cdc_chunks
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        s = batch.sparkSession
+        counts = (
+            cdc_chunks(batch.select("doc_id", "text"))
+            .groupBy("ch")
+            .agg(F.count(F.lit(1)).alias("df"))
+        )
+        version = _state_version(state_path)
+        if version is not None:
+            prev = s.read.parquet(os.path.join(state_path, version))
+            counts = (
+                prev.unionByName(counts.select(prev.columns))
+                .groupBy("ch")
+                .agg(F.sum("df").alias("df"))
+            )
+        new_version = f"v{batch_id}-{uuid.uuid4().hex[:8]}"
+        counts.write.parquet(os.path.join(state_path, new_version))
+        tmp = os.path.join(state_path, f"_VERSION.{new_version}")
+        with open(tmp, "w") as f:
+            f.write(new_version)
+        os.replace(tmp, os.path.join(state_path, "_VERSION"))  # atomic flip
+
+    run_to_completion(
+        source.writeStream.foreachBatch(merge).outputMode("update"),
+        "cdcreg-state",
+        checkpoint,
+    )
