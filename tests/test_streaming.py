@@ -822,3 +822,119 @@ def test_cdc_registry_stream_multibatch_additive_counts(spark, tmp_path):
     assert got == want
     assert len(got) > 0
     assert any(df > 1 for _, df in got)  # dup chunks exist in the corpus
+
+
+def test_cdc_registry_replay_of_merged_batch_is_skipped(spark, tmp_path):
+    """ADVICE r13 pin: foreachBatch is at-least-once — a crash after the
+    _VERSION flip but before the checkpoint commit re-delivers the
+    batch on restart. The merge embeds the batch id in the version
+    string and SKIPS a batch whose id already heads _VERSION, so the
+    replay cannot double-add counts. Simulated by draining the same
+    one-file source twice with FRESH checkpoints against the same
+    state dir (second drain re-delivers batch 0 exactly like a
+    post-flip replay): the final registry equals the single-ingest df."""
+    import glob
+    import os
+    import shutil
+
+    from weather_data_pipeline_spark.operators.dedup import cdc_chunks
+    from weather_data_pipeline_spark.streaming import jobs
+
+    sf = "/root/testdata/sf0.001"
+    doc = spark.read.parquet(f"{sf}/documents.parquet")
+    src = str(tmp_path / "docs_src")
+    os.makedirs(src)
+    tmp = str(tmp_path / "_tmp")
+    doc.coalesce(1).write.mode("overwrite").parquet(tmp)
+    shutil.move(
+        glob.glob(os.path.join(tmp, "part-*.parquet"))[0],
+        os.path.join(src, "b0.parquet"),
+    )
+
+    state = str(tmp_path / "state")
+    for ck in ("ck_first", "ck_replay"):
+        stream = spark.readStream.schema(doc.schema).parquet(src)
+        jobs.streaming_cdc_registry(
+            stream, state, checkpoint=str(tmp_path / ck)
+        )
+    got = sorted(
+        (r["ch"], r["df"]) for r in jobs.read_state(spark, state).collect()
+    )
+    want = sorted(
+        (r["ch"], r["df"])
+        for r in cdc_chunks(doc.select("doc_id", "text"))
+        .groupBy("ch")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .collect()
+    )
+    assert got == want  # NOT doubled by the replayed merge
+
+
+def test_cdc_registry_bounded_evicts_stale_singletons(spark, tmp_path):
+    """VERDICT r13 ask #2 pin: ``evict_df1_after=K`` bounds the
+    registry — after the drain, every surviving df=1 row was last
+    seen within the final K batches (here K=1 → only the last
+    batch's singleton tail survives), df>1 survivors are a subset of
+    the exact registry's dup chunks, every WITHIN-batch dup chunk is
+    still flagged df>1, and total state is strictly smaller than the
+    exact registry."""
+    import glob
+    import os
+    import shutil
+
+    from weather_data_pipeline_spark.operators.dedup import cdc_chunks
+    from weather_data_pipeline_spark.streaming import jobs
+
+    sf = "/root/testdata/sf0.001"
+    doc = spark.read.parquet(f"{sf}/documents.parquet")
+    src = str(tmp_path / "docs_src")
+    os.makedirs(src)
+    n_batches = 3
+    batch_docs = []
+    for i in range(n_batches):
+        part_df = doc.filter(F.pmod("doc_id", F.lit(n_batches)) == i)
+        batch_docs.append(part_df)
+        tmp = str(tmp_path / "_tmp")
+        part_df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        dest = os.path.join(src, f"b{i}.parquet")
+        shutil.move(glob.glob(os.path.join(tmp, "part-*.parquet"))[0], dest)
+        os.utime(dest, (1_700_000_000 + 100 * i,) * 2)
+
+    stream = (
+        spark.readStream.schema(doc.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    state = str(tmp_path / "state")
+    jobs.streaming_cdc_registry(stream, state, evict_df1_after=1)
+
+    rows = jobs.read_state(spark, state).collect()
+    exact = {
+        r["ch"]: r["df"]
+        for r in cdc_chunks(doc.select("doc_id", "text"))
+        .groupBy("ch")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .collect()
+    }
+    # (a) the bound: no stale singleton survives
+    for r in rows:
+        if r["df"] == 1:
+            assert r["last_batch"] == n_batches - 1, dict(r)
+    # (b) no spurious dups: bounded df>1 ⊆ exact df>1
+    for r in rows:
+        if r["df"] > 1:
+            assert exact[r["ch"]] > 1, dict(r)
+    # (c) within-batch dups always survive (never split by eviction)
+    for bd in batch_docs:
+        within = (
+            cdc_chunks(bd.select("doc_id", "text"))
+            .groupBy("ch")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter("df > 1")
+            .collect()
+        )
+        got_dup = {r["ch"] for r in rows if r["df"] > 1}
+        for w in within:
+            assert w["ch"] in got_dup, w["ch"]
+    # (d) the registry is strictly smaller than the exact one
+    assert 0 < len(rows) < len(exact)

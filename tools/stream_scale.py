@@ -240,6 +240,61 @@ def _cdc_registry(spark: SparkSession) -> dict:
     return res
 
 
+def _cdc_registry_bounded(spark: SparkSession) -> dict:
+    """Bounded-state CDC registry (VERDICT r13 ask #2): the exact
+    registry's rows grow with content novelty (9.96x at 10x novel
+    docs — the only corpus-sized streaming state in the repo). With
+    ``evict_df1_after=1`` over FIXED-SIZE micro-batches the drained
+    state is |df>1 survivors| + ONE batch's singleton tail: the 10x
+    corpus runs 10x as many batches of the same size, so state grows
+    only with the (small) duplicate fraction, not with novelty. The
+    compromise is the standard streaming-dedup TTL horizon: a dup
+    arriving >1 batch after its first copy restarts at df=1; the
+    dedup decision (df>1 flags) stays exact for within-horizon dups
+    (test-pinned in tests/test_streaming.py)."""
+    import pyspark.sql.functions as F  # noqa: N812
+
+    from weather_data_pipeline_spark.schemas import TESTDATA
+    from weather_data_pipeline_spark.streaming import jobs
+
+    res: dict = {}
+    for tag, root, n_files in (("1x", BASE, 2), ("10x", SCALE_DIR, 20)):
+        doc = (
+            spark.read.schema(TESTDATA["documents"])
+            .parquet(os.path.join(root, "documents.parquet"))
+        )
+        src_dir = os.path.join(WORK, f"cdcb_docs_{tag}")
+        os.makedirs(src_dir, exist_ok=True)
+        for i in range(n_files):
+            tmp = os.path.join(WORK, f"cdcb_tmp_{tag}")
+            doc.filter(
+                F.pmod("doc_id", F.lit(n_files)) == i
+            ).coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            dest = os.path.join(src_dir, f"b{i:03d}.parquet")
+            shutil.move(part, dest)
+            os.utime(dest, (1_700_000_000 + 100 * i,) * 2)
+        src = (
+            spark.readStream.schema(TESTDATA["documents"])
+            .option("maxFilesPerTrigger", "1")
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(src_dir)
+        )
+        state = os.path.join(WORK, f"cdcb_state_{tag}")
+        t0 = time.perf_counter()
+        jobs.streaming_cdc_registry(src, state, evict_df1_after=1)
+        res[f"t_{tag}"] = round(time.perf_counter() - t0, 3)
+        st = jobs.read_state(spark, state)
+        res[f"state_rows_{tag}"] = st.count()
+        res[f"dup_rows_{tag}"] = st.filter("df > 1").count()
+        res[f"n_batches_{tag}"] = n_files
+    res["ratio"] = round(res["t_10x"] / res["t_1x"], 2)
+    res["state_ratio"] = round(
+        res["state_rows_10x"] / max(res["state_rows_1x"], 1), 2
+    )
+    return res
+
+
 def _decon_frontier(spark: SparkSession) -> dict:
     """The decontamination frontier twin's state statement (round 13):
     STATELESS by construction — a training doc's shingles arrive whole
@@ -539,6 +594,7 @@ def main() -> None:
     out["countmin_cells"] = _countmin_sketch(spark)
     out["decon_frontier"] = _decon_frontier(spark)
     out["cdc_registry"] = _cdc_registry(spark)
+    out["cdc_registry_bounded"] = _cdc_registry_bounded(spark)
     print(json.dumps(out))
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "BENCH_STREAM_SCALE.json"), "w") as f:
@@ -575,6 +631,7 @@ def main_section(name: str) -> None:
         "countmin_cells": _countmin_sketch,
         "decon_frontier": _decon_frontier,
         "cdc_registry": _cdc_registry,
+        "cdc_registry_bounded": _cdc_registry_bounded,
     }[name]
     row = fn(spark)
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

