@@ -108,6 +108,35 @@ def test_harness_rejects_array_spark(spark):
         compare(spark, "arr", q, "SELECT 1", SF_ORACLE)
 
 
+def test_no_derived_double_decimal_casts():
+    """Registry-wide integer-microunit audit (VERDICT r13 ask #3): the
+    x6_stl_decompose round-13 red proved casting a DERIVED double to
+    DECIMAL is a cross-engine rounding-tie hazard. Every decimal-cast
+    site in the package must either auto-pass (raw column / literal /
+    raw-value selection / FLOOR — shapes that cannot round a derived
+    double) or carry a justified classification in
+    tools.microunit_audit.ALLOWLIST, whose categories deliberately
+    exclude 'derived double' — so a new derived-double cast has no
+    legal classification and must migrate to floor-quantized
+    microunits (the x6_acf_lags / x4_* / x2_tfidf / x9_pagerank
+    round-14 migrations are the precedents)."""
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo/tools")
+    import microunit_audit as audit
+
+    assert audit.misclassified() == [], audit.misclassified()
+    miss = audit.unclassified()
+    assert miss == [], (
+        "unclassified decimal-cast sites (classify in "
+        "tools/microunit_audit.py ALLOWLIST or migrate to integer "
+        f"microunits): {miss}"
+    )
+    live = set(audit.collect_py_sites()) | set(audit.collect_sql_sites())
+    stale = [k for k in audit.ALLOWLIST if k not in live]
+    assert stale == [], f"stale ALLOWLIST entries: {stale}"
+
+
 def test_every_query_runs(spark):
     """Queries without an oracle still must run and return a schema."""
     for name, fn in _QUERIES.items():

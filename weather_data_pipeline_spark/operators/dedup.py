@@ -1211,14 +1211,16 @@ _TFIDF_ORACLE = f"""
       SELECT term, COUNT(*) AS df FROM tf GROUP BY term
       HAVING COUNT(*) <= {TFIDF_DF_CAP}
     ), weighted AS (
-      SELECT doc_id, term, tf * LN(CAST(nd AS DOUBLE) / df) AS wt
+      SELECT doc_id, term,
+             CAST(FLOOR(tf * LN(CAST(nd AS DOUBLE) / df) * 1000000)
+                  AS DECIMAL(18,0)) AS wq
       FROM tf JOIN stats USING (term) CROSS JOIN n_docs
     ), norms AS (
-      SELECT doc_id, SUM(CAST(wt * wt AS DECIMAL(28,12))) AS norm_sq
+      SELECT doc_id, SUM(wq * wq) AS norm_sq
       FROM weighted GROUP BY doc_id
     ), dots AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             SUM(CAST(a.wt * b.wt AS DECIMAL(28,12))) AS dot
+             SUM(a.wq * b.wq) AS dot
       FROM weighted a JOIN weighted b
         ON a.term = b.term AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
@@ -1238,9 +1240,14 @@ _TFIDF_ORACLE = f"""
 
 def _tfidf_weighted(spark: SparkSession, sf_dir: str):
     """Shared df-capped TF-IDF subtree for both cosine rungs: returns
-    (weighted, norms) where weighted = (doc_id, h=xxhash64(term), wt)
-    localCheckpointed (read ≥3x by every consumer — see the reuse note
-    on x2_tfidf_cosine) and norms = (doc_id, norm_sq DECIMAL)."""
+    (weighted, norms) where weighted = (doc_id, h=xxhash64(term),
+    wq DECIMAL(18,0)) localCheckpointed (read ≥3x by every consumer —
+    see the reuse note on x2_tfidf_cosine) and norms =
+    (doc_id, norm_sq DECIMAL). Weights floor-quantize to integer
+    1e-6 units at creation (VERDICT r13 ask #3 — tf·ln(nd/df) is a
+    derived double, so it never casts to decimal; |wt|·1e6 < 2^53
+    holds for any tf·idf this corpus shape can produce), making every
+    downstream norm/dot an EXACT integer-decimal product sum."""
     doc = fan_out(load_table(spark, sf_dir, "documents"))
     words = doc.select("doc_id", F.split("text", " ").alias("words")).filter(
         F.size("words") >= 3
@@ -1264,12 +1271,14 @@ def _tfidf_weighted(spark: SparkSession, sf_dir: str):
     weighted = tf.join(stats, "term").select(
         "doc_id",
         F.xxhash64("term").alias("h"),
-        (F.col("tf") * F.log(F.lit(float(nd)) / F.col("df"))).alias("wt"),
+        F.floor(
+            F.col("tf") * F.log(F.lit(float(nd)) / F.col("df")) * F.lit(1e6)
+        )
+        .cast("decimal(18,0)")
+        .alias("wq"),
     ).localCheckpoint(eager=True)
     norms = weighted.groupBy("doc_id").agg(
-        F.sum((F.col("wt") * F.col("wt")).cast("decimal(28,12)")).alias(
-            "norm_sq"
-        )
+        F.sum(F.col("wq") * F.col("wq")).alias("norm_sq")
     )
     return weighted, norms
 
@@ -1307,10 +1316,11 @@ def x2_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     double duty: pair work bounded at |docs|·cap (the posting-list-skew
     guard) while dropping exactly the terms idf already weights lowest.
     Determinism across engines: idf/weight products are IEEE-identical
-    doubles; the order-sensitive parts (dot products, norms) sum
-    DECIMAL(28,12)-cast terms — exact, order-independent — with one
-    double division + sqrt at the emit boundary (the repo's decimal-sum
-    convention). df/tf are counted over RAW shingle strings; only the
+    doubles floor-quantized to integer 1e-6 units at creation (the
+    microunit discipline, VERDICT r13 ask #3), so the order-sensitive
+    parts (dot products, norms) are EXACT integer-decimal product sums
+    — order-independent by arithmetic — with one double division +
+    sqrt at the emit boundary. df/tf are counted over RAW shingle strings; only the
     pair join keys on ``xxhash64`` (the collision caveat documented on
     x2_ngram_jaccard applies to the join only, never the weights)."""
     # No uncapped-rung gate here: unlike x2_ngram_jaccard, the df
@@ -1329,20 +1339,16 @@ def x2_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # long-lived job swaps in checkpoint() with a reliable dir.
     weighted, norms = _tfidf_weighted(spark, sf_dir)
     a = weighted.select(
-        F.col("doc_id").alias("doc_a"), "h", F.col("wt").alias("wa")
+        F.col("doc_id").alias("doc_a"), "h", F.col("wq").alias("wa")
     )
     b = weighted.select(
-        F.col("doc_id").alias("doc_b"), "h", F.col("wt").alias("wb")
+        F.col("doc_id").alias("doc_b"), "h", F.col("wq").alias("wb")
     )
     dots = (
         a.join(b, "h")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
-        .agg(
-            F.sum((F.col("wa") * F.col("wb")).cast("decimal(28,12)")).alias(
-                "dot"
-            )
-        )
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
     )
     return _tfidf_emit(dots, norms)
 
@@ -1374,7 +1380,10 @@ def _tfidf_rem_sq(weighted: DataFrame, norms: DataFrame) -> DataFrame:
     unit = weighted.join(norms, "doc_id").select(
         "doc_id",
         "h",
-        (F.col("wt") / F.sqrt(F.col("norm_sq").cast("double"))).alias("u"),
+        (
+            F.col("wq").cast("double")
+            / F.sqrt(F.col("norm_sq").cast("double"))
+        ).alias("u"),
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("u").desc(), "h")
     cum = F.sum(F.col("u") * F.col("u")).over(
@@ -1452,20 +1461,16 @@ def _tfidf_prefix_dots(
         keep_frac = probe["kept"] / max(probe["n"], 1)
         if keep_frac > TFIDF_PREFIX_SELECTIVITY_MAX:
             a = weighted.select(
-                F.col("doc_id").alias("doc_a"), "h", F.col("wt").alias("wa")
+                F.col("doc_id").alias("doc_a"), "h", F.col("wq").alias("wa")
             )
             b = weighted.select(
-                F.col("doc_id").alias("doc_b"), "h", F.col("wt").alias("wb")
+                F.col("doc_id").alias("doc_b"), "h", F.col("wq").alias("wb")
             )
             return (
                 a.join(b, "h")
                 .filter(F.col("doc_a") < F.col("doc_b"))
                 .groupBy("doc_a", "doc_b")
-                .agg(
-                    F.sum(
-                        (F.col("wa") * F.col("wb")).cast("decimal(28,12)")
-                    ).alias("dot")
-                )
+                .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
             )
     pref = _tfidf_prefix_postings(weighted, norms)
     cand = (
@@ -1475,20 +1480,16 @@ def _tfidf_prefix_dots(
         .distinct()
     )
     fa = weighted.select(
-        F.col("doc_id").alias("doc_a"), "h", F.col("wt").alias("wa")
+        F.col("doc_id").alias("doc_a"), "h", F.col("wq").alias("wa")
     )
     fb = weighted.select(
-        F.col("doc_id").alias("doc_b"), "h", F.col("wt").alias("wb")
+        F.col("doc_id").alias("doc_b"), "h", F.col("wq").alias("wb")
     )
     return (
         cand.join(fa, "doc_a")
         .join(fb, ["doc_b", "h"])
         .groupBy("doc_a", "doc_b")
-        .agg(
-            F.sum((F.col("wa") * F.col("wb")).cast("decimal(28,12)")).alias(
-                "dot"
-            )
-        )
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
     )
 
 
@@ -3141,12 +3142,23 @@ def cdc_chunks(doc: DataFrame) -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, h: (acc * F.lit(_SPAN_BASE) + h) % F.lit(_SPAN_MOD),
     )
-    bounds = F.filter(
-        F.sequence(F.lit(CDC_W), F.col("n")),
-        lambda i: fold(F.slice(F.col("th"), i - CDC_W + 1, F.lit(CDC_W)))
-        % CDC_DIV
-        == 0,
-    )
+    # Short-doc guard (ADVICE r13): for n < CDC_W,
+    # sequence(CDC_W, n) is DESCENDING (Spark's default step is -1), so a
+    # 3-token doc would evaluate slice(th, 0, 4) (crash) and 1–2 token
+    # docs would hit negative slice starts that wrap from the array end.
+    # The oracle's generate_series(CDC_W, n) is empty for n < CDC_W and
+    # emits one whole-doc chunk — match that exactly.
+    bounds = F.when(
+        F.col("n") >= CDC_W,
+        F.filter(
+            F.sequence(F.lit(CDC_W), F.col("n")),
+            lambda i: fold(
+                F.slice(F.col("th"), i - CDC_W + 1, F.lit(CDC_W))
+            )
+            % CDC_DIV
+            == 0,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
     with_b = base.filter(F.col("n") >= 1).select(
         "doc_id", "n", "th", bounds.alias("bs")
     )

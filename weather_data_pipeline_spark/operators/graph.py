@@ -76,11 +76,13 @@ def _pagerank_oracle() -> str:
     pr{i + 1} AS (
       SELECT d.node,
              (1.0 - {DAMPING}) / nn.n
-               + {DAMPING} * CAST(COALESCE(s.acc, 0) AS DOUBLE) AS rank
+               + {DAMPING} * (CAST(COALESCE(s.acc, 0) AS DOUBLE)
+                              / 1000000000000000) AS rank
       FROM deg d CROSS JOIN nn
       LEFT JOIN (
         SELECT e.dst AS node,
-               SUM(CAST(p.rank / g.outdeg AS DECIMAL(28,12))) AS acc
+               SUM(CAST(FLOOR(p.rank / g.outdeg * 1000000000000000)
+                        AS DECIMAL(38,0))) AS acc
         FROM edges e
         JOIN pr{i} p ON p.node = e.src
         JOIN deg g ON g.node = e.src
@@ -157,12 +159,18 @@ def x9_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     small = n <= PR_BROADCAST_NODES
     for _ in range(N_ITER):
         pv = pr.withColumnRenamed("node", "src")
+        # per-edge contributions floor-quantize to integers at 1e-15
+        # before the exact DECIMAL(38,0) sum (VERDICT r13 ask #3 — a
+        # derived double never casts to decimal; contrib ≤ 1 so
+        # contrib·1e15 < 2^53 always)
         contrib = (
             edges.join(F.broadcast(pv) if small else pv, "src")
             .select(
                 F.col("dst").alias("node"),
-                (F.col("rank") / F.col("outdeg"))
-                .cast("decimal(28,12)")
+                F.floor(
+                    F.col("rank") / F.col("outdeg") * F.lit(1e15)
+                )
+                .cast("decimal(38,0)")
                 .alias("c"),
             )
             .groupBy("node")
@@ -175,7 +183,11 @@ def x9_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "outdeg",
             (
                 F.lit((1.0 - DAMPING) / n)
-                + DAMPING * F.coalesce(F.col("acc").cast("double"), F.lit(0.0))
+                + DAMPING
+                * (
+                    F.coalesce(F.col("acc").cast("double"), F.lit(0.0))
+                    / F.lit(1e15)
+                )
             ).alias("rank"),
         )
     return pr.select(

@@ -2811,30 +2811,31 @@ ACF_MIN_DAYS = 10
     WITH daily AS (
       SELECT user_id,
              datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
-             CAST(SUM(CAST(value AS DECIMAL(28,12))) AS DOUBLE)
-               / COUNT(*) AS v
+             CAST(FLOOR(CAST(SUM(CAST(value AS DECIMAL(28,12))) AS DOUBLE)
+                        / COUNT(*) * 1000000) AS BIGINT) AS vq
       FROM events GROUP BY 1, 2
     ),
     stats AS (
       SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_days,
-             CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE)
-               / COUNT(*) AS mean_v
+             CAST(SUM(vq) AS DOUBLE) / COUNT(*) AS mean_q
       FROM daily GROUP BY user_id
     ),
     dev AS (
-      SELECT d.user_id, d.d, d.v - s.mean_v AS e, s.n_days
+      SELECT d.user_id, d.d,
+             (CAST(d.vq AS DOUBLE) - s.mean_q) / 1000000.0 AS ed,
+             s.n_days
       FROM daily d JOIN stats s ON s.user_id = d.user_id
       WHERE s.n_days >= {ACF_MIN_DAYS}
     ),
     denom AS (
       SELECT user_id, MAX(n_days) AS n_days,
-             CAST(SUM(CAST(e * e AS DECIMAL(28,12))) AS DOUBLE) AS ss
+             SUM(CAST(FLOOR(ed * ed * 1000000) AS DECIMAL(38,0))) AS ssq
       FROM dev GROUP BY user_id
     ),
     lagged AS (
       SELECT a.user_id, l.lag,
-             CAST(SUM(CAST(a.e * b.e AS DECIMAL(28,12))) AS DOUBLE)
-               AS sp,
+             SUM(CAST(FLOOR(a.ed * b.ed * 1000000) AS DECIMAL(38,0)))
+               AS spq,
              CAST(COUNT(*) AS BIGINT) AS n_pairs
       FROM dev a
       JOIN (VALUES {", ".join(f"({k})" for k in ACF_LAGS)}) AS l(lag)
@@ -2843,8 +2844,9 @@ ACF_MIN_DAYS = 10
       GROUP BY a.user_id, l.lag
     )
     SELECT g.user_id, g.lag, d.n_days, g.n_pairs,
-           CASE WHEN d.ss = 0 THEN NULL
-                ELSE FLOOR(g.sp / d.ss * 1000000) / 1000000.0
+           CASE WHEN d.ssq = 0 THEN NULL
+                ELSE FLOOR(CAST(g.spq AS DOUBLE) / CAST(d.ssq AS DOUBLE)
+                           * 1000000) / 1000000.0
            END AS acf
     FROM lagged g JOIN denom d ON d.user_id = g.user_id
     """,
@@ -2859,11 +2861,18 @@ def x6_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimator of record for irregularly-observed series). Reference
     scope: no time-series diagnostics in the reference; §2.10 tier.
 
-    Determinism: daily means and the per-series mean are exact DECIMAL
-    sums; deviations and their products are per-row IEEE doubles
-    DECIMAL-cast BEFORE the sums (order-independent); the ACF ratio is
-    one double division floor-truncated to 6 (the repo-wide _trunc6
-    rule), and a zero-variance series returns NULL identically on both
+    Determinism — INTEGER-MICROUNIT scheme (the x6_stl_decompose
+    discipline, migrated here per VERDICT r13 ask #3: deviations are
+    arithmetic-derived doubles, the proven decimal-cast tie hazard):
+    daily means floor-quantize to BIGINT microunits, the series mean
+    is one exact-integer-sum division, deviations and their products
+    are single IEEE ops on bit-identical inputs, each product
+    floor-quantizes to an integer BEFORE the exact DECIMAL(38,0) sum
+    (order-independent by arithmetic — no rounding convention in any
+    aggregation; |ed·ed|·1e6 < 2^53 holds for |value| ≤ 9e4, and the
+    events feed is 2dp sensor readings ≤ ~500). The ACF ratio is one
+    double division floor-truncated to 6 (the repo-wide _trunc6 rule),
+    and a zero-variance series returns NULL identically on both
     engines.
 
     Scale shape: ONE (user, day) partial-agg exchange caps everything
@@ -2878,17 +2887,15 @@ def x6_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
         .alias("d"),
     ).agg(
-        (
+        F.floor(
             F.sum(F.col("value").cast("decimal(28,12)")).cast("double")
             / F.count(F.lit(1))
-        ).alias("v")
+            * F.lit(1e6)
+        ).alias("vq")
     )
     stats = daily.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_days"),
-        (
-            F.sum(F.col("v").cast("decimal(28,12)")).cast("double")
-            / F.count(F.lit(1))
-        ).alias("mean_v"),
+        (F.sum("vq").cast("double") / F.count(F.lit(1))).alias("mean_q"),
     )
     dev = (
         daily.join(stats, "user_id")
@@ -2896,22 +2903,25 @@ def x6_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             "d",
-            (F.col("v") - F.col("mean_v")).alias("e"),
+            ((F.col("vq").cast("double") - F.col("mean_q")) / F.lit(1e6))
+            .alias("ed"),
             "n_days",
         )
     )
     denom = dev.groupBy("user_id").agg(
         F.max("n_days").alias("n_days"),
-        F.sum((F.col("e") * F.col("e")).cast("decimal(28,12)"))
-        .cast("double")
-        .alias("ss"),
+        F.sum(
+            F.floor(F.col("ed") * F.col("ed") * F.lit(1e6)).cast(
+                "decimal(38,0)"
+            )
+        ).alias("ssq"),
     )
     lags = spark.createDataFrame([(k,) for k in ACF_LAGS], "lag int")
-    a = dev.select("user_id", "d", F.col("e").alias("ea"))
+    a = dev.select("user_id", "d", F.col("ed").alias("ea"))
     b = dev.select(
         F.col("user_id").alias("ub"),
         F.col("d").alias("db"),
-        F.col("e").alias("eb"),
+        F.col("ed").alias("eb"),
     )
     lagged = (
         a.crossJoin(F.broadcast(lags))
@@ -2922,9 +2932,11 @@ def x6_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("user_id", "lag")
         .agg(
-            F.sum((F.col("ea") * F.col("eb")).cast("decimal(28,12)"))
-            .cast("double")
-            .alias("sp"),
+            F.sum(
+                F.floor(F.col("ea") * F.col("eb") * F.lit(1e6)).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("spq"),
             F.count(F.lit(1)).cast("long").alias("n_pairs"),
         )
     )
@@ -2934,8 +2946,13 @@ def x6_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_days",
         "n_pairs",
         F.when(
-            F.col("ss") != 0,
-            F.floor(F.col("sp") / F.col("ss") * F.lit(1e6)) / F.lit(1e6),
+            F.col("ssq") != 0,
+            F.floor(
+                F.col("spq").cast("double")
+                / F.col("ssq").cast("double")
+                * F.lit(1e6)
+            )
+            / F.lit(1e6),
         ).alias("acf"),
     )
 
