@@ -183,6 +183,9 @@ HEADLINE = [
     "x3_rank_fusion",
     "x1_cdc_chunk_dedup",
     "x3_mmr_diversify",
+    # round-14 additions
+    "x3_nsw_beam",
+    "x4_unigram_train",
     # x1_bloom_geometry_tuning is scale-suite-only: ~6.5 s/run warmed
     # (4 configs x 3 bounded counts = 13 sequential driver-traffic
     # jobs — the sweep's inherent shape), too heavy for the 5-pass

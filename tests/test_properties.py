@@ -1158,3 +1158,83 @@ def test_cdc_chunking_insertion_stable(spark):
     tail0 = [h for h in h0 if h in shared]
     tail1 = [h for h in h1 if h in shared]
     assert tail0[-3:] == tail1[-3:]
+
+
+def test_cdc_chunking_short_docs_single_chunk(spark):
+    """ADVICE r13 regression pin: docs shorter than CDC_W tokens must
+    yield exactly ONE whole-doc chunk (the oracle's empty
+    generate_series branch), never crash. Pre-fix, sequence(CDC_W, n)
+    ran DESCENDING for n < CDC_W: a 3-token doc crashed on
+    slice(th, 0, 4) and 1–2 token docs hit negative slice starts that
+    wrapped from the array end (spurious boundaries, clen > n)."""
+    from weather_data_pipeline_spark.operators.dedup import (
+        CDC_W,
+        cdc_chunks,
+    )
+
+    docs = [(n, " ".join(f"t{i}" for i in range(n))) for n in (1, 2, 3)]
+    assert all(len(t.split(" ")) < CDC_W for _, t in docs)
+    # plus one boundary doc (n == CDC_W) and one long doc as controls
+    docs.append((CDC_W, " ".join(f"t{i}" for i in range(CDC_W))))
+    docs.append((50, " ".join(f"w{i * 7 % 13}" for i in range(50))))
+    doc = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = cdc_chunks(doc).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for n in (1, 2, 3):
+        assert len(by_doc[n]) == 1, (n, by_doc[n])
+        assert by_doc[n][0]["clen"] == n
+    # controls: chunks still tile exactly
+    assert sum(r["clen"] for r in by_doc[CDC_W]) == CDC_W
+    assert sum(r["clen"] for r in by_doc[50]) == 50
+
+
+def test_unigram_train_pruning_monotone_and_exact_logprobs(spark):
+    """Unigram-LM training properties (round 14, VERDICT r13 ask #5):
+    (a) PRUNING MONOTONICITY — each EM round's vocabulary is a subset
+    of the previous round's (the M-step can only drop pieces no
+    winning segmentation uses; the Laplace floor keeps every single
+    char alive in every round); (b) the emitted log-prob microunits
+    are EXACTLY floor(ln(cnt/total)·1e12) recomputed in Python from
+    the same integer counts; (c) every word remains segmentable —
+    the all-singles fallback — so the final vocab covers the corpus
+    alphabet."""
+    from pyspark.sql import functions as F
+
+    from weather_data_pipeline_spark.operators.text_analysis import (
+        UNI_LP_SCALE,
+        UNI_ROUNDS,
+        unigram_vocab_rounds,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    doc = spark.read.parquet(f"{sf}/documents.parquet")
+    wc = (
+        doc.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") >= 1)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    vocabs = [
+        {r["piece"]: (r["cnt"], r["lp"]) for r in v.collect()}
+        for v in unigram_vocab_rounds(wc, UNI_ROUNDS)
+    ]
+    assert len(vocabs) == UNI_ROUNDS + 1
+    chars = {
+        c for r in wc.select("word").collect() for c in r["word"]
+    }
+    for i in range(1, len(vocabs)):
+        assert set(vocabs[i]) <= set(vocabs[i - 1])  # (a) monotone
+    # pruning bites in round 1 (the seed's unused substrings drop);
+    # later rounds may legitimately converge (no further pruning)
+    assert len(vocabs[1]) < len(vocabs[0])
+    for v in vocabs:
+        assert chars <= set(v)  # (c) alphabet never pruned
+        import math
+
+        total = sum(c for c, _ in v.values())
+        for piece, (cnt, lp) in v.items():  # (b) exact microunits
+            assert lp == math.floor(
+                math.log(cnt / total) * UNI_LP_SCALE
+            ), piece

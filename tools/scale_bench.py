@@ -242,6 +242,9 @@ QUERIES = [
     "x3_rank_fusion",
     "x1_cdc_chunk_dedup",
     "x3_mmr_diversify",
+    # round-14 additions
+    "x3_nsw_beam",
+    "x4_unigram_train",
 ]
 
 #: Viral boilerplate for the skew replica: untagged (shared verbatim

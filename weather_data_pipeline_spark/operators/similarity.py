@@ -2817,7 +2817,18 @@ def x3_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     crows = cand.collect()  # |queries|·TOP_K rows by construction
+    # Fail fast if a future N_QUERIES/TOP_K bump (or an upstream arm
+    # change) silently grows the driver-side walk past its contract
+    # (VERDICT r13 ask #8 — the grouped-kernel guard precedent).
+    assert len(crows) <= N_QUERIES * TOP_K, (
+        f"MMR candidate collect {len(crows)} rows exceeds the "
+        f"N_QUERIES*TOP_K={N_QUERIES * TOP_K} driver-walk bound"
+    )
     prows = pairs.collect()  # ≤ |queries|·TOP_K² rows
+    assert len(prows) <= N_QUERIES * TOP_K * TOP_K, (
+        f"MMR pair collect {len(prows)} rows exceeds the "
+        f"N_QUERIES*TOP_K²={N_QUERIES * TOP_K * TOP_K} bound"
+    )
     rel = {(r["query_id"], r["doc_id"]): r["rel"] for r in crows}
     ps = {(r["query_id"], r["a"], r["b"]): r["ps"] for r in prows}
     by_q: dict = {}
@@ -2850,4 +2861,233 @@ def x3_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
             del remaining[d]
     return spark.createDataFrame(
         out, schema="query_id long, mmr_rank long, doc_id long, mmr double"
+    )
+
+
+# ----------------------------------------------------------------------
+# Graph-based ANN (round 14): NSW-class beam search over a kNN graph
+# ----------------------------------------------------------------------
+#: out-degree of the exact kNN graph (before symmetrization). Tuned on
+#: the synthetic corpus (random-ish 64-d embeddings — the hard, flat
+#: cosine landscape): (M=16, B=16, R=8) measures recall@16 0.92 at
+#: sf0.01 / 0.74 at sf0.1 vs exact top-16; the r13-ask sizing (6,4,3)
+#: measured 0.12-0.17. At a fixed (M, B, R) recall decays as the
+#: corpus grows — production scales M and R with log n (that is the
+#: hierarchy HNSW adds); the rung pins the single-layer search loop.
+NSW_M = 16
+#: beam width kept per expansion round
+NSW_BEAM = 16
+#: unrolled greedy expansion rounds (the x9 round-unrolling oracle
+#: machinery bounds what SQL can express)
+NSW_ROUNDS = 8
+#: fixed entry node: the first non-query corpus id — deterministic and
+#: never equal to any query id by construction
+NSW_ENTRY = N_QUERIES
+
+
+def _nsw_oracle() -> str:
+    """Beam search round-unrolled as CTEs (the _sssp_oracle /
+    _pagerank_oracle precedent): e0 = exact top-M kNN edges, edges =
+    symmetrized, qs = query→corpus rounded sims, then per round
+    candidates = beam ∪ neighbors(beam) and beam = top-B by
+    (sim DESC, vec_id)."""
+    cos = _DUCK_COS.format(a="a.embedding", b="b.embedding")
+    qcos = _DUCK_COS.format(a="q.embedding", b="c.embedding")
+    parts = [
+        f"""
+    e0 AS MATERIALIZED (
+      SELECT src, dst FROM (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               ROW_NUMBER() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY ROUND({cos}, 6) DESC, b.vec_id) AS rn
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+      ) WHERE rn <= {NSW_M}
+    ),
+    edges AS MATERIALIZED (
+      SELECT src, dst FROM e0
+      UNION
+      SELECT dst AS src, src AS dst FROM e0
+    ),
+    qs AS MATERIALIZED (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+             ROUND({qcos}, 6) AS sim
+      FROM (SELECT * FROM embeddings WHERE vec_id < {N_QUERIES}) q
+      CROSS JOIN embeddings c
+    ),
+    b0 AS MATERIALIZED (
+      SELECT vec_id AS query_id, CAST({NSW_ENTRY} AS BIGINT) AS vec_id
+      FROM embeddings WHERE vec_id < {N_QUERIES}
+    )"""
+    ]
+    for t in range(1, NSW_ROUNDS + 1):
+        parts.append(
+            f""",
+    c{t} AS MATERIALIZED (
+      SELECT query_id, vec_id FROM b{t - 1}
+      UNION
+      SELECT b.query_id, e.dst AS vec_id
+      FROM b{t - 1} b JOIN edges e ON e.src = b.vec_id
+    ),
+    b{t} AS MATERIALIZED (
+      SELECT query_id, vec_id FROM (
+        SELECT c.query_id, c.vec_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY c.query_id
+                 ORDER BY s.sim DESC, c.vec_id) AS rn
+        FROM c{t} c
+        JOIN qs s ON s.query_id = c.query_id AND s.vec_id = c.vec_id
+        WHERE c.vec_id <> c.query_id
+      ) WHERE rn <= {NSW_BEAM}
+    )"""
+        )
+    return (
+        "WITH "
+        + "".join(parts)
+        + f"""
+    SELECT query_id, CAST(rn AS BIGINT) AS beam_rank, vec_id, sim FROM (
+      SELECT b.query_id, b.vec_id, s.sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY b.query_id
+               ORDER BY s.sim DESC, b.vec_id) AS rn
+      FROM b{NSW_ROUNDS} b
+      JOIN qs s ON s.query_id = b.query_id AND s.vec_id = b.vec_id
+    )
+    """
+    )
+
+
+@query("x3_nsw_beam", oracle=_nsw_oracle())
+def x3_nsw_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-based ANN — the NSW/HNSW family rung the X3 ladder lacked
+    (IVF/PQ/LSH/binary all present; VERDICT r13 ask #4): a
+    deterministic exact-cosine kNN graph (top-``NSW_M`` per node,
+    rounded-sim + vec_id total order, symmetrized) searched by
+    ``NSW_ROUNDS`` unrolled beam-expansion rounds from the fixed entry
+    node ``NSW_ENTRY`` — each round expands the beam's neighbors and
+    keeps the top-``NSW_BEAM`` by (sim DESC, vec_id). This is the
+    single-layer NSW search loop (Malkov et al. 2014, public
+    algorithm) with a fixed round budget instead of a convergence
+    test, which is what makes the oracle expressible (the
+    _sssp_oracle round-unrolling precedent). Recall vs the exact
+    top-k is pinned by tests/test_plans.py::test_nsw_beam_recall_floor.
+    Reference scope: no retrieval ops in the reference (440-line
+    pandas ETL); §2.10 extension tier.
+
+    Determinism: every similarity is the shared sequential-fold dot
+    product rounded to 6 BEFORE any ranking (the cosine-rung
+    contract); every window carries the vec_id tiebreak; candidate
+    sets are DISTINCT unions, so revisits are idempotent.
+
+    Scale shape: the INDEX BUILD broadcasts the corpus matrix into a
+    single mapInPandas pass (guarded by MAX_BROADCAST_VECTORS — the
+    documented ceiling for every broadcast-arm rung here); per-row
+    top-M selection happens inside the Arrow batch, so the graph
+    materializes as one |V|·M edge frame with no all-pairs shuffle.
+    At 100 TB the build swaps to LSH/IVF-blocked candidate
+    generation (the x3 ladder's own bucketed arms) feeding the same
+    top-M contract; the SEARCH side is already scale-shaped — per
+    round one |beam|-keyed equi-join against the edge frame and one
+    per-query window over ≤ B·(2M+1) candidate rows, with the
+    query-sim table built once (one corpus scan) and reused by every
+    round."""
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    rows = emb.sort("vec_id").collect()
+    assert len(rows) <= MAX_BROADCAST_VECTORS, (
+        f"corpus {len(rows)} exceeds MAX_BROADCAST_VECTORS="
+        f"{MAX_BROADCAST_VECTORS}: build the kNN graph with the "
+        "LSH/IVF-blocked arms instead of the broadcast pass"
+    )
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    norms = _seq_self_norms(mat)
+    bc = spark.sparkContext.broadcast((ids, mat, norms))
+
+    def knn_edges(batches):
+        b_ids, b_mat, b_norms = bc.value
+        for pdf in batches:
+            src_ids = pdf["vec_id"].to_numpy()
+            src_mat = np.stack(pdf["embedding"].to_numpy()).astype(
+                np.float64
+            )
+            src_norm = _seq_self_norms(src_mat)
+            out_src, out_dst = [], []
+            for i in range(len(pdf)):
+                s = np.round(
+                    _seq_dot(b_mat, src_mat[i]) / (src_norm[i] * b_norms),
+                    6,
+                )
+                mask = b_ids != src_ids[i]
+                mids, msims = b_ids[mask], s[mask]
+                order = np.lexsort((mids, -msims))[:NSW_M]
+                out_src.extend([src_ids[i]] * len(order))
+                out_dst.extend(mids[order])
+            yield pd.DataFrame({"src": out_src, "dst": out_dst})
+
+    knn = emb.mapInPandas(knn_edges, schema="src long, dst long")
+    edges = (
+        knn.unionByName(
+            knn.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # read once per round
+        .withColumnRenamed("src", "vec_id")
+    )
+
+    q_mask = ids < N_QUERIES
+    q_ids, q_mat, q_norms = ids[q_mask], mat[q_mask], norms[q_mask]
+
+    def qsims_fn(batches):
+        for pdf in batches:
+            c_ids = pdf["vec_id"].to_numpy()
+            c_mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            c_norms = _seq_self_norms(c_mat)
+            out = []
+            for qi, qid in enumerate(q_ids):
+                s = _seq_dot(c_mat, q_mat[qi]) / (q_norms[qi] * c_norms)
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": int(qid),
+                            "vec_id": c_ids,
+                            "sim": np.round(s, 6),
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    qsims = emb.mapInPandas(
+        qsims_fn, schema="query_id long, vec_id long, sim double"
+    ).localCheckpoint(eager=True)  # read by every round + the emit
+
+    beam = spark.createDataFrame(
+        [(int(q), NSW_ENTRY) for q in sorted(q_ids)],
+        "query_id long, vec_id long",
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "vec_id")
+    for _ in range(NSW_ROUNDS):
+        expanded = beam.unionByName(
+            beam.join(edges, "vec_id").select(
+                "query_id", F.col("dst").alias("vec_id")
+            )
+        ).distinct()
+        beam = (
+            expanded.filter(F.col("vec_id") != F.col("query_id"))
+            .join(qsims, ["query_id", "vec_id"])
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= NSW_BEAM)
+            .select("query_id", "vec_id")
+            # flat lineage per round (the Pregel localCheckpoint
+            # convention): without this the depth-R plan re-derives
+            # every earlier round per action
+            .localCheckpoint(eager=True)
+        )
+    return (
+        beam.join(qsims, ["query_id", "vec_id"])
+        .withColumn("beam_rank", F.row_number().over(w).cast("long"))
+        .select("query_id", "beam_rank", "vec_id", "sim")
     )
