@@ -46,3 +46,37 @@ def test_payload_main_uses_builder():
     body = src[src.index("def main"):]
     assert "build_payload(" in body
     assert not re.search(r'"queries_median"\s*:', body)
+
+
+def test_planhashes_artifact_matches_plan_audit_surface():
+    """PLANHASHES.json (VERDICT r13 ask #6): the committed normalized
+    plan-hash map must exist, cover EXACTLY the plan_audit surface
+    (HEADLINE + EXTRA), and carry well-formed 16-hex hashes — so
+    round-over-round plan stability is a one-line git diff, and a
+    query added to the audit surface without a regenerated artifact
+    fails here. Paths derive from __file__ (the bench-contract rule:
+    no cwd assumptions)."""
+    import re
+    import sys
+
+    root = Path(__file__).resolve().parents[1]
+    payload = json.loads((root / "PLANHASHES.json").read_text())
+    sys.path.insert(0, str(root / "tools"))
+    sys.path.insert(0, str(root))
+    import plan_audit
+
+    bench = _load_bench()
+    expected = set(bench.HEADLINE) | set(plan_audit.EXTRA)
+    assert set(payload["plans"]) == expected
+    for name, h in payload["plans"].items():
+        assert re.fullmatch(r"[0-9a-f]{16}", h), (name, h)
+    # normalization is run-invariant: ids/locations/stats stripped
+    sample = (
+        "(12) Scan parquet\n"
+        "Location: InMemoryFileIndex [file:/root/testdata/x]\n"
+        "Output [2]: [doc_id#123L, text#124]\n"
+    )
+    moved = sample.replace("#123L", "#999L").replace("(12)", "(77)")
+    assert plan_audit.normalized_plan_hash(sample) == (
+        plan_audit.normalized_plan_hash(moved)
+    )

@@ -2,12 +2,23 @@
 every headline query at sf0.1 — the `.explain` evidence behind the
 README's shuffle inventory, kept as a reviewable artifact.
 
-Run:  python tools/plan_audit.py            (writes PLANS.md at repo root)
+Also writes PLANHASHES.json (VERDICT r13 ask #6): a normalized
+per-section hash map, so round-over-round plan stability is a one-line
+`git diff PLANHASHES.json` instead of prose about regenerations. The
+normalization strips everything that varies run-to-run without a plan
+change — expression/operator/codegen ids, file locations, statistics —
+so a hash moves exactly when the plan SHAPE moves (an exchange added,
+a join strategy flipped, a filter no longer pushed).
+
+Run:  python tools/plan_audit.py   (writes PLANS.md + PLANHASHES.json)
 """
 
 from __future__ import annotations
 
+import hashlib
+import json
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -103,6 +114,25 @@ EXTRA = [
 ]
 
 
+def normalized_plan_hash(formatted: str) -> str:
+    """Hash of the run-invariant skeleton of a formatted plan: drops
+    location/statistics lines, collapses expression ids (#123) and all
+    remaining integers (operator ids, codegen stage ids, AQE plan ids
+    — and, deliberately, literal constants: the artifact tracks plan
+    SHAPE; constant tuning shows up in the query source diff)."""
+    lines = []
+    for ln in formatted.splitlines():
+        s = ln.strip()
+        if not s or "Location:" in s or "file:/" in s:
+            continue
+        if s.startswith("Statistics") or s.startswith("Output ["):
+            s = s.split(":")[0]
+        s = re.sub(r"#\d+L?", "#x", s)
+        s = re.sub(r"\d+", "N", s)
+        lines.append(s)
+    return hashlib.sha256("\n".join(lines).encode()).hexdigest()[:16]
+
+
 def main() -> None:
     spark = get_spark(app_name="plan-audit")
     spark.sparkContext.setLogLevel("ERROR")
@@ -117,6 +147,7 @@ def main() -> None:
         "that run bounded driver-side jobs before the final plan say so.",
         "",
     ]
+    hashes: dict[str, str] = {}
     for name in HEADLINE + EXTRA:
         df = qs[name](spark, SF_DIR)
         n_ex = pi.num_shuffles(df)
@@ -148,10 +179,17 @@ def main() -> None:
         out.append(formatted.rstrip())
         out.append("```")
         out.append("")
+        hashes[name] = normalized_plan_hash(formatted)
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "PLANS.md"), "w") as f:
         f.write("\n".join(out) + "\n")
-    print(f"wrote PLANS.md ({len(HEADLINE)} queries)")
+    with open(os.path.join(root, "PLANHASHES.json"), "w") as f:
+        json.dump(
+            {"sf_dir": SF_DIR, "plans": dict(sorted(hashes.items()))},
+            f,
+            indent=1,
+        )
+    print(f"wrote PLANS.md + PLANHASHES.json ({len(hashes)} queries)")
 
 
 if __name__ == "__main__":

@@ -93,88 +93,76 @@ _PRIORITY: tuple[str, ...] = (
     "o15_latest_per_key",  # flagship (also entry())
     "w_corrupt_quarantine",  # r2 hash-fail regression pin
     "x6_session_windows",  # r2 hash-fail regression pin
-    # --- round-13 rotation head (18; VERDICT r12 ask #1): the declared
-    # _R12_QUEUE — x6_acf_lags, the single rung the driver has never
-    # checked (registered after the r12 window locked; swept green at
-    # all three SFs in-session) — plus ALL seventeen r6-stale rows the
-    # r12 staleness rotation deferred. With these in-window the driver
-    # union reaches every registered query and nothing is staler than
-    # r7.
+    # --- round-14 STALENESS rotation (24; VERDICT r13 ask #1): ALL
+    # twenty-four r7-stale rows the r13 rotation deferred — with these
+    # in-window nothing in the union is staler than r8.
+    "ext_incremental_agg",
+    "ext_q22_dormant_customers",
+    "x2_dedup_keep_best",
+    "x2_semantic_dedup",
+    "x3_ivf_pq_topk",
+    "x3_knn_classify",
+    "x3_mips_topk",
+    "x4_bigram_logprob",
+    "x4_corpus_profile",
+    "x4_gopher_filter",
+    "x4_heavy_hitters",
+    "x4_perplexity_buckets",
+    "x4_token_normalize",
+    "x4_vocab_coverage",
+    "x6_funnel_stages",
+    "x6_holt_smoothing",
+    "x6_interval_merge",
+    "x6_mad_outliers",
+    "x6_retention_cohorts",
+    "x6_rfm_scores",
+    "x8_budget_select",
+    "x8_epoch_shuffle",
+    "x8_length_buckets",
+    "x8_oversample_minority",
+    # --- round-14 microunit migrations (9; VERDICT r13 ask #3): every
+    # rung whose estimator moved to floor-quantized integer microunits
+    # this round re-enters the window (standing convention: changed
+    # rungs are driver-checked the round they change; bigram_logprob
+    # and perplexity_buckets are already above in the staleness tier).
+    # All nine swept green at sf0.001/sf0.01/sf0.1 in-session.
     "x6_acf_lags",
-    "ext_pandas_udf_scalar",
-    "ext_salted_agg",
-    "ext_window_lag_lead",
-    "x2_dup_components",
-    "x2_tfidf_cosine",
-    "x3_label_centroids",
-    "x3_pq_adc_topk",
-    "x3_pq_codes",
-    "x4_bm25_score",
     "x4_unigram_logprob",
-    "x6_ema_daily",
-    "x6_ohlc_daily",
-    "x6_sliding_windows",
-    "x6_zscore_anomaly",
-    "x8_doc_chunking",
-    "x8_weighted_sample",
-    "x8_zorder_layout",
-    # --- family representatives (5): sole-member families stay
-    # in-window every round (CDC, cogroup); the x5/x7/x9 reps are each
-    # the OLDEST-driver-checked oracle-bearing member of a family the
-    # r7 staleness tier below doesn't reach (coverage pinned by
-    # test_first_50_slots_cover_survey_operators).
-    "ext_cdc_merge",  # r12 (sole CDC query)
-    "ext_cogroup_pandas",  # r12 (sole cogroup query)
-    "x5_schema_evolution_read",  # r8 — oldest x5
-    "x7_asof_nearest",  # r8 — oldest x7
-    "x9_triangle_count",  # r9 — oldest x9
-    # --- round-13 STALENESS rotation (16 of the 40 r7-tier rows, the
-    # oldest tier remaining; oldest-first, family coverage preserved).
-    # Twenty-four r7 rows defer to r14 (x4_corpus_profile,
-    # x4_gopher_filter, x3_mips_topk, x2_semantic_dedup,
-    # x3_knn_classify, x3_ivf_pq_topk, x2_dedup_keep_best and
-    # ext_q22_dormant_customers displaced by the round-13 additions
-    # below), each a parameter/engine variant
-    # whose family keeps 3+ fresher in-window members:
-    # ext_incremental_agg, ext_q22_dormant_customers,
-    # x2_dedup_keep_best, x2_semantic_dedup,
-    # x3_ivf_pq_topk, x3_knn_classify, x3_mips_topk, x4_bigram_logprob,
-    # x4_corpus_profile, x4_gopher_filter, x4_heavy_hitters,
-    # x4_perplexity_buckets, x4_token_normalize, x4_vocab_coverage,
-    # x6_funnel_stages, x6_holt_smoothing, x6_interval_merge,
-    # x6_mad_outliers, x6_retention_cohorts, x6_rfm_scores,
-    # x8_budget_select, x8_epoch_shuffle, x8_length_buckets,
-    # x8_oversample_minority (all r7-green in the union, so no coverage
-    # gap — only staleness). Rotated OUT: the 47 r12-window non-pinned
-    # rows — all r12-green, their rows stand in the union. Round-13
-    # additions displace this tail's newest members as they land
-    # (standing convention: additions are driver-checked the round they
-    # land).
-    "ext_q4_order_priority",
-    "ext_q6_revenue_delta",
-    "ext_q7_volume_shipping",
-    "ext_q8_market_share",
-    "ext_q12_shipping_delay",
-    "ext_q13_cust_distribution",
-    "ext_q14_promo_revenue",
-    "ext_q15_top_supplier",
-    "ext_q17_small_qty_revenue",
-    "ext_q19_disjunctive_revenue",
-    "ext_q21_waiting_supplier",
-    "mm_audio_energy",
-    "s_funnel_stream",
-    "s_topk_stream",
-    "x1_intradoc_line_dedup",
-    "x1_line_dedup",
-    # --- round-13 additions: driver-checked the round they land ---
-    "x9_sssp_weighted",
-    "x2_decontaminate_containment",
-    "s_decontaminate_stream",
-    "x6_stl_decompose",
-    "x3_rank_fusion",
+    "x4_entropy_score",
+    "x4_zipf_fit",
+    "x2_tfidf_cosine",
+    "x2_tfidf_cosine_prefix",
+    "x9_pagerank",
+    "x4_perplexity_buckets_scalable",
+    "x4_perplexity_buckets_approx",
+    # --- round-14 ADVICE-touched CDC tier (3): the short-doc cutter
+    # guard (dedup.py cdc_chunks), the replay-idempotent registry
+    # merge, and the empty-sink decontamination guard all landed this
+    # round — their rungs re-enter the window.
     "x1_cdc_chunk_dedup",
-    "x3_mmr_diversify",
     "s_cdc_chunk_stream",
+    "s_decontaminate_stream",
+    # --- round-14 additions: driver-checked the round they land ---
+    "x3_nsw_beam",
+    "x4_unigram_train",
+    # --- family representatives (4): sole-member families stay
+    # in-window every round (CDC, cogroup); the x5/x7 reps are the
+    # OLDEST-driver-checked oracle-bearing members of families the
+    # staleness tier above doesn't reach (x9 is covered by pagerank;
+    # coverage pinned by test_first_50_slots_cover_survey_operators).
+    "ext_cdc_merge",  # r13 (sole CDC query)
+    "ext_cogroup_pandas",  # r13 (sole cogroup query)
+    "x5_variant_extract",  # r8 — oldest x5
+    "x7_asof_join_tolerance",  # r8 — oldest x7
+    # --- r8-tier fillers (5): the oldest remaining rows — the
+    # derived-partsupp TPC-H batch and the mm_ family rep (oldest mm).
+    "mm_image_phash_dedup",
+    "ext_q2_min_cost_supplier",
+    "ext_q9_product_profit",
+    "ext_q11_important_stock",
+    "ext_q16_supplier_counts",
+    # Rotated OUT: the r13-window rows not re-listed above — all
+    # r13-green, their rows stand in the union (staleness floor r8).
 )
 
 #: The pre-round-9 window, kept for the union math in
@@ -265,13 +253,15 @@ _R8_WINDOW_ROTATED_OUT: tuple[str, ...] = (
 #: late additions rotated into the window head (VERDICT r11 ask #1),
 #: nine round-12 additions registered straight into the window while
 #: it was open, and every other query holds a row in the r1-r11
-#: union. As of the r13 rotation: the late ACF rung rotated into the
-#: window head (VERDICT r12 ask #1), round-13 additions register
-#: straight into the window while it is open, and every other query
-#: holds a row in the r1-r12 union — the queue is EMPTY. Queries
-#: landing after the r13 window locks go here and head the r14
-#: rotation (standing convention).
-_R13_QUEUE: set[str] = set()
+#: union. As of the r14 rotation: the 24 r7-stale rows rotate in
+#: (VERDICT r13 ask #1), the nine microunit-migrated rungs and the
+#: three ADVICE-touched CDC rungs re-enter (changed-this-round
+#: convention), the round-14 additions (x3_nsw_beam,
+#: x4_unigram_train) register straight into the window, and every
+#: other query holds a row in the r1-r13 union — the queue is EMPTY.
+#: Queries landing after the r14 window locks go here and head the
+#: r15 rotation (standing convention).
+_R14_QUEUE: set[str] = set()
 
 
 def _prioritized(d: dict[str, object]) -> dict[str, object]:
