@@ -186,6 +186,7 @@ HEADLINE = [
     # round-14 additions
     "x3_nsw_beam",
     "x4_unigram_train",
+    "x4_unigram_apply",
     # x1_bloom_geometry_tuning is scale-suite-only: ~6.5 s/run warmed
     # (4 configs x 3 bounded counts = 13 sequential driver-traffic
     # jobs — the sweep's inherent shape), too heavy for the 5-pass

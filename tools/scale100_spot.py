@@ -134,6 +134,11 @@ SPOT_CEILINGS = {
     "x4_countmin_sketch": 8.0,
     "x4_zipf_fit": 3.0,
     "x6_theil_sen": 5.0,
+    # round-14 (VERDICT r13 ask #7): ACF joins the |users|·days-linear
+    # class beside STL (5.9) — the lag join is calendar-equi-keyed on
+    # (user, day+k) so 100x users reads 4.05 on an idle box; a
+    # per-event pair-join signature would read ~10^4x.
+    "x6_acf_lags": 7.0,
 }
 
 SPOT = list(SPOT_CEILINGS)

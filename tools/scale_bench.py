@@ -245,6 +245,7 @@ QUERIES = [
     # round-14 additions
     "x3_nsw_beam",
     "x4_unigram_train",
+    "x4_unigram_apply",
 ]
 
 #: Viral boilerplate for the skew replica: untagged (shared verbatim

@@ -3789,14 +3789,15 @@ UNI_MAX_WORD = 16
 UNI_LP_SCALE = 1_000_000_000_000
 
 
-def _unigram_oracle() -> str:
+def _unigram_cte_chain() -> str:
     """Seed + ``UNI_ROUNDS`` EM rounds unrolled as CTEs (the eighth
     sharded-recurrence precedent, x4_bpe_merge_train): each round's
     Viterbi segmentation is the argmax over ALL 2^(L-1) bitmask
     segmentations of each distinct word — identical to the DP by
     definition — with the deterministic (score DESC, mask ASC)
     tiebreak, and each round's log-probs floor-quantize to integer
-    microunits before any comparison."""
+    microunits before any comparison. Shared by the train and apply
+    oracles (the _bpe_train_chain pattern)."""
     parts = [
         f"""
     wc AS (
@@ -3826,7 +3827,7 @@ def _unigram_oracle() -> str:
       FROM v0 CROSS JOIN t0
     ),
     mseg AS (
-      SELECT word, n, mask, len(bounds) - 1 AS nseg,
+      SELECT word, n, mask, len(bounds) - 1 AS nseg, k,
              substr(word, bounds[k] + 1,
                     bounds[k + 1] - bounds[k]) AS piece
       FROM (
@@ -3883,9 +3884,13 @@ def _unigram_oracle() -> str:
       FROM v{r + 1} CROSS JOIN t{r + 1}
     )"""
         )
+    return "".join(parts)
+
+
+def _unigram_oracle() -> str:
     return (
         "WITH "
-        + "".join(parts)
+        + _unigram_cte_chain()
         + f"""
     SELECT piece, CAST(cnt AS BIGINT) AS freq, lp AS logp_micro
     FROM l{UNI_ROUNDS}
@@ -3893,8 +3898,119 @@ def _unigram_oracle() -> str:
     )
 
 
+def _unigram_apply_oracle() -> str:
+    """Chain + one more Viterbi pass against the FINAL vocab, then the
+    occurrence⇄dict join and per-doc rollup — byte-for-byte the
+    x4_bpe_apply emit shape (n_words, n_tokens, ordered stream
+    fingerprint)."""
+    return (
+        "WITH "
+        + _unigram_cte_chain()
+        + f""",
+    sF AS (
+      SELECT m.word, m.mask, SUM(l.lp) AS score,
+             COUNT(*) AS matched, MAX(m.nseg) AS nseg
+      FROM mseg m JOIN l{UNI_ROUNDS} l ON l.piece = m.piece
+      GROUP BY m.word, m.mask
+      HAVING COUNT(*) = MAX(m.nseg)
+    ),
+    bF AS (
+      SELECT word, mask FROM (
+        SELECT word, mask,
+               ROW_NUMBER() OVER (PARTITION BY word
+                                  ORDER BY score DESC, mask) AS rn
+        FROM sF
+      ) WHERE rn = 1
+    ),
+    dict AS (
+      SELECT m.word,
+             string_agg(m.piece, chr(31) ORDER BY m.k) AS enc,
+             CAST(MAX(m.nseg) AS BIGINT) AS tk
+      FROM bF JOIN mseg m USING (word, mask)
+      GROUP BY m.word
+    ),
+    occ AS (
+      SELECT doc_id, i AS pos, ws[i] AS w
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           UNNEST(generate_series(1, len(ws))) AS t(i)
+      WHERE len(ws[i]) >= 1
+    )
+    SELECT o.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(d.tk) AS BIGINT) AS n_tokens,
+           md5(string_agg(d.enc, chr(30) ORDER BY o.pos)) AS stream_fp
+    FROM occ o JOIN dict d ON d.word = o.w
+    GROUP BY o.doc_id
+    """
+    )
+
+
+def _unigram_mseg(wc: DataFrame) -> DataFrame:
+    """The bitmask segmentation lattice over the distinct-word relation
+    (word, n, mask, nseg, k, piece) — built once, localCheckpointed,
+    re-read by every EM round and by the apply rung's final pass."""
+    return (
+        wc.selectExpr(
+            "word",
+            "n",
+            "explode(sequence(0, shiftleft(1, length(word) - 1) - 1))"
+            " AS mask",
+        )
+        .selectExpr(
+            "word",
+            "n",
+            "mask",
+            "filter(sequence(0, length(word)),"
+            " x -> x = 0 OR x = length(word)"
+            " OR (mask & shiftleft(1, greatest(x - 1, 0))) != 0)"
+            " AS bounds",
+        )
+        .selectExpr(
+            "word",
+            "n",
+            "mask",
+            "size(bounds) - 1 AS nseg",
+            "explode(sequence(1, size(bounds) - 1)) AS k",
+            "bounds",
+        )
+        .selectExpr(
+            "word",
+            "n",
+            "mask",
+            "nseg",
+            "k",
+            "substring(word, element_at(bounds, k) + 1,"
+            " element_at(bounds, k + 1) - element_at(bounds, k))"
+            " AS piece",
+        )
+        .localCheckpoint(eager=True)  # re-read every EM round
+    )
+
+
+def _unigram_viterbi_best(mseg: DataFrame, vocab: DataFrame) -> DataFrame:
+    """Winning (word, mask) per word under the given vocab's integer
+    microunit log-probs — masks with any out-of-vocab piece drop via
+    the matched == nseg guard; ties break (score DESC, mask ASC)."""
+    w = Window.partitionBy("word").orderBy(F.col("score").desc(), "mask")
+    scored = (
+        mseg.join(F.broadcast(vocab.select("piece", "lp")), "piece")
+        .groupBy("word", "mask")
+        .agg(
+            F.sum("lp").alias("score"),
+            F.count(F.lit(1)).alias("matched"),
+            F.max("nseg").alias("nseg"),
+        )
+        .filter(F.col("matched") == F.col("nseg"))
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("word", "mask")
+    )
+
+
 def unigram_vocab_rounds(
-    wc: DataFrame, rounds: int
+    wc: DataFrame, rounds: int, mseg: DataFrame | None = None
 ) -> list[DataFrame]:
     """Seed vocab + ``rounds`` EM iterations over a (word, n) relation;
     returns the per-round vocab frames (piece, cnt, lp) — the seed at
@@ -3957,63 +4073,11 @@ def unigram_vocab_rounds(
             )
         )
     ]
-    mseg = (
-        wc.selectExpr(
-            "word",
-            "n",
-            "explode(sequence(0, shiftleft(1, length(word) - 1) - 1))"
-            " AS mask",
-        )
-        .selectExpr(
-            "word",
-            "n",
-            "mask",
-            "filter(sequence(0, length(word)),"
-            " x -> x = 0 OR x = length(word)"
-            " OR (mask & shiftleft(1, greatest(x - 1, 0))) != 0)"
-            " AS bounds",
-        )
-        .selectExpr(
-            "word",
-            "n",
-            "mask",
-            "size(bounds) - 1 AS nseg",
-            "explode(sequence(1, size(bounds) - 1)) AS k",
-            "bounds",
-        )
-        .selectExpr(
-            "word",
-            "n",
-            "mask",
-            "nseg",
-            "substring(word, element_at(bounds, k) + 1,"
-            " element_at(bounds, k + 1) - element_at(bounds, k))"
-            " AS piece",
-        )
-        .localCheckpoint(eager=True)  # re-read every EM round
-    )
-    w = Window.partitionBy("word").orderBy(
-        F.col("score").desc(), "mask"
-    )
+    if mseg is None:
+        mseg = _unigram_mseg(wc)
     for _ in range(rounds):
         cur = vocabs[-1]
-        scored = (
-            mseg.join(
-                F.broadcast(cur.select("piece", "lp")), "piece"
-            )
-            .groupBy("word", "mask")
-            .agg(
-                F.sum("lp").alias("score"),
-                F.count(F.lit(1)).alias("matched"),
-                F.max("nseg").alias("nseg"),
-            )
-            .filter(F.col("matched") == F.col("nseg"))
-        )
-        best = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("word", "mask")
-        )
+        best = _unigram_viterbi_best(mseg, cur)
         counts = (
             best.join(mseg, ["word", "mask"])
             .groupBy("piece")
@@ -4089,4 +4153,80 @@ def x4_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         "piece",
         F.col("cnt").cast("long").alias("freq"),
         F.col("lp").alias("logp_micro"),
+    )
+
+
+@query("x4_unigram_apply", oracle=_unigram_apply_oracle())
+def x4_unigram_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram tokenizer APPLICATION with the LEARNED vocabulary —
+    closing the unigram lifecycle exactly as ``x4_bpe_apply`` closes
+    BPE's (train → freeze → encode the corpus): one more Viterbi pass
+    segments every DISTINCT word under the final EM vocab's integer
+    microunit log-probs, and the corpus encodes through the resulting
+    word→segmentation dictionary. Per document: word count, post-
+    segmentation TOKEN count (what the budget/packing rungs consume),
+    and an md5 fingerprint of the full encoded piece stream in
+    document order — pinning the exact segmentation, not just its
+    size. Reference scope: no tokenizer in the reference (440-line
+    pandas ETL); §2.10 LLM-data extension tier.
+
+    Scale shape — the x4_bpe_apply contract verbatim: training and
+    the final Viterbi pass fold over the DISTINCT-WORD lattice
+    (corpus-size-independent for natural text), and the token volume
+    is touched exactly once by an (occurrence ⇄ dict) equi-join on
+    the word, followed by one doc_id partial-agg assembling counts
+    and the order-exact fingerprint (array_sort over (pos, enc)
+    structs; the oracle's string_agg ORDER BY pos). No per-occurrence
+    segmentation anywhere: a doc repeating one word a million times
+    costs one lattice argmax plus a million dict-join lookups."""
+    doc = load_table(spark, sf_dir, "documents")
+    wc = (
+        doc.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") >= 1)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    max_len = wc.agg(F.max(F.length("word")).alias("m")).first()["m"]
+    if max_len is not None and max_len > UNI_MAX_WORD:
+        raise ValueError(
+            f"corpus has a {max_len}-char word: the 2^(L-1) mask "
+            f"enumeration is bounded at UNI_MAX_WORD={UNI_MAX_WORD}; "
+            "use a linear Viterbi DP kernel for long-word corpora"
+        )
+    mseg = _unigram_mseg(wc)
+    final = unigram_vocab_rounds(wc, UNI_ROUNDS, mseg=mseg)[-1]
+    best = _unigram_viterbi_best(mseg, final)
+    dic = (
+        best.join(mseg, ["word", "mask"])
+        .groupBy("word")
+        .agg(
+            F.concat_ws(
+                "\x1f",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("k", "piece"))),
+                    lambda s: s["piece"],
+                ),
+            ).alias("enc"),
+            F.max("nseg").cast("long").alias("tk"),
+        )
+    )
+    occ = doc.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    ).filter(F.length("word") >= 1)
+    return (
+        occ.join(dic, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("tk").cast("long").alias("n_tokens"),
+            F.md5(
+                F.concat_ws(
+                    "\x1e",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "enc"))),
+                        lambda s: s["enc"],
+                    ),
+                )
+            ).alias("stream_fp"),
+        )
     )

@@ -145,6 +145,7 @@ _PRIORITY: tuple[str, ...] = (
     # --- round-14 additions: driver-checked the round they land ---
     "x3_nsw_beam",
     "x4_unigram_train",
+    "x4_unigram_apply",
     # --- family representatives (4): sole-member families stay
     # in-window every round (CDC, cogroup); the x5/x7 reps are the
     # OLDEST-driver-checked oracle-bearing members of families the
@@ -154,13 +155,14 @@ _PRIORITY: tuple[str, ...] = (
     "ext_cogroup_pandas",  # r13 (sole cogroup query)
     "x5_variant_extract",  # r8 — oldest x5
     "x7_asof_join_tolerance",  # r8 — oldest x7
-    # --- r8-tier fillers (5): the oldest remaining rows — the
-    # derived-partsupp TPC-H batch and the mm_ family rep (oldest mm).
+    # --- r8-tier fillers (4): the oldest remaining rows — three of the
+    # derived-partsupp TPC-H batch and the mm_ family rep (oldest mm);
+    # ext_q16_supplier_counts defers to r15, displaced by the third
+    # round-14 addition above.
     "mm_image_phash_dedup",
     "ext_q2_min_cost_supplier",
     "ext_q9_product_profit",
     "ext_q11_important_stock",
-    "ext_q16_supplier_counts",
     # Rotated OUT: the r13-window rows not re-listed above — all
     # r13-green, their rows stand in the union (staleness floor r8).
 )
