@@ -302,3 +302,33 @@ def test_semdedup_guard_fires_in_kernel_on_oversized_cluster(spark):
     with pytest.raises(Exception, match="raise the quantizer k") as ei:
         out.write.format("noop").mode("overwrite").save()
     assert "SEMDEDUP_MAX_CLUSTER" in str(ei.value)
+
+
+def test_cdc_bounded_registry_artifact_sublinear():
+    """The bounded CDC stream registry's scale evidence is gated, not
+    just recorded (VERDICT r13 ask #2, the scale100-ceilings pattern):
+    BENCH_STREAM_SCALE.json must carry BOTH the exact registry row
+    (content-novelty class — state tracks distinct chunks, ~linear in
+    novel corpus) and the cdc_registry_bounded row, and the bounded
+    drain's 10x state ratio must stay SUBLINEAR — under 2.5x
+    absolutely and under half the exact row's ratio — so a regression
+    in the eviction discipline (or a silently dropped measurement)
+    fails here instead of rotting the artifact."""
+    import json
+    import os
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "BENCH_STREAM_SCALE.json"
+    )
+    with open(path) as f:
+        payload = json.load(f)
+    exact = payload["cdc_registry"]
+    bounded = payload["cdc_registry_bounded"]
+    assert exact["registry_ratio"] >= 5.0  # the unbounded growth class
+    assert bounded["state_ratio"] <= 2.5, bounded
+    assert bounded["state_ratio"] <= exact["registry_ratio"] / 2, bounded
+    # the bound's mechanism: more batches at 10x, same trigger size
+    assert bounded["n_batches_10x"] == 10 * bounded["n_batches_1x"]
+    # dup survivors are the state floor — they must be present
+    assert 0 < bounded["dup_rows_1x"] <= bounded["state_rows_1x"]
+    assert 0 < bounded["dup_rows_10x"] <= bounded["state_rows_10x"]
