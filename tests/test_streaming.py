@@ -825,14 +825,15 @@ def test_cdc_registry_stream_multibatch_additive_counts(spark, tmp_path):
 
 
 def test_cdc_registry_replay_of_merged_batch_is_skipped(spark, tmp_path):
-    """ADVICE r13 pin: foreachBatch is at-least-once — a crash after the
-    _VERSION flip but before the checkpoint commit re-delivers the
-    batch on restart. The merge embeds the batch id in the version
-    string and SKIPS a batch whose id already heads _VERSION, so the
-    replay cannot double-add counts. Simulated by draining the same
-    one-file source twice with FRESH checkpoints against the same
-    state dir (second drain re-delivers batch 0 exactly like a
-    post-flip replay): the final registry equals the single-ingest df."""
+    """ADVICE r13 + r14 pin: foreachBatch is at-least-once — a crash
+    after the _VERSION flip but before the checkpoint commit
+    re-delivers the batch on restart FROM THE SAME CHECKPOINT. The
+    merge keys its skip on (run token, batch id) where the token is
+    the checkpoint path's hash, so only a same-lineage re-delivery is
+    skipped. Simulated faithfully: drain once, delete the
+    checkpoint's ``commits/0`` marker (the exact crash window — flip
+    done, commit not), re-drain with the SAME checkpoint → Spark
+    re-executes batch 0 → the merge skips it → counts not doubled."""
     import glob
     import os
     import shutil
@@ -852,11 +853,15 @@ def test_cdc_registry_replay_of_merged_batch_is_skipped(spark, tmp_path):
     )
 
     state = str(tmp_path / "state")
-    for ck in ("ck_first", "ck_replay"):
-        stream = spark.readStream.schema(doc.schema).parquet(src)
-        jobs.streaming_cdc_registry(
-            stream, state, checkpoint=str(tmp_path / ck)
-        )
+    ck = str(tmp_path / "ck")
+    stream = spark.readStream.schema(doc.schema).parquet(src)
+    jobs.streaming_cdc_registry(stream, state, checkpoint=ck)
+    os.remove(os.path.join(ck, "commits", "0"))  # crash window
+    crc = os.path.join(ck, "commits", ".0.crc")  # local-FS sibling
+    if os.path.exists(crc):
+        os.remove(crc)
+    stream = spark.readStream.schema(doc.schema).parquet(src)
+    jobs.streaming_cdc_registry(stream, state, checkpoint=ck)
     got = sorted(
         (r["ch"], r["df"]) for r in jobs.read_state(spark, state).collect()
     )
@@ -868,6 +873,99 @@ def test_cdc_registry_replay_of_merged_batch_is_skipped(spark, tmp_path):
         .collect()
     )
     assert got == want  # NOT doubled by the replayed merge
+
+
+def test_cdc_registry_new_lineage_same_batch_id_merges(spark, tmp_path):
+    """ADVICE r14 pin (the disambiguation side): a NEW stream lineage
+    (fresh checkpoint, batch ids restarting at 0) against an existing
+    state dir is NOT a replay — its batch 0 must merge even though
+    the head _VERSION also ends in batch id 0. Two full ingests of
+    the same corpus under different checkpoints → every df doubles."""
+    import glob
+    import os
+    import shutil
+
+    from weather_data_pipeline_spark.operators.dedup import cdc_chunks
+    from weather_data_pipeline_spark.streaming import jobs
+
+    sf = "/root/testdata/sf0.001"
+    doc = spark.read.parquet(f"{sf}/documents.parquet")
+    src = str(tmp_path / "docs_src")
+    os.makedirs(src)
+    tmp = str(tmp_path / "_tmp")
+    doc.coalesce(1).write.mode("overwrite").parquet(tmp)
+    shutil.move(
+        glob.glob(os.path.join(tmp, "part-*.parquet"))[0],
+        os.path.join(src, "b0.parquet"),
+    )
+
+    state = str(tmp_path / "state")
+    for ck in ("ck_first", "ck_second"):
+        stream = spark.readStream.schema(doc.schema).parquet(src)
+        jobs.streaming_cdc_registry(
+            stream, state, checkpoint=str(tmp_path / ck)
+        )
+    got = sorted(
+        (r["ch"], r["df"]) for r in jobs.read_state(spark, state).collect()
+    )
+    want = sorted(
+        (r["ch"], 2 * r["df"])
+        for r in cdc_chunks(doc.select("doc_id", "text"))
+        .groupBy("ch")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .collect()
+    )
+    assert got == want  # second lineage's ingest ADDED (not skipped)
+
+
+def test_cdc_registry_merges_over_pre_upgrade_state_format(
+    spark, tmp_path
+):
+    """ADVICE r14 pin: a state snapshot written before ``last_batch``
+    existed (columns: ch, df) must not crash the merge — the column
+    is backfilled with -1 (older than any batch), so pre-upgrade
+    singletons are immediately evictable under ``evict_df1_after``."""
+    import glob
+    import os
+    import shutil
+
+    from weather_data_pipeline_spark.streaming import jobs
+
+    sf = "/root/testdata/sf0.001"
+    doc = spark.read.parquet(f"{sf}/documents.parquet")
+    src = str(tmp_path / "docs_src")
+    os.makedirs(src)
+    tmp = str(tmp_path / "_tmp")
+    doc.coalesce(1).write.mode("overwrite").parquet(tmp)
+    shutil.move(
+        glob.glob(os.path.join(tmp, "part-*.parquet"))[0],
+        os.path.join(src, "b0.parquet"),
+    )
+
+    # Hand-write an old-format snapshot: one dup chunk, one singleton.
+    state = str(tmp_path / "state")
+    os.makedirs(state)
+    old = spark.createDataFrame(
+        [(-777001, 5), (-777002, 1)], "ch long, df long"
+    )  # ch is the chunk-hash BIGINT; sentinels outside the real range
+    old.write.parquet(os.path.join(state, "v99legacy"))
+    with open(os.path.join(state, "_VERSION"), "w") as f:
+        f.write("v99legacy")
+
+    stream = spark.readStream.schema(doc.schema).parquet(src)
+    jobs.streaming_cdc_registry(
+        stream,
+        state,
+        checkpoint=str(tmp_path / "ck"),
+        evict_df1_after=1,  # keeps last_batch > -1: evicts exactly the
+        # backfilled -1 singletons, keeps batch-0 singletons
+    )
+    rows = {r["ch"]: r for r in jobs.read_state(spark, state).collect()}
+    assert -777001 in rows  # df>1 survives regardless of age
+    assert rows[-777001]["df"] == 5
+    assert rows[-777001]["last_batch"] == -1  # backfilled
+    assert -777002 not in rows  # pre-upgrade singleton evicted
+    assert any(r["last_batch"] == 0 for r in rows.values())  # new batch in
 
 
 def test_cdc_registry_bounded_evicts_stale_singletons(spark, tmp_path):

@@ -2873,7 +2873,15 @@ def x6_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     events feed is 2dp sensor readings ≤ ~500). The ACF ratio is one
     double division floor-truncated to 6 (the repo-wide _trunc6 rule),
     and a zero-variance series returns NULL identically on both
-    engines.
+    engines. NULL contract (ADVICE r14 — deliberately wider than the
+    pre-microunit scheme's exact-zero-variance case): a series whose
+    EVERY daily-mean deviation is below 1e-3 floors every ed·ed
+    microunit term to 0, so ssq = 0 and the ACF is NULL for
+    sub-microunit variance too, not only for exactly-constant
+    series. Both engines share the widened condition (the oracle
+    floors identically), so parity holds; raising the product scale
+    would narrow it but break the |ed·ed|·scale < 2^53 exact-integer
+    bound for the feed's value range.
 
     Scale shape: ONE (user, day) partial-agg exchange caps everything
     downstream — the per-series mean and denominator ride the same
