@@ -246,6 +246,8 @@ QUERIES = [
     "x3_nsw_beam",
     "x4_unigram_train",
     "x4_unigram_apply",
+    # round-15 additions
+    "x3_nsw_beam_blocked",
 ]
 
 #: Viral boilerplate for the skew replica: untagged (shared verbatim

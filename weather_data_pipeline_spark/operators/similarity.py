@@ -2885,16 +2885,54 @@ NSW_ROUNDS = 8
 NSW_ENTRY = N_QUERIES
 
 
-def _nsw_oracle() -> str:
+def _nsw_blocked_e0() -> str:
+    """The LSH-blocked kNN-graph CTE chain (VERDICT r14 ask #1): the
+    exact |V|² e0 is replaced by Hamming-1 multi-probe bucket
+    candidate generation over the shared random-hyperplane signatures
+    (_bucket_sql — the x3_lsh_candidate_pairs machinery), exact
+    rounded cosine scored only on candidates, same top-M-per-src
+    contract."""
+    cos = _DUCK_COS.format(a="a.embedding", b="b.embedding")
+    probe_list = ", ".join(
+        ["s.bucket"] + [f"xor(s.bucket, {1 << i})" for i in range(N_PLANES)]
+    )
+    return f"""
+    sigb AS MATERIALIZED (
+      SELECT vec_id, {_bucket_sql('embedding')} AS bucket FROM embeddings
+    ),
+    probesb AS MATERIALIZED (
+      SELECT s.vec_id, p.probe
+      FROM sigb s, UNNEST([{probe_list}]) AS p(probe)
+    ),
+    candb AS MATERIALIZED (
+      SELECT DISTINCT p.vec_id AS src, s.vec_id AS dst
+      FROM probesb p JOIN sigb s
+        ON p.probe = s.bucket AND p.vec_id <> s.vec_id
+    ),
+    e0 AS MATERIALIZED (
+      SELECT src, dst FROM (
+        SELECT c.src, c.dst,
+               ROW_NUMBER() OVER (
+                 PARTITION BY c.src
+                 ORDER BY ROUND({cos}, 6) DESC, c.dst) AS rn
+        FROM candb c
+        JOIN embeddings a ON a.vec_id = c.src
+        JOIN embeddings b ON b.vec_id = c.dst
+      ) WHERE rn <= {NSW_M}
+    ),"""
+
+
+def _nsw_oracle(e0_cte: str | None = None) -> str:
     """Beam search round-unrolled as CTEs (the _sssp_oracle /
-    _pagerank_oracle precedent): e0 = exact top-M kNN edges, edges =
-    symmetrized, qs = query→corpus rounded sims, then per round
-    candidates = beam ∪ neighbors(beam) and beam = top-B by
+    _pagerank_oracle precedent): e0 = top-M kNN edges (exact |V|²
+    by default; pass ``e0_cte`` to swap in the LSH-blocked build),
+    edges = symmetrized, qs = query→corpus rounded sims, then per
+    round candidates = beam ∪ neighbors(beam) and beam = top-B by
     (sim DESC, vec_id)."""
     cos = _DUCK_COS.format(a="a.embedding", b="b.embedding")
     qcos = _DUCK_COS.format(a="q.embedding", b="c.embedding")
-    parts = [
-        f"""
+    if e0_cte is None:
+        e0_cte = f"""
     e0 AS MATERIALIZED (
       SELECT src, dst FROM (
         SELECT a.vec_id AS src, b.vec_id AS dst,
@@ -2903,7 +2941,10 @@ def _nsw_oracle() -> str:
                  ORDER BY ROUND({cos}, 6) DESC, b.vec_id) AS rn
         FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
       ) WHERE rn <= {NSW_M}
-    ),
+    ),"""
+    parts = [
+        e0_cte
+        + f"""
     edges AS MATERIALIZED (
       SELECT src, dst FROM e0
       UNION
@@ -2984,9 +3025,10 @@ def x3_nsw_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
     documented ceiling for every broadcast-arm rung here); per-row
     top-M selection happens inside the Arrow batch, so the graph
     materializes as one |V|·M edge frame with no all-pairs shuffle.
-    At 100 TB the build swaps to LSH/IVF-blocked candidate
-    generation (the x3 ladder's own bucketed arms) feeding the same
-    top-M contract; the SEARCH side is already scale-shaped — per
+    At 100 TB the build swaps to the LSH-blocked candidate
+    generation implemented in ``x3_nsw_beam_blocked`` (multi-probe
+    bucket equi-join feeding the same top-M contract — the fail-fast
+    below points there); the SEARCH side is already scale-shaped — per
     round one |beam|-keyed equi-join against the edge frame and one
     per-query window over ≤ B·(2M+1) candidate rows, with the
     query-sim table built once (one corpus scan) and reused by every
@@ -2999,8 +3041,9 @@ def x3_nsw_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = emb.sort("vec_id").collect()
     assert len(rows) <= MAX_BROADCAST_VECTORS, (
         f"corpus {len(rows)} exceeds MAX_BROADCAST_VECTORS="
-        f"{MAX_BROADCAST_VECTORS}: build the kNN graph with the "
-        "LSH/IVF-blocked arms instead of the broadcast pass"
+        f"{MAX_BROADCAST_VECTORS}: use x3_nsw_beam_blocked (the "
+        "LSH-blocked kNN-graph build — same beam search, no "
+        "broadcast pass)"
     )
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.array([r[1] for r in rows], dtype=np.float64)
@@ -3058,7 +3101,8 @@ def x3_nsw_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
                         }
                     )
                 )
-            yield pd.concat(out, ignore_index=True)
+            if out:  # q_ids can be empty (ADVICE r14: corpus without
+                yield pd.concat(out, ignore_index=True)  # query vectors)
 
     qsims = emb.mapInPandas(
         qsims_fn, schema="query_id long, vec_id long, sim double"
@@ -3068,6 +3112,18 @@ def x3_nsw_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(q), NSW_ENTRY) for q in sorted(q_ids)],
         "query_id long, vec_id long",
     )
+    return _nsw_beam_loop(beam, edges, qsims)
+
+
+def _nsw_beam_loop(
+    beam: DataFrame, edges: DataFrame, qsims: DataFrame
+) -> DataFrame:
+    """The shared NSW search loop (identical for the exact and the
+    blocked graph builds): ``NSW_ROUNDS`` rounds of expand-beam-by-
+    neighbors → keep top-``NSW_BEAM`` by (sim DESC, vec_id), then the
+    final ranked emit. ``edges`` columns: (vec_id, dst); ``qsims``
+    columns: (query_id, vec_id, sim) — both should be
+    localCheckpointed by the caller (read once / many times)."""
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "vec_id")
     for _ in range(NSW_ROUNDS):
         expanded = beam.unionByName(
@@ -3091,3 +3147,102 @@ def x3_nsw_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("beam_rank", F.row_number().over(w).cast("long"))
         .select("query_id", "beam_rank", "vec_id", "sim")
     )
+
+
+@query("x3_nsw_beam_blocked", oracle=_nsw_oracle(e0_cte=_nsw_blocked_e0()))
+def x3_nsw_beam_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NSW beam search over an LSH-BLOCKED kNN graph — the 100 TB
+    index-build path the exact rung's fail-fast names (VERDICT r14
+    ask #1; the one quadratic-work site left in the X3 ladder):
+
+    - graph build: each vector hashes to its random-hyperplane bucket
+      (_bucket_spark — the x3_lsh_candidate_pairs machinery) and
+      PROBES its own bucket plus the ``N_PLANES`` Hamming-1 neighbor
+      buckets (multi-probe LSH, public technique — Lv et al. 2007);
+      candidates are the bucket equi-join's matches, exact rounded
+      cosine is scored ONLY on candidates (JVM-side zip_with fold,
+      no Python), and the same top-``NSW_M``-per-src / symmetrize
+      contract as the exact build produces the edge frame. Work is
+      sum over buckets of 9·|b|² instead of |V|² — with bucket count
+      2^P grown with log|V| (more planes at bigger corpora) the
+      per-bucket population, and so the per-vector candidate count,
+      stays bounded;
+    - search: the SHARED ``_nsw_beam_loop`` (identical rounds,
+      windows, tiebreaks) over query sims built by one broadcast
+      cross-join of the ``N_QUERIES`` query vectors against the
+      corpus — the x3_cosine_topk shape, JVM-side.
+
+    Unlike the exact rung there is NO driver-side corpus collect and
+    no MAX_BROADCAST_VECTORS ceiling anywhere in this plan — every
+    stage is a DataFrame join/window keyed on bucket, (src|dst), or
+    (query_id, vec_id). Hamming-1 probing recovers most near-neighbor
+    pairs that single-bucket blocking splits (one flipped plane);
+    recall vs the exact-build beam and vs brute-force top-k is
+    measured in BENCH_NSW_AB.json (tools/nsw_ab.py) and gated by
+    tests/test_scale_design.py. Reference scope: no retrieval ops in
+    the reference; §2.10 extension tier.
+
+    Determinism: identical to the exact rung — rounded-6 sims before
+    every ranking, vec_id tiebreaks, DISTINCT candidate sets."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    sig = emb.withColumn("bucket", _bucket_spark(F.col("embedding")))
+    probes = sig.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[
+                    F.col("bucket").bitwiseXOR(F.lit(1 << i))
+                    for i in range(N_PLANES)
+                ],
+            )
+        ).alias("probe"),
+    )
+    dsts = sig.select(
+        F.col("vec_id").alias("dst"), F.col("bucket").alias("probe")
+    )
+    cand = (
+        probes.join(dsts, "probe")
+        .filter(F.col("vec_id") != F.col("dst"))
+        .select(F.col("vec_id").alias("src"), "dst")
+        .distinct()
+    )
+    a = emb.select(F.col("vec_id").alias("src"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("eb"))
+    scored = cand.join(a, "src").join(b, "dst").select(
+        "src",
+        "dst",
+        F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("sim"),
+    )
+    wsrc = Window.partitionBy("src").orderBy(F.col("sim").desc(), "dst")
+    e0 = (
+        scored.withColumn("rn", F.row_number().over(wsrc))
+        .filter(F.col("rn") <= NSW_M)
+        .select("src", "dst")
+    )
+    edges = (
+        e0.unionByName(
+            e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # read once per round
+        .withColumnRenamed("src", "vec_id")
+    )
+    qvecs = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    qsims = (
+        emb.crossJoin(F.broadcast(qvecs))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("qe"), F.col("embedding")), 6).alias("sim"),
+        )
+        .localCheckpoint(eager=True)  # read by every round + the emit
+    )
+    beam = qvecs.select("query_id").withColumn(
+        "vec_id", F.lit(NSW_ENTRY).cast("long")
+    )
+    return _nsw_beam_loop(beam, edges, qsims)
