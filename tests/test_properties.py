@@ -1238,3 +1238,123 @@ def test_unigram_train_pruning_monotone_and_exact_logprobs(spark):
             assert lp == math.floor(
                 math.log(cnt / total) * UNI_LP_SCALE
             ), piece
+
+
+def test_unigram_dp_equals_mask_enumeration(spark):
+    """VERDICT r14 ask #5 pin: the linear Viterbi DP kernel equals the
+    2^(L-1) mask enumeration on ≤ UNI_MAX_WORD words — identical
+    final vocabulary (piece, cnt, lp) AND identical winning
+    segmentation per word under that vocabulary. The synthetic corpus
+    is built to FORCE score ties (single-char runs, period-2/3
+    repeats — many segmentations share a score, so only a correct
+    mask-ASC-equivalent tiebreak passes), with word lengths up to the
+    full 16-char enumeration ceiling; a real-corpus cross-check runs
+    the same equality on the sf0.001 documents vocabulary."""
+    from pyspark.sql import functions as F
+
+    from weather_data_pipeline_spark.operators.text_analysis import (
+        UNI_ROUNDS,
+        _unigram_best_seg,
+        _unigram_mseg,
+        unigram_vocab_rounds,
+    )
+
+    def both_paths_equal(wc):
+        v_enum = unigram_vocab_rounds(wc, UNI_ROUNDS)
+        v_dp = unigram_vocab_rounds(wc, UNI_ROUNDS, use_dp=True)
+        for ve, vd in zip(v_enum, v_dp):
+            de = {r["piece"]: (r["cnt"], r["lp"]) for r in ve.collect()}
+            dd = {r["piece"]: (r["cnt"], r["lp"]) for r in vd.collect()}
+            assert de == dd
+        mseg = _unigram_mseg(wc)
+        se = sorted(
+            tuple(r) for r in _unigram_best_seg(wc, v_enum[-1], mseg).collect()
+        )
+        sd = sorted(
+            tuple(r) for r in _unigram_best_seg(wc, v_dp[-1], None).collect()
+        )
+        assert se == sd
+        assert len(se) > 0
+
+    tie_words = [
+        ("aaaa", 9),
+        ("aaaaaaaa", 7),
+        ("aaaaaaaaaaaaaaaa", 2),  # 16 chars: 2^15 masks, all-tie heavy
+        ("abababab", 5),
+        ("abcabcabcabc", 3),
+        ("banana", 4),
+        ("bananaban", 2),
+        ("xy", 11),
+        ("x", 13),
+        ("zzzzyzzzz", 1),
+    ]
+    wc_tie = spark.createDataFrame(tie_words, "word string, n long")
+    both_paths_equal(wc_tie)
+
+    doc = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    wc_real = (
+        doc.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") >= 1)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    both_paths_equal(wc_real)
+
+
+def test_unigram_long_word_corpus_runs_via_dp(spark, tmp_path):
+    """VERDICT r14 ask #5, the other half: a corpus with words past
+    UNI_MAX_WORD (URLs, code identifiers, agglutinative compounds —
+    the ceiling the old fail-fast rejected) now DISPATCHES to the DP
+    kernel and runs end-to-end: train emits an alphabet-covering
+    vocabulary of ≤ UNI_MAX_PIECE-char pieces, apply tokenizes every
+    document (pieces re-concatenate to each word — checked via token
+    counts), and both are deterministic across reruns."""
+    from weather_data_pipeline_spark.operators.text_analysis import (
+        UNI_MAX_PIECE,
+        UNI_MAX_WORD,
+        x4_unigram_apply,
+        x4_unigram_train,
+    )
+
+    texts = [
+        "https://example.com/downloads/release_notes_v2 readme",
+        "internationalization localization handschuhschneeballwerfer",
+        "supercalifragilisticexpialidocious plain words here",
+        "the quick brown fox jumps over the lazy dog",
+    ]
+    assert max(len(w) for t in texts for w in t.split()) > UNI_MAX_WORD
+    rows = [
+        (i, t, "en", "synthetic", len(t)) for i, t in enumerate(texts)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    sf_dir = str(tmp_path)
+
+    vocab = {
+        r["piece"]: (r["freq"], r["logp_micro"])
+        for r in x4_unigram_train(spark, sf_dir).collect()
+    }
+    chars = {c for t in texts for w in t.split() for c in w}
+    assert chars <= set(vocab)  # alphabet never pruned
+    assert all(1 <= len(p) <= UNI_MAX_PIECE for p in vocab)
+    vocab2 = {
+        r["piece"]: (r["freq"], r["logp_micro"])
+        for r in x4_unigram_train(spark, sf_dir).collect()
+    }
+    assert vocab == vocab2  # deterministic rerun
+
+    ap = {r["doc_id"]: r for r in x4_unigram_apply(spark, sf_dir).collect()}
+    assert set(ap) == {0, 1, 2, 3}
+    import math
+
+    for i, t in enumerate(texts):
+        words = t.split()
+        assert ap[i]["n_words"] == len(words)
+        # each word costs between ceil(len/P) and len pieces
+        lo = sum(math.ceil(len(w) / UNI_MAX_PIECE) for w in words)
+        assert lo <= ap[i]["n_tokens"] <= sum(len(w) for w in words)
+    ap2 = {r["doc_id"]: r for r in x4_unigram_apply(spark, sf_dir).collect()}
+    assert {k: tuple(v) for k, v in ap.items()} == {
+        k: tuple(v) for k, v in ap2.items()
+    }
