@@ -80,3 +80,45 @@ def test_planhashes_artifact_matches_plan_audit_surface():
     assert plan_audit.normalized_plan_hash(sample) == (
         plan_audit.normalized_plan_hash(moved)
     )
+
+
+def test_bench_movers_math_and_committed_artifacts():
+    """VERDICT r14 ask #3: the bench-stability mover check is
+    MECHANICAL — tools/bench_movers.py computes movers from two bench
+    JSONs' per-query fields. Unit-pins the math (symmetric threshold,
+    plan-hash annotation, total ratio) and then runs it on the
+    committed BENCH_LOCAL_r13/r14 files, asserting the numbers the
+    corrected README paragraph quotes (0.969x total, movers EXIST —
+    the original 'zero movers' prose was the r14 documentation
+    finding this tool exists to prevent)."""
+    import json
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo/tools")
+    import bench_movers as bm
+
+    old = {"a": 1.0, "b": 2.0, "c": 0.5, "d": 3.0}
+    new = {"a": 1.3, "b": 2.1, "c": 0.35, "d": 3.0, "e": 9.9}
+    out = bm.movers(
+        old,
+        new,
+        1.25,
+        plans_old={"a": "h1", "c": "h2"},
+        plans_new={"a": "h1", "c": "h3"},
+    )
+    assert out["shared_queries"] == 4  # e not shared
+    assert out["total_ratio"] == round((1.3 + 2.1 + 0.35 + 3.0) / 6.5, 3)
+    got = {m["query"]: m for m in out["movers"]}
+    assert set(got) == {"a", "c"}  # both directions past 1.25x
+    assert got["a"]["ratio"] == 1.3 and got["a"]["plan_hash_changed"] is False
+    assert got["c"]["plan_hash_changed"] is True
+    assert out["movers"][0]["query"] == "c"  # 0.7 = 1.43x > 1.3x
+
+    with open("/root/repo/BENCH_LOCAL_r13.json") as f:
+        q13 = json.load(f)["queries"]
+    with open("/root/repo/BENCH_LOCAL_r14.json") as f:
+        q14 = json.load(f)["queries"]
+    real = bm.movers(q13, q14, 1.25)
+    assert real["shared_queries"] == 136
+    assert real["total_ratio"] == 0.969
+    assert real["n_movers"] > 0  # the corrected claim
