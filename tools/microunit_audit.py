@@ -27,12 +27,14 @@ in the package and classifies each site:
 - UNCLASSIFIED: everything else — the audit test fails, forcing a
   human classification (or a migration) for every new decimal cast.
 
-Known limitation, stated not hidden: a SQL ``CAST(v AS DECIMAL)`` of a
-bare identifier that names a DERIVED CTE column cannot be
-type-resolved from source text. Those sites auto-pass only when the
-identifier is a RAW schema column name; any other bare identifier
-still requires an allowlist entry, so the oracle side of a derived
-cast is caught whenever its column name is not a raw column's.
+SQL bare-identifier resolution (VERDICT r14 ask #6 closed the
+shadowing hole): a ``CAST(v AS DECIMAL)`` of a bare identifier
+auto-passes ONLY when (a) the name is a raw schema column AND (b) no
+``AS v`` alias definition appears anywhere in the same source file —
+if any oracle/CTE in the file DERIVES a column of that name, the
+name-collision can shadow the raw column and the site requires an
+explicit allowlist entry (conservative: an alias in a different
+oracle of the same file also forces classification).
 
 Run:  python tools/microunit_audit.py   (prints unclassified sites)
 """
@@ -216,8 +218,16 @@ def collect_sql_sites() -> list[tuple[str, str]]:
             expr = _norm(expr_raw)
             if _NUMLIT.match(expr):
                 continue
-            if _IDENT.match(expr) and expr.split(".")[-1] in raw:
-                continue
+            if _IDENT.match(expr):
+                base = expr.split(".")[-1]
+                # auto-pass only when the name is a raw column AND the
+                # file never derives an alias of that name (ask #6: a
+                # derived CTE column shadowing a raw name must not
+                # ride the raw column's pass)
+                if base in raw and not re.search(
+                    rf"(?i)\bAS\s+{re.escape(base)}\b", src
+                ):
+                    continue
             if re.match(r"FLOOR\s*\(", expr, re.I):
                 continue  # integral input — exact at any decimal scale
             sites.append((rel, expr))
@@ -289,6 +299,38 @@ ALLOWLIST: dict[tuple[str, str], tuple[str, str]] = {
     (f"{_P}/operators/weather_queries.py",
      "string_split(line, ',')[2]"): (
         "string-parse", "CSV field parsed from raw quarantine text"),
+    # --------- ask #6 shadow-rule findings (adjudicated r15) ---------
+    # The tightened bare-identifier rule flags a raw-named identifier
+    # whenever ANY oracle in the same file derives an alias of that
+    # name. All five were inspected cast-by-cast; none is a derived
+    # shadow:
+    (f"{_P}/operators/joins_aggs.py", "value"): (
+        "raw-double-passthrough",
+        "all CAST(value AS DECIMAL(18,2)) sites read FROM events "
+        "directly (2dp raw feed — exact); the file's AS value aliases "
+        "re-emit ROUND(..., 2) values and are never re-cast",
+    ),
+    (f"{_P}/operators/sessionize.py", "value"): (
+        "raw-double-passthrough",
+        "every cast site reads FROM events directly; derived AS value "
+        "aliases (2dp round emits + the interpolation oracle's 6dp "
+        "emit) are terminal outputs, never re-cast to decimal",
+    ),
+    (f"{_P}/operators/streaming_queries.py", "value"): (
+        "raw-double-passthrough",
+        "cast sites read FROM events or the `assigned` CTE, which is "
+        "a bare `SELECT event_type, value FROM events` passthrough",
+    ),
+    (f"{_P}/operators/streaming_queries.py", "p.value"): (
+        "raw-double-passthrough",
+        "p aliases the raw events relation in the join oracles",
+    ),
+    (f"{_P}/operators/text_analysis.py", "n_chars"): (
+        "integer-in",
+        "documents.n_chars is BIGINT raw; the AS n_chars alias in the "
+        "BM25-adjacent oracle derives a different relation's column "
+        "and is never cast to decimal",
+    ),
 }
 
 
