@@ -56,7 +56,7 @@ def test_first_50_slots_cover_survey_operators():
 
 def test_driver_union_vs_registry():
     """The driver-CORRECTNESS union must cover every registered query
-    except the declared next-round rotation queue (registry._R14_QUEUE)
+    except the declared next-round rotation queue (registry._R15_QUEUE)
     — computed from the actual CORRECTNESS_r0*.json files plus the current
     window, so a growing backlog fails loudly instead of accumulating
     (the round-6 failure mode: 49 queries with no driver row)."""
@@ -70,8 +70,8 @@ def test_driver_union_vs_registry():
         with open(path) as f:
             union |= set(json.load(f))
     gap = set(registry.queries()) - union
-    assert gap == registry._R14_QUEUE, (
-        f"undeclared rotation backlog: {sorted(gap ^ registry._R14_QUEUE)}"
+    assert gap == registry._R15_QUEUE, (
+        f"undeclared rotation backlog: {sorted(gap ^ registry._R15_QUEUE)}"
     )
     # the queue must clear in one round's rotation capacity (47 slots)
-    assert len(registry._R14_QUEUE) <= 47
+    assert len(registry._R15_QUEUE) <= 47

@@ -93,78 +93,78 @@ _PRIORITY: tuple[str, ...] = (
     "o15_latest_per_key",  # flagship (also entry())
     "w_corrupt_quarantine",  # r2 hash-fail regression pin
     "x6_session_windows",  # r2 hash-fail regression pin
-    # --- round-14 STALENESS rotation (24; VERDICT r13 ask #1): ALL
-    # twenty-four r7-stale rows the r13 rotation deferred — with these
-    # in-window nothing in the union is staler than r8.
-    "ext_incremental_agg",
-    "ext_q22_dormant_customers",
-    "x2_dedup_keep_best",
-    "x2_semantic_dedup",
-    "x3_ivf_pq_topk",
-    "x3_knn_classify",
-    "x3_mips_topk",
-    "x4_bigram_logprob",
-    "x4_corpus_profile",
-    "x4_gopher_filter",
-    "x4_heavy_hitters",
-    "x4_perplexity_buckets",
-    "x4_token_normalize",
-    "x4_vocab_coverage",
-    "x6_funnel_stages",
-    "x6_holt_smoothing",
-    "x6_interval_merge",
-    "x6_mad_outliers",
-    "x6_retention_cohorts",
-    "x6_rfm_scores",
-    "x8_budget_select",
-    "x8_epoch_shuffle",
-    "x8_length_buckets",
-    "x8_oversample_minority",
-    # --- round-14 microunit migrations (9; VERDICT r13 ask #3): every
-    # rung whose estimator moved to floor-quantized integer microunits
-    # this round re-enters the window (standing convention: changed
-    # rungs are driver-checked the round they change; bigram_logprob
-    # and perplexity_buckets are already above in the staleness tier).
-    # All nine swept green at sf0.001/sf0.01/sf0.1 in-session.
-    "x6_acf_lags",
-    "x4_unigram_logprob",
-    "x4_entropy_score",
-    "x4_zipf_fit",
-    "x2_tfidf_cosine",
-    "x2_tfidf_cosine_prefix",
-    "x9_pagerank",
-    "x4_perplexity_buckets_scalable",
-    "x4_perplexity_buckets_approx",
-    # --- round-14 ADVICE-touched CDC tier (3): the short-doc cutter
-    # guard (dedup.py cdc_chunks), the replay-idempotent registry
-    # merge, and the empty-sink decontamination guard all landed this
-    # round — their rungs re-enter the window.
-    "x1_cdc_chunk_dedup",
-    "s_cdc_chunk_stream",
-    "s_decontaminate_stream",
-    # --- round-14 additions: driver-checked the round they land ---
+    # --- round-15 STALENESS rotation (32; VERDICT r14 ask #2): ALL
+    # thirty-two r8-stale rows — the oldest oracle-bearing tier in the
+    # union (includes the ext_q16 filler displaced from r14). With
+    # these in-window nothing oracle-bearing is staler than r9.
+    "ext_bloom_join_prune",
+    "ext_dq_audit",
+    "ext_q16_supplier_counts",
+    "ext_q20_promotion_suppliers",
+    "mm_image_phash_neardup",
+    "s_api_stream",
+    "s_c4_gate_stream",
+    "s_stream_left_join",
+    "w_csv_quarantine",
+    "x1_normalized_dedup",
+    "x2_containment_capped",
+    "x2_containment_pairs",
+    "x3_binary_hamming_topk",
+    "x3_binary_recall_eval",
+    "x3_centroid_outliers",
+    "x3_ivf_recall_eval",
+    "x3_ivf_rerank_topk",
+    "x3_prefix_dim_recall",
+    "x3_range_search",
+    "x4_bpe_pair_stats",
+    "x4_uniqueness_score",
+    "x6_cusum_changepoints",
+    "x6_gap_report",
+    "x6_rfm_scores_scalable",
+    "x6_seasonal_baseline",
+    "x8_budget_select_scalable",
+    "x8_c4_pipeline",
+    "x8_interleave_sources",
+    "x8_length_buckets_scalable",
+    "x8_sequence_pack",
+    "x8_temperature_mixture",
+    "x8_tokenize_to_ids",
+    # --- rows-only band twins (5 of 6; VERDICT r14 ask #8): a
+    # driver-signed row for the band twin of each engine-specific
+    # rows-only query. x2_simhash_invariants takes its slot in r16
+    # (the ask allows spreading across r15–r16; x2's other twin
+    # x2_minhash_lsh_recall is below).
+    "ext_acd_error_band",
+    "o27_random_split_invariants",
+    "o28_gbt_holdout_band",
+    "o29_forecast_band",
+    "x2_minhash_lsh_recall",
+    # --- round-15 addition + changed-rung re-entries (standing
+    # convention: changed rungs are driver-checked the round they
+    # change). x3_nsw_beam_blocked is NEW (the LSH-blocked kNN-graph
+    # build, VERDICT r14 ask #1); x3_nsw_beam's search loop was
+    # factored into the shared _nsw_beam_loop + the empty-qsims guard
+    # (ADVICE r14); the unigram rungs gained the DP dispatch (ask #5);
+    # s_cdc_chunk_stream's registry merge gained the run-token replay
+    # guard + legacy-state backfill (ADVICE r14). All swept green at
+    # sf0.001/sf0.01/sf0.1 in-session before entering.
+    "x3_nsw_beam_blocked",
     "x3_nsw_beam",
     "x4_unigram_train",
     "x4_unigram_apply",
-    # --- family representatives (4): sole-member families stay
-    # in-window every round (CDC, cogroup); the x5/x7 reps are the
+    "s_cdc_chunk_stream",
+    # --- family representatives (5): sole-member families stay
+    # in-window every round (CDC, cogroup); the x5/x7/x9 reps are the
     # OLDEST-driver-checked oracle-bearing members of families the
-    # staleness tier above doesn't reach (x9 is covered by pagerank;
-    # coverage pinned by test_first_50_slots_cover_survey_operators).
-    "ext_cdc_merge",  # r13 (sole CDC query)
-    "ext_cogroup_pandas",  # r13 (sole cogroup query)
-    "x5_variant_extract",  # r8 — oldest x5
-    "x7_asof_join_tolerance",  # r8 — oldest x7
-    # --- r8-tier fillers (4): the oldest remaining rows — three of the
-    # derived-partsupp TPC-H batch and the mm_ family rep (oldest mm);
-    # ext_q16_supplier_counts defers to r15, displaced by the third
-    # round-14 addition above.
-    "mm_image_phash_dedup",
-    "ext_q2_min_cost_supplier",
-    "ext_q9_product_profit",
-    "ext_q11_important_stock",
-    # Rotated OUT: the r13-window rows not re-listed above — all
-    # r13-green, their rows stand in the union (staleness floor r8).
+    # staleness tier above doesn't reach (coverage pinned by
+    # test_first_50_slots_cover_survey_operators).
+    "ext_cdc_merge",  # r14 (sole CDC query)
+    "ext_cogroup_pandas",  # r14 (sole cogroup query)
+    "x5_json_get_path",  # r9 — oldest x5
+    "x7_interval_coverage",  # r9 — oldest x7
+    "x9_degree_hist",  # r10 — oldest x9
+    # Rotated OUT: the r14-window rows not re-listed above — all
+    # r14-green, their rows stand in the union (staleness floor r9).
 )
 
 #: The pre-round-9 window, kept for the union math in
@@ -261,9 +261,15 @@ _R8_WINDOW_ROTATED_OUT: tuple[str, ...] = (
 #: convention), the round-14 additions (x3_nsw_beam,
 #: x4_unigram_train) register straight into the window, and every
 #: other query holds a row in the r1-r13 union — the queue is EMPTY.
-#: Queries landing after the r14 window locks go here and head the
-#: r15 rotation (standing convention).
-_R14_QUEUE: set[str] = set()
+#: As of the r15 rotation: the 32 r8-stale rows rotate in (VERDICT
+#: r14 ask #2), five of the six rows-only band twins get their
+#: driver-signed slot (ask #8; x2_simhash_invariants is DECLARED for
+#: r16), the round-15 addition (x3_nsw_beam_blocked) registers
+#: straight into the window with the four changed-rung re-entries,
+#: and every other query holds a row in the r1-r14 union — the queue
+#: is EMPTY. Queries landing after the r15 window locks go here and
+#: head the r16 rotation (standing convention).
+_R15_QUEUE: set[str] = set()
 
 
 def _prioritized(d: dict[str, object]) -> dict[str, object]:
