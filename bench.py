@@ -187,6 +187,8 @@ HEADLINE = [
     "x3_nsw_beam",
     "x4_unigram_train",
     "x4_unigram_apply",
+    # round-15 additions
+    "x3_nsw_beam_blocked",
     # x1_bloom_geometry_tuning is scale-suite-only: ~6.5 s/run warmed
     # (4 configs x 3 bounded counts = 13 sequential driver-traffic
     # jobs — the sweep's inherent shape), too heavy for the 5-pass

@@ -2519,3 +2519,43 @@ def test_nsw_beam_recall_floor(spark):
         beam = {picks[k][0] for k in ranks}
         recalls.append(len(beam & exact) / NSW_BEAM)
     assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+
+def test_nsw_planes_for_matches_oracle_geometry():
+    """x3_nsw_beam_blocked's adaptive plane count must compute the
+    oracle's STATIC 8-plane geometry at every driver test SF (50 /
+    500 / 5000 vectors — parity depends on it), grow past that
+    (12 planes at the 10x replica's 50k, 15 at the 100x spot's
+    500k — the bounded-bucket-population lever), and cap at the
+    deterministic plane family's size."""
+    from weather_data_pipeline_spark.operators.similarity import (
+        MAX_PLANES,
+        _nsw_planes_for,
+        _PLANES,
+        _PLANES_ALL,
+    )
+
+    for n in (1, 50, 500, 5000):
+        assert _nsw_planes_for(n) == 8, n
+    assert _nsw_planes_for(50_000) == 12
+    assert _nsw_planes_for(500_000) == 15
+    assert _nsw_planes_for(10**12) == MAX_PLANES
+    # the 8-plane prefix IS the historical plane set (oracle parity)
+    assert (_PLANES_ALL[:8] == _PLANES).all()
+
+
+def test_nsw_exact_build_fails_fast_past_broadcast_ceiling(
+    spark, monkeypatch
+):
+    """x3_nsw_beam's 100x posture is a DESIGNED refusal: past
+    MAX_BROADCAST_VECTORS the broadcast |V|^2 graph build must raise
+    naming x3_nsw_beam_blocked (the implemented scale path), not
+    attempt the quadratic pass — which is why the 100x spot table
+    carries the blocked rung instead of this one."""
+    import pytest
+
+    from weather_data_pipeline_spark.operators import similarity as sim
+
+    monkeypatch.setattr(sim, "MAX_BROADCAST_VECTORS", 10)
+    with pytest.raises(AssertionError, match="x3_nsw_beam_blocked"):
+        sim.x3_nsw_beam(spark, SF)

