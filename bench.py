@@ -189,11 +189,16 @@ HEADLINE = [
     "x4_unigram_apply",
     # round-15 additions
     "x3_nsw_beam_blocked",
+    "x2_record_linkage",
     # x1_bloom_geometry_tuning is scale-suite-only: ~6.5 s/run warmed
     # (4 configs x 3 bounded counts = 13 sequential driver-traffic
     # jobs — the sweep's inherent shape), too heavy for the 5-pass
     # interleaved loop; its plan is in PLANS.md via plan_audit EXTRA
     # and its 10x ratio (1.07, registry-bounded) in BENCH_SCALE.json
+    # x3_hnsw_beam is scale-suite-only for the same reason: ~11 s/run
+    # warmed (16 localCheckpointed beam rounds + 3 layer builds —
+    # fixed round cost, not data volume; it amortizes at 10x). Plan
+    # via plan_audit EXTRA; scale row in BENCH_SCALE.json
 ]
 
 

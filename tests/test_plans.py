@@ -2559,3 +2559,167 @@ def test_nsw_exact_build_fails_fast_past_broadcast_ceiling(
     monkeypatch.setattr(sim, "MAX_BROADCAST_VECTORS", 10)
     with pytest.raises(AssertionError, match="x3_nsw_beam_blocked"):
         sim.x3_nsw_beam(spark, SF)
+
+
+def test_hnsw_level_draw_geometric_and_mixed():
+    """x3_hnsw_beam's level assignment must be (a) deterministic pure
+    int arithmetic, (b) geometrically distributed — P(level >= 1)
+    near 1/4, P(level = 2) near 1/16 over a sequential-id corpus —
+    and (c) actually MIXED: the draw reads the hash's TOP nibble
+    because the Knuth multiplier is odd, so h's low bits are just
+    vec_id's own low bits (the low-bit draw would degenerate to
+    vec_id % 16 — caught during the round-15 build)."""
+    import collections
+
+    from weather_data_pipeline_spark.operators.similarity import (
+        HNSW_HASH_MOD,
+        HNSW_HASH_MULT,
+    )
+
+    def level(vec_id: int) -> int:
+        t = ((vec_id * HNSW_HASH_MULT) % HNSW_HASH_MOD) >> 28
+        return 2 if t == 0 else (1 if t % 4 == 0 else 0)
+
+    n = 100_000
+    counts = collections.Counter(level(i) for i in range(n))
+    assert 0.2 < (counts[1] + counts[2]) / n < 0.3
+    assert 0.04 < counts[2] / n < 0.09
+    # mixed, not id-periodic: multiples of 16 are NOT all level 2
+    lv16 = [level(i) for i in range(0, 1600, 16)]
+    assert len(set(lv16)) == 3, collections.Counter(lv16)
+
+
+def test_hnsw_beam_recall_floor(spark):
+    """x3_hnsw_beam (round 15): hierarchy over the LSH-blocked layer
+    graphs. Recall is BOUNDED BY the blocked graph's quality (the
+    Hamming-1 probe set — x3_nsw_beam_blocked measured 0.50 at sf0.1
+    in BENCH_NSW_AB.json), so the floor pins 0.5 at sf0.01 (measured
+    0.625); what the hierarchy buys is the ENTRY — a log-depth
+    descent instead of the fixed entry node — which is the term that
+    decays at fixed sizing as the corpus grows. Structural contract:
+    every query returns exactly NSW_BEAM rows ranked 1..B with
+    non-increasing sims, never the query itself."""
+    import collections
+
+    import numpy as np
+
+    from weather_data_pipeline_spark.operators.similarity import (
+        N_QUERIES,
+        NSW_BEAM,
+        _seq_dot,
+        _seq_self_norms,
+    )
+    from weather_data_pipeline_spark.sources.testdata import load_table
+
+    rows = _Q["x3_hnsw_beam"](spark, SF).collect()
+    by_q = collections.defaultdict(dict)
+    for r in rows:
+        assert r["vec_id"] != r["query_id"]
+        by_q[r["query_id"]][r["beam_rank"]] = (r["vec_id"], r["sim"])
+    assert len(by_q) == N_QUERIES
+    emb = load_table(spark, SF, "embeddings").sort("vec_id").collect()
+    ids = np.array([r["vec_id"] for r in emb])
+    mat = np.array([list(r["embedding"]) for r in emb], dtype=np.float64)
+    norms = _seq_self_norms(mat)
+    recalls = []
+    for q, picks in by_q.items():
+        ranks = sorted(picks)
+        assert ranks == list(range(1, NSW_BEAM + 1)), (q, ranks)
+        sims = [picks[k][1] for k in ranks]
+        assert sims == sorted(sims, reverse=True), (q, sims)
+        qi = int(np.where(ids == q)[0][0])
+        s = np.round(_seq_dot(mat, mat[qi]) / (norms[qi] * norms), 6)
+        s[ids == q] = -9.0
+        exact = set(ids[np.lexsort((ids, -s))[:NSW_BEAM]].tolist())
+        beam = {picks[k][0] for k in ranks}
+        recalls.append(len(beam & exact) / NSW_BEAM)
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
+def test_record_linkage_blocking_complete():
+    """x2_record_linkage's candidate generation must be COMPLETE for
+    the match predicate (the docstring's pigeonhole + banding
+    claims), else the rung silently drops true matches that the
+    oracle's exhaustive same-nation scan keeps:
+    - pigeonhole: any two 9-char digit tails within edit distance
+      RL_NAME_EDIT(=2) — equal length, so substitutions only — agree
+      exactly on >= 1 of the three 3-char segments;
+    - banding: |Δcents| < RL_BAL_CENTS implies the bucket pair
+      floor(a/W), floor(b/W) differs by <= 1 (incl. negatives).
+    Deterministic exhaustive-ish sweeps, no RNG."""
+    import math
+
+    from weather_data_pipeline_spark.operators.dedup import (
+        RL_BAL_CENTS,
+        RL_NAME_EDIT,
+    )
+
+    def segs(s):
+        return [s[0:3], s[3:6], s[6:9]]
+
+    base = "123456789"
+    # all <=2-substitution variants of a representative tail
+    for i in range(9):
+        for j in range(i, 9):
+            v = list(base)
+            v[i] = "0"
+            v[j] = "7"
+            v = "".join(v)
+            dist = sum(a != b for a, b in zip(base, v))
+            assert dist <= RL_NAME_EDIT
+            assert any(x == y for x, y in zip(segs(base), segs(v))), (base, v)
+    # banding, including the negative-cents floor behavior
+    W = RL_BAL_CENTS
+    for a in range(-3 * W, 3 * W, 997):
+        for d in (-W + 1, -1, 0, 1, W - 1):
+            b = a + d
+            assert abs(math.floor(a / W) - math.floor(b / W)) <= 1, (a, b)
+
+
+def test_record_linkage_entities_nontrivial(spark):
+    """The rung must actually LINK at the test SFs (a threshold that
+    matches nothing would pass oracle parity vacuously): at sf0.01
+    the driver data yields 129 entities, largest cluster 6, every
+    entity_id equal to the min custkey its sum/count imply bounds
+    for. Pins the measured shape so a match-predicate regression
+    (e.g. a broken cents cast matching nothing) fails loudly."""
+    rows = _Q["x2_record_linkage"](spark, SF).collect()
+    assert len(rows) == 129
+    assert max(r["n_records"] for r in rows) == 6
+    for r in rows:
+        # entity_id is the component MIN, so strictly below the mean
+        # of the remaining members' keys packed into sum_custkey
+        assert r["sum_custkey"] > r["entity_id"] * r["n_records"]
+
+
+def test_record_linkage_collapse_exact(spark):
+    """The exact-duplicate COLLAPSE stage (x2_record_linkage stage 0)
+    must be EXACT on data that actually contains identical records —
+    the driver SFs' names are unique, so oracle parity exercises the
+    collapse only trivially, and the 10x/100x replicas (verbatim
+    name copies) are where it carries the scale. Synthetic frame:
+    records 1,2 identical; 3 within edit 1 + $0.50 of them; 4 a
+    lone exact-dup pair member with 14; 5 isolated -> expect entity
+    {1,2,3} (sum 6) and entity {4,14} (sum 18), nothing else."""
+    from weather_data_pipeline_spark.operators.dedup import (
+        RL_BAL_CENTS,
+        _rl_link,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "Customer#000000001", 7, 10000),
+        (2, "Customer#000000001", 7, 10000),
+        (3, "Customer#000000002", 7, 10050),
+        (4, "Customer#000000777", 7, 500000),
+        (14, "Customer#000000777", 7, 500000),
+        (5, "Customer#000000555", 3, 900000),
+    ]
+    rec = spark.createDataFrame(
+        rows, "c_custkey long, c_name string, c_nationkey int, bal_cents long"
+    ).withColumn("bucket", F.floor(F.col("bal_cents") / F.lit(RL_BAL_CENTS)))
+    out = {
+        r["entity_id"]: (r["n_records"], r["sum_custkey"])
+        for r in _rl_link(rec).collect()
+    }
+    assert out == {1: (3, 6), 4: (2, 18)}, out

@@ -371,3 +371,37 @@ def test_nsw_blocked_build_artifacts_gated():
     assert ab["1x"]["exact"]["recall_at_beam"] >= 0.6, ab["1x"]
     assert ab["1x"]["blocked"]["recall_at_beam"] >= 0.35, ab["1x"]
     assert "recall_note" in ab["10x"]  # the pathology stays documented
+
+
+def test_hnsw_scale_artifact_gated():
+    """x3_hnsw_beam's BENCH_SCALE row must stay in the amortizing
+    class: the rung's wall is dominated by FIXED per-round cost (16
+    checkpointed beam rounds), so 10x data should read well under the
+    scan-bound rungs' ~5x — measured 1.6. A regression toward the
+    exact build's quadratic class (8.11) or the blocked build's
+    pre-kernel 10x leg would overshoot this ceiling."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "BENCH_SCALE.json")
+    with open(path) as f:
+        row = json.load(f)["queries"]["x3_hnsw_beam"]
+    assert row["ratio"] <= 3.0, row
+
+
+def test_record_linkage_scale_artifact_gated():
+    """x2_record_linkage's BENCH_SCALE row must stay in the
+    collapse-bounded class (measured 0.6 at 10x — the verbatim-copy
+    replica COLLAPSES back to the 1x representative set, so pair work
+    is flat and only the group-by scan grows): a regression to the
+    oracle's per-nation |R|² scan shape would read ~100x here, a
+    broken blocking key (everything in one block) or a dropped
+    collapse stage (C(copies,2) pair blowup — the first cut's actual
+    100x failure) reads >=10x."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "BENCH_SCALE.json")
+    with open(path) as f:
+        row = json.load(f)["queries"]["x2_record_linkage"]
+    assert row["ratio"] <= 7.0, row

@@ -111,6 +111,7 @@ EXTRA = [
     "mm_audio_silence_trim",
     "mm_audio_energy",
     "x1_bloom_geometry_tuning",  # scale-suite-only (13-job sweep)
+    "x3_hnsw_beam",  # scale-suite-only (16 checkpointed beam rounds)
 ]
 
 

@@ -153,6 +153,18 @@ SPOT_CEILINGS = {
     "x3_nsw_beam_blocked": 9.0,
     "x4_unigram_train": 9.0,
     "x4_unigram_apply": 9.0,
+    # round-15 second wave: record linkage is COLLAPSE-bounded — the
+    # verbatim-copy replica collapses to the 1x representative set
+    # before any pair work, so 100x reads 2.35 (group-by scan class;
+    # the pre-collapse cut genuinely failed here on C(100,2)-per-name
+    # pair volume — that regression class reads >=10x or OOMs).
+    # HNSW joins the iterative-kernel class beside kcore (17.09) and
+    # SSSP (22.78): 16 fixed beam rounds whose per-round edge/qsims
+    # scans grow with the 100x corpus while fixed costs amortize —
+    # measured 16.91; a quadratic build regression (the exact |V|²
+    # pass the blocked build replaces) would read 10^3x.
+    "x2_record_linkage": 5.0,
+    "x3_hnsw_beam": 26.0,
 }
 
 SPOT = list(SPOT_CEILINGS)

@@ -248,6 +248,8 @@ QUERIES = [
     "x4_unigram_apply",
     # round-15 additions
     "x3_nsw_beam_blocked",
+    "x3_hnsw_beam",
+    "x2_record_linkage",
 ]
 
 #: Viral boilerplate for the skew replica: untagged (shared verbatim

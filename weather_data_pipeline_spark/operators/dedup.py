@@ -3274,3 +3274,201 @@ def x1_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_token_ppm"),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# x2_record_linkage — entity resolution over STRUCTURED records (the
+# ER / record-linkage workload pattern: Fellegi & Sunter 1969 lineage,
+# modern blocking surveys e.g. Papadakis 2020). The dedup ladder's
+# text rungs (X1/X2) match documents; this rung matches database
+# RECORDS on typed attributes — the customer-MDM / golden-record shape
+# a training-data pipeline runs over tabular sources.
+# ----------------------------------------------------------------------
+
+#: edit-distance match threshold on the name attribute. With <= 2
+#: substitutions over the 9-digit name tail, the 3-way segment split
+#: below is a COMPLETE blocking: two names within distance 2 must
+#: agree exactly on at least one of the three 3-char segments
+#: (pigeonhole — 3 segments, at most 2 touched).
+RL_NAME_EDIT = 2
+#: account-balance proximity in integer cents (|Δbal| < $100.00), and
+#: the derived band width: bucket = floor(cents / RL_BAL_BAND) with
+#: RL_BAL_BAND = RL_BAL_CENTS so matching pairs are at most one
+#: bucket apart (the ext_range_join banding argument).
+RL_BAL_CENTS = 10_000
+
+
+def _rl_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "customer")
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_nationkey",
+            # exact integer cents: c_acctbal is a 2-decimal value
+            # carried as double, so *100 is within 1e-9 of an integer
+            # and ROUND is tie-free in both engines
+            F.round(F.col("c_acctbal") * 100)
+            .cast("long")
+            .alias("bal_cents"),
+        )
+        .withColumn(
+            "bucket", F.floor(F.col("bal_cents") / F.lit(RL_BAL_CENTS))
+        )
+    )
+
+
+_RL_ORACLE = f"""
+    WITH RECURSIVE c AS (
+      SELECT c_custkey, c_name, c_nationkey,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
+      FROM customer
+    ),
+    p AS (
+      SELECT a.c_custkey AS ka, b.c_custkey AS kb
+      FROM c a JOIN c b
+        ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+      WHERE abs(a.bal_cents - b.bal_cents) < {RL_BAL_CENTS}
+        AND levenshtein(a.c_name, b.c_name) <= {RL_NAME_EDIT}
+    ),
+    e AS (
+      SELECT ka AS src, kb AS dst FROM p
+      UNION ALL
+      SELECT kb AS src, ka AS dst FROM p
+    ),
+    reach(node, lab) AS (
+      SELECT c_custkey, c_custkey FROM c
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN e ON e.src = r.node
+    ),
+    comp AS (
+      SELECT node, MIN(lab) AS component FROM reach GROUP BY node
+    )
+    SELECT component AS entity_id,
+           COUNT(*) AS n_records,
+           CAST(SUM(node) AS BIGINT) AS sum_custkey
+    FROM comp GROUP BY component HAVING COUNT(*) >= 2
+    """
+
+
+@query("x2_record_linkage", oracle=_RL_ORACLE)
+def x2_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution over structured records: link customer rows
+    that are plausibly the same entity — same nation, account balance
+    within $100.00, and name edit distance <= ``RL_NAME_EDIT`` — then
+    emit one row per multi-record entity (canonical id = min custkey,
+    member count, exact sum of member keys as the value fingerprint).
+    The four-stage ER shape: COLLAPSE -> BLOCK -> MATCH -> CLUSTER.
+
+    - COLLAPSE (stage 0, the standard ER preprocessing): records with
+      IDENTICAL match attributes (name, nation, cents) are the same
+      entity by definition — one group-by collapses them to a
+      representative carrying (min custkey, member count, key sum),
+      and everything downstream runs over representatives. This is
+      EXACT (an identical pair always satisfies the match predicate,
+      so collapsing never splits or merges an oracle component) and
+      it is THE scale property: pair volume depends on DISTINCT
+      attribute combinations, not raw rows — verbatim-duplicated
+      corpora (the 10x/100x replicas, real-world ingest re-runs) cost
+      one extra exchange instead of C(copies,2) quadratic pair work
+      per name (the first cut without this stage hit exactly that
+      wall at 100 copies).
+    - BLOCK (the scale stage, where the oracle's |R|² same-nation
+      pair scan is replaced): candidates come from a COMPLETE
+      two-factor blocking scheme — (a) pigeonhole name segments:
+      a name's 9-digit tail splits into three 3-char segments, and
+      any two names within edit distance 2 must agree EXACTLY on at
+      least one segment, so each record emits 3 (segment-index,
+      value) keys; (b) balance bands: bucket = floor(cents/10000),
+      and |Δbal| < 10000 implies |Δbucket| <= 1, so the prober side
+      emits buckets {b-1, b, b+1} (the ext_range_join banding
+      argument). The candidate join key is (nation, segment, value,
+      bucket) — an equi-join, never a theta join; completeness of
+      both factors is property-tested. Block population is
+      |R| / (nations·segvals·buckets) — the quadratic-in-block pair
+      term is the documented blocking skew class, and production
+      grows band granularity with the corpus (the adaptive-planes
+      precedent) or df-caps viral blocks (the x2_ngram_jaccard_capped
+      precedent).
+    - MATCH: exact predicate on the candidates only — JVM-side
+      ``F.levenshtein`` (both engines implement standard Levenshtein;
+      at threshold 2 on equal-length names every edit is a
+      substitution, so the distance is position-mismatch count —
+      engine-unambiguous) plus the integer-cents proximity; DISTINCT
+      pairs because a pair can meet on up to 3 segments × 2 bands.
+    - CLUSTER: the ladder's shared ``min_label_propagate`` connected
+      components (one shuffle per round, broadcast edge list,
+      fixpoint-probed), then one component-keyed count/sum aggregate
+      — the golden-record merge step.
+
+    Determinism: all keys and aggregates are integers; balance cents
+    are exact (2-decimal doubles × 100 round tie-free). Oracle: the
+    same match predicate as a recursive-CTE components fixpoint —
+    the |R|²-per-nation scan is oracle-side only.
+
+    Reference scope: no ER ops in the reference; §2.10 extension
+    tier (the structured-record face of the dedup family)."""
+    return _rl_link(_rl_records(spark, sf_dir))
+
+
+def _rl_link(rec: DataFrame) -> DataFrame:
+    """The x2_record_linkage core over a prepared record frame
+    (c_custkey, c_name, c_nationkey, bal_cents, bucket) — factored so
+    the exact-duplicate COLLAPSE stage is unit-testable on synthetic
+    frames that actually contain identical records (the driver SFs'
+    customer names are unique, so parity alone exercises the collapse
+    only trivially)."""
+    grp = rec.groupBy("c_name", "c_nationkey", "bal_cents", "bucket").agg(
+        F.min("c_custkey").alias("rep_key"),
+        F.count(F.lit(1)).alias("n_dup"),
+        F.sum("c_custkey").alias("sum_keys"),
+    )
+    segs = F.array(
+        *[F.substring("c_name", 10 + 3 * i, 3) for i in range(3)]
+    )
+    keyed = grp.select(
+        "rep_key",
+        "c_name",
+        "c_nationkey",
+        "bal_cents",
+        "bucket",
+        F.posexplode(segs).alias("seg", "val"),
+    )
+    members = keyed.select(
+        "c_nationkey", "seg", "val", "bucket",
+        F.col("rep_key").alias("kb"),
+        F.col("c_name").alias("name_b"),
+        F.col("bal_cents").alias("bal_b"),
+    )
+    probers = keyed.select(
+        "c_nationkey", "seg", "val",
+        F.explode(
+            F.array(
+                F.col("bucket") - 1, F.col("bucket"), F.col("bucket") + 1
+            )
+        ).alias("bucket"),
+        F.col("rep_key").alias("ka"),
+        F.col("c_name").alias("name_a"),
+        F.col("bal_cents").alias("bal_a"),
+    )
+    pairs = (
+        probers.join(members, ["c_nationkey", "seg", "val", "bucket"])
+        .filter(F.col("ka") < F.col("kb"))
+        .filter(
+            (F.abs(F.col("bal_a") - F.col("bal_b")) < RL_BAL_CENTS)
+            & (F.levenshtein("name_a", "name_b") <= RL_NAME_EDIT)
+        )
+        .select(F.col("ka").alias("doc_a"), F.col("kb").alias("doc_b"))
+        .distinct()
+    )
+    nodes = grp.select(F.col("rep_key").alias("doc_id"))
+    comp = min_label_propagate(nodes, pairs)
+    return (
+        comp.join(grp, comp["doc_id"] == grp["rep_key"])
+        .groupBy(F.col("component").alias("entity_id"))
+        .agg(
+            F.sum("n_dup").alias("n_records"),
+            F.sum("sum_keys").alias("sum_custkey"),
+        )
+        .filter(F.col("n_records") >= 2)
+    )

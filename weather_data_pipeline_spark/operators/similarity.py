@@ -3123,17 +3123,23 @@ def x3_nsw_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _nsw_beam_loop(beam, edges, qsims)
 
 
-def _nsw_beam_loop(
-    beam: DataFrame, edges: DataFrame, qsims: DataFrame
+def _nsw_beam_rounds(
+    beam: DataFrame,
+    edges: DataFrame,
+    qsims: DataFrame,
+    rounds: int,
+    beam_width: int,
 ) -> DataFrame:
-    """The shared NSW search loop (identical for the exact and the
-    blocked graph builds): ``NSW_ROUNDS`` rounds of expand-beam-by-
-    neighbors → keep top-``NSW_BEAM`` by (sim DESC, vec_id), then the
-    final ranked emit. ``edges`` columns: (vec_id, dst); ``qsims``
-    columns: (query_id, vec_id, sim) — both should be
-    localCheckpointed by the caller (read once / many times)."""
+    """``rounds`` beam-expansion rounds: expand-beam-by-neighbors →
+    keep top-``beam_width`` by (sim DESC, vec_id). Returns the final
+    (query_id, vec_id) beam frame. ``edges`` columns: (vec_id, dst);
+    ``qsims`` columns: (query_id, vec_id, sim) — both should be
+    localCheckpointed by the caller (read once / many times). The
+    expansion UNIONS the current beam before ranking, so a node whose
+    layer has no edges (an HNSW entry carried into a sparse layer)
+    persists rather than vanishing."""
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "vec_id")
-    for _ in range(NSW_ROUNDS):
+    for _ in range(rounds):
         expanded = beam.unionByName(
             beam.join(edges, "vec_id").select(
                 "query_id", F.col("dst").alias("vec_id")
@@ -3143,13 +3149,25 @@ def _nsw_beam_loop(
             expanded.filter(F.col("vec_id") != F.col("query_id"))
             .join(qsims, ["query_id", "vec_id"])
             .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= NSW_BEAM)
+            .filter(F.col("rn") <= beam_width)
             .select("query_id", "vec_id")
             # flat lineage per round (the Pregel localCheckpoint
             # convention): without this the depth-R plan re-derives
             # every earlier round per action
             .localCheckpoint(eager=True)
         )
+    return beam
+
+
+def _nsw_beam_loop(
+    beam: DataFrame, edges: DataFrame, qsims: DataFrame
+) -> DataFrame:
+    """The shared NSW search loop (identical for the exact and the
+    blocked graph builds): ``NSW_ROUNDS`` rounds of expand-beam-by-
+    neighbors → keep top-``NSW_BEAM`` by (sim DESC, vec_id)
+    (``_nsw_beam_rounds``), then the final ranked emit."""
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "vec_id")
+    beam = _nsw_beam_rounds(beam, edges, qsims, NSW_ROUNDS, NSW_BEAM)
     return (
         beam.join(qsims, ["query_id", "vec_id"])
         .withColumn("beam_rank", F.row_number().over(w).cast("long"))
@@ -3234,6 +3252,77 @@ def _nsw_block_topm(pdf: "pd.DataFrame") -> "pd.DataFrame":
     )
 
 
+def _blocked_knn_edges(emb: DataFrame) -> DataFrame:
+    """LSH-blocked top-``NSW_M`` kNN graph build over ``emb``
+    (vec_id, embedding) — the shared index construction for
+    x3_nsw_beam_blocked and every x3_hnsw_beam layer. Returns the
+    SYMMETRIZED edge frame (vec_id, dst), localCheckpointed (read
+    once per search round).
+
+    Adaptive geometry: one count() sizes the plane set so mean
+    bucket population stays ~``NSW_TARGET_BUCKET`` — at every driver
+    test SF this computes the oracle's static 8 planes exactly
+    (test-pinned); past ~5k vectors the bucket count grows with the
+    corpus, keeping per-vector candidate volume bounded.
+
+    Routing: every vector goes to (a) its own bucket as a MEMBER row
+    and (b) its probe buckets as PROBER rows; a (src, dst) candidate
+    pair meets in EXACTLY ONE group — dst's bucket — because the
+    probe array's values {bucket, bucket^2^i} are pairwise distinct,
+    so exactly one probe of src can equal dst's bucket (no dedup pass
+    needed; the oracle's DISTINCT is a no-op kept for intent).
+    Shuffle volume is (1 + probes)·|V| VECTOR rows — near-linear in
+    the corpus (probes = planes + 1 grows with log|V|); the candidate
+    PAIRS are scored entirely inside each bucket's Arrow batch
+    (numpy sequential-fold, the _seq_dot convention) and only each
+    prober's local top-M leaves the kernel, so pair volume never
+    hits the exchange. A hot bucket costs |probers|·|members| FLOPs
+    in one task — the bucketed-arm skew class, bounded by the
+    geometry. An EMPTY input (an HNSW layer with no members at a
+    tiny SF) degrades to an empty edge frame — the caller's beam
+    then passes its entry through unchanged."""
+    n_planes = _nsw_planes_for(emb.count())
+    sig = emb.withColumn(
+        "bucket", _bucket_spark(F.col("embedding"), n_planes)
+    )
+    members = sig.select(
+        "bucket", "vec_id", "embedding", F.lit(1).alias("role")
+    )
+    probers = sig.select(
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[
+                    F.col("bucket").bitwiseXOR(F.lit(1 << i))
+                    for i in range(n_planes)
+                ],
+            )
+        ).alias("bucket"),
+        "vec_id",
+        "embedding",
+        F.lit(0).alias("role"),
+    )
+    e0 = (
+        members.unionByName(probers)
+        .groupBy("bucket")
+        .applyInPandas(_nsw_block_topm, schema="src long, dst long, sim double")
+    )
+    wsrc = Window.partitionBy("src").orderBy(F.col("sim").desc(), "dst")
+    e0 = (
+        e0.withColumn("rn", F.row_number().over(wsrc))
+        .filter(F.col("rn") <= NSW_M)
+        .select("src", "dst")
+    )
+    return (
+        e0.unionByName(
+            e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # read once per round
+        .withColumnRenamed("src", "vec_id")
+    )
+
+
 @query("x3_nsw_beam_blocked", oracle=_nsw_oracle(e0_cte=_nsw_blocked_e0()))
 def x3_nsw_beam_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NSW beam search over an LSH-BLOCKED kNN graph — the 100 TB
@@ -3275,65 +3364,7 @@ def x3_nsw_beam_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    # adaptive geometry: one count() sizes the plane set so mean
-    # bucket population stays ~NSW_TARGET_BUCKET — at every driver
-    # test SF this computes the oracle's static 8 planes exactly
-    # (test-pinned); past ~5k vectors the bucket count grows with the
-    # corpus, keeping per-vector candidate volume bounded
-    n_planes = _nsw_planes_for(emb.count())
-    sig = emb.withColumn(
-        "bucket", _bucket_spark(F.col("embedding"), n_planes)
-    )
-    # Route every vector to (a) its own bucket as a MEMBER row and
-    # (b) its probe buckets as PROBER rows; a (src, dst) candidate
-    # pair meets in EXACTLY ONE group — dst's bucket — because the
-    # probe array's values {bucket, bucket^2^i} are pairwise
-    # distinct, so exactly one probe of src can equal dst's bucket
-    # (no dedup pass needed; the oracle's DISTINCT is a no-op kept
-    # for intent). Shuffle volume is (1 + probes)·|V| VECTOR rows —
-    # near-linear in the corpus (probes = planes + 1 grows with
-    # log|V|); the candidate PAIRS are scored entirely inside each
-    # bucket's Arrow batch (numpy sequential-fold, the _seq_dot
-    # convention) and only each prober's local top-M leaves the
-    # kernel, so pair volume never hits the exchange. A hot bucket
-    # costs |probers|·|members| FLOPs in one task — the bucketed-arm
-    # skew class, bounded by the geometry.
-    members = sig.select(
-        "bucket", "vec_id", "embedding", F.lit(1).alias("role")
-    )
-    probers = sig.select(
-        F.explode(
-            F.array(
-                F.col("bucket"),
-                *[
-                    F.col("bucket").bitwiseXOR(F.lit(1 << i))
-                    for i in range(n_planes)
-                ],
-            )
-        ).alias("bucket"),
-        "vec_id",
-        "embedding",
-        F.lit(0).alias("role"),
-    )
-    e0 = (
-        members.unionByName(probers)
-        .groupBy("bucket")
-        .applyInPandas(_nsw_block_topm, schema="src long, dst long, sim double")
-    )
-    wsrc = Window.partitionBy("src").orderBy(F.col("sim").desc(), "dst")
-    e0 = (
-        e0.withColumn("rn", F.row_number().over(wsrc))
-        .filter(F.col("rn") <= NSW_M)
-        .select("src", "dst")
-    )
-    edges = (
-        e0.unionByName(
-            e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        .distinct()
-        .localCheckpoint(eager=True)  # read once per round
-        .withColumnRenamed("src", "vec_id")
-    )
+    edges = _blocked_knn_edges(emb)
     qvecs = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
@@ -3350,3 +3381,291 @@ def x3_nsw_beam_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.lit(NSW_ENTRY).cast("long")
     )
     return _nsw_beam_loop(beam, edges, qsims)
+
+
+# ----------------------------------------------------------------------
+# x3_hnsw_beam — hierarchical NSW (HNSW, Malkov & Yashunin 2016): the
+# multi-layer extension of the NSW rung. Levels are assigned by a
+# DETERMINISTIC integer hash (geometric, P(level >= l) = 4^-l), each
+# layer's kNN graph is the SAME LSH-blocked build restricted to that
+# layer's members, and search descends: a narrow greedy beam on the
+# sparse upper layers finds a good entry point, then the full NSW beam
+# runs on layer 0. The hierarchy is exactly what the NSW rung's sizing
+# note says production adds — entry quality scales with log |V|
+# instead of depending on one fixed entry node.
+# ----------------------------------------------------------------------
+
+#: top layer index (3 layers: 0, 1, 2). P(level >= 1) = 1/4,
+#: P(level = 2) = 1/16 — the standard geometric level draw, made
+#: deterministic via a Knuth multiplicative hash of vec_id so both
+#: engines compute the identical hierarchy.
+HNSW_LMAX = 2
+#: beam rounds per UPPER layer (layers >= 1): the descent only needs a
+#: good-enough entry, not the full neighborhood — layer 0 runs the
+#: standard NSW_ROUNDS/NSW_BEAM search.
+HNSW_UP_ROUNDS = 4
+#: beam width on the upper layers (HNSW's small ef_construction-style
+#: descent beam; width 1 is the paper's greedy walk — 4 keeps the
+#: walk deterministic-robust to rounded-sim ties).
+HNSW_UP_BEAM = 4
+#: Knuth multiplicative hash constants (public technique): h =
+#: (vec_id * 2654435761) mod 2^32, and the level reads the TOP nibble
+#: t = h >> 28 (the multiplier is odd so the LOW bits of h are just
+#: vec_id's own low bits — t is where the mixing lands): level = 2
+#: iff t == 0, 1 iff t % 4 == 0, else 0. Pure int64 arithmetic —
+#: bit-identical in Spark and DuckDB, and safe from overflow until
+#: |V| ~ 3.5e9.
+HNSW_HASH_MULT = 2654435761
+HNSW_HASH_MOD = 4294967296
+
+
+def _hnsw_level(vec_id: Column) -> Column:
+    t = F.shiftright(
+        F.pmod(vec_id * F.lit(HNSW_HASH_MULT), F.lit(HNSW_HASH_MOD)), 28
+    )
+    return (
+        F.when(t == 0, 2).when(F.pmod(t, 4) == 0, 1).otherwise(0)
+    )
+
+
+def _hnsw_layer_edges_cte(l: int) -> str:
+    """One layer's LSH-blocked kNN edge CTEs (the _nsw_blocked_e0
+    chain restricted to level >= l, suffixed so three layers
+    coexist): signatures -> Hamming-1 probes -> candidates -> top-M
+    per src -> symmetrized ed{l}."""
+    cos = _DUCK_COS.format(a="a.embedding", b="b.embedding")
+    probe_list = ", ".join(
+        ["s.bucket"] + [f"xor(s.bucket, {1 << i})" for i in range(N_PLANES)]
+    )
+    return f"""
+    sg{l} AS MATERIALIZED (
+      SELECT e.vec_id, {_bucket_sql('e.embedding')} AS bucket
+      FROM embeddings e JOIN lv ON lv.vec_id = e.vec_id AND lv.level >= {l}
+    ),
+    pb{l} AS MATERIALIZED (
+      SELECT s.vec_id, p.probe
+      FROM sg{l} s, UNNEST([{probe_list}]) AS p(probe)
+    ),
+    cd{l} AS MATERIALIZED (
+      SELECT DISTINCT p.vec_id AS src, s.vec_id AS dst
+      FROM pb{l} p JOIN sg{l} s
+        ON p.probe = s.bucket AND p.vec_id <> s.vec_id
+    ),
+    ke{l} AS MATERIALIZED (
+      SELECT src, dst FROM (
+        SELECT c.src, c.dst,
+               ROW_NUMBER() OVER (
+                 PARTITION BY c.src
+                 ORDER BY ROUND({cos}, 6) DESC, c.dst) AS rn
+        FROM cd{l} c
+        JOIN embeddings a ON a.vec_id = c.src
+        JOIN embeddings b ON b.vec_id = c.dst
+      ) WHERE rn <= {NSW_M}
+    ),
+    ed{l} AS MATERIALIZED (
+      SELECT src, dst FROM ke{l}
+      UNION
+      SELECT dst AS src, src AS dst FROM ke{l}
+    ),"""
+
+
+def _hnsw_beam_ctes(pfx: str, b0: str, edges: str, rounds: int, width: int) -> str:
+    """Round-unrolled beam CTEs for one layer (the _nsw_oracle round
+    machinery, parameterized): candidates = beam UNION neighbors(beam),
+    beam = top-``width`` by (sim DESC, vec_id) against the GLOBAL
+    query-sims qh — the union keeps an entry carried into an edgeless
+    layer alive."""
+    parts = []
+    prev = b0
+    for t in range(1, rounds + 1):
+        parts.append(
+            f"""
+    {pfx}c{t} AS MATERIALIZED (
+      SELECT query_id, vec_id FROM {prev}
+      UNION
+      SELECT b.query_id, e.dst AS vec_id
+      FROM {prev} b JOIN {edges} e ON e.src = b.vec_id
+    ),
+    {pfx}b{t} AS MATERIALIZED (
+      SELECT query_id, vec_id FROM (
+        SELECT c.query_id, c.vec_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY c.query_id
+                 ORDER BY s.sim DESC, c.vec_id) AS rn
+        FROM {pfx}c{t} c
+        JOIN qh s ON s.query_id = c.query_id AND s.vec_id = c.vec_id
+        WHERE c.vec_id <> c.query_id
+      ) WHERE rn <= {width}
+    ),"""
+        )
+        prev = f"{pfx}b{t}"
+    return "".join(parts)
+
+
+def _hnsw_oracle() -> str:
+    qcos = _DUCK_COS.format(a="q.embedding", b="c.embedding")
+    hm = f"(((vec_id * {HNSW_HASH_MULT}) % {HNSW_HASH_MOD}) >> 28)"
+    carry1 = f"h2b{HNSW_UP_ROUNDS}"
+    carry0 = f"h1b{HNSW_UP_ROUNDS}"
+    final = f"h0b{NSW_ROUNDS}"
+    sql = f"""
+    WITH lv AS MATERIALIZED (
+      SELECT vec_id,
+             CASE WHEN {hm} = 0 THEN 2
+                  WHEN {hm} % 4 = 0 THEN 1
+                  ELSE 0 END AS level
+      FROM embeddings
+    ),
+    ent AS MATERIALIZED (
+      SELECT COALESCE(
+        (SELECT MIN(vec_id) FROM lv WHERE level >= 2 AND vec_id >= {N_QUERIES}),
+        (SELECT MIN(vec_id) FROM lv WHERE level >= 1 AND vec_id >= {N_QUERIES}),
+        (SELECT MIN(vec_id) FROM lv WHERE vec_id >= {N_QUERIES})
+      ) AS vec_id
+    ),
+    qh AS MATERIALIZED (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+             ROUND({qcos}, 6) AS sim
+      FROM (SELECT * FROM embeddings WHERE vec_id < {N_QUERIES}) q
+      CROSS JOIN embeddings c
+    ),"""
+    for l in (2, 1, 0):
+        sql += _hnsw_layer_edges_cte(l)
+    sql += f"""
+    h2b0 AS MATERIALIZED (
+      SELECT q.vec_id AS query_id, e.vec_id AS vec_id
+      FROM embeddings q, ent e WHERE q.vec_id < {N_QUERIES}
+    ),"""
+    sql += _hnsw_beam_ctes("h2", "h2b0", "ed2", HNSW_UP_ROUNDS, HNSW_UP_BEAM)
+    sql += f"""
+    h1b0 AS MATERIALIZED (
+      SELECT query_id, vec_id FROM (
+        SELECT b.query_id, b.vec_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY b.query_id
+                 ORDER BY s.sim DESC, b.vec_id) AS rn
+        FROM {carry1} b
+        JOIN qh s ON s.query_id = b.query_id AND s.vec_id = b.vec_id
+      ) WHERE rn = 1
+    ),"""
+    sql += _hnsw_beam_ctes("h1", "h1b0", "ed1", HNSW_UP_ROUNDS, HNSW_UP_BEAM)
+    sql += f"""
+    h0b0 AS MATERIALIZED (
+      SELECT query_id, vec_id FROM (
+        SELECT b.query_id, b.vec_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY b.query_id
+                 ORDER BY s.sim DESC, b.vec_id) AS rn
+        FROM {carry0} b
+        JOIN qh s ON s.query_id = b.query_id AND s.vec_id = b.vec_id
+      ) WHERE rn = 1
+    ),"""
+    sql += _hnsw_beam_ctes("h0", "h0b0", "ed0", NSW_ROUNDS, NSW_BEAM)
+    assert sql.endswith(",")  # every CTE block emits a trailing comma
+    sql = sql[:-1]
+    sql += f"""
+    SELECT query_id, CAST(rn AS BIGINT) AS beam_rank, vec_id, sim FROM (
+      SELECT b.query_id, b.vec_id, s.sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY b.query_id
+               ORDER BY s.sim DESC, b.vec_id) AS rn
+      FROM {final} b
+      JOIN qh s ON s.query_id = b.query_id AND s.vec_id = b.vec_id
+    )
+    """
+    return sql
+
+
+@query("x3_hnsw_beam", oracle=_hnsw_oracle())
+def x3_hnsw_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HNSW: hierarchical navigable-small-world ANN search (Malkov &
+    Yashunin 2016, public technique) — the multi-layer extension the
+    NSW rung's sizing note names as the production scale path for
+    ENTRY quality. Three layers, each ingredient already in the
+    ladder:
+
+    - levels: deterministic geometric draw P(level >= l) = 4^-l via a
+      Knuth multiplicative hash of vec_id (``_hnsw_level``) — pure
+      int64 arithmetic, bit-identical cross-engine, no RNG state;
+    - per-layer graphs: the SHARED ``_blocked_knn_edges`` build
+      (LSH multi-probe buckets -> Arrow kernel local top-M -> global
+      top-``NSW_M`` -> symmetrize) restricted to level >= l members —
+      no quadratic pass, no broadcast ceiling, at any layer;
+    - search: entry = min corpus id of the highest non-empty layer
+      (COALESCE ladder — a 1-row driver agg, bounded by construction);
+      each upper layer runs ``HNSW_UP_ROUNDS`` rounds of the shared
+      ``_nsw_beam_rounds`` at width ``HNSW_UP_BEAM`` and hands its
+      top-1 down as the next layer's start node; layer 0 runs the
+      full ``NSW_ROUNDS``/``NSW_BEAM`` search and emits the NSW
+      ranked-beam contract (query_id, beam_rank, vec_id, sim).
+
+    Scale shape: upper layers hold |V|/4 and |V|/16 of the corpus, so
+    the hierarchy adds ~31% build work over the layer-0 build while
+    replacing the FIXED entry node with one reached by log-depth
+    descent — at 100 TB the fixed-entry NSW beam needs more rounds to
+    escape the entry's neighborhood, which is exactly the recall
+    decay the NSW sizing note documents. Degenerate layers at tiny
+    SFs are safe by construction: an empty layer contributes an empty
+    edge frame, the carried entry survives the rounds unchanged
+    (the ``_nsw_beam_rounds`` union keeps the beam alive), and the
+    COALESCE entry ladder never selects from an empty layer.
+
+    Determinism: rounded-6 sims before every ranking, vec_id
+    tiebreaks everywhere (the NSW conventions); the level hash and
+    the entry COALESCE are integer-exact in both engines.
+
+    Reference scope: no retrieval ops in the reference; §2.10
+    extension tier beside x3_nsw_beam / x3_nsw_beam_blocked."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    lv = emb.withColumn("level", _hnsw_level(F.col("vec_id")))
+    qvecs = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    qsims = (
+        emb.crossJoin(F.broadcast(qvecs))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("qe"), F.col("embedding")), 6).alias("sim"),
+        )
+        .localCheckpoint(eager=True)  # read by every round + the emit
+    )
+    ent_row = (
+        lv.filter(F.col("vec_id") >= N_QUERIES)
+        .agg(
+            F.min(F.when(F.col("level") >= 2, F.col("vec_id"))).alias("e2"),
+            F.min(F.when(F.col("level") >= 1, F.col("vec_id"))).alias("e1"),
+            F.min("vec_id").alias("e0"),
+        )
+        .first()
+    )
+    entry = next(
+        v for v in (ent_row["e2"], ent_row["e1"], ent_row["e0"]) if v is not None
+    )
+    beam = qvecs.select("query_id").withColumn(
+        "vec_id", F.lit(int(entry)).cast("long")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "vec_id")
+    for l in (2, 1):
+        layer_edges = _blocked_knn_edges(
+            lv.filter(F.col("level") >= l).select("vec_id", "embedding")
+        )
+        beam = _nsw_beam_rounds(
+            beam, layer_edges, qsims, HNSW_UP_ROUNDS, HNSW_UP_BEAM
+        )
+        # hand the layer's best node down as the next layer's start
+        beam = (
+            beam.join(qsims, ["query_id", "vec_id"])
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("query_id", "vec_id")
+        )
+    edges0 = _blocked_knn_edges(emb)
+    beam = _nsw_beam_rounds(beam, edges0, qsims, NSW_ROUNDS, NSW_BEAM)
+    return (
+        beam.join(qsims, ["query_id", "vec_id"])
+        .withColumn("beam_rank", F.row_number().over(w).cast("long"))
+        .select("query_id", "beam_rank", "vec_id", "sim")
+    )

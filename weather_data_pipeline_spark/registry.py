@@ -268,8 +268,11 @@ _R8_WINDOW_ROTATED_OUT: tuple[str, ...] = (
 #: straight into the window with the four changed-rung re-entries,
 #: and every other query holds a row in the r1-r14 union — the queue
 #: is EMPTY. Queries landing after the r15 window locks go here and
-#: head the r16 rotation (standing convention).
-_R15_QUEUE: set[str] = set()
+#: head the r16 rotation (standing convention): x3_hnsw_beam (the
+#: hierarchical-NSW rung, added mid-r15 after the window froze) was
+#: parity-swept at all three SFs in-session per the pre-registration
+#: checklist and takes the x2_simhash_invariants-declared r16 head.
+_R15_QUEUE: set[str] = {"x3_hnsw_beam", "x2_record_linkage"}
 
 
 def _prioritized(d: dict[str, object]) -> dict[str, object]:
