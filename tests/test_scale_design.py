@@ -405,3 +405,24 @@ def test_record_linkage_scale_artifact_gated():
     with open(path) as f:
         row = json.load(f)["queries"]["x2_record_linkage"]
     assert row["ratio"] <= 7.0, row
+
+
+def test_record_registry_stream_state_flat_under_duplication():
+    """s_record_linkage_stream's state row (BENCH_STREAM_SCALE
+    `record_registry`): the 10x replica duplicates customer rows
+    VERBATIM, so the collapsed-record registry must stay ~FLAT while
+    arrival volume grows 10x — the COLLAPSE scale property measured
+    at the stream frontier (measured: 15000 -> 15000 rows,
+    registry_ratio 1.0, arrivals 15000 -> 150000). A dropped collapse
+    (state tracking raw rows) reads ~10x here."""
+    import json
+    import os
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "BENCH_STREAM_SCALE.json"
+    )
+    with open(path) as f:
+        row = json.load(f)["record_registry"]
+    assert row["registry_ratio"] <= 1.5, row
+    assert row["arrived_rows_10x"] == 10 * row["arrived_rows_1x"], row
+    assert row["registry_rows_1x"] > 0

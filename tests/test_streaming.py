@@ -1036,3 +1036,109 @@ def test_cdc_registry_bounded_evicts_stale_singletons(spark, tmp_path):
             assert w["ch"] in got_dup, w["ch"]
     # (d) the registry is strictly smaller than the exact one
     assert 0 < len(rows) < len(exact)
+
+
+def test_record_registry_stream_multibatch_mergeable_collapse(
+    spark, tmp_path
+):
+    """The collapsed-record registry across shuffled micro-batches
+    (s_record_linkage_stream's state): min/count/sum merge per
+    attribute group, so the drained registry must equal the batch
+    COLLAPSE exactly under any arrival order/batching — including
+    when the SAME attribute combination arrives in different batches
+    (customers split by custkey % 3, so identical synthetic dups land
+    apart). Injects two exact-duplicate rows of customer 1 with fresh
+    keys to make the cross-batch merge path real (the driver SFs'
+    names are otherwise unique)."""
+    import glob
+    import os
+    import shutil
+
+    from weather_data_pipeline_spark.operators.dedup import (
+        _rl_collapse,
+        _rl_records,
+    )
+    from weather_data_pipeline_spark.streaming import jobs
+
+    sf = "/root/testdata/sf0.001"
+    cust = spark.read.parquet(f"{sf}/customer.parquet")
+    dup = (
+        cust.filter(F.col("c_custkey") == 1)
+        .drop("c_custkey")
+        .crossJoin(
+            spark.createDataFrame([(100001,), (100002,)], "c_custkey long")
+        )
+        .select(*cust.columns)
+    )
+    cust = cust.unionByName(dup)
+
+    src = str(tmp_path / "cust_src")
+    os.makedirs(src)
+    for i in range(3):
+        tmp = str(tmp_path / "_tmp")
+        cust.filter(F.pmod("c_custkey", F.lit(3)) == i).coalesce(
+            1
+        ).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dest = os.path.join(src, f"b{i}.parquet")
+        shutil.move(part, dest)
+        os.utime(dest, (1_700_000_000 + 100 * i,) * 2)
+
+    stream = (
+        spark.readStream.schema(cust.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    state = str(tmp_path / "state")
+    jobs.streaming_record_registry(stream, state)
+
+    key = ["c_name", "c_nationkey", "bal_cents"]
+    got = sorted(
+        tuple(r[c] for c in key + ["rep_key", "n_dup", "sum_keys"])
+        for r in jobs.read_state(spark, state).collect()
+    )
+    # batch collapse over the same injected frame, via the rung's own
+    # record prep (write the frame out so _rl_records reads it)
+    bdir = str(tmp_path / "batch_sf")
+    cust.write.parquet(os.path.join(bdir, "customer.parquet"))
+    want = sorted(
+        tuple(r[c] for c in key + ["rep_key", "n_dup", "sum_keys"])
+        for r in _rl_collapse(_rl_records(spark, bdir)).collect()
+    )
+    assert got == want
+    # the injected dups collapsed across batches: one group of 3
+    assert any(g[-2] == 3 for g in got)
+
+
+def test_record_registry_replay_of_merged_batch_is_skipped(
+    spark, tmp_path
+):
+    """Counts in the record registry ADD, so the (run token, batch id)
+    replay guard must skip a re-delivered batch from the same
+    checkpoint lineage — n_dup/sum_keys must not double."""
+    import glob
+    import os
+    import shutil
+
+    from weather_data_pipeline_spark.streaming import jobs
+
+    sf = "/root/testdata/sf0.001"
+    cust = spark.read.parquet(f"{sf}/customer.parquet")
+    src = str(tmp_path / "cust_src")
+    os.makedirs(src)
+    tmp = str(tmp_path / "_tmp")
+    cust.coalesce(1).write.mode("overwrite").parquet(tmp)
+    shutil.move(
+        glob.glob(os.path.join(tmp, "part-*.parquet"))[0],
+        os.path.join(src, "b0.parquet"),
+    )
+
+    state = str(tmp_path / "state")
+    n = cust.count()
+    for _ in range(2):  # second run = same checkpoint → replay, skipped
+        stream = spark.readStream.schema(cust.schema).parquet(src)
+        jobs.streaming_record_registry(
+            stream, state, checkpoint=str(tmp_path / "ck")
+        )
+    st = jobs.read_state(spark, state)
+    assert st.agg(F.sum("n_dup")).first()[0] == n  # NOT doubled

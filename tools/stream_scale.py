@@ -240,6 +240,53 @@ def _cdc_registry(spark: SparkSession) -> dict:
     return res
 
 
+def _record_registry(spark: SparkSession) -> dict:
+    """State growth of the collapsed-record registry (round 15,
+    s_record_linkage_stream): rows = |distinct (name, nation, cents)
+    attribute combinations| — and the 10x replica duplicates customer
+    rows VERBATIM (names repeat per copy), so the registry must stay
+    ~FLAT at 10x arrival volume: the COLLAPSE scale property measured
+    at the stream frontier (re-ingest/replay traffic costs counter
+    increments, not state). Contrast with the CDC registry, whose
+    replica is per-token-tagged (novel content) and grows ~10x —
+    the two rows bracket the content-novelty axis."""
+    from weather_data_pipeline_spark.schemas import TESTDATA
+    from weather_data_pipeline_spark.streaming import jobs
+
+    # untimed warmup drain (throwaway state)
+    dw = os.path.join(WORK, "rec_cust_warm")
+    _copy_events(dw, os.path.join(BASE, "customer.parquet"))
+    jobs.streaming_record_registry(
+        spark.readStream.schema(TESTDATA["customer"])
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(dw),
+        os.path.join(WORK, "rec_state_warm"),
+    )
+    res: dict = {}
+    for tag, root in (("1x", BASE), ("10x", SCALE_DIR)):
+        d = os.path.join(WORK, f"rec_cust{tag}")
+        _copy_events(d, os.path.join(root, "customer.parquet"))
+        src = (
+            spark.readStream.schema(TESTDATA["customer"])
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(d)
+        )
+        state = os.path.join(WORK, f"rec_state_{tag}")
+        t0 = time.perf_counter()
+        jobs.streaming_record_registry(src, state)
+        res[f"t_{tag}"] = round(time.perf_counter() - t0, 3)
+        st = jobs.read_state(spark, state)
+        res[f"registry_rows_{tag}"] = st.count()
+        res[f"arrived_rows_{tag}"] = int(
+            st.agg({"n_dup": "sum"}).first()[0]
+        )
+    res["ratio"] = round(res["t_10x"] / res["t_1x"], 2)
+    res["registry_ratio"] = round(
+        res["registry_rows_10x"] / max(res["registry_rows_1x"], 1), 2
+    )
+    return res
+
+
 def _cdc_registry_bounded(spark: SparkSession) -> dict:
     """Bounded-state CDC registry (VERDICT r13 ask #2): the exact
     registry's rows grow with content novelty (9.96x at 10x novel
@@ -595,6 +642,7 @@ def main() -> None:
     out["decon_frontier"] = _decon_frontier(spark)
     out["cdc_registry"] = _cdc_registry(spark)
     out["cdc_registry_bounded"] = _cdc_registry_bounded(spark)
+    out["record_registry"] = _record_registry(spark)
     print(json.dumps(out))
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "BENCH_STREAM_SCALE.json"), "w") as f:
@@ -632,6 +680,7 @@ def main_section(name: str) -> None:
         "decon_frontier": _decon_frontier,
         "cdc_registry": _cdc_registry,
         "cdc_registry_bounded": _cdc_registry_bounded,
+        "record_registry": _record_registry,
     }[name]
     row = fn(spark)
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

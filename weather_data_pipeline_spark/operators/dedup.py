@@ -3411,6 +3411,19 @@ def x2_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rl_link(_rl_records(spark, sf_dir))
 
 
+def _rl_collapse(rec: DataFrame) -> DataFrame:
+    """Stage 0 (COLLAPSE) alone: records with identical match
+    attributes fold to one representative row (min custkey, member
+    count, key sum). min/count/sum are all MERGEABLE, which is why
+    this exact frame doubles as the streaming twin's state registry
+    (streaming/jobs.streaming_record_registry)."""
+    return rec.groupBy("c_name", "c_nationkey", "bal_cents", "bucket").agg(
+        F.min("c_custkey").alias("rep_key"),
+        F.count(F.lit(1)).alias("n_dup"),
+        F.sum("c_custkey").alias("sum_keys"),
+    )
+
+
 def _rl_link(rec: DataFrame) -> DataFrame:
     """The x2_record_linkage core over a prepared record frame
     (c_custkey, c_name, c_nationkey, bal_cents, bucket) — factored so
@@ -3418,11 +3431,15 @@ def _rl_link(rec: DataFrame) -> DataFrame:
     frames that actually contain identical records (the driver SFs'
     customer names are unique, so parity alone exercises the collapse
     only trivially)."""
-    grp = rec.groupBy("c_name", "c_nationkey", "bal_cents", "bucket").agg(
-        F.min("c_custkey").alias("rep_key"),
-        F.count(F.lit(1)).alias("n_dup"),
-        F.sum("c_custkey").alias("sum_keys"),
-    )
+    return _rl_link_groups(_rl_collapse(rec))
+
+
+def _rl_link_groups(grp: DataFrame) -> DataFrame:
+    """BLOCK -> MATCH -> CLUSTER over an already-collapsed
+    representative frame (c_name, c_nationkey, bal_cents, bucket,
+    rep_key, n_dup, sum_keys) — shared verbatim by the batch rung and
+    the streaming twin's drained registry (the strongest stream-batch
+    parity statement: identical code after the state read)."""
     segs = F.array(
         *[F.substring("c_name", 10 + 3 * i, 3) for i in range(3)]
     )

@@ -924,3 +924,33 @@ def s_cdc_chunk_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_token_ppm"),
         )
     )
+
+
+@query(
+    "s_record_linkage_stream", oracle=_ORACLE_REG["x2_record_linkage"]
+)
+def s_record_linkage_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming entity-resolution twin — customer records stream in
+    (the MDM-ingest frontier: re-ingests, migrations, CDC replays)
+    and the COLLAPSE stage runs as a mergeable state registry
+    (jobs.streaming_record_registry: per-(name, nation, cents)
+    min-custkey / member-count / key-sum — min of mins, sum of sums,
+    so the drained registry equals the batch collapse under ANY
+    arrival order or batching, replay-guarded because counts add).
+    At drain, BLOCK/MATCH/CLUSTER run over the registry via the batch
+    rung's OWN ``_rl_link_groups`` — identical code after the state
+    read — so the oracle is x2_record_linkage VERBATIM (the
+    s_bloom_prefilter_stream discipline, the strongest stream-batch
+    parity statement the contract can make). State rows = |distinct
+    attribute combinations| — the rung's collapse scale property
+    carried into streaming: arriving duplicate volume only increments
+    counters, never grows state or downstream pair work."""
+    from .dedup import RL_BAL_CENTS as _RL_W
+    from .dedup import _rl_link_groups
+
+    state = os.path.join(jobs.SCRATCH, f"recreg_{uuid.uuid4().hex[:8]}")
+    jobs.streaming_record_registry(jobs.stream_customer(spark, sf_dir), state)
+    grp = jobs.read_state(spark, state).withColumn(
+        "bucket", F.floor(F.col("bal_cents") / F.lit(_RL_W))
+    )
+    return _rl_link_groups(grp)

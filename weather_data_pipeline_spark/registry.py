@@ -272,7 +272,11 @@ _R8_WINDOW_ROTATED_OUT: tuple[str, ...] = (
 #: hierarchical-NSW rung, added mid-r15 after the window froze) was
 #: parity-swept at all three SFs in-session per the pre-registration
 #: checklist and takes the x2_simhash_invariants-declared r16 head.
-_R15_QUEUE: set[str] = {"x3_hnsw_beam", "x2_record_linkage"}
+_R15_QUEUE: set[str] = {
+    "x3_hnsw_beam",
+    "x2_record_linkage",
+    "s_record_linkage_stream",
+}
 
 
 def _prioritized(d: dict[str, object]) -> dict[str, object]:

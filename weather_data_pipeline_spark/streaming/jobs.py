@@ -1200,3 +1200,98 @@ def streaming_cdc_registry(
         "cdcreg-state",
         checkpoint,
     )
+
+
+def stream_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-stream over the customer parquet (the MDM-ingest view of a
+    record source: customer rows arrive continuously — re-ingests,
+    migrations, CDC re-plays — and must fold into the entity
+    registry)."""
+    return (
+        spark.readStream.schema(TESTDATA["customer"])
+        .option("pathGlobFilter", "customer.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def streaming_record_registry(
+    source: DataFrame,
+    state_path: str,
+    checkpoint: str | None = None,
+) -> None:
+    """Collapsed-record registry at INGEST time — the stream twin of
+    ``x2_record_linkage``'s COLLAPSE stage: each micro-batch's
+    customer rows fold to per-(name, nation, cents) representative
+    rows (min custkey / member count / key sum — all mergeable: min
+    of mins, sum of sums), which ADD into the state snapshot. The
+    registry is the MINIMAL SUFFICIENT state for the whole linkage —
+    BLOCK/MATCH/CLUSTER at drain run on representatives only
+    (operators.dedup._rl_link_groups, the batch rung's exact code) —
+    and it carries the rung's scale property into streaming: state
+    grows with DISTINCT attribute combinations, never with arriving
+    row volume, so re-ingested duplicate records only increment
+    counters (the content-novelty class beside the CDC chunk
+    registry's exact mode).
+
+    Snapshot writes use the write-new-then-flip protocol shared with
+    incremental_latest_per_key. Counts are additive (NOT idempotent),
+    so the merge carries the CDC registry's (run token, batch id)
+    replay guard: the version string embeds both, and a merge whose
+    token+id already heads the flipped ``_VERSION`` is skipped —
+    foreachBatch's at-least-once replay cannot double-count a batch,
+    while a new lineage (fresh checkpoint, ids restarting at 0)
+    merges normally. Drain wall is O(n_batches x |state|) — the
+    full-snapshot rewrite class documented at streaming_cdc_registry.
+    """
+    run_token = (
+        hashlib.sha1(checkpoint.encode()).hexdigest()[:8]
+        if checkpoint is not None
+        else uuid.uuid4().hex[:8]
+    )
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        s = batch.sparkSession
+        version = _state_version(state_path)
+        if version is not None and version.startswith(
+            f"v{run_token}b{batch_id}-"
+        ):
+            return  # at-least-once replay: same lineage, same batch id
+        grp = (
+            batch.select(
+                "c_custkey",
+                "c_name",
+                "c_nationkey",
+                F.round(F.col("c_acctbal") * 100)
+                .cast("long")
+                .alias("bal_cents"),
+            )
+            .groupBy("c_name", "c_nationkey", "bal_cents")
+            .agg(
+                F.min("c_custkey").alias("rep_key"),
+                F.count(F.lit(1)).alias("n_dup"),
+                F.sum("c_custkey").alias("sum_keys"),
+            )
+        )
+        if version is not None:
+            prev = s.read.parquet(os.path.join(state_path, version))
+            grp = (
+                prev.unionByName(grp.select(prev.columns))
+                .groupBy("c_name", "c_nationkey", "bal_cents")
+                .agg(
+                    F.min("rep_key").alias("rep_key"),
+                    F.sum("n_dup").alias("n_dup"),
+                    F.sum("sum_keys").alias("sum_keys"),
+                )
+            )
+        new_version = f"v{run_token}b{batch_id}-{uuid.uuid4().hex[:8]}"
+        grp.write.parquet(os.path.join(state_path, new_version))
+        tmp = os.path.join(state_path, f"_VERSION.{new_version}")
+        with open(tmp, "w") as f:
+            f.write(new_version)
+        os.replace(tmp, os.path.join(state_path, "_VERSION"))  # atomic flip
+
+    run_to_completion(
+        source.writeStream.foreachBatch(merge).outputMode("update"),
+        "record-registry-state",
+        checkpoint,
+    )
