@@ -373,7 +373,7 @@ def test_ivf_corpus_cache_scoped(spark):
 
     from weather_data_pipeline_spark.operators import similarity as sim
 
-    src = inspect.getsource(sim.ivf_topk)
+    src = inspect.getsource(sim.ivf_candidates)  # r15: probe machinery
     assert ".cache()" in src and "base.unpersist()" in src
     # unpersist must come after the last internal collect (the probe)
     assert src.index("base.unpersist()") > src.index("qrows = ")
@@ -1836,17 +1836,19 @@ def test_compacted_layout_partition_prunes(spark):
 
 
 def test_band_tuning_no_corpus_rescans(spark):
-    """The band-tuning sweep computes signatures and the strong set
-    ONCE (checkpointed): the returned 3-row plan reads only checkpoint
-    RDDs — zero parquet scans, no cartesian, partial-aggregated
-    counts per config."""
+    """The band-tuning sweep computes signatures, the strong set AND
+    (since round 15) the all-config candidate set ONCE (checkpointed):
+    the returned |configs|-row plan reads only checkpoint RDDs — zero
+    parquet scans, no cartesian (the 1-row n_strong attach is a
+    broadcast nested loop, not a CartesianProduct), partial-aggregated
+    per-config counts over the ONE materialized candidate frame."""
     from weather_data_pipeline_spark.plans.inspect import executed_plan
 
     df = _Q["x2_minhash_band_tuning"](spark, SF)
     plan = executed_plan(df)
     assert "Scan parquet" not in plan
     assert "CartesianProduct" not in plan
-    assert "Union" in plan
+    assert "Scan ExistingRDD" in plan  # counts read the checkpoints
     assert has_partial_aggregation(df)
 
 

