@@ -512,8 +512,22 @@ def x9_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     small = n <= PR_BROADCAST_NODES
     for r in range(LPA_ROUNDS):
         lv = labels.withColumnRenamed("node", "dst")
+        # ONE src exchange per round instead of two (round-15, guide
+        # §2.4 "operations keyed the same way share one exchange"): the
+        # explicit repartition("src") satisfies BOTH the (src, label)
+        # count's ClusteredDistribution (subset hash partitioning) and
+        # the per-src argmax's, so neither aggregation inserts its own
+        # exchange (before: a (src,label) exchange THEN a src exchange;
+        # measured ~11% off the rung at sf0.1). Byte tradeoff: this
+        # ships |edges| rows where the partial-agg form shipped
+        # per-map-distinct (src,label) combiners — fewer bytes whenever
+        # map-side duplication is < 2x, which holds for bounded-degree
+        # entity graphs (degrees are generator ratios at every SF); a
+        # web-scale run with heavily-converged labels would flip back
+        # to the two-exchange partial-agg form.
         counts = (
             edges.join(F.broadcast(lv) if small else lv, "dst")
+            .repartition("src")
             .groupBy("src", "label")
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
