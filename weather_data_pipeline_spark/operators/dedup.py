@@ -291,9 +291,17 @@ def x2_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     at trillion-shingle scale switch the key to a 128-bit fingerprint
     (two independent xxhash64 seeds), which drops it below 1e-14."""
     doc = fan_out(load_table(spark, sf_dir, "documents"))
+    # Materialized once (round-15): the hot-gram build, the pair-join
+    # sides, and the per-doc counts each re-derived the corpus
+    # scan+explode+hash (three different exchange keys, so ReusedExchange
+    # covers only the two join sides) — interleaved A/B at sf0.1:
+    # median 2.59 s -> 2.31 s. Same postings-checkpoint convention as
+    # _tfidf_weighted.
     sh = shingle_arrays(doc, 3).select(
         "doc_id", F.explode("grams").alias("shingle")
-    ).select("doc_id", F.xxhash64("shingle").alias("h"))
+    ).select("doc_id", F.xxhash64("shingle").alias("h")).localCheckpoint(
+        eager=True
+    )
     hot = (
         sh.groupBy("h")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -1945,7 +1953,9 @@ def x2_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc = fan_out(load_table(spark, sf_dir, "documents"))
     sh = shingle_arrays(doc, 3).select(
         "doc_id", F.explode("grams").alias("shingle")
-    ).select("doc_id", F.xxhash64("shingle").alias("h"))
+    ).select("doc_id", F.xxhash64("shingle").alias("h")).localCheckpoint(
+        eager=True  # r15: hot build + join sides + n2 share one pass
+    )
     hot = (
         sh.groupBy("h")
         .agg(F.count(F.lit(1)).alias("df"))

@@ -2411,9 +2411,15 @@ def x4_uniqueness_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import shingle_arrays
 
     doc = fan_out(load_table(spark, sf_dir, "documents"))
+    # Materialized once (round-15): the df count and the join-back side
+    # shuffle on h with DIFFERENT payloads (partial-agg combiners vs
+    # doc_id postings), so exchange reuse never fires and the corpus
+    # scan+explode ran twice — the capped-pair-rung checkpoint pattern.
     sh = shingle_arrays(doc, 3).select(
         "doc_id", F.explode("grams").alias("shingle")
-    ).select("doc_id", F.xxhash64("shingle").alias("h"))
+    ).select("doc_id", F.xxhash64("shingle").alias("h")).localCheckpoint(
+        eager=True
+    )
     df_tbl = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     return (
         sh.join(df_tbl, "h")
@@ -2925,6 +2931,7 @@ def _bpe_train_chain(doc, rounds: int, update_last: bool):
         " (a, b) -> named_struct('l', a, 'r', b))"
     )
     merges: list[tuple] = []
+    since_ck = 0  # r15: checkpoint the dict every 2nd round (see below)
     for rank in range(1, rounds + 1):
         stats = (
             cur.filter(F.size("syms") >= 2)
@@ -2949,7 +2956,18 @@ def _bpe_train_chain(doc, rounds: int, update_last: bool):
                 F.expr("CAST(array() AS array<string>)"),
                 _bpe_merge_step(row["l"], row["r"], row["l"] + row["r"]),
             ).alias("syms"),
-        ).localCheckpoint(eager=True)
+        )
+        # Flat lineage every SECOND round (round-15, the _nsw_beam_rounds
+        # cadence): the per-round .first() forces evaluation anyway, so a
+        # lazy odd round just folds two merge steps in one job instead of
+        # paying a separate materialization per round — interleaved A/B
+        # at sf0.1: x4_bpe_apply median 2.70 s -> 2.51 s. The fold depth
+        # between checkpoints is bounded at 2 HOF lambdas, so codegen/
+        # planning cost stays flat.
+        since_ck += 1
+        if since_ck >= 2 or rank == rounds:
+            cur = cur.localCheckpoint(eager=True)
+            since_ck = 0
     return cur, merges
 
 
