@@ -673,9 +673,10 @@ def ivf_topk(
     spark: SparkSession, sf_dir: str, nprobe: int = 1, kmeans_iters: int = 0
 ) -> DataFrame:
     """Top-``TOP_K`` per query over ``ivf_candidates`` — see there for
-    the probe machinery (this split is plan-neutral: the probe_rank
-    column rides the broadcast probe table and is projected away before
-    the window, so the executed plan is the pre-split ivf_topk plan)."""
+    the probe machinery. Result-identical to the pre-split ivf_topk at
+    every SF (oracle-verified); the executed plan differs only by the
+    probe_rank int riding the broadcast probe table until the window's
+    projection drops it."""
     w_topk = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("vec_id")
     )
