@@ -647,13 +647,24 @@ def x9_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = edges.select("src").distinct().count()  # bounded pre-flight job
     small = n <= PR_BROADCAST_NODES
     rounds: list[tuple] = []
+    # Per-round degree table, materialized once and consumed TWICE
+    # (round-15 optimization): the keep filter AND the round's stats
+    # both derive from deg — the symmetric edge list has one row per
+    # (node, neighbor), so deg's row set IS the distinct surviving
+    # nodes (n_nodes = |deg|, customer/supplier splits are row counts,
+    # n_edges = Σ d). Before, the stats ran three COUNT DISTINCTs over
+    # the full edge snapshot per round — a 2-phase expand exchange of
+    # |edges| rows that at 100x re-aggregates the 120M-row list three
+    # extra times per round; now the only per-round edge-volume
+    # aggregation is the degree count the peel needs anyway, and stats
+    # are a tiny pass over the |nodes|-bounded deg table.
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint(eager=True)
+    )
     for i in range(1, KCORE_ROUNDS + 1):
-        keep = (
-            edges.groupBy("src")
-            .agg(F.count(F.lit(1)).alias("d"))
-            .filter(F.col("d") >= KCORE_K)
-            .select("src")
-        )
+        keep = deg.filter(F.col("d") >= KCORE_K).select("src")
         keep = F.broadcast(keep) if small else keep
         edges = (
             edges.join(keep, "src", "semi")
@@ -661,15 +672,22 @@ def x9_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("src", "dst")
             .localCheckpoint(eager=True)
         )
-        row = edges.agg(  # one 5-field row per round, nothing more
-            F.countDistinct("src").alias("n_nodes"),
-            F.countDistinct(
-                F.when(F.col("src") < SUPP_OFFSET, F.col("src"))
+        deg = (
+            edges.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .localCheckpoint(eager=True)
+        )
+        row = deg.agg(  # one 5-field row per round over |nodes| rows
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.count(
+                F.when(F.col("src") < SUPP_OFFSET, F.lit(1))
             ).alias("n_customers"),
-            F.countDistinct(
-                F.when(F.col("src") >= SUPP_OFFSET, F.col("src"))
+            F.count(
+                F.when(F.col("src") >= SUPP_OFFSET, F.lit(1))
             ).alias("n_suppliers"),
-            F.count(F.lit(1)).alias("n_edges"),
+            # COALESCE: an emptied graph (the sf0.01 cascade) must read
+            # n_edges 0, not NULL — SUM over zero rows is NULL
+            F.coalesce(F.sum("d"), F.lit(0)).cast("long").alias("n_edges"),
         ).first()
         rounds.append((i, *row))
     return spark.createDataFrame(
