@@ -213,6 +213,8 @@ def build_payload(
     stdevs: dict[str, float],
     runs: int,
     sf: float,
+    cpus: int = 0,
+    default_parallelism: int = 0,
 ) -> dict:
     """The emitted JSON object. ``queries_median`` is deliberately the
     LAST key: the driver's BENCH_r{N} tail truncates the line to its
@@ -249,6 +251,16 @@ def build_payload(
         "runs": runs,
         "sf": sf,
         "readings_median_totals": readings,
+        # scaling-contract provenance (VERDICT r15 ask #2): the driver
+        # re-runs the bench at a lower SPARK_GRAFT_CPUS to measure
+        # per-query scaling; emitting the core count the session was
+        # BUILT with, plus the context's actual defaultParallelism,
+        # makes the contract provable from the payload alone (at sf0.1
+        # the 8-vs-32-core ratios sit ≈1 because 0.2-4 s queries are
+        # dominated by per-query plan/job fixed overhead — scaling
+        # probes need ≥10x SF to separate from that floor).
+        "cpus": cpus,
+        "default_parallelism": default_parallelism,
         "queries_median": medians,
     }
 
@@ -288,15 +300,33 @@ def main() -> None:
     times = {n: round(min(s), 3) for n, s in samples.items()}
     medians = {n: round(statistics.median(s), 3) for n, s in samples.items()}
     # dispersion over steady-state passes only (pass 1 pays the one-time
-    # codegen JIT — including it would report compilation, not drift)
-    stdevs = {
-        n: round(statistics.stdev(s[1:]), 3) if len(s) > 2 else 0.0
-        for n, s in samples.items()
-    }
+    # codegen JIT — including it would report compilation, not drift).
+    # Emitted only when SPARK_GRAFT_BENCH_STDEV is set: BENCH_r14's JSON
+    # line outgrew the driver's tail capture and never parsed, erasing a
+    # round of comparison (VERDICT r15 ask #2) — the stdev dict is the
+    # one non-contract block big enough to matter (~3.5 KB at 141
+    # queries), so the default emit stays lean while local committed
+    # runs can opt back in. Timing methodology is unchanged.
+    stdevs = (
+        {
+            n: round(statistics.stdev(s[1:]), 3) if len(s) > 2 else 0.0
+            for n, s in samples.items()
+        }
+        if os.environ.get("SPARK_GRAFT_BENCH_STDEV")
+        else {}
+    )
 
     print(
         json.dumps(
-            build_payload(times, medians, stdevs, runs, _sf_from_dir(SF_DIR))
+            build_payload(
+                times,
+                medians,
+                stdevs,
+                runs,
+                _sf_from_dir(SF_DIR),
+                cpus=int(CPUS),
+                default_parallelism=spark.sparkContext.defaultParallelism,
+            )
         )
     )
 

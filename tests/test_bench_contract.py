@@ -26,7 +26,7 @@ def test_queries_median_is_last_key_in_payload():
     bench = _load_bench()
     payload = bench.build_payload(
         times={"q1": 1.0}, medians={"q1": 1.1}, stdevs={"q1": 0.1},
-        runs=5, sf=0.1,
+        runs=5, sf=0.1, cpus=32, default_parallelism=32,
     )
     assert list(payload)[-1] == "queries_median"
     # json.dumps preserves insertion order — the serialized line's last
@@ -35,6 +35,12 @@ def test_queries_median_is_last_key_in_payload():
     last_open = line.rindex("{")
     assert json.loads(line[last_open:].rstrip("}") + "}") == {"q1": 1.1}
     assert line.index('"queries_median"') < last_open
+    # scaling-contract provenance (VERDICT r15 ask #2): the core count
+    # the session was built with and the context's defaultParallelism
+    # ride the payload — BEFORE queries_median per the key-order rule
+    assert payload["cpus"] == 32
+    assert payload["default_parallelism"] == 32
+    assert line.index('"cpus"') < line.index('"queries_median"')
 
 
 def test_payload_main_uses_builder():

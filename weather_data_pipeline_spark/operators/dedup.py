@@ -505,6 +505,17 @@ def decontaminate_containment_flags(tr: DataFrame, ev: DataFrame) -> DataFrame:
 #: near-dup clusters; dup groups are clique-ish, so real diameters are tiny)
 _MAX_CC_ITERS = 50
 
+#: broadcast budget for the component-propagation joins, in materialized
+#: symmetric edge ROWS (two 8-byte keys each): under it the edge list and
+#: the per-round nbr_min vector ride broadcast joins (zero corpus-side
+#: exchanges per round); over it both hints are withheld so the planner
+#: falls back to a shuffle join instead of collecting a web-scale dup
+#: graph to the driver (VERDICT r15 ask #3 — a broadcast hint overrides
+#: the size threshold, it never "drops out"). Mirrors graph.py's
+#: PR_BROADCAST_NODES posture; production tunes it to the driver/executor
+#: broadcast budget.
+CC_BROADCAST_EDGES = 5_000_000
+
 
 @query(
     "x2_dup_components",
@@ -565,9 +576,20 @@ def min_label_propagate(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
     ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     # near-dup graphs are tiny relative to the corpus: broadcast the edge
     # list so each propagation round is map-side (the corpus never
-    # reshuffles to meet edges); at edge counts past broadcast budget this
-    # hint drops out and AQE plans a shuffle join instead.
-    edges = F.broadcast(edges.localCheckpoint())
+    # reshuffles to meet edges). The hint is GATED on a bounded count of
+    # the materialized edge list (round 16, VERDICT r15 ask #3): a
+    # broadcast HINT does not "drop out" past the auto-broadcast
+    # threshold — Spark honors it at any estimated size, so an ungated
+    # hint on a web-scale dup graph collects the edges to the driver and
+    # OOMs where a shuffle join degrades gracefully. Past the gate both
+    # propagation joins fall back to the planner's shuffle strategy.
+    # CC_BROADCAST_EDGES rows ≈ 2·|pairs| symmetric (src, dst) longs
+    # (~16 B/row → ≤ ~80 MB framed, the graph.py PR_BROADCAST_NODES
+    # posture); the count is a metadata job over the checkpoint.
+    edges = edges.localCheckpoint()
+    small = edges.count() <= CC_BROADCAST_EDGES
+    if small:
+        edges = F.broadcast(edges)
     labels = nodes.select("doc_id", F.col("doc_id").alias("component"))
     labels = labels.localCheckpoint()
     for _ in range(_MAX_CC_ITERS):
@@ -582,15 +604,22 @@ def min_label_propagate(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
         # int64 overflow once Σ doc_id exceeds 2^63; ADVICE r4 #3) and no
         # costlier: labels only decrease, so "no label shrank" IS the
         # fixpoint.
-        # nbr_min is bounded by the edge list's distinct endpoints — the
-        # same frame already asserted broadcast-safe above — so the
-        # label join broadcasts it too (round-15 optimization): the
-        # |corpus|-row label vector never shuffles per round (before:
-        # SMJ with two exchanges per round; after: zero — the only
-        # per-round exchange left is nbr_min's own groupBy).
+        # nbr_min is bounded by the edge list's distinct endpoints, so
+        # it broadcasts under the SAME gate as edges (round-15
+        # optimization + round-16 gate): while small, the |corpus|-row
+        # label vector never shuffles per round (before: SMJ with two
+        # exchanges per round; after: zero — the only per-round
+        # exchange left is nbr_min's own groupBy); past the gate the
+        # hint is withheld and the planner's shuffle join carries the
+        # round, trading exchanges for not OOMing the driver.
         stepped = (
             labels.alias("l")
-            .join(F.broadcast(nbr_min.alias("n")), "doc_id", "left")
+            .join(
+                F.broadcast(nbr_min.alias("n")) if small
+                else nbr_min.alias("n"),
+                "doc_id",
+                "left",
+            )
             .select(
                 "doc_id",
                 F.least(

